@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SCD Type 2 merge as pure DataFrame algebra (no Delta).
+  *
+  * Semantics: reference `lakehouse_pipelines/gold/dim_policy.py:98-148`
+  * (Delta `MERGE INTO` with whenMatchedUpdate/whenNotMatchedInsertAll) and
+  * `MIGRATION_PLAYBOOK.md:196-221`. Our build has no row-level-ops DSv2
+  * table (Parquet cannot MERGE), so the merge is re-expressed as
+  * join + union + full rewrite (SURVEY §7.4).
+  *
+  * NOTE — intentional divergence, documented: the reference's MERGE closes
+  * the old version of a changed row but never inserts the NEW version (its
+  * playbook admits the simplification, `MIGRATION_PLAYBOOK.md:219-221`).
+  * A correct SCD2 needs both; `insertNewVersions=true` (default) fixes
+  * the gap, `false` reproduces the reference bug-for-bug.
+  *
+  * Scale shape: ONE shuffle of `current` and `source` on the key drives
+  * every row fate (kept / closed / new-version / brand-new); closed-out
+  * history rows pass through untouched with no shuffle at all. The four
+  * fate branches re-read the same joined plan — Spark's ReuseExchange
+  * reuses the single shuffle, so at 100 TB this costs one exchange of each
+  * side plus a union, not four joins.
+  */
+object Scd2 {
+
+  /** Merge `source` (the freshly built dimension, all rows
+    * `is_current=true`, `effective_end_date=null`) into `target` (the
+    * existing dimension table contents).
+    *
+    * @param keyCols     natural-key columns (e.g. `policy_id`)
+    * @param trackedCols columns whose change triggers a new version
+    *                    (reference `dim_policy.py:117-125`)
+    */
+  def merge(
+      target: DataFrame,
+      source: DataFrame,
+      keyCols: Seq[String],
+      trackedCols: Seq[String],
+      insertNewVersions: Boolean = true): DataFrame = {
+
+    require(target.columns.sorted.sameElements(source.columns.sorted),
+      s"target/source schemas differ: ${target.columns.toSeq} vs ${source.columns.toSeq}")
+
+    val history = target.filter(!col("is_current"))
+    val current = target.filter(col("is_current"))
+
+    val t = current.alias("t")
+    val s = source.alias("s")
+    val keyMatch = keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+    // Null-safe "any tracked attribute differs" (Delta MERGE `!=` treats
+    // NULL-vs-value as no-change; `<=>` negation is the null-safe form we
+    // actually want for correctness).
+    val changed = trackedCols.map(c => !(col(s"t.$c") <=> col(s"s.$c"))).reduce(_ || _)
+
+    val joined = t.join(s, keyMatch, "full_outer")
+      .withColumn("__fate",
+        when(keyCols.map(k => col(s"s.$k").isNull).reduce(_ && _), lit("keep"))        // current row, no source
+          .when(keyCols.map(k => col(s"t.$k").isNull).reduce(_ && _), lit("insert"))   // brand-new key
+          .when(changed, lit("close"))                                                 // attribute change
+          .otherwise(lit("keep")))                                                     // unchanged
+
+    val targetCols = target.columns.toSeq
+
+    def fromSide(side: String) = targetCols.map(c => col(s"$side.$c").as(c))
+
+    val kept = joined.filter(col("__fate") === "keep" &&
+      keyCols.map(k => col(s"t.$k").isNotNull).reduce(_ && _))
+      .select(fromSide("t"): _*)
+
+    val closed = joined.filter(col("__fate") === "close")
+      .select(targetCols.map {
+        case "is_current" => lit(false).as("is_current")
+        case "effective_end_date" => col("s.effective_start_date").as("effective_end_date")
+        case c => col(s"t.$c").as(c)
+      }: _*)
+
+    val newVersions =
+      if (insertNewVersions)
+        joined.filter(col("__fate") === "close").select(fromSide("s"): _*)
+      else joined.limit(0).select(fromSide("s"): _*)
+
+    val brandNew = joined.filter(col("__fate") === "insert").select(fromSide("s"): _*)
+
+    history
+      .unionByName(kept)
+      .unionByName(closed)
+      .unionByName(newVersions)
+      .unionByName(brandNew)
+  }
+
+  /** The reference's tracked-attribute list for dim_policy
+    * (`dim_policy.py:117-125`). */
+  val policyTrackedCols: Seq[String] = Seq(
+    "status", "annual_premium", "deductible", "coverage_limit",
+    "agent_id", "channel", "coverage_type_code")
+}
