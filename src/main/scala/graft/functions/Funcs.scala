@@ -34,12 +34,12 @@ object Funcs {
     * (`int_policy_claims.sql:40`, `fact_claims.py:61-64`). */
   def safeDiv(a: Column, b: Column): Column = a / nullif(b, lit(0))
 
-  /** Email masking: first 2 chars + *** + domain
-    * (`governance/access_controls.sql:57-63`). */
+  /** Email masking: first 2 chars + `***@***.***` — the reference masks
+    * the domain too (`governance/access_controls.sql:57-62`:
+    * `LEFT(email,2) || '***@***.***'`). */
   def maskEmail(c: Column): Column =
-    when(c.isNull, lit(null).cast(StringType)).otherwise(
-      concat(substring(c, 1, 2), lit("***"),
-        substr(c, instr(c, "@"))))
+    when(c.isNull, lit(null).cast(StringType))
+      .otherwise(concat(substring(c, 1, 2), lit("***@***.***")))
 
   /** Name masking: first char + repeat('*', length-1)
     * (`governance/access_controls.sql:65-70`). */
@@ -53,7 +53,7 @@ object Funcs {
     spark.sql(
       """CREATE OR REPLACE TEMPORARY FUNCTION mask_email(e STRING) RETURNS STRING
         |RETURN CASE WHEN e IS NULL THEN NULL
-        |  ELSE concat(substring(e, 1, 2), '***', substring(e, instr(e, '@'))) END
+        |  ELSE concat(substring(e, 1, 2), '***@***.***') END
         |""".stripMargin)
     spark.sql(
       """CREATE OR REPLACE TEMPORARY FUNCTION mask_name(n STRING) RETURNS STRING

@@ -1,0 +1,118 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH
+  * (banded), SimHash, and n-gram Jaccard verification.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *   - Exact dedup is one hash-aggregate shuffle on the dedup key.
+  *   - MinHash signatures are computed with `numHashes` MIN aggregates in a
+  *     single `groupBy(doc)` pass (map-side partial combine) — NOT by
+  *     exploding a (shingle × seed) cross product.
+  *   - Candidate generation is the classic banded-LSH bucket join: docs
+  *     only meet inside a (band, band_hash) bucket, never all-pairs.
+  *   - Jaccard verification runs only on LSH candidate pairs.
+  * No collect() anywhere; every step is a DataFrame the optimizer can see.
+  */
+object Dedup {
+
+  /** Exact-dedup survivors: one row per distinct key with the minimum
+    * tie-break id (deterministic, unlike dropDuplicates) and the
+    * duplicate count. */
+  def exactDedupSummary(df: DataFrame, keyCols: Seq[String], tieBreakCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*).agg(
+      min(col(tieBreakCol)).as("keep_" + tieBreakCol),
+      count(lit(1)).as("dup_count"))
+
+  /** Deduplicated frame: keeps exactly the row whose tie-break id is the
+    * group minimum (deterministic dropDuplicates). */
+  def dropExactDuplicates(df: DataFrame, keyCols: Seq[String], tieBreakCol: String): DataFrame = {
+    val keep = df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(tieBreakCol)).as(tieBreakCol))
+    df.join(keep, keyCols :+ tieBreakCol, "left_semi")
+  }
+
+  /** Word `n`-gram shingles of the normalized text, exploded to one row
+    * per distinct (id, shingle). Documents shorter than `n` tokens
+    * contribute their whole text as a single shingle. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val parts = (1 to n).map(j => s"element_at(toks, i + $j)").mkString(", ")
+    df.select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode(expr(
+        s"""CASE WHEN size(toks) >= $n
+           |  THEN transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', $parts))
+           |  ELSE array(array_join(toks, ' ')) END""".stripMargin)).as("shingle"))
+      .distinct()
+  }
+
+  /** MinHash signatures: one row per id with columns `h0..h{k-1}`, where
+    * `hj = min(md5(j || ':' || shingle))`. Single groupBy pass, k MIN
+    * aggregates — map-side combinable, one shuffle on the id. */
+  def minhashSignatures(shingleDf: DataFrame, idCol: String, numHashes: Int = 8): DataFrame = {
+    val aggs = (0 until numHashes).map(j =>
+      min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"h$j"))
+    shingleDf.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Banded LSH buckets: signature columns grouped into bands of
+    * `rowsPerBand`, each band hashed; one output row per (id, band). */
+  def lshBands(sigs: DataFrame, idCol: String, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands evenly")
+    val bands = (0 until numHashes / rowsPerBand).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("band_hash"))
+    }
+    sigs.select(col(idCol), explode(array(bands: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+  }
+
+  /** Candidate near-duplicate pairs: docs sharing any LSH bucket. The join
+    * key is (band, band_hash), so work is proportional to bucket sizes —
+    * the sub-quadratic scale path. Returns distinct (id_a < id_b) pairs. */
+  def candidatePairs(bandDf: DataFrame, idCol: String): DataFrame =
+    bandDf.alias("x")
+      .join(bandDf.alias("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+
+  /** SimHash over whitespace tokens: bit `i` of the signature is set when
+    * the sum of (+1/-1) votes from bit `i` of each token's MD5 is
+    * positive. `bits` ≤ 32; bit i is taken as the low bit of hex nibble i,
+    * i.e. whether hex digit i is odd — exactly expressible in any engine.
+    * One groupBy over exploded tokens. */
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    require(bits <= 32, "md5 supplies 32 hex nibbles")
+    val odd = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+    val toks = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
+      .withColumn("tok_md5", md5(col("tok")))
+    val votes = (0 until bits).map(i =>
+      sum(when(substring(col("tok_md5"), i + 1, 1).isin(odd: _*), 1).otherwise(-1)).as(s"v$i"))
+    val withVotes = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val sig = (0 until bits).map(i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    withVotes.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard similarity for given candidate pairs (verify
+    * step after LSH). `pairs` must have columns (id_a, id_b). */
+  def jaccardPairs(shingleDf: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val sizes = shingleDf.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(shingleDf.select(col(idCol).as("id_a"), col("shingle").as("sh_a")), "id_a")
+      .join(shingleDf.select(col(idCol).as("id_b"), col("shingle").as("sh_b")), "id_b")
+      .filter(col("sh_a") === col("sh_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (coalesce(col("n_inter"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L))).cast("double"))
+          .as("jaccard"))
+  }
+}

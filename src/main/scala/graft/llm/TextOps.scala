@@ -1,0 +1,91 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * These extend the reference's capability set (SURVEY §7.6 "beyond-parity
+  * track") with the text-side operators an LLM data pipeline needs:
+  * normalization, token statistics, quality scoring, language ID, and
+  * document fingerprinting. Everything is built from
+  * `org.apache.spark.sql.functions` / Catalyst HOFs so the whole pipeline
+  * stays inside whole-stage codegen — no UDFs, no driver-side loops, and
+  * every operator is a narrow per-row map (zero shuffles), so it scales
+  * linearly with partitions at 100 TB.
+  */
+object TextOps {
+
+  /** Canonical text normalization: lowercase, collapse runs of whitespace,
+    * trim. The shared first step for dedup/fingerprint so near-identical
+    * whitespace variants collide. */
+  def normText(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** Per-document statistics + quality signals (length, token counts,
+    * punctuation and stopword ratios) — the classic pre-training quality
+    * filters, one projection, no shuffle. */
+  def textStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTokens = size(toks)
+    df.select(
+      df.columns.map(col) ++ Seq(
+        length(t).as("n_chars"),
+        nTokens.as("n_tokens"),
+        regexp_count(t, lit("[.,!?;:]")).as("n_punct"),
+        regexp_count(lower(t), lit("\\b(the|a|an|and|of|to|in|is|it)\\b")).as("n_stopwords"),
+        (regexp_count(lower(t), lit("\\b(the|a|an|and|of|to|in|is|it)\\b")).cast("double") /
+          nullif(nTokens.cast("double"), lit(0.0))).as("stopword_ratio"),
+        (regexp_count(t, lit("[.,!?;:]")).cast("double") /
+          nullif(length(t).cast("double"), lit(0.0))).as("punct_ratio"),
+        (nTokens >= 5 && nTokens <= 100000).as("len_ok")): _*)
+  }
+
+  /** Token counting two ways: whitespace tokens and a BPE-ish regex
+    * tokenization (letter runs / digit runs / single punctuation marks),
+    * the standard cheap proxy for subword token counts. */
+  def tokenCounts(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(
+      df.columns.map(col) ++ Seq(
+        size(tokens(col(textCol))).as("ws_tokens"),
+        regexp_count(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("bpe_tokens")): _*)
+
+  /** N-gram-heuristic language ID: count marker-word / script hits per
+    * candidate language, pick the max (CJK script presence wins outright).
+    * Deterministic, pure projection, codegen-friendly. */
+  def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = lower(col(textCol))
+    val en = regexp_count(t, lit("\\b(the|and|is|of|to)\\b"))
+    val de = regexp_count(t, lit("\\b(der|die|und|ist|das|nicht)\\b"))
+    val fr = regexp_count(t, lit("\\b(le|les|et|est|dans|une)\\b"))
+    val es = regexp_count(t, lit("\\b(el|los|y|es|una|que)\\b"))
+    val zh = regexp_count(col(textCol), lit("[\\u4e00-\\u9fff]"))
+    df.select(
+      df.columns.map(col) ++ Seq(
+        en.as("score_en"), de.as("score_de"), fr.as("score_fr"),
+        es.as("score_es"), zh.as("score_zh"),
+        when(zh > 0, lit("zh"))
+          .when(de > en && de >= fr && de >= es, lit("de"))
+          .when(fr > en && fr >= de && fr >= es, lit("fr"))
+          .when(es > en && es >= de && es >= fr, lit("es"))
+          .otherwise(lit("en")).as("predicted_lang")): _*)
+  }
+
+  /** Document fingerprints: full-content MD5, a min-token hash (1-wide
+    * MinHash), and a rolling chained hash over the token stream (order
+    * sensitive, so re-ordered documents get distinct prints). All pure
+    * array HOFs — the fold in `aggregate` is a sequential left fold, so
+    * the rolling print is deterministic. */
+  def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toksExpr = s"split(trim(regexp_replace(lower($textCol), '\\\\s+', ' ')), ' ')"
+    df.select(
+      df.columns.map(col) ++ Seq(
+        md5(normText(col(textCol))).as("content_md5"),
+        expr(s"array_min(transform($toksExpr, t -> md5(t)))").as("min_token_hash"),
+        expr(s"aggregate($toksExpr, 'graftseed', (acc, t) -> md5(concat(acc, t)))")
+          .as("rolling_hash")): _*)
+  }
+}

@@ -129,15 +129,17 @@ object GoldDims {
 
   /** Date dimension — from dbt `dim_date.sql:5-41` (`dbt_utils.date_spine`
     * → `explode(sequence(...))`, the only table-generating function in the
-    * inventory; SURVEY W1). Redshift DOW is 0=Sun..6; Spark `dayofweek`
-    * is 1=Sun..7 — we keep Redshift's 0-based numbering so downstream
+    * inventory; SURVEY W1). `end` is EXCLUSIVE, matching
+    * `dbt_utils.date_spine`'s end_date semantics (spine stops at
+    * `end - 1 day`). Redshift DOW is 0=Sun..6; Spark `dayofweek` is
+    * 1=Sun..7 — we keep Redshift's 0-based numbering so downstream
     * weekend logic (`IN (0,6)`) carries over unchanged. Redshift
     * TO_CHAR('Month') blank-pads; we emit unpadded names (documented
     * divergence, SURVEY F14). */
   def buildDimDate(spark: SparkSession,
-      start: String = "2020-01-01", end: String = "2030-12-31"): DataFrame = {
+      start: String = "2020-01-01", end: String = "2031-01-01"): DataFrame = {
     val spine = spark.sql(
-      s"SELECT explode(sequence(to_date('$start'), to_date('$end'), interval 1 day)) AS date_day")
+      s"SELECT explode(sequence(to_date('$start'), date_sub(to_date('$end'), 1), interval 1 day)) AS date_day")
     spine.select(
       col("date_day").cast(DateType).as("date_key"),
       year(col("date_day")).as("year"),

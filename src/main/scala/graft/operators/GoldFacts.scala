@@ -43,8 +43,12 @@ object GoldFacts {
         col("p.annual_premium"),
         col("p.deductible").as("policy_deductible"),
         col("p.coverage_limit"),
-        (col("c.claim_amount") / nullif(col("p.annual_premium"), lit(0)))
-          .cast(DoubleType).as("claim_to_premium_ratio"),
+        // Operands widened to double BEFORE dividing: the data dictionary
+        // types the ratio as DOUBLE, and decimal÷decimal result scales
+        // are engine-specific — double division is IEEE-deterministic.
+        (col("c.claim_amount").cast(DoubleType) /
+          nullif(col("p.annual_premium").cast(DoubleType), lit(0.0)))
+          .as("claim_to_premium_ratio"),
         datediff(col("c.reported_date"), col("c.claim_date")).as("days_to_report"),
         datediff(col("c.closed_date"), col("c.reported_date")).as("days_to_close"),
         col("prop.state").as("property_state"),

@@ -44,8 +44,11 @@ object Scd2 {
     require(target.columns.sorted.sameElements(source.columns.sorted),
       s"target/source schemas differ: ${target.columns.toSeq} vs ${source.columns.toSeq}")
 
-    val history = target.filter(!col("is_current"))
-    val current = target.filter(col("is_current"))
+    // Null-safe split: a NULL is_current must not vanish from the table
+    // (plain filter(!col) would drop it from both branches).
+    val isCur = coalesce(col("is_current"), lit(false))
+    val history = target.filter(!isCur)
+    val current = target.filter(isCur)
 
     val t = current.alias("t")
     val s = source.alias("s")

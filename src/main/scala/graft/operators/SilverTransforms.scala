@@ -28,12 +28,20 @@ object SilverTransforms {
   val ValidClaimTypes: Seq[String] = graft.model.Schemas.Domains.claimTypes
   val ValidClaimStatuses: Seq[String] = graft.model.Schemas.Domains.claimStatuses
 
+  /** Bronze lineage columns (`_ingestion_timestamp`, `_source_file`,
+    * `_batch_id`, ...) flow through silver untouched — the reference's
+    * `withColumn` chains never select them away (`clean_policies.py:41-73`),
+    * so a closed select list here would silently change the silver schema.
+    */
+  private def passthrough(bronze: DataFrame): Seq[Column] =
+    bronze.columns.toSeq.filter(c => c.startsWith("_")).map(col)
+
   /** Mirrors `clean_policies.py:32-75` / `stg_policies.sql`. */
   def transformPolicies(bronze: DataFrame, clock: Column = current_timestamp()): DataFrame =
     bronze
       .filter(col("policy_id").isNotNull)
       .filter(col("effective_date").isNotNull)
-      .select(
+      .select(Seq(
         col("policy_id"),
         trim(col("policyholder_first_name")).as("policyholder_first_name"),
         trim(col("policyholder_last_name")).as("policyholder_last_name"),
@@ -53,7 +61,7 @@ object SilverTransforms {
         trim(col("channel")).as("channel"),
         col("created_at").cast(TimestampType).as("created_at"),
         col("updated_at").cast(TimestampType).as("updated_at"),
-        clock.as("_cleaned_timestamp"))
+        clock.as("_cleaned_timestamp")) ++ passthrough(bronze): _*)
 
   /** Mirrors `clean_claims.py:29-54` / `stg_claims.sql`. Includes the
     * empty-string→NULL normalization for `closed_date` pinned by
@@ -63,7 +71,7 @@ object SilverTransforms {
       .filter(col("claim_id").isNotNull)
       .filter(col("policy_id").isNotNull)
       .filter(col("claim_amount") >= 0)
-      .select(
+      .select(Seq(
         col("claim_id"),
         col("policy_id"),
         col("claim_date").cast(DateType).as("claim_date"),
@@ -80,7 +88,7 @@ object SilverTransforms {
         trim(col("description")).as("description"),
         col("created_at").cast(TimestampType).as("created_at"),
         col("updated_at").cast(TimestampType).as("updated_at"),
-        clock.as("_cleaned_timestamp"))
+        clock.as("_cleaned_timestamp")) ++ passthrough(bronze): _*)
 
   /** Mirrors `clean_premiums.py:15-32` / `stg_premiums.sql`. */
   def transformPremiums(bronze: DataFrame, clock: Column = current_timestamp()): DataFrame =
@@ -88,7 +96,7 @@ object SilverTransforms {
       .filter(col("premium_id").isNotNull)
       .filter(col("policy_id").isNotNull)
       .filter(col("amount") > 0)
-      .select(
+      .select(Seq(
         col("premium_id"),
         col("policy_id"),
         col("payment_date").cast(DateType).as("payment_date"),
@@ -100,13 +108,13 @@ object SilverTransforms {
         col("period_start_date").cast(DateType).as("period_start_date"),
         col("period_end_date").cast(DateType).as("period_end_date"),
         col("created_at").cast(TimestampType).as("created_at"),
-        clock.as("_cleaned_timestamp"))
+        clock.as("_cleaned_timestamp")) ++ passthrough(bronze): _*)
 
   /** Mirrors `clean_properties.py:15-38` / `stg_properties.sql`. */
   def transformProperties(bronze: DataFrame, clock: Column = current_timestamp()): DataFrame =
     bronze
       .filter(col("property_id").isNotNull)
-      .select(
+      .select(Seq(
         col("property_id"),
         trim(col("street_address")).as("street_address"),
         trim(col("city")).as("city"),
@@ -126,5 +134,5 @@ object SilverTransforms {
         col("property_value").cast(DecimalType(14, 2)).as("property_value"),
         col("created_at").cast(TimestampType).as("created_at"),
         col("updated_at").cast(TimestampType).as("updated_at"),
-        clock.as("_cleaned_timestamp"))
+        clock.as("_cleaned_timestamp")) ++ passthrough(bronze): _*)
 }

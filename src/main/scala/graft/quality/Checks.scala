@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
   * Scale note: the reference triggers 2-3 Spark jobs *per check* (a
   * `filter.count` plus `count` each — ≥12 jobs per table,
   * `clean_policies.py:122` + `data_quality_checks.py:16-17`). At 100 TB
-  * that is 12 full scans. [[Checks.runAll]] keeps the reference API but
-  * shares one cached `total`, and [[Checks.fusedProfile]] collapses every
-  * column-level counter into ONE aggregate pass (single scan, map-side
-  * partial aggregation, no shuffle beyond a 1-row result).
+  * that is 12 full scans. The per-check methods here keep the reference
+  * API (each is a single fused aggregate where possible);
+  * [[Checks.fusedProfile]] collapses every column-level counter into ONE
+  * aggregate pass (single scan, map-side partial aggregation, no shuffle
+  * beyond a 1-row result) and is the preferred path at scale.
   */
 object Checks {
 
@@ -47,14 +48,15 @@ object Checks {
       math.round(nulls.toDouble / math.max(total, 1L) * 10000.0) / 100.0)
   }
 
-  /** dbt `unique` test (`data_quality_checks.py:28-40`). */
+  /** dbt `unique` test (`data_quality_checks.py:28-40`). One job:
+    * count_distinct skips NULLs but the reference's
+    * `select(col).distinct().count()` counts a NULL group, so the same
+    * aggregate also detects null presence. */
   def checkUnique(df: DataFrame, column: String): UniqueResult = {
-    val Row(total: Long, distinct: Long) = df
-      .agg(count(lit(1)).as("total"), count_distinct(col(column)).as("distinct"))
+    val Row(total: Long, distinct: Long, nullGroups: Int) = df
+      .agg(count(lit(1)).as("total"), count_distinct(col(column)).as("distinct"),
+        coalesce(max(when(col(column).isNull, lit(1)).otherwise(0)), lit(0)).as("hasnull"))
       .head()
-    // count_distinct skips NULLs; reference's select(col).distinct().count()
-    // counts a NULL group, so add it back if present.
-    val nullGroups = if (df.filter(col(column).isNull).isEmpty) 0L else 1L
     val d = distinct + nullGroups
     UniqueResult("unique", column, total - d == 0, total - d, total, d)
   }
@@ -62,12 +64,16 @@ object Checks {
   /** dbt `accepted_values` test with a 10-value sample of offenders
     * (`data_quality_checks.py:43-64`). */
   def checkAcceptedValues(df: DataFrame, column: String, accepted: Seq[String]): AcceptedValuesResult = {
-    val invalid = df.filter(!col(column).isin(accepted: _*))
-    val Row(invalidCount: Long) = invalid.agg(count(lit(1))).head()
-    val total = df.count()
+    // invalid + total fused into one aggregate (the reference scans 3×;
+    // SURVEY §7.6). The bounded 10-row offender sample is a second,
+    // filtered job only when a failure is already known.
+    val Row(invalidCount: Long, total: Long) = df.agg(
+      count(when(!col(column).isin(accepted: _*), lit(1))).as("invalid"),
+      count(lit(1)).as("total")).head()
     val sample =
       if (invalidCount > 0)
-        invalid.select(col(column).cast("string")).distinct().limit(10)
+        df.filter(!col(column).isin(accepted: _*))
+          .select(col(column).cast("string")).distinct().limit(10)
           .collect().map(_.getString(0)).toSeq
       else Seq.empty
     AcceptedValuesResult("accepted_values", column, invalidCount == 0,
@@ -77,8 +83,15 @@ object Checks {
   /** dbt `relationships` (referential-integrity) test via left_anti join
     * (`data_quality_checks.py:67-79`). */
   def checkRelationships(df: DataFrame, column: String, refDf: DataFrame, refColumn: String): RelationshipsResult = {
-    val orphans = df.join(refDf, df(column) === refDf(refColumn), "left_anti").count()
-    RelationshipsResult("relationships", column, refColumn, orphans == 0, orphans, df.count())
+    // Single pass: left join against the distinct ref keys, count total and
+    // unmatched rows in one aggregate (reference runs left_anti + count as
+    // two jobs). NULL fk values count as orphans, same as left_anti.
+    val refKeys = refDf.select(col(refColumn).as("__ref_key")).distinct()
+    val Row(total: Long, orphans: Long) = df
+      .join(refKeys, df(column) === col("__ref_key"), "left")
+      .agg(count(lit(1)).as("total"),
+        count(when(col("__ref_key").isNull, lit(1))).as("orphans")).head()
+    RelationshipsResult("relationships", column, refColumn, orphans == 0, orphans, total)
   }
 
   /** Row-count bounds (`data_quality_checks.py:82-91`). */

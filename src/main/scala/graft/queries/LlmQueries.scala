@@ -1,0 +1,288 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+import Registry.T
+
+/** Driver-gradable queries for the LLM training-data pipeline operators
+  * (dedup, similarity search, text analysis, multimodal plumbing) over
+  * `documents` / `embeddings` / `events`. The DuckDB oracles replicate the
+  * exact algorithms (same normalization, same hash seeds, same fold
+  * order), so these are full value-level checks, not just row counts.
+  */
+object LlmQueries {
+
+  // -- shared DuckDB fragments ------------------------------------------
+  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private val toksCte =
+    s"toks AS (SELECT doc_id, string_split($normSql, ' ') AS t FROM documents)"
+  private val shCte =
+    """sh AS (SELECT DISTINCT doc_id, shingle FROM (
+      |  SELECT doc_id, unnest(
+      |    CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t) - 1),
+      |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |      ELSE [array_to_string(t, ' ')] END) AS shingle
+      |  FROM toks))""".stripMargin
+
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+  private def simSql(a: String, b: String) =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    // ----- dedup: exact ------------------------------------------------
+    "llm_dedup_exact" -> Q((s, dir) =>
+      Dedup.exactDedupSummary(T(s, dir, "documents"), Seq("text"), "doc_id")
+        .select(md5(col("text")).as("text_md5"), col("keep_doc_id"), col("dup_count"))
+        .orderBy("keep_doc_id"),
+      Some("""SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id,
+             |  count(*) AS dup_count
+             |FROM documents GROUP BY text ORDER BY keep_doc_id""".stripMargin),
+      bench = true),
+
+    "llm_dedup_drop" -> Q((s, dir) =>
+      Dedup.dropExactDuplicates(T(s, dir, "documents"), Seq("text"), "doc_id")
+        .select("doc_id").orderBy("doc_id"),
+      Some("""SELECT doc_id FROM documents
+             |WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
+             |ORDER BY doc_id""".stripMargin)),
+
+    "llm_dedup_norm" -> Q((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .withColumn("norm_text", TextOps.normText(col("text")))
+      Dedup.exactDedupSummary(docs, Seq("norm_text"), "doc_id")
+        .select(md5(col("norm_text")).as("norm_md5"), col("keep_doc_id"), col("dup_count"))
+        .orderBy("keep_doc_id")
+    }, Some(s"""SELECT md5($normSql) AS norm_md5, MIN(doc_id) AS keep_doc_id,
+               |  count(*) AS dup_count
+               |FROM documents GROUP BY $normSql ORDER BY keep_doc_id""".stripMargin)),
+
+    // ----- dedup: MinHash + LSH banded candidate pairs -----------------
+    "llm_minhash_lsh_pairs" -> Q((s, dir) => {
+      val sh = Dedup.shingles(T(s, dir, "documents"), "doc_id", "text", 3)
+      val sig = Dedup.minhashSignatures(sh, "doc_id", 8)
+      val bands = Dedup.lshBands(sig, "doc_id", 8, 2)
+      Dedup.candidatePairs(bands, "doc_id").orderBy("id_a", "id_b")
+    }, Some({
+      val sigCols = (0 until 8).map(j => s"min(md5('$j:' || shingle)) AS h$j").mkString(", ")
+      val bandsSql = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, md5(h${2 * b} || '|' || h${2 * b + 1}) AS band_hash FROM sigs")
+        .mkString(" UNION ALL ")
+      s"""WITH $toksCte, $shCte,
+         |sigs AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+         |bands AS ($bandsSql)
+         |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+         |ORDER BY id_a, id_b""".stripMargin
+    }), bench = true),
+
+    // ----- dedup: SimHash ----------------------------------------------
+    "llm_simhash" -> Q((s, dir) =>
+      Dedup.simhash(T(s, dir, "documents"), "doc_id", "text", 16).orderBy("doc_id"),
+      Some({
+        val odd = "('1','3','5','7','9','b','d','f')"
+        val votes = (0 until 16).map(i =>
+          s"SUM(CASE WHEN substring(m, ${i + 1}, 1) IN $odd THEN 1 ELSE -1 END) AS v$i")
+          .mkString(", ")
+        val bits = (0 until 16).map(i =>
+          s"(CASE WHEN v$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+          .mkString(" + ")
+        s"""WITH $toksCte,
+           |h AS (SELECT doc_id, md5(tok) AS m FROM
+           |  (SELECT doc_id, unnest(t) AS tok FROM toks)),
+           |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
+           |SELECT doc_id, $bits AS simhash FROM v ORDER BY doc_id""".stripMargin
+      })),
+
+    // ----- dedup: n-gram Jaccard verification --------------------------
+    "llm_ngram_jaccard" -> Q((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+      val pairs = docs.select(col("doc_id").as("id_a")).alias("a")
+        .join(docs.select(col("doc_id").as("id_b")).alias("b"),
+          col("b.id_b") === col("a.id_a") + 1)
+      Dedup.jaccardPairs(sh, "doc_id", pairs.select("id_a", "id_b")).orderBy("id_a")
+    }, Some(s"""WITH $toksCte, $shCte,
+               |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+               |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+               |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+               |inter AS (SELECT p.id_a, p.id_b, count(*) AS n_inter
+               |  FROM pairs p
+               |  JOIN sh x ON x.doc_id = p.id_a
+               |  JOIN sh y ON y.doc_id = p.id_b AND y.shingle = x.shingle
+               |  GROUP BY p.id_a, p.id_b)
+               |SELECT p.id_a, p.id_b,
+               |  CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+               |    CAST(sa.n + sb.n - COALESCE(i.n_inter, 0) AS DOUBLE) AS jaccard
+               |FROM pairs p
+               |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+               |JOIN sizes sa ON sa.doc_id = p.id_a
+               |JOIN sizes sb ON sb.doc_id = p.id_b
+               |ORDER BY p.id_a""".stripMargin)),
+
+    // ----- text analysis -----------------------------------------------
+    "llm_text_stats" -> Q((s, dir) =>
+      TextOps.textStats(T(s, dir, "documents").select("doc_id", "text"))
+        .drop("text").orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  length(text) AS n_chars,
+              |  len(string_split($normSql, ' ')) AS n_tokens,
+              |  len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+              |  len(regexp_extract_all(lower(text), '\\b(the|a|an|and|of|to|in|is|it)\\b'))
+              |    AS n_stopwords,
+              |  CAST(len(regexp_extract_all(lower(text), '\\b(the|a|an|and|of|to|in|is|it)\\b'))
+              |    AS DOUBLE) / NULLIF(CAST(len(string_split($normSql, ' ')) AS DOUBLE), 0)
+              |    AS stopword_ratio,
+              |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) /
+              |    NULLIF(CAST(length(text) AS DOUBLE), 0) AS punct_ratio,
+              |  len(string_split($normSql, ' ')) BETWEEN 5 AND 100000 AS len_ok
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "llm_lang_id" -> Q((s, dir) =>
+      TextOps.langId(T(s, dir, "documents").select("doc_id", "lang", "text"))
+        .drop("text").orderBy("doc_id"),
+      Some("""SELECT doc_id, lang,
+             |  len(regexp_extract_all(lower(text), '\b(the|and|is|of|to)\b')) AS score_en,
+             |  len(regexp_extract_all(lower(text), '\b(der|die|und|ist|das|nicht)\b')) AS score_de,
+             |  len(regexp_extract_all(lower(text), '\b(le|les|et|est|dans|une)\b')) AS score_fr,
+             |  len(regexp_extract_all(lower(text), '\b(el|los|y|es|una|que)\b')) AS score_es,
+             |  len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS score_zh,
+             |  CASE
+             |    WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+             |    WHEN len(regexp_extract_all(lower(text), '\b(der|die|und|ist|das|nicht)\b')) >
+             |           len(regexp_extract_all(lower(text), '\b(the|and|is|of|to)\b'))
+             |     AND len(regexp_extract_all(lower(text), '\b(der|die|und|ist|das|nicht)\b')) >=
+             |           len(regexp_extract_all(lower(text), '\b(le|les|et|est|dans|une)\b'))
+             |     AND len(regexp_extract_all(lower(text), '\b(der|die|und|ist|das|nicht)\b')) >=
+             |           len(regexp_extract_all(lower(text), '\b(el|los|y|es|una|que)\b'))
+             |      THEN 'de'
+             |    WHEN len(regexp_extract_all(lower(text), '\b(le|les|et|est|dans|une)\b')) >
+             |           len(regexp_extract_all(lower(text), '\b(the|and|is|of|to)\b'))
+             |     AND len(regexp_extract_all(lower(text), '\b(le|les|et|est|dans|une)\b')) >=
+             |           len(regexp_extract_all(lower(text), '\b(der|die|und|ist|das|nicht)\b'))
+             |     AND len(regexp_extract_all(lower(text), '\b(le|les|et|est|dans|une)\b')) >=
+             |           len(regexp_extract_all(lower(text), '\b(el|los|y|es|una|que)\b'))
+             |      THEN 'fr'
+             |    WHEN len(regexp_extract_all(lower(text), '\b(el|los|y|es|una|que)\b')) >
+             |           len(regexp_extract_all(lower(text), '\b(the|and|is|of|to)\b'))
+             |     AND len(regexp_extract_all(lower(text), '\b(el|los|y|es|una|que)\b')) >=
+             |           len(regexp_extract_all(lower(text), '\b(der|die|und|ist|das|nicht)\b'))
+             |     AND len(regexp_extract_all(lower(text), '\b(el|los|y|es|una|que)\b')) >=
+             |           len(regexp_extract_all(lower(text), '\b(le|les|et|est|dans|une)\b'))
+             |      THEN 'es'
+             |    ELSE 'en' END AS predicted_lang
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "llm_token_counts" -> Q((s, dir) =>
+      TextOps.tokenCounts(T(s, dir, "documents").select("doc_id", "text"))
+        .drop("text").orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  len(string_split($normSql, ' ')) AS ws_tokens,
+              |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "llm_fingerprint" -> Q((s, dir) =>
+      TextOps.fingerprint(T(s, dir, "documents").select("doc_id", "text"))
+        .drop("text").orderBy("doc_id"),
+      Some(s"""WITH $toksCte
+              |SELECT d.doc_id,
+              |  md5($normSql) AS content_md5,
+              |  list_min(list_transform(t.t, x -> md5(x))) AS min_token_hash,
+              |  list_reduce(list_prepend('graftseed', t.t),
+              |    (acc, x) -> md5(concat(acc, x))) AS rolling_hash
+              |FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // ----- similarity search -------------------------------------------
+    "llm_cosine_topk" -> Q((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 3)
+        .orderBy("query_id", "rank")
+    }, Some({
+      s"""WITH v AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, vv AS qv FROM v WHERE vec_id < 10),
+         |pairs AS (
+         |  SELECT q.query_id, c.vec_id AS corpus_id, ${simSql("q.qv", "c.vv")} AS sim
+         |  FROM v c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+         |SELECT query_id, corpus_id, sim, rank FROM (
+         |  SELECT query_id, corpus_id, sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS rank
+         |  FROM pairs)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    }), bench = true),
+
+    "llm_ann_ivf_topk" -> Q((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id").between(10, 14)),
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding", 3)
+        .orderBy("query_id", "rank")
+    }, Some({
+      val sim = simSql("a.vv", "c.cv")
+      s"""WITH v AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings),
+         |cent AS (SELECT vec_id AS centroid_id, vv AS cv FROM v WHERE vec_id < 8),
+         |assigned AS (SELECT vec_id, centroid_id AS cluster_id FROM (
+         |  SELECT a.vec_id, c.centroid_id,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY $sim DESC, c.centroid_id) AS rn
+         |  FROM v a CROSS JOIN cent c) WHERE rn = 1),
+         |corpus AS (SELECT v.vec_id AS corpus_id, v.vv AS cv, a.cluster_id
+         |  FROM v JOIN assigned a ON v.vec_id = a.vec_id),
+         |queries AS (SELECT v.vec_id AS query_id, v.vv AS qv, a.cluster_id
+         |  FROM v JOIN assigned a ON v.vec_id = a.vec_id
+         |  WHERE v.vec_id BETWEEN 10 AND 14),
+         |pairs AS (
+         |  SELECT q.query_id, c.corpus_id, q.cluster_id, ${simSql("q.qv", "c.cv")} AS sim
+         |  FROM corpus c JOIN queries q ON c.cluster_id = q.cluster_id
+         |  WHERE c.corpus_id <> q.query_id)
+         |SELECT query_id, corpus_id, cluster_id, sim, rank FROM (
+         |  SELECT query_id, corpus_id, cluster_id, sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS rank
+         |  FROM pairs)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    })),
+
+    // ----- multimodal plumbing (stubbed decode) ------------------------
+    "llm_multimodal_stub" -> Q((s, dir) => {
+      val df = Multimodal.frameSampleStub(
+        Multimodal.decodeStub(
+          Multimodal.withPayload(T(s, dir, "documents").select("doc_id", "text"))),
+        "text", 2)
+      df.select(
+        col("doc_id"),
+        col("media_meta.n_bytes").as("n_bytes"),
+        col("media_meta.content_md5").as("payload_md5"),
+        col("decoded.fake_width").as("fake_width"),
+        col("decoded.fake_height").as("fake_height"),
+        col("frame_hashes")(0).as("frame_0"),
+        col("frame_hashes")(1).as("frame_1"))
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id,
+              |  octet_length(encode(text)) AS n_bytes,
+              |  md5(text) AS payload_md5,
+              |  CAST(octet_length(encode(text)) % 1280 + 640 AS INT) AS fake_width,
+              |  CAST(octet_length(encode(text)) % 720 + 360 AS INT) AS fake_height,
+              |  md5(substring(text, 1, 16)) AS frame_0,
+              |  md5(substring(text, 17, 16)) AS frame_1
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ----- JSON prop extraction over events (F23 companion) ------------
+    "llm_json_props_agg" -> Q((s, dir) =>
+      T(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+             |  MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+             |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)))
+}

@@ -1,0 +1,609 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Funcs
+import graft.sources.Tables
+import Registry.T
+
+/** Driver-gradable queries for the relational operator inventory
+  * (SURVEY §2.1-§2.8): scans/sinks, filters/projections, joins,
+  * aggregations, the date-spine generator, sorts/limits, set ops, and
+  * scalar functions — each named after its SURVEY §2 id and paired with a
+  * DuckDB oracle over the same parquet tables.
+  */
+object RelationalQueries {
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    // ----- §2.1 scans / sources / sinks ---------------------------------
+    "s1_csv_roundtrip" -> Q((s, dir) => {
+      // S1 (explicit-schema CSV scan, no inference) + S12 (CSV writer).
+      val out = tmpDir("graft_s1")
+      T(s, dir, "nation").coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(out)
+      s.read.option("header", "true")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .csv(out)
+        .orderBy("n_nationkey")
+    }, Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
+    "s2_catalog_scan" -> Q((s, dir) => {
+      Tables.ensureDatabase(s, "graft_s2")
+      Tables.overwrite(T(s, dir, "region"), "graft_s2.region_copy")
+      s.read.table("graft_s2.region_copy").orderBy("r_regionkey")
+    }, Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
+
+    "s5_inmemory_rows" -> Q((s, dir) => {
+      import s.implicits._
+      val fixture = Seq((0, "ALPHA"), (1, "BETA"), (2, "GAMMA"), (3, "DELTA"), (4, "EPSILON"))
+        .toDF("r_regionkey", "tag")
+      T(s, dir, "region").join(fixture, Seq("r_regionkey")).orderBy("r_regionkey")
+    }, Some("""SELECT r.r_regionkey, r.r_name, f.tag
+              |FROM region r
+              |JOIN (VALUES (0,'ALPHA'),(1,'BETA'),(2,'GAMMA'),(3,'DELTA'),(4,'EPSILON'))
+              |  AS f(r_regionkey, tag) ON r.r_regionkey = f.r_regionkey
+              |ORDER BY r.r_regionkey""".stripMargin)),
+
+    "s6_append_sink" -> Q((s, dir) => {
+      Tables.ensureDatabase(s, "graft_w")
+      Tables.dropTable(s, "graft_w.s6_region_append")
+      val r = T(s, dir, "region")
+      Tables.append(r, "graft_w.s6_region_append")
+      Tables.append(r, "graft_w.s6_region_append")
+      s.read.table("graft_w.s6_region_append")
+        .groupBy("r_regionkey").agg(count(lit(1)).as("copies"))
+        .orderBy("r_regionkey")
+    }, Some("SELECT r_regionkey, CAST(2 AS BIGINT) AS copies FROM region ORDER BY r_regionkey")),
+
+    "s7_overwrite_sink" -> Q((s, dir) => {
+      Tables.ensureDatabase(s, "graft_w")
+      val o = T(s, dir, "orders")
+      Tables.overwrite(o.filter(col("o_orderstatus") === "O"), "graft_w.s7_orders")
+      Tables.overwrite(o.filter(col("o_orderstatus") === "F"), "graft_w.s7_orders")
+      s.read.table("graft_w.s7_orders")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus")
+    }, Some("""SELECT o_orderstatus, count(*) AS cnt FROM orders
+              |WHERE o_orderstatus = 'F' GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    "s8_partitioned_sink" -> Q((s, dir) => {
+      // Partitioned write + partition-pruned read-back (fact_claims.py:99-104).
+      Tables.ensureDatabase(s, "graft_w")
+      Tables.overwritePartitioned(T(s, dir, "lineitem"), "graft_w.s8_li", Seq("l_returnflag"))
+      s.read.table("graft_w.s8_li")
+        .filter(col("l_returnflag") === "R")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }, Some("""SELECT l_returnflag, count(*) AS cnt,
+              |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+              |FROM lineitem WHERE l_returnflag = 'R'
+              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    "s11_ddl_catalog" -> Q((s, dir) => {
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_ddl")
+      s.sql("DROP TABLE IF EXISTS graft_ddl.nation_ctas")
+      T(s, dir, "nation").createOrReplaceTempView("graft_nation_src")
+      s.sql("CREATE TABLE graft_ddl.nation_ctas USING parquet AS SELECT * FROM graft_nation_src")
+      assert(s.sql("SHOW TABLES IN graft_ddl").count() >= 1)
+      s.sql("""SELECT n_regionkey, count(*) AS n FROM graft_ddl.nation_ctas
+              |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    }, Some("SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey ORDER BY n_regionkey")),
+
+    // ----- §2.2 projections / filters -----------------------------------
+    "p1_notnull_filter" -> Q((s, dir) =>
+      T(s, dir, "lineitem")
+        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem
+             |WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+             |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)),
+
+    "p2_comparison_filter" -> Q((s, dir) =>
+      T(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 30 && col("l_discount") > 0.02)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_discount FROM lineitem
+             |WHERE l_quantity >= 30 AND l_discount > 0.02
+             |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)),
+
+    "p3_negated_isin" -> Q((s, dir) =>
+      T(s, dir, "orders")
+        .filter(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(*) AS cnt FROM orders
+             |WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    "p4_flag_equality_filter" -> Q((s, dir) =>
+      T(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_linestatus") === "F")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag, l_linestatus FROM lineitem
+             |WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+             |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)),
+
+    "p5_wide_projection_alias" -> Q((s, dir) =>
+      T(s, dir, "lineitem").select(
+        col("l_orderkey").as("order_key"),
+        col("l_linenumber").as("line_number"),
+        col("l_partkey").as("part_key"),
+        col("l_suppkey").as("supp_key"),
+        col("l_quantity").as("quantity"),
+        col("l_extendedprice").as("extended_price"),
+        col("l_discount").as("discount_rate"),
+        col("l_tax").as("tax_rate"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"),
+        col("l_returnflag").as("return_flag"),
+        col("l_linestatus").as("line_status"),
+        col("l_shipdate").cast("date").as("ship_date"))
+        .orderBy("order_key", "line_number", "part_key", "supp_key"),
+      Some("""SELECT l_orderkey AS order_key, l_linenumber AS line_number,
+             |  l_partkey AS part_key, l_suppkey AS supp_key, l_quantity AS quantity,
+             |  l_extendedprice AS extended_price, l_discount AS discount_rate,
+             |  l_tax AS tax_rate, l_extendedprice * (1.0 - l_discount) AS net_price,
+             |  l_returnflag AS return_flag, l_linestatus AS line_status,
+             |  CAST(l_shipdate AS DATE) AS ship_date
+             |FROM lineitem ORDER BY order_key, line_number, part_key, supp_key""".stripMargin)),
+
+    "p6_cleaning_chain" -> Q((s, dir) =>
+      T(s, dir, "customer").select(
+        col("c_custkey"),
+        Funcs.normCode(col("c_name")).as("cust_name"),
+        col("c_acctbal").cast("decimal(12,2)").as("acct_balance"),
+        coalesce(nullif(trim(col("c_mktsegment")), lit("")), lit("UNKNOWN")).as("segment"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, upper(trim(c_name)) AS cust_name,
+             |  CAST(c_acctbal AS DECIMAL(12,2)) AS acct_balance,
+             |  COALESCE(NULLIF(trim(c_mktsegment), ''), 'UNKNOWN') AS segment
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    "p7_prejoin_projection" -> Q((s, dir) => {
+      val o = T(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val c = T(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_mktsegment")
+        .orderBy("o_orderkey")
+    }, Some("""SELECT o.o_orderkey, c.c_mktsegment
+              |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              |ORDER BY o.o_orderkey""".stripMargin)),
+
+    // ----- §2.3 joins ---------------------------------------------------
+    "j1_inner_join" -> Q((s, dir) =>
+      T(s, dir, "lineitem").alias("l")
+        .join(T(s, dir, "orders").alias("o"),
+          col("l.l_orderkey") === col("o.o_orderkey"), "inner")
+        .select(col("l.l_orderkey"), col("l.l_linenumber"), col("l.l_partkey"),
+          col("l.l_suppkey"), col("o.o_orderstatus"), col("l.l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      Some("""SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey,
+             |  o.o_orderstatus, l.l_quantity
+             |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |ORDER BY l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey""".stripMargin), bench = true),
+
+    "j2_left_outer_join" -> Q((s, dir) =>
+      T(s, dir, "orders").alias("o")
+        .join(T(s, dir, "customer").alias("c"),
+          col("o.o_custkey") === col("c.c_custkey"), "left")
+        .select(col("o.o_orderkey"), col("c.c_name"), col("c.c_mktsegment"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o.o_orderkey, c.c_name, c.c_mktsegment
+             |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+             |ORDER BY o.o_orderkey""".stripMargin)),
+
+    "j3_left_join_coalesce" -> Q((s, dir) => {
+      // dim_policy shape (J3): entity ⟕ per-entity aggregate + COALESCE defaults.
+      val summary = T(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("order_cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("total_spent"))
+      T(s, dir, "customer").alias("c")
+        .join(summary.alias("os"), col("c.c_custkey") === col("os.o_custkey"), "left")
+        .select(col("c.c_custkey"), col("c.c_name"),
+          coalesce(col("os.order_cnt"), lit(0L)).as("order_cnt"),
+          coalesce(col("os.total_spent"), lit(0).cast("decimal(18,2)")).as("total_spent"))
+        .orderBy("c_custkey")
+    }, Some("""WITH os AS (
+              |  SELECT o_custkey, count(*) AS order_cnt,
+              |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spent
+              |  FROM orders GROUP BY o_custkey)
+              |SELECT c.c_custkey, c.c_name,
+              |  COALESCE(os.order_cnt, 0) AS order_cnt,
+              |  COALESCE(os.total_spent, CAST(0 AS DECIMAL(18,2))) AS total_spent
+              |FROM customer c LEFT JOIN os ON c.c_custkey = os.o_custkey
+              |ORDER BY c.c_custkey""".stripMargin), bench = true),
+
+    "j4_left_join_narrow" -> Q((s, dir) =>
+      T(s, dir, "lineitem").alias("l")
+        .join(T(s, dir, "part").select("p_partkey", "p_brand").alias("p"),
+          col("l.l_partkey") === col("p.p_partkey"), "left")
+        .select(col("l.l_orderkey"), col("l.l_linenumber"), col("l.l_partkey"),
+          col("l.l_suppkey"), col("p.p_brand"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      Some("""SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey, p.p_brand
+             |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+             |ORDER BY l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey""".stripMargin)),
+
+    "j5_left_anti_join" -> Q((s, dir) =>
+      T(s, dir, "customer")
+        .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    "j6_left_isnull_anti" -> Q((s, dir) => {
+      // Anti-join idiom: left join + IS NULL (assert_policy_has_property.sql).
+      val liSupp = T(s, dir, "lineitem").select(col("l_suppkey")).distinct()
+      T(s, dir, "supplier").alias("s")
+        .join(liSupp.alias("li"), col("s.s_suppkey") === col("li.l_suppkey"), "left")
+        .filter(col("li.l_suppkey").isNull)
+        .select(col("s.s_suppkey"))
+        .orderBy("s_suppkey")
+    }, Some("""SELECT s_suppkey FROM supplier s
+              |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+              |ORDER BY s_suppkey""".stripMargin)),
+
+    "j7_self_alias_join" -> Q((s, dir) =>
+      T(s, dir, "nation").alias("n1")
+        .join(T(s, dir, "nation").alias("n2"),
+          col("n1.n_regionkey") === col("n2.n_regionkey") &&
+            col("n1.n_nationkey") < col("n2.n_nationkey"))
+        .select(col("n1.n_name").as("nation_a"), col("n2.n_name").as("nation_b"),
+          col("n1.n_regionkey").as("region_key"))
+        .orderBy("nation_a", "nation_b"),
+      Some("""SELECT n1.n_name AS nation_a, n2.n_name AS nation_b,
+             |  n1.n_regionkey AS region_key
+             |FROM nation n1 JOIN nation n2
+             |  ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+             |ORDER BY nation_a, nation_b""".stripMargin)),
+
+    // ----- §2.4 aggregations -------------------------------------------
+    "a1_groupby_multiagg" -> Q((s, dir) =>
+      // TPC-H Q1 shape: the canonical hash-agg with map-side combine.
+      T(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).as("sum_disc_price"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_extendedprice")).as("max_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+             |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+             |  MIN(l_quantity) AS min_qty,
+             |  MAX(l_extendedprice) AS max_price,
+             |  count(*) AS count_order
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin), bench = true),
+
+    "a3_conditional_sum" -> Q((s, dir) =>
+      T(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(when(col("o_orderstatus") === "F", col("o_totalprice").cast("decimal(18,2)"))
+            .otherwise(lit(0).cast("decimal(18,2)"))).as("total_f"),
+          count(when(col("o_orderstatus") === "O", lit(1))).as("cnt_o"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2))
+             |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS total_f,
+             |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS cnt_o
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    "a4_global_agg" -> Q((s, dir) =>
+      T(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+        min(col("l_shipdate").cast("date")).as("min_ship"),
+        max(col("l_shipdate").cast("date")).as("max_ship")),
+      Some("""SELECT count(*) AS n_rows,
+             |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             |  MIN(CAST(l_shipdate AS DATE)) AS min_ship,
+             |  MAX(CAST(l_shipdate AS DATE)) AS max_ship
+             |FROM lineitem""".stripMargin)),
+
+    "a5_count_star" -> Q((s, dir) =>
+      T(s, dir, "orders").agg(count(lit(1)).as("n_orders")),
+      Some("SELECT count(*) AS n_orders FROM orders")),
+
+    "a6_distinct_count" -> Q((s, dir) =>
+      T(s, dir, "orders").agg(count_distinct(col("o_custkey")).as("n_cust")),
+      Some("SELECT count(DISTINCT o_custkey) AS n_cust FROM orders")),
+
+    "a7_composite_distinct_count" -> Q((s, dir) =>
+      T(s, dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+        .agg(count(lit(1)).as("n_pairs")),
+      Some("""SELECT count(*) AS n_pairs FROM
+             |  (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)""".stripMargin)),
+
+    "a8_select_distinct" -> Q((s, dir) =>
+      T(s, dir, "orders").select("o_orderpriority").distinct().orderBy("o_orderpriority"),
+      Some("SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority")),
+
+    "a9_freq_distribution" -> Q((s, dir) =>
+      T(s, dir, "orders").groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, count(*) AS cnt FROM orders
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    "a10_null_count" -> Q((s, dir) =>
+      T(s, dir, "events").agg(
+        count(when(col("props").isNull, lit(1))).as("null_props"),
+        count(lit(1)).as("total")),
+      Some("""SELECT count(CASE WHEN props IS NULL THEN 1 END) AS null_props,
+             |  count(*) AS total FROM events""".stripMargin)),
+
+    // ----- §2.5 generator (W1 date spine via dim_date) ------------------
+    "w1_dim_date_spine" -> Q((s, _) =>
+      graft.operators.GoldDims.buildDimDate(s, "2020-01-01", "2022-01-01")
+        .orderBy("date_key"),
+      Some("""SELECT CAST(d AS DATE) AS date_key,
+             |  CAST(EXTRACT(year FROM d) AS INT) AS year,
+             |  CAST(quarter(CAST(d AS DATE)) AS INT) AS quarter,
+             |  CAST(EXTRACT(month FROM d) AS INT) AS month,
+             |  CAST(EXTRACT(day FROM d) AS INT) AS day_of_month,
+             |  CAST(date_part('dow', d) AS INT) AS day_of_week,
+             |  CAST(date_part('doy', d) AS INT) AS day_of_year,
+             |  strftime(d, '%Y-%m') AS year_month,
+             |  strftime(d, '%Y') || '-Q' || CAST(quarter(CAST(d AS DATE)) AS VARCHAR) AS year_quarter,
+             |  monthname(CAST(d AS DATE)) AS month_name,
+             |  dayname(CAST(d AS DATE)) AS day_name,
+             |  date_part('dow', d) IN (0, 6) AS is_weekend,
+             |  EXTRACT(month FROM d) BETWEEN 6 AND 11 AS is_hurricane_season,
+             |  EXTRACT(month FROM d) BETWEEN 3 AND 5 AS is_tornado_season,
+             |  EXTRACT(month FROM d) IN (12, 1, 2) AS is_winter_storm_season
+             |FROM generate_series(DATE '2020-01-01', DATE '2021-12-31', INTERVAL 1 DAY) t(d)
+             |ORDER BY date_key""".stripMargin)),
+
+    // ----- §2.6 sorts / limits -----------------------------------------
+    "o1_orderby_sort" -> Q((s, dir) =>
+      T(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin), bench = true),
+
+    "o2_having_orderby" -> Q((s, dir) =>
+      T(s, dir, "orders")
+        .groupBy("o_custkey").agg(count(lit(1)).as("order_count"))
+        .filter(col("order_count") > 15)
+        .orderBy(col("order_count").desc, col("o_custkey")),
+      Some("""SELECT o_custkey, count(*) AS order_count FROM orders
+             |GROUP BY o_custkey HAVING count(*) > 15
+             |ORDER BY order_count DESC, o_custkey""".stripMargin)),
+
+    "o3_limit_sample" -> Q((s, dir) =>
+      T(s, dir, "orders").orderBy("o_orderkey").limit(10)
+        .select("o_orderkey", "o_orderstatus").orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderstatus FROM
+             |  (SELECT * FROM orders ORDER BY o_orderkey LIMIT 10)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    "o4_seeded_sample" -> Q((s, dir) =>
+      // Deterministic "random" sample: order by a content hash, take N
+      // (the reproducible stand-in for MIGRATION_PLAYBOOK.md:235's
+      // 1000-row random sample compare).
+      T(s, dir, "orders")
+        .orderBy(md5(col("o_orderkey").cast("string")))
+        .limit(200)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_totalprice FROM
+             |  (SELECT * FROM orders ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT 200)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ----- §2.7 set ops -------------------------------------------------
+    "u1_union_by_name" -> Q((s, dir) => {
+      val o = T(s, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "O")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val b = o.filter(col("o_orderstatus") === "F")
+        .select("o_totalprice", "o_orderkey", "o_orderstatus") // shuffled column order
+      a.unionByName(b).orderBy("o_orderkey")
+    }, Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+              |WHERE o_orderstatus IN ('O', 'F') ORDER BY o_orderkey""".stripMargin)),
+
+    "u2_intersect" -> Q((s, dir) => {
+      val o = T(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "O").select("o_custkey")
+        .intersect(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+        .orderBy("o_custkey")
+    }, Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+              |INTERSECT
+              |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+              |ORDER BY o_custkey""".stripMargin)),
+
+    "u3_except" -> Q((s, dir) => {
+      val o = T(s, dir, "orders")
+      o.select("o_custkey")
+        .except(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+        .orderBy("o_custkey")
+    }, Some("""SELECT DISTINCT o_custkey FROM orders
+              |EXCEPT
+              |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+              |ORDER BY o_custkey""".stripMargin)),
+
+    // ----- §2.8 scalar functions ---------------------------------------
+    "f1_string_funcs" -> Q((s, dir) =>
+      T(s, dir, "customer").select(
+        col("c_custkey"),
+        trim(col("c_name")).as("name_trim"),
+        upper(trim(col("c_name"))).as("name_upper"),
+        concat_ws(" ", trim(col("c_name")), trim(col("c_mktsegment"))).as("name_seg"),
+        length(col("c_name")).as("name_len"),
+        substring(col("c_name"), 1, 5).as("name_prefix"),
+        Funcs.maskName(col("c_name")).as("name_masked"),
+        Funcs.maskEmail(concat(col("c_name"), lit("@example.com"))).as("email_masked"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+             |  trim(c_name) AS name_trim,
+             |  upper(trim(c_name)) AS name_upper,
+             |  concat_ws(' ', trim(c_name), trim(c_mktsegment)) AS name_seg,
+             |  length(c_name) AS name_len,
+             |  substring(c_name, 1, 5) AS name_prefix,
+             |  substring(c_name, 1, 1) || repeat('*', length(c_name) - 1) AS name_masked,
+             |  substring(c_name || '@example.com', 1, 2) || '***@***.***' AS email_masked
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    "f4_surrogate_key" -> Q((s, dir) =>
+      T(s, dir, "orders").select(
+        col("o_orderkey"),
+        Funcs.surrogateKey(col("o_orderkey"), col("o_orderstatus")).as("order_sk"),
+        // _null_ branch: NULLIF makes 'O' rows null inside the key
+        Funcs.surrogateKey(nullif(col("o_orderstatus"), lit("O"))).as("status_sk"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  md5(concat_ws('|', COALESCE(CAST(o_orderkey AS VARCHAR), '_null_'),
+             |                     COALESCE(o_orderstatus, '_null_'))) AS order_sk,
+             |  md5(concat_ws('|', COALESCE(NULLIF(o_orderstatus, 'O'), '_null_'))) AS status_sk
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    "f5_cast_chains" -> Q((s, dir) =>
+      T(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_partkey"),
+        col("l_suppkey"),
+        col("l_quantity").cast("decimal(12,2)").as("qty_dec"),
+        col("l_shipdate").cast("date").as("ship_date"),
+        col("l_linenumber").cast("string").as("line_str"),
+        col("l_orderkey").cast("int").as("order_int"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |  CAST(l_quantity AS DECIMAL(12,2)) AS qty_dec,
+             |  CAST(l_shipdate AS DATE) AS ship_date,
+             |  CAST(l_linenumber AS VARCHAR) AS line_str,
+             |  CAST(l_orderkey AS INT) AS order_int
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)),
+
+    "f6_empty_to_null" -> Q((s, dir) => {
+      val raw = T(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_orderstatus") === "O", lit(""))
+          .otherwise(col("o_orderdate").cast("date").cast("string")).as("raw_closed"))
+      raw.select(
+        col("o_orderkey"),
+        Funcs.emptyToNull(col("raw_closed"), org.apache.spark.sql.types.DateType)
+          .as("closed_date"))
+        .orderBy("o_orderkey")
+    }, Some("""WITH raw AS (
+              |  SELECT o_orderkey,
+              |    CASE WHEN o_orderstatus = 'O' THEN ''
+              |         ELSE CAST(CAST(o_orderdate AS DATE) AS VARCHAR) END AS raw_closed
+              |  FROM orders)
+              |SELECT o_orderkey,
+              |  CASE WHEN trim(raw_closed) = '' THEN NULL
+              |       ELSE CAST(raw_closed AS DATE) END AS closed_date
+              |FROM raw ORDER BY o_orderkey""".stripMargin)),
+
+    "f9_null_guards" -> Q((s, dir) =>
+      T(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        Funcs.safeDiv(col("l_extendedprice"), col("l_discount")).as("price_per_disc"),
+        least(col("l_quantity"), lit(25.0)).as("qty_capped"),
+        nullif(col("l_tax"), lit(0.0)).as("tax_or_null"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |  l_extendedprice / NULLIF(l_discount, 0) AS price_per_disc,
+             |  LEAST(l_quantity, 25.0) AS qty_capped,
+             |  NULLIF(l_tax, 0.0) AS tax_or_null
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)),
+
+    "f11_datediff_dateadd" -> Q((s, dir) =>
+      T(s, dir, "lineitem").alias("l")
+        .join(T(s, dir, "orders").alias("o"),
+          col("l.l_orderkey") === col("o.o_orderkey"))
+        .select(
+          col("l.l_orderkey"), col("l.l_linenumber"), col("l.l_partkey"), col("l.l_suppkey"),
+          datediff(col("l.l_shipdate").cast("date"), col("o.o_orderdate").cast("date"))
+            .as("days_to_ship"),
+          date_add(col("o.o_orderdate").cast("date"), 30).as("due_date"),
+          date_sub(col("o.o_orderdate").cast("date"), 7).as("week_before"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      Some("""SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey,
+             |  date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS days_to_ship,
+             |  CAST(o.o_orderdate AS DATE) + 30 AS due_date,
+             |  CAST(o.o_orderdate AS DATE) - 7 AS week_before
+             |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |ORDER BY l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey""".stripMargin)),
+
+    "f13_date_extracts" -> Q((s, dir) =>
+      T(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"),
+        month(col("o_orderdate")).as("mon"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        (dayofweek(col("o_orderdate")) - 1).as("dow"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+             |  CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS qtr,
+             |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mon,
+             |  CAST(EXTRACT(day FROM o_orderdate) AS INT) AS dom,
+             |  CAST(date_part('dow', o_orderdate) AS INT) AS dow,
+             |  CAST(date_part('doy', o_orderdate) AS INT) AS doy,
+             |  strftime(o_orderdate, '%Y-%m') AS ym
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    "f21_isin_case_tiers" -> Q((s, dir) =>
+      T(s, dir, "part").select(
+        col("p_partkey"),
+        col("p_size").isin(1, 5, 10).as("is_sample_size"),
+        when(col("p_size") < 10, lit("SMALL"))
+          .when(col("p_size") < 25, lit("MEDIUM"))
+          .otherwise(lit("LARGE")).as("size_tier"),
+        when(col("p_brand").isin("Brand#11", "Brand#12"), lit("PREFERRED"))
+          .otherwise(lit("STANDARD")).as("brand_tier"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |  p_size IN (1, 5, 10) AS is_sample_size,
+             |  CASE WHEN p_size < 10 THEN 'SMALL'
+             |       WHEN p_size < 25 THEN 'MEDIUM'
+             |       ELSE 'LARGE' END AS size_tier,
+             |  CASE WHEN p_brand IN ('Brand#11', 'Brand#12') THEN 'PREFERRED'
+             |       ELSE 'STANDARD' END AS brand_tier
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    "f22_sql_udf_masking" -> Q((s, dir) => {
+      Funcs.registerSqlFunctions(s)
+      T(s, dir, "customer").createOrReplaceTempView("graft_cust_f22")
+      s.sql("""SELECT c_custkey, mask_name(c_name) AS masked_name,
+              |  mask_email(concat(c_name, '@corp.io')) AS masked_email
+              |FROM graft_cust_f22 ORDER BY c_custkey""".stripMargin)
+    }, Some("""SELECT c_custkey,
+              |  substring(c_name, 1, 1) || repeat('*', length(c_name) - 1) AS masked_name,
+              |  substring(c_name || '@corp.io', 1, 2) || '***@***.***' AS masked_email
+              |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    "f23_json_extract" -> Q((s, dir) =>
+      T(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType)))).getField("k").as("k_int"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  json_extract_string(props, '$.k') AS k_str,
+             |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+             |FROM events ORDER BY event_id""".stripMargin)))
+}

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+
+import Registry.T
+
+/** Structured-Streaming queries (SURVEY §2.9 ST1-ST4 + beyond-parity
+  * event-time windowing and custom state): each stages files into a temp
+  * landing dir, runs a bounded `Trigger.AvailableNow` stream, and returns
+  * a deterministic batch view of the sink for the DuckDB compare.
+  */
+object StreamingQueries {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    "st1_availablenow_incremental" -> Q((s, dir) => {
+      // ST1-ST4: incremental file pickup, append sink, checkpoint,
+      // AvailableNow. Two staged batches with one checkpoint: the second
+      // run must process ONLY the new file (exactly-once incremental).
+      val base = tmp("graft_st1")
+      val src = s"$base/in"; val out = s"$base/out"; val chk = s"$base/chk"
+      val nation = T(s, dir, "nation")
+      nation.write.mode("append").parquet(src)
+      def runOnce(): Unit = {
+        val q = s.readStream
+          .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+          .parquet(src)
+          .writeStream
+          .format("parquet")
+          .option("checkpointLocation", chk)
+          .option("path", out)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runOnce()
+      nation.write.mode("append").parquet(src) // second batch lands
+      runOnce()
+      s.read.parquet(out)
+        .groupBy("n_nationkey").agg(count(lit(1)).as("copies"))
+        .orderBy("n_nationkey")
+    }, Some("SELECT n_nationkey, CAST(2 AS BIGINT) AS copies FROM nation ORDER BY n_nationkey")),
+
+    "st2_windowed_agg" -> Q((s, dir) => {
+      // Beyond-parity ST6: watermark + tumbling event-time window.
+      // Complete mode to a memory sink so every window is emitted
+      // deterministically regardless of final watermark position.
+      val base = tmp("graft_st2")
+      val src = s"$base/in"
+      T(s, dir, "events").write.mode("append").parquet(src)
+      val q = s.readStream
+        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+        .parquet(src)
+        // ts arrives as nanos-since-epoch (nanosAsLong); truncate to micros.
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .writeStream
+        .format("memory")
+        .queryName("graft_st2_counts")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_st2_counts")
+        .select(col("window.start").as("window_start"), col("event_type"), col("cnt"))
+        .orderBy("window_start", "event_type")
+    }, Some("""SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS cnt
+              |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+
+    "st3_mapgroupswithstate" -> Q((s, dir) => {
+      // Custom per-key state via KeyValueGroupedDataset.mapGroupsWithState:
+      // running per-user event counts + value sum (decimal-exact).
+      import s.implicits._
+      val base = tmp("graft_st3")
+      val src = s"$base/in"
+      T(s, dir, "events").write.mode("append").parquet(src)
+      val updateFn = (userId: Long, rows: Iterator[(Long, Double)],
+          state: GroupState[(Long, Long)]) => {
+        val (prevN, prevCents) = state.getOption.getOrElse((0L, 0L))
+        var n = prevN; var cents = prevCents
+        rows.foreach { case (_, v) => n += 1; cents += math.round(v * 100) }
+        state.update((n, cents))
+        (userId, n, cents)
+      }
+      val q = s.readStream
+        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+        .parquet(src)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateFn)
+        .toDF("user_id", "n_events", "value_cents")
+        .writeStream
+        .format("memory")
+        .queryName("graft_st3_state")
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_st3_state").orderBy("user_id")
+    }, Some("""SELECT user_id, count(*) AS n_events,
+              |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)))
+}

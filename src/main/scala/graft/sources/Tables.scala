@@ -1,0 +1,111 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Scd2
+
+/** Write/table paths: overwrite, append, partitioned writes, catalog DDL,
+  * and the crash-aware SCD2 table apply.
+  *
+  * Semantics: reference `clean_policies.py:137-142` (overwrite),
+  * `ingest_policies.py:89-94` (append), `fact_claims.py:99-104`
+  * (partitionBy for pruning), `scripts/setup_catalog.sql:9-29` (DDL;
+  * catalog level flattened to database — no Unity Catalog in OSS).
+  */
+object Tables {
+
+  def ensureDatabase(spark: SparkSession, db: String): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+
+  def dropTable(spark: SparkSession, table: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+
+  /** Full-refresh overwrite (`clean_policies.py:137-142`). */
+  def overwrite(df: DataFrame, table: String): Unit =
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+
+  /** Append-only landing (`ingest_policies.py:89-94`). */
+  def append(df: DataFrame, table: String): Unit =
+    df.write.mode("append").format("parquet").saveAsTable(table)
+
+  /** Partitioned overwrite for partition-pruned reads
+    * (`fact_claims.py:99-104`: `partitionBy("property_state")`). */
+  def overwritePartitioned(df: DataFrame, table: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .partitionBy(partitionCols: _*).saveAsTable(table)
+
+  /** SCD2 apply with a first-load path (reference handles the missing
+    * target at `dim_policy.py:108-112`) and a partition-aware rewrite.
+    *
+    * The table is partitioned by `is_current`, so the closed-out history
+    * partition is APPEND-only (closed rows are added, existing history
+    * files are never rewritten) and only the small `is_current=true`
+    * partition is rewritten per merge — at 100 TB the ever-growing
+    * history never gets copied. Uses dynamic partition overwrite so the
+    * history partition is untouched by the current-partition rewrite.
+    *
+    * Crash window (documented, same non-atomicity class as the
+    * reference's non-Delta paths): history-append commits before the
+    * current-partition overwrite; a crash between them leaves a closed
+    * copy in history while the old current row still exists — re-running
+    * the merge is idempotent-by-key for the current partition, and the
+    * duplicate closed row is detectable via (key, effective_end_date). */
+  def scd2Apply(spark: SparkSession, table: String, source: DataFrame,
+      keyCols: Seq[String], trackedCols: Seq[String]): Unit = {
+    if (!spark.catalog.tableExists(table)) {
+      source.write.mode("overwrite").format("parquet")
+        .partitionBy("is_current").saveAsTable(table)
+      return
+    }
+    val target = spark.read.table(table)
+    val merged = Scd2.merge(target, source, keyCols, trackedCols).cache()
+    try {
+      val history = merged.filter(!coalesce(col("is_current"), lit(false)))
+      val current = merged.filter(coalesce(col("is_current"), lit(false)))
+      // Append only the NEWLY closed rows (left_anti vs existing history).
+      val existingHistory = target.filter(!coalesce(col("is_current"), lit(false)))
+      val newHistory = history.join(existingHistory,
+        keyCols.map(k => history(k) === existingHistory(k))
+          .reduce(_ && _) &&
+          (history("effective_end_date") <=> existingHistory("effective_end_date")),
+        "left_anti").cache()
+      // Materialize BEFORE mutating the table both plans read from —
+      // otherwise the append/overwrite below would race its own scan.
+      merged.count(); newHistory.count()
+      newHistory.write.mode("append").format("parquet")
+        .partitionBy("is_current").saveAsTable(table)
+      newHistory.unpersist()
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        current.write.mode("overwrite").format("parquet")
+          .partitionBy("is_current").saveAsTable(table)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    } finally merged.unpersist()
+  }
+
+  /** Crash-safe path-level overwrite via staging-dir swap (SURVEY §7.4):
+    * write to `<path>.staging`, then swap directories so readers never see
+    * a half-written table. */
+  def stagedOverwritePath(df: DataFrame, path: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val staging = path + ".staging"
+    val backup = path + ".old"
+    df.write.mode("overwrite").parquet(staging)
+    val p = Paths.get(path); val s = Paths.get(staging); val b = Paths.get(backup)
+    if (Files.exists(b)) {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(backup)).deleteRecursively()
+    }
+    if (Files.exists(p)) Files.move(p, b, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(s, p, StandardCopyOption.ATOMIC_MOVE)
+    if (Files.exists(b)) {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(backup)).deleteRecursively()
+    }
+  }
+}
