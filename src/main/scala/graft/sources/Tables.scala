@@ -59,28 +59,34 @@ object Tables {
       return
     }
     val target = spark.read.table(table)
-    val merged = Scd2.merge(target, source, keyCols, trackedCols).cache()
+    // localCheckpoint truncates lineage: the merged plan no longer
+    // references the target table, so Spark permits rewriting it
+    // (UNSUPPORTED_OVERWRITE is an analysis-time plan check that caching
+    // alone does not satisfy).
+    val merged = Scd2.merge(target, source, keyCols, trackedCols)
+      .localCheckpoint(true)
     try {
       val history = merged.filter(!coalesce(col("is_current"), lit(false)))
       val current = merged.filter(coalesce(col("is_current"), lit(false)))
       // Append only the NEWLY closed rows (left_anti vs existing history).
       val existingHistory = target.filter(!coalesce(col("is_current"), lit(false)))
-      val newHistory = history.join(existingHistory,
-        keyCols.map(k => history(k) === existingHistory(k))
-          .reduce(_ && _) &&
-          (history("effective_end_date") <=> existingHistory("effective_end_date")),
-        "left_anti").cache()
-      // Materialize BEFORE mutating the table both plans read from —
-      // otherwise the append/overwrite below would race its own scan.
-      merged.count(); newHistory.count()
+      val h = history.alias("h"); val e = existingHistory.alias("e")
+      val newHistory = h.join(e,
+        keyCols.map(k => col(s"h.$k") === col(s"e.$k")).reduce(_ && _) &&
+          (col("h.effective_end_date") <=> col("e.effective_end_date")),
+        "left_anti").localCheckpoint(true)
       newHistory.write.mode("append").format("parquet")
         .partitionBy("is_current").saveAsTable(table)
-      newHistory.unpersist()
       val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // insertInto (not saveAsTable): saveAsTable-overwrite drops and
+      // recreates the whole table, ignoring dynamic partition overwrite.
+      // insertInto is position-based, so project into the table's
+      // catalog column order (partition column last).
+      val tableCols = spark.read.table(table).columns
       try
-        current.write.mode("overwrite").format("parquet")
-          .partitionBy("is_current").saveAsTable(table)
+        current.select(tableCols.map(col): _*)
+          .write.mode("overwrite").insertInto(table)
       finally prev match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")

@@ -1,0 +1,96 @@
+package graft
+
+import graft.quality.Checks
+
+/** Port of `tests/test_data_quality.py:16-69` plus the fused profile and
+  * the checks the reference's suite missed (row-count range, composite
+  * key). */
+class ChecksSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("not_null passes when no nulls") {
+    val r = Checks.checkNotNull(Seq(1, 2, 3).toDF("id"), "id")
+    assert(r.passed && r.nullCount === 0)
+  }
+
+  test("not_null fails when nulls present") {
+    val r = Checks.checkNotNull(Seq[Option[Int]](Some(1), None, Some(3)).toDF("id"), "id")
+    assert(!r.passed && r.nullCount === 1)
+  }
+
+  test("unique passes when all unique") {
+    assert(Checks.checkUnique(Seq(1, 2, 3).toDF("id"), "id").passed)
+  }
+
+  test("unique fails when duplicates exist") {
+    val r = Checks.checkUnique(Seq(1, 1, 3).toDF("id"), "id")
+    assert(!r.passed && r.duplicateCount === 1)
+  }
+
+  test("unique counts a NULL group like the reference's distinct().count()") {
+    // reference counts NULL as one distinct group: 4 rows, distinct {1,2,null} = 3
+    val r = Checks.checkUnique(Seq[Option[Int]](Some(1), Some(2), None, None).toDF("id"), "id")
+    assert(r.distinctCount === 3 && r.duplicateCount === 1)
+  }
+
+  test("accepted_values passes when all valid") {
+    val r = Checks.checkAcceptedValues(Seq("A", "B", "C").toDF("status"), "status",
+      Seq("A", "B", "C"))
+    assert(r.passed)
+  }
+
+  test("accepted_values fails with sample of offenders") {
+    val r = Checks.checkAcceptedValues(Seq("A", "B", "X").toDF("status"), "status",
+      Seq("A", "B", "C"))
+    assert(!r.passed && r.invalidCount === 1 && r.sampleInvalidValues.contains("X"))
+  }
+
+  test("relationships passes with valid references") {
+    val df = Seq("POL-1", "POL-2").toDF("policy_id")
+    val ref = Seq("POL-1", "POL-2", "POL-3").toDF("policy_id")
+    assert(Checks.checkRelationships(df, "policy_id", ref, "policy_id").passed)
+  }
+
+  test("relationships fails with orphan records") {
+    val df = Seq("POL-1", "POL-999").toDF("policy_id")
+    val ref = Seq("POL-1", "POL-2").toDF("policy_id")
+    val r = Checks.checkRelationships(df, "policy_id", ref, "policy_id")
+    assert(!r.passed && r.orphanCount === 1)
+  }
+
+  test("row_count_range bounds") {
+    val df = Seq(1, 2, 3).toDF("id")
+    assert(Checks.checkRowCountRange(df, 1, 5).passed)
+    assert(!Checks.checkRowCountRange(df, 5, 10).passed)
+  }
+
+  test("composite key uniqueness") {
+    val ok = Seq((1, "a"), (1, "b")).toDF("k1", "k2")
+    val dup = Seq((1, "a"), (1, "a")).toDF("k1", "k2")
+    assert(Checks.checkCompositeKey(ok, Seq("k1", "k2")).passed)
+    val r = Checks.checkCompositeKey(dup, Seq("k1", "k2"))
+    assert(!r.passed && r.duplicateCount === 1)
+  }
+
+  test("fusedProfile matches the standalone checks in one pass") {
+    val df = Seq(
+      ("A", Some(1)), ("B", Some(1)), ("X", None), ("A", Some(2))
+    ).toDF("status", "v")
+    val results = Checks.fusedProfile(df, Seq(
+      Checks.ColumnSpec("status", notNull = true, unique = true,
+        acceptedValues = Some(Seq("A", "B"))),
+      Checks.ColumnSpec("v", notNull = true)))
+    assert(!results("unique_status").passed) // A duplicated
+    assert(results("not_null_status").passed)
+    val av = results("accepted_values_status").asInstanceOf[Checks.AcceptedValuesResult]
+    assert(av.invalidCount === 1)
+    val nn = results("not_null_v").asInstanceOf[Checks.NotNullResult]
+    assert(nn.nullCount === 1)
+  }
+
+  test("validatePolicies green on clean silver policies") {
+    val silver = graft.operators.SilverTransforms.transformPolicies(samplePolicies)
+    val results = Checks.validatePolicies(silver)
+    assert(results.values.forall(_.passed), Checks.summarize("policies", results))
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+
+/** LLM data-pipeline operators: dedup (exact/MinHash-LSH/SimHash/Jaccard),
+  * text analysis, similarity search, multimodal plumbing. */
+class LlmOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup
+    (3L, "completely different content about spark sql engines and query planning"),
+    (4L, "THE  QUICK  brown fox jumps over the lazy dog near the river bank today")) // ws/case
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps min id and counts dups") {
+    val summary = Dedup.exactDedupSummary(docs, Seq("text"), "doc_id")
+    val exactDup = summary.filter(col("dup_count") === 2).head()
+    assert(exactDup.getAs[Long]("keep_doc_id") === 0L)
+    assert(Dedup.dropExactDuplicates(docs, Seq("text"), "doc_id").count() === 4)
+  }
+
+  test("normalization folds case/whitespace variants into one group") {
+    val normed = docs.withColumn("norm", TextOps.normText(col("text")))
+    val summary = Dedup.exactDedupSummary(normed, Seq("norm"), "doc_id")
+    assert(summary.filter(col("dup_count") === 3).count() === 1) // 0,1,4 collide
+  }
+
+  test("MinHash LSH candidates include identical and near-dup pairs, not unrelated") {
+    val sh = Dedup.shingles(docs.withColumn("text", TextOps.normText(col("text"))),
+      "doc_id", "text", 3)
+    val pairs = Dedup.candidatePairs(
+      Dedup.lshBands(Dedup.minhashSignatures(sh, "doc_id", 8), "doc_id", 8, 2), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // identical docs always collide
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // unrelated doc never pairs
+  }
+
+  test("SimHash: identical docs equal, near-dups within small hamming distance") {
+    val sh = Dedup.simhash(docs, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) === sh(1L))
+    val hamming = java.lang.Long.bitCount(sh(0L) ^ sh(2L))
+    assert(hamming <= 6, s"near-dup hamming distance was $hamming")
+  }
+
+  test("Jaccard on candidate pairs: identical=1.0, unrelated low") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    val pairs = Seq((0L, 1L), (0L, 3L)).toDF("id_a", "id_b")
+    val jac = Dedup.jaccardPairs(sh, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(jac((0L, 1L)) === 1.0)
+    assert(jac((0L, 3L)) < 0.1)
+  }
+
+  test("textStats computes token counts and ratios") {
+    val stats = TextOps.textStats(docs).filter(col("doc_id") === 0).head()
+    assert(stats.getAs[Int]("n_tokens") === 14)
+    assert(stats.getAs[Int]("n_stopwords") > 0)
+    assert(stats.getAs[Boolean]("len_ok"))
+  }
+
+  test("langId picks the language with the strongest marker signal") {
+    val mixed = Seq(
+      (0L, "the cat and the dog is of the house"),
+      (1L, "der hund und die katze ist nicht das problem"),
+      (2L, "le chat est dans les jardins et une maison")).toDF("doc_id", "text")
+    val out = TextOps.langId(mixed).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang")).toMap
+    assert(out(0L) === "en" && out(1L) === "de" && out(2L) === "fr")
+  }
+
+  test("fingerprint rolling hash is order-sensitive, content md5 is not") {
+    val reordered = Seq(
+      (0L, "alpha beta gamma"), (1L, "gamma beta alpha")).toDF("doc_id", "text")
+    val fp = TextOps.fingerprint(reordered).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("content_md5"), r.getAs[String]("rolling_hash"),
+          r.getAs[String]("min_token_hash"))).toMap
+    assert(fp(0L)._1 !== fp(1L)._1) // different content → different md5
+    assert(fp(0L)._2 !== fp(1L)._2) // order-sensitive
+    assert(fp(0L)._3 === fp(1L)._3) // same token set → same min hash
+  }
+
+  test("brute-force cosine top-k ranks the nearest vector first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val topk = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0),
+      "vec_id", "embedding", 2).collect()
+    assert(topk.length === 2)
+    assert(topk.head.getAs[Long]("corpus_id") === 1L)
+    assert(topk.head.getAs[Double]("sim") > 0.99)
+  }
+
+  test("IVF assigns to nearest centroid and probes only that cluster") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)), // centroids
+      (10L, Array(0.95f, 0.05f)), (11L, Array(0.9f, 0.1f)),
+      (20L, Array(0.05f, 0.95f))).toDF("vec_id", "embedding")
+    val assigned = Similarity.ivfAssign(vecs, vecs.filter(col("vec_id") < 2),
+      "vec_id", "embedding")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(assigned(10L) === 0L && assigned(11L) === 0L && assigned(20L) === 1L)
+    val topk = Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") === 10),
+      vecs.filter(col("vec_id") < 2), "vec_id", "embedding", 5).collect()
+    // probes only cluster 0: centroid 0 and vec 11, never 1/20
+    val neighbors = topk.map(_.getAs[Long]("corpus_id")).toSet
+    assert(neighbors === Set(0L, 11L))
+  }
+
+  test("multimodal payload plumbing: binary column, metadata, stub decode") {
+    val out = Multimodal.frameSampleStub(
+      Multimodal.decodeStub(Multimodal.withPayload(docs)), "text", 2)
+    val r = out.filter(col("doc_id") === 0).head()
+    val expected = docs.filter(col("doc_id") === 0).head().getAs[String]("text").length
+    val nBytes = r.getAs[org.apache.spark.sql.Row]("media_meta").getAs[Int]("n_bytes")
+    assert(nBytes === expected) // ASCII text: bytes == chars
+    assert(r.getAs[org.apache.spark.sql.Row]("media_meta")
+      .getAs[String]("content_md5").matches("[0-9a-f]{32}"))
+    val dims = r.getAs[org.apache.spark.sql.Row]("decoded")
+    assert(dims.getAs[Int]("fake_width") >= 640 && dims.getAs[Int]("fake_height") >= 360)
+    assert(r.getAs[scala.collection.Seq[String]]("frame_hashes").length === 2)
+  }
+}

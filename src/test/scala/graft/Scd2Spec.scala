@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Scd2
+import graft.sources.Tables
+
+/** SCD2 merge algebra + the table-level apply (first load, incremental,
+  * history-append partition layout). */
+class Scd2Spec extends SparkTestBase {
+  import spark.implicits._
+
+  private def dim(rows: (String, String, String, Option[String], Boolean)*): DataFrame =
+    rows.toDF("policy_id", "status", "start", "end", "is_current")
+      .select(col("policy_id"), col("status"),
+        col("start").cast(TimestampType).as("effective_start_date"),
+        col("end").cast(TimestampType).as("effective_end_date"),
+        col("is_current"))
+
+  test("merge closes changed rows and inserts new versions") {
+    val target = dim(("P1", "ACTIVE", "2024-01-01", None, true),
+      ("P2", "ACTIVE", "2024-01-01", None, true))
+    val source = dim(("P1", "CANCELLED", "2024-06-01", None, true),
+      ("P2", "ACTIVE", "2024-06-01", None, true))
+    val out = Scd2.merge(target, source, Seq("policy_id"), Seq("status")).cache()
+    // P1 changed: closed old + new version; P2 unchanged: kept as-is
+    assert(out.count() === 3)
+    val p1 = out.filter(col("policy_id") === "P1").orderBy("is_current").collect()
+    assert(p1.length === 2)
+    val closed = p1(0)
+    assert(!closed.getAs[Boolean]("is_current"))
+    assert(closed.getAs[java.sql.Timestamp]("effective_end_date").toString
+      .startsWith("2024-06-01"))
+    assert(closed.getAs[String]("status") === "ACTIVE")
+    val newVer = p1(1)
+    assert(newVer.getAs[Boolean]("is_current") && newVer.getAs[String]("status") === "CANCELLED")
+    val p2 = out.filter(col("policy_id") === "P2").collect()
+    assert(p2.length === 1 && p2(0).getAs[Boolean]("is_current"))
+  }
+
+  test("merge inserts brand-new keys and keeps history untouched") {
+    val target = dim(("P1", "ACTIVE", "2024-01-01", None, true),
+      ("P1", "PENDING", "2023-01-01", Some("2024-01-01"), false)) // history row
+    val source = dim(("P1", "ACTIVE", "2024-06-01", None, true),
+      ("P3", "ACTIVE", "2024-06-01", None, true))
+    val out = Scd2.merge(target, source, Seq("policy_id"), Seq("status"))
+    assert(out.count() === 3)
+    assert(out.filter(col("policy_id") === "P3").count() === 1)
+    val hist = out.filter(!col("is_current")).head()
+    assert(hist.getAs[String]("status") === "PENDING") // untouched passthrough
+  }
+
+  test("merge does not drop rows with NULL is_current") {
+    val target = dim(("P1", "ACTIVE", "2024-01-01", None, true))
+      .union(dim(("P9", "ACTIVE", "2024-01-01", None, true))
+        .withColumn("is_current", lit(null).cast(BooleanType)))
+    val source = dim(("P1", "ACTIVE", "2024-06-01", None, true))
+    val out = Scd2.merge(target, source, Seq("policy_id"), Seq("status"))
+    assert(out.filter(col("policy_id") === "P9").count() === 1)
+  }
+
+  test("merge with insertNewVersions=false reproduces the reference gap") {
+    val target = dim(("P1", "ACTIVE", "2024-01-01", None, true))
+    val source = dim(("P1", "CANCELLED", "2024-06-01", None, true))
+    val out = Scd2.merge(target, source, Seq("policy_id"), Seq("status"),
+      insertNewVersions = false)
+    assert(out.count() === 1)
+    assert(!out.head().getAs[Boolean]("is_current")) // closed but no new version
+  }
+
+  test("scd2Apply: first load, then incremental history-append") {
+    val table = "graft_test.scd2_dim"
+    Tables.ensureDatabase(spark, "graft_test")
+    Tables.dropTable(spark, table)
+    val v1 = dim(("P1", "ACTIVE", "2024-01-01", None, true),
+      ("P2", "ACTIVE", "2024-01-01", None, true))
+    Tables.scd2Apply(spark, table, v1, Seq("policy_id"), Seq("status"))
+    assert(spark.read.table(table).count() === 2) // first-load path
+
+    val v2 = dim(("P1", "CANCELLED", "2024-06-01", None, true),
+      ("P2", "ACTIVE", "2024-06-01", None, true),
+      ("P3", "ACTIVE", "2024-06-01", None, true))
+    Tables.scd2Apply(spark, table, v2, Seq("policy_id"), Seq("status"))
+    val after = spark.read.table(table).cache()
+    assert(after.count() === 4) // P1 closed + P1 new + P2 kept + P3 new
+    assert(after.filter(!col("is_current")).count() === 1)
+    assert(after.filter(col("is_current")).count() === 3)
+    val closed = after.filter(!col("is_current")).head()
+    assert(closed.getAs[String]("policy_id") === "P1" &&
+      closed.getAs[String]("status") === "ACTIVE")
+  }
+}
