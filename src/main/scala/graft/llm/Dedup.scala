@@ -36,15 +36,23 @@ object Dedup {
 
   /** Word `n`-gram shingles of the normalized text, exploded to one row
     * per distinct (id, shingle). Documents shorter than `n` tokens
-    * contribute their whole text as a single shingle. */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    * contribute their whole text as a single shingle.
+    *
+    * Dedup happens per document with `array_distinct` BEFORE the explode
+    * — a local array op, equivalent to a global (id, shingle) distinct
+    * but with ZERO shuffle of the shingle stream (the largest
+    * intermediate in the dedup pipeline, ~10× corpus size at 100 TB).
+    * `dedup=false` keeps duplicate shingles (multiset semantics). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      dedup: Boolean = true): DataFrame = {
     val parts = (1 to n).map(j => s"element_at(toks, i + $j)").mkString(", ")
+    val arrayExpr =
+      s"""CASE WHEN size(toks) >= $n
+         |  THEN transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', $parts))
+         |  ELSE array(array_join(toks, ' ')) END""".stripMargin
+    val wrapped = if (dedup) s"array_distinct($arrayExpr)" else arrayExpr
     df.select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
-      .select(col(idCol), explode(expr(
-        s"""CASE WHEN size(toks) >= $n
-           |  THEN transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', $parts))
-           |  ELSE array(array_join(toks, ' ')) END""".stripMargin)).as("shingle"))
-      .distinct()
+      .select(col(idCol), explode(expr(wrapped)).as("shingle"))
   }
 
   /** MinHash signatures: one row per id with columns `h0..h{k-1}`, where
@@ -100,10 +108,16 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for given candidate pairs (verify
     * step after LSH). `pairs` must have columns (id_a, id_b). */
   def jaccardPairs(shingleDf: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val sizes = shingleDf.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    // Restrict the shingle stream to docs that appear in a candidate pair
+    // BEFORE the heavy joins — after LSH, candidates are a tiny fraction
+    // of the corpus, so this semi-join prunes almost all shingle rows.
+    val candidateIds = pairs.select(col("id_a").as(idCol))
+      .union(pairs.select(col("id_b").as(idCol))).distinct()
+    val sh = shingleDf.join(broadcast(candidateIds), Seq(idCol), "left_semi")
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val inter = pairs
-      .join(shingleDf.select(col(idCol).as("id_a"), col("shingle").as("sh_a")), "id_a")
-      .join(shingleDf.select(col(idCol).as("id_b"), col("shingle").as("sh_b")), "id_b")
+      .join(sh.select(col(idCol).as("id_a"), col("shingle").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("shingle").as("sh_b")), "id_b")
       .filter(col("sh_a") === col("sh_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
     pairs
