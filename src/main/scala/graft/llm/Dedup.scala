@@ -78,14 +78,22 @@ object Dedup {
 
   /** Candidate near-duplicate pairs: docs sharing any LSH bucket. The join
     * key is (band, band_hash), so work is proportional to bucket sizes —
-    * the sub-quadratic scale path. Returns distinct (id_a < id_b) pairs. */
-  def candidatePairs(bandDf: DataFrame, idCol: String): DataFrame =
-    bandDf.alias("x")
-      .join(bandDf.alias("y"),
+    * the sub-quadratic scale path. Returns distinct (id_a < id_b) pairs.
+    *
+    * The bands frame is persisted around the self-join: it is tiny
+    * (numBands rows per doc, just id + two small columns) while its
+    * lineage — tokenize → shingle → 8×MD5 MinHash — is the single most
+    * expensive stage in the pipeline; without persist Spark computes that
+    * lineage once per join side. */
+  def candidatePairs(bandDf: DataFrame, idCol: String): DataFrame = {
+    val bands = bandDf.persist()
+    bands.alias("x")
+      .join(bands.alias("y"),
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .distinct()
+  }
 
   /** SimHash over whitespace tokens: bit `i` of the signature is set when
     * the sum of (+1/-1) votes from bit `i` of each token's MD5 is

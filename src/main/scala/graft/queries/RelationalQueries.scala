@@ -95,6 +95,29 @@ object RelationalQueries {
               |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
     }, Some("SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey ORDER BY n_regionkey")),
 
+    "s3_ingest_batch_metadata" -> Q((s, dir) => {
+      // §2.12 ingest_batch: CSV scan S1 + lineage metadata + append S6,
+      // exercised through the real bronze path (graft.sources.Ingest).
+      import org.apache.spark.sql.types._
+      val out = tmpDir("graft_s3")
+      T(s, dir, "region").coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(s"$out/csv")
+      graft.sources.Tables.ensureDatabase(s, "graft_w")
+      graft.sources.Tables.dropTable(s, "graft_w.s3_bronze_region")
+      val schema = StructType(Seq(StructField("r_regionkey", IntegerType),
+        StructField("r_name", StringType)))
+      val n = graft.sources.Ingest.ingestBatch(s, s"$out/csv", schema,
+        "graft_w.s3_bronze_region", batchId = Some(99L))
+      assert(n == 5, s"expected 5 ingested rows, got $n")
+      s.read.table("graft_w.s3_bronze_region")
+        .select(col("r_regionkey"), col("r_name"), col("_batch_id"),
+          col("_source_file").contains("csv").as("src_file_ok"),
+          col("_ingestion_timestamp").isNotNull.as("ingest_ts_ok"))
+        .orderBy("r_regionkey")
+    }, Some("""SELECT r_regionkey, r_name, CAST(99 AS BIGINT) AS _batch_id,
+              |  TRUE AS src_file_ok, TRUE AS ingest_ts_ok
+              |FROM region ORDER BY r_regionkey""".stripMargin)),
+
     // ----- §2.2 projections / filters -----------------------------------
     "p1_notnull_filter" -> Q((s, dir) =>
       T(s, dir, "lineitem")
