@@ -15,7 +15,7 @@ object SparkEntry {
 
   private def registry: Seq[(String, Q)] =
     RelationalQueries.defs ++ PipelineQueries.defs ++
-      LlmQueries.defs ++ StreamingQueries.defs
+      LlmQueries.defs ++ StreamingQueries.defs ++ GovernanceQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

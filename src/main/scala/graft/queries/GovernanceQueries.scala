@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.governance.Audit
+import Registry.T
+
+/** Governance/audit surface (reference `governance/audit_queries.sql`),
+  * exercised over an audit-log-shaped frame derived from the `events`
+  * table (Unity Catalog's `system.access.audit` is Databricks-only; the
+  * shape is identical). `asOf` is pinned so the 7-day windows are
+  * deterministic.
+  */
+object GovernanceQueries {
+
+  /** events → audit-log shape. status_code is constant so rows that tie
+    * on every sort key are fully identical (ns→µs truncation-safe). */
+  private def auditLog(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    T(s, dir, "events").select(
+      date_trunc("second", timestamp_micros(expr("ts div 1000"))).as("event_time"),
+      concat(lit("user"), col("user_id") % 20, lit("@corp.io")).as("user_email"),
+      concat(lit("fintech_catalog.gold.dim_policy_"), col("event_type")).as("table_accessed"),
+      when(col("event_id") % 3 === 0, "getTable").otherwise("commandSubmit").as("action_name"),
+      lit(200).as("status_code"))
+
+  private val auditLogSql =
+    """SELECT date_trunc('second', ts) AS event_time,
+      |  'user' || CAST(user_id % 20 AS VARCHAR) || '@corp.io' AS user_email,
+      |  'fintech_catalog.gold.dim_policy_' || event_type AS table_accessed,
+      |  CASE WHEN event_id % 3 = 0 THEN 'getTable' ELSE 'commandSubmit' END AS action_name,
+      |  200 AS status_code
+      |FROM events""".stripMargin
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    "gov_pii_access_window" -> Q((s, dir) =>
+      Audit.piiAccessLast7Days(auditLog(s, dir), "fintech_catalog.gold.dim_policy",
+        asOf = to_timestamp(lit("2024-01-08 00:00:00")))
+        .orderBy(col("event_time").desc, col("user_email"), col("table_accessed")),
+      Some(s"""SELECT event_time, user_email, table_accessed, action_name, status_code
+              |FROM ($auditLogSql) a
+              |WHERE action_name IN ('getTable', 'commandSubmit')
+              |  AND table_accessed LIKE 'fintech_catalog.gold.dim_policy%'
+              |  AND event_time >= TIMESTAMP '2024-01-08 00:00:00' - INTERVAL 7 DAY
+              |ORDER BY event_time DESC, user_email, table_accessed""".stripMargin)),
+
+    "gov_audit_bulk_access" -> Q((s, dir) =>
+      Audit.bulkAccessAnomalies(auditLog(s, dir), threshold = 20,
+        asOf = to_timestamp(lit("2024-01-08 00:00:00")))
+        .orderBy(col("query_count").desc, col("user_email"), col("access_date")),
+      Some(s"""SELECT user_email, CAST(event_time AS DATE) AS access_date,
+              |  count(*) AS query_count,
+              |  count(DISTINCT table_accessed) AS distinct_tables
+              |FROM ($auditLogSql) a
+              |WHERE action_name = 'commandSubmit'
+              |  AND event_time >= TIMESTAMP '2024-01-08 00:00:00' - INTERVAL 7 DAY
+              |GROUP BY user_email, CAST(event_time AS DATE)
+              |HAVING count(*) > 20
+              |ORDER BY query_count DESC, user_email, access_date""".stripMargin)),
+
+    "gov_subject_access_request" -> Q((s, dir) => {
+      // DSAR across "gold tables": per-table row counts for one subject.
+      T(s, dir, "orders").select(col("o_orderkey").cast("string").as("policy_id"))
+        .createOrReplaceTempView("gov_dim_policy")
+      T(s, dir, "lineitem").select(col("l_orderkey").cast("string").as("policy_id"))
+        .createOrReplaceTempView("gov_fact_claims")
+      T(s, dir, "lineitem").filter(col("l_quantity") > 10)
+        .select(col("l_orderkey").cast("string").as("policy_id"))
+        .createOrReplaceTempView("gov_fact_premiums")
+      Audit.subjectAccessRequest(s, "42",
+        Seq("gov_dim_policy", "gov_fact_claims", "gov_fact_premiums"))
+    }, Some("""SELECT * FROM (
+              |  SELECT 'gov_dim_policy' AS table_name,
+              |    (SELECT count(*) FROM orders WHERE CAST(o_orderkey AS VARCHAR) = '42')
+              |      AS row_count
+              |  UNION ALL
+              |  SELECT 'gov_fact_claims',
+              |    (SELECT count(*) FROM lineitem WHERE CAST(l_orderkey AS VARCHAR) = '42')
+              |  UNION ALL
+              |  SELECT 'gov_fact_premiums',
+              |    (SELECT count(*) FROM lineitem
+              |     WHERE CAST(l_orderkey AS VARCHAR) = '42' AND l_quantity > 10)
+              |) ORDER BY table_name""".stripMargin)),
+
+    "gov_column_inventory" -> Q((s, dir) => {
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_gov")
+      s.sql("DROP TABLE IF EXISTS graft_gov.nation_cols")
+      T(s, dir, "nation").select("n_nationkey", "n_name")
+        .write.saveAsTable("graft_gov.nation_cols")
+      Audit.columnInventory(s, "graft_gov")
+    }, Some("""SELECT * FROM (VALUES
+              |  ('graft_gov', 'nation_cols', 'n_name', 'string'),
+              |  ('graft_gov', 'nation_cols', 'n_nationkey', 'int'))
+              |  AS t(table_schema, table_name, column_name, data_type)
+              |ORDER BY table_schema, table_name, column_name""".stripMargin)))
+}

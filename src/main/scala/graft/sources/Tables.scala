@@ -94,6 +94,19 @@ object Tables {
     } finally merged.unpersist()
   }
 
+  /** Bucketed + sorted write: pre-shuffles the table into `numBuckets` by
+    * `bucketCol` so repeated joins/aggregations on that key read
+    * co-located data with NO exchange at query time — the standing
+    * replacement for Redshift distkey/sortkey (SURVEY §4 "dbt-level
+    * optimization" row). Both sides of a join bucketed the same way join
+    * shuffle-free. */
+  def overwriteBucketed(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int = 32): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
   /** Crash-safe path-level overwrite via staging-dir swap (SURVEY §7.4):
     * write to `<path>.staging`, then swap directories so readers never see
     * a half-written table. */

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.governance.Audit
+import graft.operators.Skew
+import graft.sources.{SampleDataGen, Tables}
+
+/** Scale utilities (salted join, bucketed tables), the governance/audit
+  * surface, and the synthetic data generator (S12) incl. an end-to-end
+  * medallion run over generated data. */
+class ScaleOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("saltedJoin produces exactly the rows of the plain equi-join") {
+    // skewed large side: key 'hot' dominates
+    val large = (Seq.fill(500)("hot") ++ Seq("a", "b", "c")).zipWithIndex
+      .toDF("k", "payload")
+    val small = Seq(("hot", 1), ("a", 2), ("z", 9)).toDF("k", "dim")
+    val plain = large.join(small, Seq("k")).orderBy("k", "payload", "dim")
+    val salted = Skew.saltedJoin(large, small, "k").orderBy("k", "payload", "dim")
+    assert(salted.count() === plain.count())
+    assert(salted.collect().toSeq === plain.collect().toSeq)
+  }
+
+  test("keySkewProfile surfaces the hot key's share") {
+    val df = (Seq.fill(90)("hot") ++ Seq.fill(10)("cold")).toDF("k")
+    val top = Skew.keySkewProfile(df, "k", 1).head()
+    assert(top.getAs[String]("k") === "hot")
+    assert(math.abs(top.getAs[Double]("share") - 0.9) < 1e-9)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    Tables.ensureDatabase(spark, "graft_test")
+    val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    Tables.overwriteBucketed(a, "graft_test.bkt_a", "k", numBuckets = 4)
+    Tables.overwriteBucketed(b, "graft_test.bkt_b", "k", numBuckets = 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      val joined = spark.read.table("graft_test.bkt_a")
+        .join(spark.read.table("graft_test.bkt_b"), "k")
+      assert(joined.count() === 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("audit: bulk-access anomalies apply window and HAVING threshold") {
+    val log = Seq(
+      ("2024-01-05 10:00:00", "a@x.io", "t1", "commandSubmit", 200),
+      ("2024-01-05 11:00:00", "a@x.io", "t2", "commandSubmit", 200),
+      ("2024-01-05 12:00:00", "a@x.io", "t1", "commandSubmit", 200),
+      ("2024-01-05 12:30:00", "b@x.io", "t1", "commandSubmit", 200),
+      ("2023-12-01 10:00:00", "a@x.io", "t1", "commandSubmit", 200)) // outside window
+      .toDF("event_time", "user_email", "table_accessed", "action_name", "status_code")
+      .withColumn("event_time", col("event_time").cast("timestamp"))
+    val out = Audit.bulkAccessAnomalies(log, threshold = 2,
+      asOf = to_timestamp(lit("2024-01-08 00:00:00"))).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[String]("user_email") === "a@x.io")
+    assert(out(0).getAs[Long]("query_count") === 3)
+    assert(out(0).getAs[Long]("distinct_tables") === 2)
+  }
+
+  test("audit: PII access window filters by prefix, action, and 7-day window") {
+    val log = Seq(
+      ("2024-01-06 10:00:00", "a@x.io", "cat.gold.dim_policy_v1", "getTable", 200),
+      ("2024-01-06 11:00:00", "a@x.io", "cat.gold.fact_claims", "getTable", 200),
+      ("2024-01-06 12:00:00", "a@x.io", "cat.gold.dim_policy_v1", "deleteTable", 200),
+      ("2023-11-01 10:00:00", "a@x.io", "cat.gold.dim_policy_v1", "getTable", 200))
+      .toDF("event_time", "user_email", "table_accessed", "action_name", "status_code")
+      .withColumn("event_time", col("event_time").cast("timestamp"))
+    val out = Audit.piiAccessLast7Days(log, "cat.gold.dim_policy",
+      asOf = to_timestamp(lit("2024-01-08 00:00:00")))
+    assert(out.count() === 1)
+  }
+
+  test("generator: deterministic, reference-shaped, and pipeline-green end-to-end") {
+    val dir1 = java.nio.file.Files.createTempDirectory("gen1").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("gen2").toString
+    val counts1 = SampleDataGen.generate(dir1, nPolicies = 200, seed = 42L)
+    val counts2 = SampleDataGen.generate(dir2, nPolicies = 200, seed = 42L)
+    assert(counts1 === counts2) // same seed → same counts
+    // same seed → byte-identical files (determinism)
+    val f1 = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir1/raw_policies.csv"))
+    val f2 = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir2/raw_policies.csv"))
+    assert(f1 === f2)
+    assert(counts1("policies") === 200)
+    assert(counts1("properties") === 160) // 0.8 ratio like the reference
+    // claims density ~15% of policies, 1-3 each
+    assert(counts1("claims") >= 10 && counts1("claims") <= 120)
+    // payments: between 1 and 12 per policy
+    assert(counts1("premiums") >= 200 && counts1("premiums") <= 2400)
+
+    // the generated CSVs drive the full medallion DAG to a green DQ gate
+    val db = "graft_gen_e2e"
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    val results = graft.pipeline.Runner.run(spark,
+      graft.pipeline.Runner.medallionStages(dir1, db))
+    val failed = results.filter(!_.ok)
+    assert(failed.isEmpty, failed.map(r => s"${r.name}: ${r.error}").mkString("; "))
+    assert(spark.read.table(s"$db.dim_policy").count() === 200)
+    val fact = spark.read.table(s"$db.fact_claims")
+    assert(fact.count() === counts1("claims"))
+  }
+}
