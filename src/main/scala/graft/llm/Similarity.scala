@@ -79,6 +79,25 @@ object Similarity {
     rankTopK(sims, k, extraCols = Seq("cluster_id"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: candidate pairs are generated
+    * INSIDE IVF clusters (never all-pairs — candidate count drops by
+    * ~|clusters|× like any IVF probe), then filtered by cosine threshold.
+    * Returns (id_a < id_b, cluster_id, sim). The standard trade: true
+    * near-dups whose members land in different clusters are missed;
+    * raise recall with more probes or finer thresholds, not all-pairs. */
+  def nearDupPairs(corpus: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
+    val v = corpus.join(assigned, idCol)
+      .select(col(idCol).as("id_"), col("cluster_id"), asDoubleVec(col(vecCol)).as("vv"))
+    v.alias("x").join(v.alias("y"),
+        col("x.cluster_id") === col("y.cluster_id") && col("x.id_") < col("y.id_"))
+      .select(col("x.id_").as("id_a"), col("y.id_").as("id_b"),
+        col("x.cluster_id").as("cluster_id"),
+        cosine(col("x.vv"), col("y.vv")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   private def rankTopK(sims: DataFrame, k: Int, extraCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("corpus_id"))

@@ -247,6 +247,30 @@ object LlmQueries {
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
     })),
 
+    "llm_embedding_neardup" -> Q((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.nearDupPairs(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", threshold = 0.35)
+        .select(col("id_a"), col("id_b"), col("cluster_id"))
+        .orderBy("id_a", "id_b")
+    }, Some({
+      val sim = simSql("a.vv", "c.cv")
+      s"""WITH v AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings),
+         |cent AS (SELECT vec_id AS centroid_id, vv AS cv FROM v WHERE vec_id < 8),
+         |assigned AS (SELECT vec_id, centroid_id AS cluster_id FROM (
+         |  SELECT a.vec_id, c.centroid_id,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY $sim DESC, c.centroid_id) AS rn
+         |  FROM v a CROSS JOIN cent c) WHERE rn = 1),
+         |cv AS (SELECT v.vec_id AS id_, v.vv, a.cluster_id
+         |  FROM v JOIN assigned a ON v.vec_id = a.vec_id)
+         |SELECT x.id_ AS id_a, y.id_ AS id_b, x.cluster_id
+         |FROM cv x JOIN cv y ON x.cluster_id = y.cluster_id AND x.id_ < y.id_
+         |WHERE ${"(" + dotSql("x.vv", "y.vv") +
+           s" / (sqrt(${dotSql("x.vv", "x.vv")}) * sqrt(${dotSql("y.vv", "y.vv")})))"} >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin
+    })),
+
     // ----- multimodal plumbing (stubbed decode) ------------------------
     "llm_multimodal_stub" -> Q((s, dir) => {
       val df = Multimodal.frameSampleStub(

@@ -115,6 +115,19 @@ class LlmOpsSpec extends SparkTestBase {
     assert(neighbors === Set(0L, 11L))
   }
 
+  test("embedding near-dup pairs stay within clusters and above threshold") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)), // centroids
+      (10L, Array(0.99f, 0.01f)), (11L, Array(0.98f, 0.02f)), // near-dups in cluster 0
+      (20L, Array(0.05f, 0.95f))).toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(vecs, vecs.filter(col("vec_id") < 2),
+      "vec_id", "embedding", threshold = 0.99)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((10L, 11L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(20L) && Set(a, b).exists(_ < 12) &&
+      Set(a, b).intersect(Set(10L, 11L)).nonEmpty }) // cross-cluster never pairs
+  }
+
   test("multimodal payload plumbing: binary column, metadata, stub decode") {
     val out = Multimodal.frameSampleStub(
       Multimodal.decodeStub(Multimodal.withPayload(docs)), "text", 2)
