@@ -30,7 +30,15 @@ object Similarity {
 
   def l2norm(v: Column): Column = sqrt(dot(v, v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Cosine similarity — the native fused expression
+    * ([[graft.plans.CosineSimilarity]]): one pass over both arrays inside
+    * whole-stage codegen instead of three HOF folds, bit-identical
+    * results (same accumulation order). */
+  def cosine(a: Column, b: Column): Column = graft.plans.CosineSimilarity(a, b)
+
+  /** The composed-HOF formulation, kept as the reference semantics the
+    * fused expression must match (see SimilaritySpec equivalence test). */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
   /** Brute-force cosine top-k: every query (small, broadcast) against the
     * full corpus; rank with a per-query window. Ties broken by corpus id

@@ -91,6 +91,9 @@ object Tables {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
+      // Drop the cached file listing so readers (including other sessions
+      // holding this table's relation cache) re-list after the rewrite.
+      spark.catalog.refreshTable(table)
     } finally merged.unpersist()
   }
 

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Similarity
+import graft.plans.CosineSimilarity
+import graft.streaming.StreamingMedallion
+
+/** The custom codegen expression and the streaming bronze→silver→SCD2
+  * chain. */
+class PlansStreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("fused CosineSimilarity is bit-identical to the HOF formulation") {
+    val r = new scala.util.Random(7)
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Array.fill(64)(r.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val v = vecs.select(col("vec_id"), Similarity.asDoubleVec(col("embedding")).as("v"))
+    val pairs = v.alias("a").join(v.alias("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        CosineSimilarity(col("a.v"), col("b.v")).as("fused"),
+        Similarity.cosineHof(col("a.v"), col("b.v")).as("hof"))
+    val diff = pairs.filter(col("fused") =!= col("hof")).count()
+    assert(diff === 0) // exact double equality, not approximate
+  }
+
+  test("cosine_similarity registers as a SQL function") {
+    CosineSimilarity.register(spark)
+    val sim = spark.sql(
+      "SELECT cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS s").head().getDouble(0)
+    assert(sim === 1.0)
+    val ortho = spark.sql(
+      "SELECT cosine_similarity(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS s").head().getDouble(0)
+    assert(ortho === 0.0)
+  }
+
+  test("CosineSimilarity rejects non-array-double inputs at analysis") {
+    val bad = intercept[Exception] {
+      Seq((1, 2)).toDF("a", "b")
+        .select(CosineSimilarity(col("a"), col("b"))).collect()
+    }
+    assert(bad.getMessage.toLowerCase.contains("array"))
+  }
+
+  test("streaming medallion: bronze→silver→SCD2 upsert across two file batches") {
+    val base = Files.createTempDirectory("graft_smed").toString
+    val landing = s"$base/landing"; val chk = s"$base/chk"
+    Files.createDirectories(Paths.get(landing))
+    val header = "policy_id,policyholder_first_name,policyholder_last_name," +
+      "policyholder_email,property_id,coverage_type_code,effective_date," +
+      "expiration_date,status,annual_premium,deductible,coverage_limit," +
+      "agent_id,channel,created_at,updated_at"
+    def row(id: String, status: String, updated: String) =
+      s"$id,Jo,Smith,j@t.co,PROP-1,HO3,2024-01-01,2025-01-01,$status," +
+        s"1200.50,1000,300000,AGT-001,ONLINE,2023-12-15T00:00:00,$updated"
+    val db = "graft_smed"
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+
+    Files.writeString(Paths.get(s"$landing/b1.csv"),
+      Seq(header, row("POL-001", "ACTIVE", "2024-01-01T00:00:00"),
+        row("POL-002", "ACTIVE", "2024-01-01T00:00:00")).mkString("\n"))
+    StreamingMedallion.runPoliciesStream(spark, landing, chk, db, batchId = 1L)
+    assert(spark.read.table(s"$db.dim_policy").count() === 2)
+
+    // batch 2: POL-001 cancelled (tracked change), POL-003 brand new
+    Files.writeString(Paths.get(s"$landing/b2.csv"),
+      Seq(header, row("POL-001", "CANCELLED", "2024-06-01T00:00:00"),
+        row("POL-003", "ACTIVE", "2024-06-01T00:00:00")).mkString("\n"))
+    StreamingMedallion.runPoliciesStream(spark, landing, chk, db, batchId = 2L)
+
+    // foreachBatch ran in a cloned session; this session's relation cache
+    // still points at the pre-rewrite file listing.
+    spark.catalog.refreshTable(s"$db.dim_policy")
+    val dim = spark.read.table(s"$db.dim_policy").cache()
+    // POL-001 closed + new version, POL-002 untouched, POL-003 inserted
+    assert(dim.count() === 4)
+    val p1 = dim.filter(col("policy_id") === "POL-001").orderBy("is_current").collect()
+    assert(p1.length === 2)
+    assert(!p1(0).getAs[Boolean]("is_current") && p1(0).getAs[String]("status") === "ACTIVE")
+    assert(p1(1).getAs[Boolean]("is_current") && p1(1).getAs[String]("status") === "CANCELLED")
+    // exactly-once: bronze has 2 + 2 rows, not reprocessed
+    assert(spark.read.table(s"$db.bronze_policies").count() === 4)
+  }
+}
