@@ -58,10 +58,14 @@ object Audit {
     * every column of every table in a database, from the catalog. */
   def columnInventory(spark: SparkSession, db: String): DataFrame = {
     import spark.implicits._
-    val rows = spark.catalog.listTables(db).collect().flatMap { t =>
-      spark.catalog.listColumns(db, t.name).collect().map(c =>
-        (db, t.name, c.name, c.dataType))
-    }.toSeq
+    // listTables(db) also returns session temp views (database = null);
+    // keep only tables actually owned by the database.
+    val rows = spark.catalog.listTables(db).collect()
+      .filter(_.database == db)
+      .flatMap { t =>
+        spark.catalog.listColumns(db, t.name).collect().map(c =>
+          (db, t.name, c.name, c.dataType))
+      }.toSeq
     rows.toDF("table_schema", "table_name", "column_name", "data_type")
       .orderBy("table_schema", "table_name", "column_name")
   }

@@ -182,4 +182,27 @@ object Checks {
       ColumnSpec("effective_date", notNull = true),
       ColumnSpec("status", acceptedValues = Some(graft.operators.SilverTransforms.ValidStatuses)),
       ColumnSpec("channel", acceptedValues = Some(graft.operators.SilverTransforms.ValidChannels))))
+
+  final case class TableSweepResult(table: String, exists: Boolean, rowCount: Long,
+      nullKeyCount: Long, passed: Boolean)
+
+  /** Post-pipeline DQ sweep (reference
+    * `notebooks/run_data_quality_checks.py:49-132`): for each
+    * (table, keyColumn), assert the table exists, is non-empty, and has
+    * no NULL primary keys — one fused aggregate per table, machine-
+    * readable results for a job-failing gate. */
+  def sweepTables(spark: org.apache.spark.sql.SparkSession,
+      tables: Seq[(String, String)]): Seq[TableSweepResult] =
+    tables.map { case (table, keyCol) =>
+      if (!spark.catalog.tableExists(table))
+        TableSweepResult(table, exists = false, 0L, 0L, passed = false)
+      else {
+        val df = spark.read.table(table)
+        val Row(total: Long, nullKeys: Long) = df.agg(
+          count(lit(1)).as("total"),
+          count(when(col(keyCol).isNull, lit(1))).as("null_keys")).head()
+        TableSweepResult(table, exists = true, total, nullKeys,
+          passed = total > 0 && nullKeys == 0)
+      }
+    }
 }

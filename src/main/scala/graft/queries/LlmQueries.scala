@@ -245,7 +245,7 @@ object LlmQueries {
          |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS rank
          |  FROM pairs)
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
-    })),
+    }), bench = true),
 
     "llm_embedding_neardup" -> Q((s, dir) => {
       val emb = T(s, dir, "embeddings")

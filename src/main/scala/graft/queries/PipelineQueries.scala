@@ -577,7 +577,7 @@ object PipelineQueries {
               |  UNION ALL
               |  SELECT s.* FROM src s WHERE s.order_id NOT IN (SELECT order_id FROM cur))
               |SELECT * FROM merged
-              |ORDER BY order_id, effective_start_date, is_current""".stripMargin)),
+              |ORDER BY order_id, effective_start_date, is_current""".stripMargin), bench = true),
 
     // ----- DQ framework (§2.11) ----------------------------------------
     "dq_not_null" -> Q((s, dir) => {

@@ -88,6 +88,22 @@ class ChecksSpec extends SparkTestBase {
     assert(nn.nullCount === 1)
   }
 
+  test("sweepTables flags missing, empty, and null-key tables") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_sweep")
+    Seq((Some(1), "a"), (None, "b")).toDF("id", "v")
+      .write.mode("overwrite").saveAsTable("graft_sweep.has_null_key")
+    Seq((1, "a")).toDF("id", "v")
+      .write.mode("overwrite").saveAsTable("graft_sweep.clean")
+    val results = Checks.sweepTables(spark, Seq(
+      ("graft_sweep.clean", "id"),
+      ("graft_sweep.has_null_key", "id"),
+      ("graft_sweep.does_not_exist", "id"))).map(r => r.table -> r).toMap
+    assert(results("graft_sweep.clean").passed)
+    val nk = results("graft_sweep.has_null_key")
+    assert(!nk.passed && nk.nullKeyCount === 1)
+    assert(!results("graft_sweep.does_not_exist").exists)
+  }
+
   test("validatePolicies green on clean silver policies") {
     val silver = graft.operators.SilverTransforms.transformPolicies(samplePolicies)
     val results = Checks.validatePolicies(silver)
