@@ -1,0 +1,58 @@
+package graft.governance
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Funcs
+
+/** Column-level security: role-gated PII masking + the masked secure
+  * view over dim_policy.
+  *
+  * Semantics: reference `governance/access_controls.sql:50-103`. Unity
+  * Catalog's `IS_MEMBER('pii_authorized')` group check is
+  * platform-specific — per SURVEY §2.10 it is parameterized here as an
+  * explicit role flag (the caller's auth layer decides membership).
+  * GRANT/REVOKE statements are catalog-level configuration outside an
+  * OSS single-user session and intentionally out of scope.
+  */
+object AccessControls {
+
+  /** PII columns of dim_policy (`access_controls.sql:80-83`). */
+  val PolicyPiiNameCols: Seq[String] =
+    Seq("policyholder_first_name", "policyholder_last_name", "policyholder_full_name")
+  val PolicyPiiEmailCol = "policyholder_email"
+
+  /** `mask_email` gated on the pii_authorized role
+    * (`access_controls.sql:57-62`). */
+  def maskEmailFor(c: Column, piiAuthorized: Boolean): Column =
+    if (piiAuthorized) c else Funcs.maskEmail(c)
+
+  /** `mask_name` gated on the pii_authorized role
+    * (`access_controls.sql:65-70`). */
+  def maskNameFor(c: Column, piiAuthorized: Boolean): Column =
+    if (piiAuthorized) c else Funcs.maskName(c)
+
+  /** The `v_dim_policy_masked` projection (`access_controls.sql:76-101`):
+    * PII columns masked unless the caller is pii-authorized, everything
+    * else passes through unchanged. */
+  def maskedPolicyFrame(dimPolicy: DataFrame, piiAuthorized: Boolean): DataFrame =
+    dimPolicy.select(dimPolicy.columns.toSeq.map {
+      case c if PolicyPiiNameCols.contains(c) => maskNameFor(col(c), piiAuthorized).as(c)
+      case c if c == PolicyPiiEmailCol => maskEmailFor(col(c), piiAuthorized).as(c)
+      case c => col(c)
+    }: _*)
+
+  /** Create the masked secure view over a dim_policy table (BI analysts
+    * query the view, never the base table). */
+  def createMaskedPolicyView(spark: SparkSession, dimPolicyTable: String,
+      viewName: String): Unit = {
+    Funcs.registerSqlFunctions(spark)
+    val maskedCols = spark.read.table(dimPolicyTable).columns.toSeq.map {
+      case c if PolicyPiiNameCols.contains(c) => s"mask_name($c) AS $c"
+      case c if c == PolicyPiiEmailCol => s"mask_email($c) AS $c"
+      case c => c
+    }
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW $viewName AS
+                 |SELECT ${maskedCols.mkString(", ")} FROM $dimPolicyTable""".stripMargin)
+  }
+}

@@ -78,6 +78,36 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(out.count() === 1)
   }
 
+  test("access controls: masked frame and secure view gate PII by role") {
+    import graft.governance.AccessControls
+    val dim = graft.operators.GoldDims.buildDimPolicy(
+      graft.operators.SilverTransforms.transformPolicies(samplePolicies),
+      graft.operators.GoldDims.buildPremiumSummary(
+        Seq.empty[(String, java.sql.Date, java.sql.Date, Double, String)]
+          .toDF("policy_id", "payment_date", "due_date", "amount", "payment_status")
+          .select(col("policy_id"), col("payment_date"), col("due_date"),
+            col("amount").cast("decimal(12,2)").as("amount"), col("payment_status"))),
+      asOf = lit("2024-06-01").cast("date"))
+    val masked = AccessControls.maskedPolicyFrame(dim, piiAuthorized = false)
+      .filter(col("policy_id") === "POL-001").head()
+    assert(masked.getAs[String]("policyholder_first_name") === "J***")
+    assert(masked.getAs[String]("policyholder_email") === "jo***@***.***")
+    val authorized = AccessControls.maskedPolicyFrame(dim, piiAuthorized = true)
+      .filter(col("policy_id") === "POL-001").head()
+    assert(authorized.getAs[String]("policyholder_first_name") === "John")
+
+    Tables.ensureDatabase(spark, "graft_test")
+    dim.write.mode("overwrite").saveAsTable("graft_test.dim_policy_ac")
+    AccessControls.createMaskedPolicyView(spark, "graft_test.dim_policy_ac",
+      "v_dim_policy_masked")
+    val viaView = spark.table("v_dim_policy_masked")
+      .filter(col("policy_id") === "POL-001").head()
+    assert(viaView.getAs[String]("policyholder_last_name") === "S****")
+    assert(viaView.getAs[String]("policyholder_email") === "jo***@***.***")
+    // non-PII untouched
+    assert(viaView.getAs[String]("status") === "ACTIVE")
+  }
+
   test("generator: deterministic, reference-shaped, and pipeline-green end-to-end") {
     val dir1 = java.nio.file.Files.createTempDirectory("gen1").toString
     val dir2 = java.nio.file.Files.createTempDirectory("gen2").toString
