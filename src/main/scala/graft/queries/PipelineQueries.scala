@@ -734,6 +734,39 @@ object PipelineQueries {
               |    count(*) = count(DISTINCT o_orderkey) FROM orders
               |) ORDER BY check_name""".stripMargin)),
 
+    "dq_table_sweep" -> Q((s, dir) => {
+      import s.implicits._
+      // Post-pipeline sweep (notebooks/run_data_quality_checks.py): one
+      // clean table, one with NULL keys, one missing.
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_sweepq")
+      T(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+        .write.mode("overwrite").saveAsTable("graft_sweepq.clean_orders")
+      T(s, dir, "orders").select(
+        when(col("o_orderkey") % 100 === 0, lit(null).cast("long"))
+          .otherwise(col("o_orderkey")).as("o_orderkey"))
+        .write.mode("overwrite").saveAsTable("graft_sweepq.nullkey_orders")
+      s.sql("DROP TABLE IF EXISTS graft_sweepq.missing_orders")
+      Checks.sweepTables(s, Seq(
+        ("graft_sweepq.clean_orders", "o_orderkey"),
+        ("graft_sweepq.missing_orders", "o_orderkey"),
+        ("graft_sweepq.nullkey_orders", "o_orderkey")))
+        .map(r => (r.table, r.exists, r.rowCount, r.nullKeyCount, r.passed))
+        .toDF("table_name", "table_exists", "row_count", "null_key_count", "passed")
+        .orderBy("table_name")
+    }, Some("""SELECT * FROM (
+              |  SELECT 'graft_sweepq.clean_orders' AS table_name, TRUE AS table_exists,
+              |    (SELECT count(*) FROM orders) AS row_count,
+              |    CAST(0 AS BIGINT) AS null_key_count, TRUE AS passed
+              |  UNION ALL
+              |  SELECT 'graft_sweepq.missing_orders', FALSE, CAST(0 AS BIGINT),
+              |    CAST(0 AS BIGINT), FALSE
+              |  UNION ALL
+              |  SELECT 'graft_sweepq.nullkey_orders', TRUE,
+              |    (SELECT count(*) FROM orders),
+              |    (SELECT count(*) FROM orders WHERE o_orderkey % 100 = 0),
+              |    (SELECT count(*) FROM orders WHERE o_orderkey % 100 = 0) = 0
+              |) ORDER BY table_name""".stripMargin)),
+
     // ----- MigrationReconciler (§2.11) ---------------------------------
     "recon_row_counts" -> Q((s, dir) => {
       import s.implicits._
