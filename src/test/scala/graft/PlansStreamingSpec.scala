@@ -36,6 +36,28 @@ class PlansStreamingSpec extends SparkTestBase {
     assert(ortho === 0.0)
   }
 
+  test("GraftExtensions injects cosine_similarity via SparkSessionExtensions") {
+    import org.apache.spark.sql.SparkSession
+    // Build a REAL second session over the same SparkContext with the
+    // extension installed (getOrCreate only applies extensions to newly
+    // created sessions, so clear the defaults around it).
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne spark)
+      val sim = s2.sql(
+        "SELECT cosine_similarity(array(3.0D, 4.0D), array(3.0D, 4.0D)) AS s")
+        .head().getDouble(0)
+      assert(math.abs(sim - 1.0) < 1e-15)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("CosineSimilarity rejects non-array-double inputs at analysis") {
     val bad = intercept[Exception] {
       Seq((1, 2)).toDF("a", "b")
