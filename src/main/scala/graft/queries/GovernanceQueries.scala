@@ -37,13 +37,14 @@ object GovernanceQueries {
     "gov_pii_access_window" -> Q((s, dir) =>
       Audit.piiAccessLast7Days(auditLog(s, dir), "fintech_catalog.gold.dim_policy",
         asOf = to_timestamp(lit("2024-01-08 00:00:00")))
-        .orderBy(col("event_time").desc, col("user_email"), col("table_accessed")),
+        .orderBy(col("event_time").desc, col("user_email"), col("table_accessed"),
+          col("action_name")),
       Some(s"""SELECT event_time, user_email, table_accessed, action_name, status_code
               |FROM ($auditLogSql) a
               |WHERE action_name IN ('getTable', 'commandSubmit')
               |  AND table_accessed LIKE 'fintech_catalog.gold.dim_policy%'
               |  AND event_time >= TIMESTAMP '2024-01-08 00:00:00' - INTERVAL 7 DAY
-              |ORDER BY event_time DESC, user_email, table_accessed""".stripMargin)),
+              |ORDER BY event_time DESC, user_email, table_accessed, action_name""".stripMargin)),
 
     "gov_audit_bulk_access" -> Q((s, dir) =>
       Audit.bulkAccessAnomalies(auditLog(s, dir), threshold = 20,

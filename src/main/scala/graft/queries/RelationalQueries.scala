@@ -372,6 +372,41 @@ object RelationalQueries {
       Some("""SELECT count(CASE WHEN props IS NULL THEN 1 END) AS null_props,
              |  count(*) AS total FROM events""".stripMargin)),
 
+    "a11_rollup" -> Q((s, dir) =>
+      // Beyond reference (SURVEY §2.4 "not present" note): hierarchical
+      // subtotals via ROLLUP — one pass, grouping-set expansion.
+      T(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+             |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    "a12_cube" -> Q((s, dir) =>
+      T(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    "a13_percentiles" -> Q((s, dir) =>
+      // Exact continuous percentiles (both engines use the same
+      // (1-f)*a + f*b interpolation over the sorted values).
+      T(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.95)").as("p95_qty"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.5) AS median_qty,
+             |  quantile_cont(l_quantity, 0.95) AS p95_qty
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // ----- §2.5 generator (W1 date spine via dim_date) ------------------
     "w1_dim_date_spine" -> Q((s, _) =>
       graft.operators.GoldDims.buildDimDate(s, "2020-01-01", "2022-01-01")
