@@ -57,11 +57,41 @@ object Dedup {
 
   /** MinHash signatures: one row per id with columns `h0..h{k-1}`, where
     * `hj = min(md5(j || ':' || shingle))`. Single groupBy pass, k MIN
-    * aggregates — map-side combinable, one shuffle on the id. */
+    * aggregates — map-side combinable, one shuffle on the id. Prefer
+    * [[minhashSignaturesNative]] when the shingles are still per-document
+    * arrays: it needs NO shuffle at all. */
   def minhashSignatures(shingleDf: DataFrame, idCol: String, numHashes: Int = 8): DataFrame = {
     val aggs = (0 until numHashes).map(j =>
       min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"h$j"))
     shingleDf.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The shingle set kept as ONE array column per document (no explode).
+    * Same dedup-via-array_distinct as [[shingles]]. */
+  def shingleArray(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      dedup: Boolean = true): DataFrame = {
+    val parts = (1 to n).map(j => s"element_at(toks, i + $j)").mkString(", ")
+    val arrayExpr =
+      s"""CASE WHEN size(toks) >= $n
+         |  THEN transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', $parts))
+         |  ELSE array(array_join(toks, ' ')) END""".stripMargin
+    val wrapped = if (dedup) s"array_distinct($arrayExpr)" else arrayExpr
+    df.select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), expr(wrapped).as("shingles"))
+  }
+
+  /** ZERO-SHUFFLE MinHash signatures: because a document's shingles are a
+    * per-row array, each `hj = min over shingles of md5(j:shingle)` is a
+    * pure projection (`array_min(transform(...))`) — no explode, no
+    * exchange, no aggregate. At 100 TB the entire signature stage is a
+    * narrow map; the only shuffle left in the LSH pipeline is the
+    * candidate-pair bucket join. Identical output to
+    * [[minhashSignatures]] over [[shingles]]. */
+  def minhashSignaturesNative(shingleArrayDf: DataFrame, idCol: String,
+      numHashes: Int = 8): DataFrame = {
+    val sigs = (0 until numHashes).map(j =>
+      expr(s"array_min(transform(shingles, s -> md5(concat('$j:', s))))").as(s"h$j"))
+    shingleArrayDf.select(col(idCol) +: sigs: _*)
   }
 
   /** Banded LSH buckets: signature columns grouped into bands of

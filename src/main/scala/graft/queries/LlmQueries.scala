@@ -62,8 +62,10 @@ object LlmQueries {
 
     // ----- dedup: MinHash + LSH banded candidate pairs -----------------
     "llm_minhash_lsh_pairs" -> Q((s, dir) => {
-      val sh = Dedup.shingles(T(s, dir, "documents"), "doc_id", "text", 3)
-      val sig = Dedup.minhashSignatures(sh, "doc_id", 8)
+      // Zero-shuffle signature path: per-document shingle arrays →
+      // array_min projections; the bucket join is the only exchange.
+      val sh = Dedup.shingleArray(T(s, dir, "documents"), "doc_id", "text", 3)
+      val sig = Dedup.minhashSignaturesNative(sh, "doc_id", 8)
       val bands = Dedup.lshBands(sig, "doc_id", 8, 2)
       Dedup.candidatePairs(bands, "doc_id").orderBy("id_a", "id_b")
     }, Some({

@@ -85,6 +85,22 @@ object RelationalQueries {
               |FROM lineitem WHERE l_returnflag = 'R'
               |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    "s13_json_roundtrip" -> Q((s, dir) => {
+      // JSON file sink + explicit-schema JSON scan (beyond the reference's
+      // CSV-only sources; the natural landing format for event feeds).
+      val out = tmpDir("graft_s13")
+      T(s, dir, "nation").coalesce(1).write.mode("overwrite").json(out)
+      s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .json(out)
+        .orderBy("n_nationkey")
+    }, Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
+    "s14_orc_roundtrip" -> Q((s, dir) => {
+      val out = tmpDir("graft_s14")
+      T(s, dir, "region").write.mode("overwrite").orc(out)
+      s.read.orc(out).orderBy("r_regionkey")
+    }, Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
+
     "s11_ddl_catalog" -> Q((s, dir) => {
       s.sql("CREATE DATABASE IF NOT EXISTS graft_ddl")
       s.sql("DROP TABLE IF EXISTS graft_ddl.nation_ctas")

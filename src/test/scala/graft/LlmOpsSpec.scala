@@ -40,6 +40,18 @@ class LlmOpsSpec extends SparkTestBase {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // unrelated doc never pairs
   }
 
+  test("zero-shuffle native MinHash signatures equal the groupBy formulation") {
+    val classic = Dedup.minhashSignatures(
+      Dedup.shingles(docs, "doc_id", "text", 3), "doc_id", 8)
+    val native = Dedup.minhashSignaturesNative(
+      Dedup.shingleArray(docs, "doc_id", "text", 3), "doc_id", 8)
+    assert(classic.orderBy("doc_id").collect().toSeq ===
+      native.orderBy("doc_id").collect().toSeq)
+    // and the native plan has no exchange before the signatures
+    val plan = native.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"native signatures must not shuffle:\n$plan")
+  }
+
   test("SimHash: identical docs equal, near-dups within small hamming distance") {
     val sh = Dedup.simhash(docs, "doc_id", "text", 16)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
