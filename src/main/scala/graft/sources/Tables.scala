@@ -97,6 +97,25 @@ object Tables {
     } finally merged.unpersist()
   }
 
+  /** Small-file compaction — the OSS mapping of Delta's
+    * optimizeWrite/autoCompact (`databricks.yml:219-220`,
+    * `setup_catalog.sql:46-49`; SURVEY §4 "write optimization" row).
+    * Rewrites the table into `targetPartitions` files (per partition
+    * directory if the table is partitioned, via one hash repartition).
+    * Run after many small appends (e.g. streaming micro-batches). */
+  def compactTable(spark: SparkSession, table: String, targetPartitions: Int = 1): Unit = {
+    val df = spark.read.table(table)
+    val partitionCols = spark.catalog.listColumns(table)
+      .collect().filter(_.isPartition).map(_.name).toSeq
+    val compacted = df.repartition(targetPartitions).localCheckpoint(true)
+    if (partitionCols.isEmpty)
+      compacted.write.mode("overwrite").format("parquet").saveAsTable(table)
+    else
+      compacted.write.mode("overwrite").format("parquet")
+        .partitionBy(partitionCols: _*).saveAsTable(table)
+    spark.catalog.refreshTable(table)
+  }
+
   /** Bucketed + sorted write: pre-shuffles the table into `numBuckets` by
     * `bucketCol` so repeated joins/aggregations on that key read
     * co-located data with NO exchange at query time — the standing

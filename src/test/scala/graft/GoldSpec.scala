@@ -100,6 +100,37 @@ class GoldSpec extends SparkTestBase {
     assert(!open.getAs[Boolean]("is_paid"))
   }
 
+  test("gold builder outputs honor the data-dictionary schema contracts") {
+    import graft.model.GoldSchemas
+    import graft.quality.SchemaValidator
+    val dim = GoldDims.buildDimPolicy(silverPolicies,
+      GoldDims.buildPremiumSummary(premiums), asOf = lit("2024-06-01").cast(DateType))
+      .drop("_cleaned_timestamp")
+    val dimCheck = SchemaValidator.validateSchema(dim, GoldSchemas.dimPolicy, strict = true)
+    assert(dimCheck.passed, dimCheck.toString)
+
+    val properties = SilverTransforms.transformProperties(
+      Seq(("PROP-001", "1 Main St", "Miami", "fl", "33101", "Dade",
+        25.5, -80.25, 1990, 2000, 1, "frame", "shingle", "primary", "AE", "3",
+        450000.0, "2024-01-01T00:00:00", "2024-01-01T00:00:00"))
+        .toDF("property_id", "street_address", "city", "state", "zip_code", "county",
+          "latitude", "longitude", "year_built", "square_footage", "stories",
+          "construction_type", "roof_type", "occupancy_type", "flood_zone", "wind_zone",
+          "property_value", "created_at", "updated_at"))
+    val fact = GoldFacts.buildFactClaims(silverClaims, silverPolicies, properties)
+    val factCheck = SchemaValidator.validateSchema(fact, GoldSchemas.factClaims, strict = true)
+    assert(factCheck.passed, factCheck.toString)
+
+    val silverPrem = premiums
+      .withColumn("payment_method", lit("ACH"))
+      .withColumn("billing_period", lit("MONTHLY"))
+      .withColumn("period_start_date", col("payment_date"))
+      .withColumn("period_end_date", col("due_date"))
+    val fp = GoldFacts.buildFactPremiums(silverPrem, silverPolicies)
+    val fpCheck = SchemaValidator.validateSchema(fp, GoldSchemas.factPremiums, strict = true)
+    assert(fpCheck.passed, fpCheck.toString)
+  }
+
   test("fact_premiums conditional amounts and late flag") {
     val silverPrem = premiums
       .withColumn("payment_method", lit("ACH"))

@@ -80,6 +80,23 @@ class IngestRunnerSpec extends SparkTestBase {
     assert(!plan.contains("TX"), "partition filter should prune, not scan+filter")
   }
 
+  test("compactTable collapses many small files, preserving rows and partitions") {
+    import spark.implicits._
+    Tables.ensureDatabase(spark, "graft_test")
+    Tables.dropTable(spark, "graft_test.many_small")
+    // 10 appends of a 2-partition df = many small files
+    val df = Seq(("a", "FL", 1), ("b", "TX", 2)).toDF("id", "st", "v").repartition(2)
+    (1 to 10).foreach(_ => df.write.mode("append")
+      .format("parquet").partitionBy("st").saveAsTable("graft_test.many_small"))
+    val before = spark.read.table("graft_test.many_small").inputFiles.length
+    assert(before >= 10)
+    Tables.compactTable(spark, "graft_test.many_small", targetPartitions = 1)
+    val after = spark.read.table("graft_test.many_small")
+    assert(after.count() === 20)
+    assert(after.inputFiles.length < before)
+    assert(after.filter(col("st") === "FL").count() === 10) // partitions intact
+  }
+
   test("stagedOverwritePath swaps atomically and cleans up") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_staged").toString + "/tbl"
