@@ -23,12 +23,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     // One tiny warm-up action so JIT/classloading doesn't land on the
     // first measured query.
     try spark.range(1000).count() catch { case _: Throwable => }
-    // Best-of-N per query: one-shot timings on a shared local JVM are
-    // noisy; the minimum is the least-contended measurement.
+    // Median-of-N per query (r3 verdict: single-run timings on this rig
+    // swing ±25%; the median is robust to one contended outlier in
+    // either direction, where min hides steady-state regressions).
     val results: Seq[(String, Double)] = names.map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to iters).map { _ =>
@@ -40,7 +41,7 @@ object Bench {
             -1.0
         }
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      name -> (if (times.exists(_ < 0)) -1.0 else times.sorted.apply(times.size / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -36,12 +36,16 @@ object Multimodal {
       (length(col("payload")) % 720 + 360).cast("int").as("fake_height"),
       md5(col("payload")).as("pixel_digest")))
 
-  /** STUB frame sampling: `n` evenly spaced "frames", each fingerprinted
-    * from a deterministic slice of the payload (char-domain slices of the
-    * source text so any engine can reproduce them). */
-  def frameSampleStub(df: DataFrame, textCol: String = "text", n: Int = 4): DataFrame = {
+  /** STUB frame sampling: `n` consecutive "frames", each fingerprinted
+    * from a slice of the BINARY payload itself — the byte-domain slicing
+    * (`substring` over BinaryType) is the real multimodal plumbing under
+    * test; only the decode of a frame is faked. The fingerprint is
+    * md5(hex(bytes)) rather than md5(bytes) so engines without blob
+    * slicing (e.g. the DuckDB oracle) can reproduce a frame by slicing
+    * the hex dump of the whole payload at 2× the offsets. */
+  def frameSampleStub(df: DataFrame, n: Int = 4, frameBytes: Int = 16): DataFrame = {
     val frames = (0 until n).map { i =>
-      md5(substring(col(textCol), i * 16 + 1, 16))
+      md5(hex(expr(s"substring(payload, ${i * frameBytes + 1}, $frameBytes)")))
     }
     df.withColumn("frame_hashes", array(frames: _*))
   }

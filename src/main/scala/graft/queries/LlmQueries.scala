@@ -278,7 +278,7 @@ object LlmQueries {
       val df = Multimodal.frameSampleStub(
         Multimodal.decodeStub(
           Multimodal.withPayload(T(s, dir, "documents").select("doc_id", "text"))),
-        "text", 2)
+        n = 2)
       df.select(
         col("doc_id"),
         col("media_meta.n_bytes").as("n_bytes"),
@@ -293,8 +293,8 @@ object LlmQueries {
               |  md5(text) AS payload_md5,
               |  CAST(octet_length(encode(text)) % 1280 + 640 AS INT) AS fake_width,
               |  CAST(octet_length(encode(text)) % 720 + 360 AS INT) AS fake_height,
-              |  md5(substring(text, 1, 16)) AS frame_0,
-              |  md5(substring(text, 17, 16)) AS frame_1
+              |  md5(substring(hex(encode(text)), 1, 32)) AS frame_0,
+              |  md5(substring(hex(encode(text)), 33, 32)) AS frame_1
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ----- JSON prop extraction over events (F23 companion) ------------

@@ -360,42 +360,68 @@ object PipelineQueries {
     GoldFacts.buildFactClaims(silverClaims(s, dir), silverPolicies(s, dir),
       silverProperties(s, dir)).orderBy("claim_id")
 
+  // Terminal gate projections cast DECIMAL→DOUBLE on both sides (see
+  // Registry.decimalsToDouble scaladoc); the library builders under test
+  // keep their DECIMAL schemas untouched.
+  private def dbl(df: DataFrame): DataFrame = Registry.decimalsToDouble(df)
+
   val defs: Seq[(String, Q)] = Seq(
 
     // ----- silver transforms (§2.12) -----------------------------------
     "t_transform_policies" -> Q((s, dir) =>
-      silverPolicies(s, dir).orderBy("policy_id"),
-      Some(s"SELECT * FROM ($silverPoliciesSql) x ORDER BY policy_id"), bench = true),
+      dbl(silverPolicies(s, dir)).orderBy("policy_id"),
+      Some(s"""SELECT * EXCLUDE (annual_premium, deductible, coverage_limit),
+              |  CAST(annual_premium AS DOUBLE) AS annual_premium,
+              |  CAST(deductible AS DOUBLE) AS deductible,
+              |  CAST(coverage_limit AS DOUBLE) AS coverage_limit
+              |FROM ($silverPoliciesSql) x ORDER BY policy_id""".stripMargin), bench = true),
 
     "t_transform_claims" -> Q((s, dir) =>
-      silverClaims(s, dir).orderBy("claim_id"),
-      Some(s"SELECT * FROM ($silverClaimsSql) x ORDER BY claim_id")),
+      dbl(silverClaims(s, dir)).orderBy("claim_id"),
+      Some(s"""SELECT * EXCLUDE (claim_amount, approved_amount, deductible_applied),
+              |  CAST(claim_amount AS DOUBLE) AS claim_amount,
+              |  CAST(approved_amount AS DOUBLE) AS approved_amount,
+              |  CAST(deductible_applied AS DOUBLE) AS deductible_applied
+              |FROM ($silverClaimsSql) x ORDER BY claim_id""".stripMargin)),
 
     "t_transform_premiums" -> Q((s, dir) =>
-      silverPremiums(s, dir).orderBy("premium_id"),
-      Some(s"SELECT * FROM ($silverPremiumsSql) x ORDER BY premium_id")),
+      dbl(silverPremiums(s, dir)).orderBy("premium_id"),
+      Some(s"""SELECT * EXCLUDE (amount), CAST(amount AS DOUBLE) AS amount
+              |FROM ($silverPremiumsSql) x ORDER BY premium_id""".stripMargin)),
 
     "t_transform_properties" -> Q((s, dir) =>
-      silverProperties(s, dir).orderBy("property_id"),
-      Some(s"SELECT * FROM ($silverPropertiesSql) x ORDER BY property_id")),
+      dbl(silverProperties(s, dir)).orderBy("property_id"),
+      Some(s"""SELECT * EXCLUDE (latitude, longitude, property_value),
+              |  CAST(latitude AS DOUBLE) AS latitude,
+              |  CAST(longitude AS DOUBLE) AS longitude,
+              |  CAST(property_value AS DOUBLE) AS property_value
+              |FROM ($silverPropertiesSql) x ORDER BY property_id""".stripMargin)),
 
     // ----- gold builders (§2.12, A2, J3, F4, F7...) --------------------
     "g_premium_summary" -> Q((s, dir) =>
-      GoldDims.buildPremiumSummary(silverPremiums(s, dir)).orderBy("policy_id"),
-      Some(s"SELECT * FROM ($premiumSummarySql) x ORDER BY policy_id"), bench = true),
+      dbl(GoldDims.buildPremiumSummary(silverPremiums(s, dir))).orderBy("policy_id"),
+      Some(s"""SELECT * EXCLUDE (total_paid, total_premium_collected, total_failed, total_pending),
+              |  CAST(total_paid AS DOUBLE) AS total_paid,
+              |  CAST(total_premium_collected AS DOUBLE) AS total_premium_collected,
+              |  CAST(total_failed AS DOUBLE) AS total_failed,
+              |  CAST(total_pending AS DOUBLE) AS total_pending
+              |FROM ($premiumSummarySql) x ORDER BY policy_id""".stripMargin), bench = true),
 
     "g_dim_policy" -> Q((s, dir) =>
-      GoldDims.buildDimPolicy(silverPolicies(s, dir),
-        GoldDims.buildPremiumSummary(silverPremiums(s, dir)), asOf)
+      dbl(GoldDims.buildDimPolicy(silverPolicies(s, dir),
+        GoldDims.buildPremiumSummary(silverPremiums(s, dir)), asOf))
         .orderBy("policy_id"),
       Some(s"""WITH sp AS ($silverPoliciesSql), ps AS ($premiumSummarySql)
               |SELECT p.policy_id, p.policyholder_first_name, p.policyholder_last_name,
               |  p.policyholder_full_name, p.policyholder_email, p.property_id,
               |  p.coverage_type_code, p.effective_date, p.expiration_date, p.status,
-              |  p.annual_premium, p.deductible, p.coverage_limit, p.agent_id, p.channel,
+              |  CAST(p.annual_premium AS DOUBLE) AS annual_premium,
+              |  CAST(p.deductible AS DOUBLE) AS deductible,
+              |  CAST(p.coverage_limit AS DOUBLE) AS coverage_limit,
+              |  p.agent_id, p.channel,
               |  COALESCE(ps.total_premium_payments, 0) AS total_premium_payments,
-              |  COALESCE(ps.total_premium_collected, CAST(0 AS DECIMAL(12,2)))
-              |    AS total_premium_collected,
+              |  CAST(COALESCE(ps.total_premium_collected, CAST(0 AS DECIMAL(12,2)))
+              |    AS DOUBLE) AS total_premium_collected,
               |  COALESCE(ps.late_premium_payments, 0) AS late_premium_payments,
               |  date_diff('day', p.effective_date, p.expiration_date) AS policy_term_days,
               |  CASE WHEN p.status = 'ACTIVE' AND p.expiration_date >= DATE '2026-06-01'
@@ -415,14 +441,17 @@ object PipelineQueries {
               |ORDER BY p.policy_id""".stripMargin), bench = true),
 
     "g_dim_property" -> Q((s, dir) =>
-      GoldDims.buildDimProperty(silverProperties(s, dir), asOf).orderBy("property_id"),
+      dbl(GoldDims.buildDimProperty(silverProperties(s, dir), asOf)).orderBy("property_id"),
       Some(s"""WITH sp AS ($silverPropertiesSql)
               |SELECT
               |  md5(concat_ws('|', COALESCE(CAST(property_id AS VARCHAR), '_null_'),
               |      COALESCE(CAST(updated_at AS VARCHAR), '_null_'))) AS property_sk,
               |  property_id, street_address, city, state, zip_code, county,
-              |  latitude, longitude, year_built, square_footage, construction_type,
-              |  roof_type, stories, occupancy_type, flood_zone, wind_zone, property_value,
+              |  CAST(latitude AS DOUBLE) AS latitude,
+              |  CAST(longitude AS DOUBLE) AS longitude,
+              |  year_built, square_footage, construction_type,
+              |  roof_type, stories, occupancy_type, flood_zone, wind_zone,
+              |  CAST(property_value AS DOUBLE) AS property_value,
               |  2026 - year_built AS property_age_years,
               |  CASE WHEN construction_type IN ('MASONRY', 'CONCRETE') THEN 'LOW'
               |       WHEN construction_type IN ('FRAME', 'WOOD') THEN 'HIGH'
@@ -464,7 +493,7 @@ object PipelineQueries {
               |  TRUE AS is_current
               |FROM codes ORDER BY coverage_type_code""".stripMargin)),
 
-    "g_fact_claims" -> Q((s, dir) => factClaimsQuery(s, dir),
+    "g_fact_claims" -> Q((s, dir) => dbl(factClaimsQuery(s, dir)),
       Some(s"""WITH sc AS ($silverClaimsSql), sp AS ($silverPoliciesSql),
               |spr AS ($silverPropertiesSql)
               |SELECT c.claim_id, c.policy_id, p.property_id, p.coverage_type_code,
@@ -472,12 +501,14 @@ object PipelineQueries {
               |  c.reported_date AS reported_date_key,
               |  c.closed_date AS closed_date_key,
               |  c.claim_type, c.claim_status, c.cause_of_loss, c.adjuster_id,
-              |  c.claim_amount, c.approved_amount, c.deductible_applied,
-              |  LEAST(c.claim_amount, p.coverage_limit) AS capped_claim_amount,
-              |  c.approved_amount - c.deductible_applied AS net_claim_payout,
-              |  p.annual_premium,
-              |  p.deductible AS policy_deductible,
-              |  p.coverage_limit,
+              |  CAST(c.claim_amount AS DOUBLE) AS claim_amount,
+              |  CAST(c.approved_amount AS DOUBLE) AS approved_amount,
+              |  CAST(c.deductible_applied AS DOUBLE) AS deductible_applied,
+              |  CAST(LEAST(c.claim_amount, p.coverage_limit) AS DOUBLE) AS capped_claim_amount,
+              |  CAST(c.approved_amount - c.deductible_applied AS DOUBLE) AS net_claim_payout,
+              |  CAST(p.annual_premium AS DOUBLE) AS annual_premium,
+              |  CAST(p.deductible AS DOUBLE) AS policy_deductible,
+              |  CAST(p.coverage_limit AS DOUBLE) AS coverage_limit,
               |  CAST(c.claim_amount AS DOUBLE) /
               |    NULLIF(CAST(p.annual_premium AS DOUBLE), 0) AS claim_to_premium_ratio,
               |  date_diff('day', c.claim_date, c.reported_date) AS days_to_report,
@@ -494,7 +525,7 @@ object PipelineQueries {
               |ORDER BY c.claim_id""".stripMargin), bench = true),
 
     "g_fact_premiums" -> Q((s, dir) =>
-      GoldFacts.buildFactPremiums(silverPremiums(s, dir), silverPolicies(s, dir))
+      dbl(GoldFacts.buildFactPremiums(silverPremiums(s, dir), silverPolicies(s, dir)))
         .orderBy("premium_id"),
       Some(s"""WITH spr AS ($silverPremiumsSql), sp AS ($silverPoliciesSql)
               |SELECT pr.premium_id, pr.policy_id, p.property_id, p.coverage_type_code,
@@ -503,11 +534,11 @@ object PipelineQueries {
               |  pr.period_start_date, pr.period_end_date,
               |  pr.payment_method, pr.payment_status, pr.billing_period,
               |  p.agent_id, p.channel,
-              |  pr.amount AS premium_amount,
-              |  CASE WHEN pr.payment_status = 'COMPLETED' THEN pr.amount
-              |       ELSE 0 END AS collected_amount,
-              |  CASE WHEN pr.payment_status = 'FAILED' THEN pr.amount
-              |       ELSE 0 END AS failed_amount,
+              |  CAST(pr.amount AS DOUBLE) AS premium_amount,
+              |  CAST(CASE WHEN pr.payment_status = 'COMPLETED' THEN pr.amount
+              |       ELSE 0 END AS DOUBLE) AS collected_amount,
+              |  CAST(CASE WHEN pr.payment_status = 'FAILED' THEN pr.amount
+              |       ELSE 0 END AS DOUBLE) AS failed_amount,
               |  date_diff('day', pr.due_date, pr.payment_date) AS days_from_due,
               |  pr.payment_date > pr.due_date AS is_late_payment,
               |  pr.payment_status = 'COMPLETED' AS is_collected,
@@ -538,7 +569,7 @@ object PipelineQueries {
       val source = shape(o,
         when(col("o_orderkey") % 7 === 0, lit("X")).otherwise(col("o_orderstatus")),
         expr("o_orderdate + INTERVAL 1 DAY"), lit(null).cast("timestamp"), isCur = true)
-      Scd2.merge(cur.unionByName(hist), source, Seq("order_id"), Seq("status", "total"))
+      dbl(Scd2.merge(cur.unionByName(hist), source, Seq("order_id"), Seq("status", "total")))
         .orderBy("order_id", "effective_start_date", "is_current")
     }, Some("""WITH cur AS (
               |  SELECT CAST(o_orderkey AS VARCHAR) AS order_id, o_orderstatus AS status,
@@ -576,7 +607,7 @@ object PipelineQueries {
               |  SELECT s.* FROM src s WHERE s.order_id IN (SELECT order_id FROM changed)
               |  UNION ALL
               |  SELECT s.* FROM src s WHERE s.order_id NOT IN (SELECT order_id FROM cur))
-              |SELECT * FROM merged
+              |SELECT * EXCLUDE (total), CAST(total AS DOUBLE) AS total FROM merged
               |ORDER BY order_id, effective_start_date, is_current""".stripMargin), bench = true),
 
     // ----- DQ framework (§2.11) ----------------------------------------

@@ -23,4 +23,29 @@ object Registry {
   /** Load a driver testdata table. */
   def T(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** Cast every DECIMAL column of a terminal gate projection to DOUBLE.
+    *
+    * The driver's hash canonicalizes DOUBLE identically on both engines
+    * but not DECIMAL (r2/r3 verdicts: every hash-red query carried a
+    * DECIMAL output, values positionally identical). The builders keep
+    * their DECIMAL schemas (reference parity, docs/data_dictionary.md);
+    * only the gate projection is widened, mirrored by CAST(.. AS DOUBLE)
+    * in the paired oracle SQL. The decimal value is exact at this point,
+    * and decimal→double is correctly rounded in both engines, so the
+    * cast loses nothing the float compare could see — the reference's
+    * own validator compares aggregates as floats
+    * (migration_validation/reconciliation.py:58-92).
+    */
+  def decimalsToDouble(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.DecimalType
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: DecimalType => col(f.name).cast("double").as(f.name)
+        case _              => col(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
 }

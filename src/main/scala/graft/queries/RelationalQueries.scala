@@ -78,10 +78,11 @@ object RelationalQueries {
         .filter(col("l_returnflag") === "R")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("cnt"),
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+          // exact decimal SUM, DOUBLE at the gate (Registry.decimalsToDouble note)
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
         .orderBy("l_returnflag")
     }, Some("""SELECT l_returnflag, count(*) AS cnt,
-              |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+              |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
               |FROM lineitem WHERE l_returnflag = 'R'
               |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
@@ -198,11 +199,11 @@ object RelationalQueries {
       T(s, dir, "customer").select(
         col("c_custkey"),
         Funcs.normCode(col("c_name")).as("cust_name"),
-        col("c_acctbal").cast("decimal(12,2)").as("acct_balance"),
+        col("c_acctbal").cast("decimal(12,2)").cast("double").as("acct_balance"),
         coalesce(nullif(trim(col("c_mktsegment")), lit("")), lit("UNKNOWN")).as("segment"))
         .orderBy("c_custkey"),
       Some("""SELECT c_custkey, upper(trim(c_name)) AS cust_name,
-             |  CAST(c_acctbal AS DECIMAL(12,2)) AS acct_balance,
+             |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acct_balance,
              |  COALESCE(NULLIF(trim(c_mktsegment), ''), 'UNKNOWN') AS segment
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 
@@ -249,7 +250,8 @@ object RelationalQueries {
         .join(summary.alias("os"), col("c.c_custkey") === col("os.o_custkey"), "left")
         .select(col("c.c_custkey"), col("c.c_name"),
           coalesce(col("os.order_cnt"), lit(0L)).as("order_cnt"),
-          coalesce(col("os.total_spent"), lit(0).cast("decimal(18,2)")).as("total_spent"))
+          coalesce(col("os.total_spent"), lit(0).cast("decimal(18,2)"))
+            .cast("double").as("total_spent"))
         .orderBy("c_custkey")
     }, Some("""WITH os AS (
               |  SELECT o_custkey, count(*) AS order_cnt,
@@ -257,7 +259,7 @@ object RelationalQueries {
               |  FROM orders GROUP BY o_custkey)
               |SELECT c.c_custkey, c.c_name,
               |  COALESCE(os.order_cnt, 0) AS order_cnt,
-              |  COALESCE(os.total_spent, CAST(0 AS DECIMAL(18,2))) AS total_spent
+              |  CAST(COALESCE(os.total_spent, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
               |FROM customer c LEFT JOIN os ON c.c_custkey = os.o_custkey
               |ORDER BY c.c_custkey""".stripMargin), bench = true),
 
@@ -313,18 +315,18 @@ object RelationalQueries {
       T(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
           sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(18,4)")).as("sum_disc_price"),
+            .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
           min(col("l_quantity")).as("min_qty"),
           max(col("l_extendedprice")).as("max_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
-             |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-             |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-             |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
              |  MIN(l_quantity) AS min_qty,
              |  MAX(l_extendedprice) AS max_price,
              |  count(*) AS count_order
@@ -336,23 +338,23 @@ object RelationalQueries {
         .groupBy("o_orderpriority")
         .agg(
           sum(when(col("o_orderstatus") === "F", col("o_totalprice").cast("decimal(18,2)"))
-            .otherwise(lit(0).cast("decimal(18,2)"))).as("total_f"),
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("total_f"),
           count(when(col("o_orderstatus") === "O", lit(1))).as("cnt_o"))
         .orderBy("o_orderpriority"),
       Some("""SELECT o_orderpriority,
-             |  SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2))
-             |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS total_f,
+             |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2))
+             |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS total_f,
              |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS cnt_o
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
     "a4_global_agg" -> Q((s, dir) =>
       T(s, dir, "lineitem").agg(
         count(lit(1)).as("n_rows"),
-        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
         min(col("l_shipdate").cast("date")).as("min_ship"),
         max(col("l_shipdate").cast("date")).as("max_ship")),
       Some("""SELECT count(*) AS n_rows,
-             |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
              |  MIN(CAST(l_shipdate AS DATE)) AS min_ship,
              |  MAX(CAST(l_shipdate AS DATE)) AS max_ship
              |FROM lineitem""".stripMargin)),
@@ -394,10 +396,10 @@ object RelationalQueries {
       T(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"),
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-             |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
              |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
 
@@ -554,13 +556,13 @@ object RelationalQueries {
         col("l_linenumber"),
         col("l_partkey"),
         col("l_suppkey"),
-        col("l_quantity").cast("decimal(12,2)").as("qty_dec"),
+        col("l_quantity").cast("decimal(12,2)").cast("double").as("qty_dec"),
         col("l_shipdate").cast("date").as("ship_date"),
         col("l_linenumber").cast("string").as("line_str"),
         col("l_orderkey").cast("int").as("order_int"))
         .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
       Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-             |  CAST(l_quantity AS DECIMAL(12,2)) AS qty_dec,
+             |  CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS qty_dec,
              |  CAST(l_shipdate AS DATE) AS ship_date,
              |  CAST(l_linenumber AS VARCHAR) AS line_str,
              |  CAST(l_orderkey AS INT) AS order_int

@@ -25,9 +25,36 @@ object Tables {
   def overwrite(df: DataFrame, table: String): Unit =
     df.write.mode("overwrite").format("parquet").saveAsTable(table)
 
-  /** Append-only landing (`ingest_policies.py:89-94`). */
-  def append(df: DataFrame, table: String): Unit =
-    df.write.mode("append").format("parquet").saveAsTable(table)
+  /** Append-only landing (`ingest_policies.py:89-94`), with the
+    * reference's `mergeSchema=true` additive schema evolution
+    * (`ingest_policies.py:92`): a frame carrying columns the table lacks
+    * ALTERs them onto the table first (old files read NULL for them —
+    * parquet's missing-column semantics), then appends with the frame
+    * aligned to the table's column set. Cost is O(new data) + one
+    * metadata op — the table is never rewritten. Columns the table has
+    * but the frame lacks are filled with NULL, as Delta does. Type
+    * changes are NOT evolved (same as `mergeSchema`, which only adds). */
+  def append(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      df.write.mode("append").format("parquet").saveAsTable(table)
+      return
+    }
+    val existing = spark.read.table(table).schema
+    val newFields = df.schema.fields.filterNot(f =>
+      existing.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+    if (newFields.nonEmpty) {
+      val colsDdl = newFields
+        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      spark.sql(s"ALTER TABLE $table ADD COLUMNS ($colsDdl)")
+    }
+    val target = spark.read.table(table).schema
+    val aligned = df.select(target.fields.map { f =>
+      if (df.schema.fieldNames.exists(_.equalsIgnoreCase(f.name))) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+    aligned.write.mode("append").format("parquet").saveAsTable(table)
+  }
 
   /** Partitioned overwrite for partition-pruned reads
     * (`fact_claims.py:99-104`: `partitionBy("property_state")`). */

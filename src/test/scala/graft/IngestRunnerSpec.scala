@@ -44,6 +44,27 @@ class IngestRunnerSpec extends SparkTestBase {
     assert(spark.read.table("graft_test.bronze_policies").count() === 4)
   }
 
+  test("append evolves the schema additively (mergeSchema parity, ingest_policies.py:92)") {
+    import spark.implicits._
+    Tables.ensureDatabase(spark, "graft_test")
+    Tables.dropTable(spark, "graft_test.evolve_append")
+    Tables.append(Seq((1L, "a"), (2L, "b")).toDF("id", "name"),
+      "graft_test.evolve_append")
+    // New column arrives: old rows must read NULL for it, not fail.
+    Tables.append(Seq((3L, "c", 9.5)).toDF("id", "name", "score"),
+      "graft_test.evolve_append")
+    val evolved = spark.read.table("graft_test.evolve_append")
+    assert(evolved.columns.sorted === Array("id", "name", "score"))
+    assert(evolved.count() === 3)
+    assert(evolved.filter(col("score").isNull).count() === 2)
+    assert(evolved.filter(col("id") === 3L).select("score").head().getDouble(0) === 9.5)
+    // Frame MISSING a table column: filled with NULL, as Delta does.
+    Tables.append(Seq((4L, "d")).toDF("id", "name"), "graft_test.evolve_append")
+    val after = spark.read.table("graft_test.evolve_append")
+    assert(after.count() === 4)
+    assert(after.filter(col("id") === 4L).select("score").head().isNullAt(0))
+  }
+
   test("ingestStreaming: AvailableNow processes backlog exactly once per checkpoint") {
     val base = Files.createTempDirectory("graft_stream").toString
     val landing = s"$base/landing"; val chk = s"$base/chk"

@@ -40,6 +40,33 @@ class LlmOpsSpec extends SparkTestBase {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // unrelated doc never pairs
   }
 
+  test("candidatePairs pins no RDDs and reuses one exchange for the self-join") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val sh = Dedup.shingleArray(docs, "doc_id", "text", 3)
+    val bands = Dedup.lshBands(Dedup.minhashSignaturesNative(sh, "doc_id", 8), "doc_id", 8, 2)
+    // Force the 100TB plan shape: sort-merge (not tiny-data broadcast),
+    // and AQE off so the static ReuseExchange rule is visible in the
+    // plan string (AQE reuses the same stages at runtime via its
+    // semantic-equality stage cache).
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val pairs = Dedup.candidatePairs(bands, "doc_id")
+      pairs.collect()
+      val plan = pairs.queryExecution.executedPlan.toString
+      // Both self-join sides shuffle the identical lineage on
+      // (band, band_hash): the expensive MinHash map must run once.
+      assert(plan.contains("ReusedExchange"), s"no exchange reuse in:\n$plan")
+      // r3 verdict item 4: the old persist() was never released.
+      assert(spark.sparkContext.getPersistentRDDs.size === before)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("zero-shuffle native MinHash signatures equal the groupBy formulation") {
     val classic = Dedup.minhashSignatures(
       Dedup.shingles(docs, "doc_id", "text", 3), "doc_id", 8)
@@ -142,7 +169,7 @@ class LlmOpsSpec extends SparkTestBase {
 
   test("multimodal payload plumbing: binary column, metadata, stub decode") {
     val out = Multimodal.frameSampleStub(
-      Multimodal.decodeStub(Multimodal.withPayload(docs)), "text", 2)
+      Multimodal.decodeStub(Multimodal.withPayload(docs)), n = 2)
     val r = out.filter(col("doc_id") === 0).head()
     val expected = docs.filter(col("doc_id") === 0).head().getAs[String]("text").length
     val nBytes = r.getAs[org.apache.spark.sql.Row]("media_meta").getAs[Int]("n_bytes")
@@ -152,5 +179,18 @@ class LlmOpsSpec extends SparkTestBase {
     val dims = r.getAs[org.apache.spark.sql.Row]("decoded")
     assert(dims.getAs[Int]("fake_width") >= 640 && dims.getAs[Int]("fake_height") >= 360)
     assert(r.getAs[scala.collection.Seq[String]]("frame_hashes").length === 2)
+  }
+
+  test("frame fingerprints come from payload BYTE slices, not the source text") {
+    import org.apache.spark.sql.functions.{hex, md5, substring}
+    val out = Multimodal.frameSampleStub(
+      Multimodal.withPayload(docs), n = 2, frameBytes = 16)
+    // Recompute frame 1 independently: md5(hex(payload[17..32])).
+    val check = out.select(col("doc_id"), col("frame_hashes")(1).as("got"),
+      md5(hex(substring(col("payload"), 17, 16))).as("want"))
+    assert(check.filter(col("got") =!= col("want")).count() === 0)
+    // Different payload bytes => different first-frame fingerprint.
+    val f0 = out.select(col("frame_hashes")(0)).distinct().count()
+    assert(f0 > 1)
   }
 }

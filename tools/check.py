@@ -15,6 +15,8 @@ from pathlib import Path
 
 import duckdb
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -52,6 +54,38 @@ def cell_eq(a, b) -> bool:
         return float(a) == float(b)
     except (TypeError, ValueError):
         return False
+
+
+def schema_problems(spark_schema: pa.Schema, oracle_schema: pa.Schema) -> tuple[list[str], list[str]]:
+    """Arrow-level schema gate: (failures, warnings).
+
+    The driver's hash is computed from the raw arrow values, and DECIMAL
+    cells canonicalize differently between the pyarrow (Spark parquet)
+    and DuckDB fetch paths — every hash-red query in rounds 2-3 carried a
+    DECIMAL output column while values compared equal. So any DECIMAL on
+    either side is a FAILURE here even when values match. Other type
+    mismatches (int32 vs int64, timestamp unit) and nullability drift
+    have never flipped the driver's hash → warnings only.
+    """
+    fails, warns = [], []
+    s_fields = {f.name: f for f in spark_schema}
+    o_fields = {f.name: f for f in oracle_schema}
+    for name in sorted(set(s_fields) | set(o_fields)):
+        sf, of = s_fields.get(name), o_fields.get(name)
+        if sf is None or of is None:
+            continue  # column-set mismatch is caught by compare()
+        for side, f in (("spark", sf), ("oracle", of)):
+            if pa.types.is_decimal(f.type):
+                fails.append(
+                    f"col {name}: {side} output is {f.type} — DECIMAL is "
+                    f"hash-unsafe in the driver gate; cast to DOUBLE on both sides")
+        if sf.type != of.type and not (
+                pa.types.is_decimal(sf.type) or pa.types.is_decimal(of.type)):
+            warns.append(f"col {name}: type spark={sf.type} oracle={of.type}")
+        if sf.nullable != of.nullable:
+            warns.append(
+                f"col {name}: nullable spark={sf.nullable} oracle={of.nullable}")
+    return fails, warns
 
 
 def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
@@ -93,12 +127,17 @@ def main() -> None:
             n_skip += 1
             continue
         try:
-            oracle_df = con.execute(oracles[name]).fetchdf()
+            oracle_arrow = con.execute(oracles[name]).arrow()
+            # date_as_object=False matches fetchdf()'s datetime64 dates, so
+            # cell compares behave as before the arrow-schema hardening.
+            oracle_df = oracle_arrow.to_pandas(date_as_object=False)
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
         try:
+            spark_files = sorted(res_dir.glob("*.parquet"))
+            spark_schema = pq.read_schema(spark_files[0])
             spark_df = con.execute(
                 f"SELECT * FROM read_parquet('{res_dir}/*.parquet')").fetchdf()
         except Exception as e:
@@ -106,6 +145,10 @@ def main() -> None:
             n_fail += 1
             continue
         problems = compare(name, spark_df, oracle_df)
+        schema_fails, schema_warns = schema_problems(spark_schema, oracle_arrow.schema)
+        problems.extend(schema_fails)
+        for w in schema_warns:
+            print(f"WARN {name}: {w}")
         if problems:
             print(f"FAIL {name} ({len(spark_df)} spark rows, {len(oracle_df)} oracle rows)")
             for p in problems[:6]:
