@@ -14,7 +14,7 @@ import graft.queries._
 object SparkEntry {
 
   private def registry: Seq[(String, Q)] =
-    RelationalQueries.defs ++ PipelineQueries.defs ++
+    RelationalQueries.defs ++ WindowQueries.defs ++ PipelineQueries.defs ++
       LlmQueries.defs ++ StreamingQueries.defs ++ GovernanceQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

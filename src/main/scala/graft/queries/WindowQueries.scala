@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Windowed
+import Registry.T
+
+/** Driver-gradable queries for the window-function operators (SURVEY
+  * §2.5 W2-W4 beyond-reference extensions + the as-of join from the
+  * custom-operator track). The reference has no OVER clause anywhere;
+  * these are the window building blocks its pipelines (and any
+  * training-data pipeline) need at scale — each is ONE shuffle.
+  *
+  * Timestamp note: `events.ts` is TIMESTAMP(NANOS) parquet, which this
+  * library reads as nanos-since-epoch long (`nanosAsLong`); queries
+  * reduce it to epoch seconds with integer `div` so both engines agree
+  * exactly (driver-gate gotcha: never emit raw nanos).
+  */
+object WindowQueries {
+
+  // events.ts nanos → exact epoch seconds (integer division, no float).
+  private val tsSec = expr("ts div 1000000000").cast("long")
+  private val tsSecSql = "CAST(floor(date_part('epoch', ts)) AS BIGINT)"
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    "w2_keep_latest_dedup" -> Q((s, dir) =>
+      // The SCD2 building block SURVEY §2.5 names: newest row per key
+      // via row_number()=1 — one shuffle, no groupBy+join-back.
+      Windowed.keepLatest(T(s, dir, "orders"), Seq("o_custkey"),
+        col("o_orderdate"), tieBreak = Seq(col("o_orderkey")))
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("latest_order_date"),
+          col("o_totalprice"))
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(o_orderdate AS DATE) AS latest_order_date, o_totalprice
+             |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+             |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             |      FROM orders)
+             |WHERE rn = 1 ORDER BY o_custkey""".stripMargin)),
+
+    "w3_running_totals" -> Q((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // Cumulative + offset functions in ONE window spec = one exchange.
+      // The running sum goes through decimal so the cumulation is exact
+      // and order-independent across engines, then widens to double at
+      // the gate (decimal gate rule).
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey")
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"),
+        sum(col("l_quantity").cast("decimal(18,2)")).over(cum)
+          .cast("double").as("running_qty"),
+        lag(col("l_quantity"), 1).over(w).as("prev_qty"),
+        row_number().over(w).as("line_seq"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    }, Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+              |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+              |    OVER w_cum AS DOUBLE) AS running_qty,
+              |  lag(l_quantity, 1) OVER w AS prev_qty,
+              |  CAST(row_number() OVER w AS INT) AS line_seq
+              |FROM lineitem
+              |WINDOW
+              |  w AS (PARTITION BY l_orderkey
+              |        ORDER BY l_linenumber, l_partkey, l_suppkey),
+              |  w_cum AS (PARTITION BY l_orderkey
+              |        ORDER BY l_linenumber, l_partkey, l_suppkey
+              |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)),
+
+    "j8_asof_join" -> Q((s, dir) => {
+      // As-of join: each 'click' matched to the user's most recent
+      // 'view' at or before it. Spark side composes the union+window
+      // pattern (one shuffle, no range-join explosion); the oracle is
+      // DuckDB's NATIVE ASOF JOIN — two independent formulations of the
+      // same semantics.
+      val ev = T(s, dir, "events").withColumn("ts_sec", tsSec)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_sec")
+      // One view per (user, second): two views in the same second are an
+      // as-of tie with engine-unspecified winners — collapse to the max
+      // event id on BOTH sides so the match is total-order deterministic.
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts_sec")
+        .agg(max(col("event_id")).as("view_event_id"))
+      Windowed.asofJoin(clicks, views, Seq("user_id"),
+        leftTs = "ts_sec", rightTs = "ts_sec",
+        rightPayload = Seq("view_event_id", "ts_sec"),
+        tieBreak = Seq("event_id"))
+        .select(col("event_id"), col("user_id"),
+          col("ts_sec").as("click_sec"),
+          col("asof_view_event_id").as("view_event_id"),
+          col("asof_ts_sec").as("view_sec"))
+        .orderBy("event_id")
+    }, Some(s"""WITH ev AS (SELECT event_id, user_id, event_type,
+               |    $tsSecSql AS ts_sec FROM events),
+               |clicks AS (SELECT event_id, user_id, ts_sec FROM ev
+               |  WHERE event_type = 'click'),
+               |views AS (SELECT user_id, ts_sec,
+               |    MAX(event_id) AS view_event_id FROM ev
+               |  WHERE event_type = 'view' GROUP BY user_id, ts_sec)
+               |SELECT c.event_id, c.user_id, c.ts_sec AS click_sec,
+               |  v.view_event_id, v.ts_sec AS view_sec
+               |FROM clicks c ASOF LEFT JOIN views v
+               |  ON c.user_id = v.user_id AND v.ts_sec <= c.ts_sec
+               |ORDER BY c.event_id""".stripMargin)),
+
+    "w4_sessionize" -> Q((s, dir) => {
+      // Gap-based sessionization (30-min gap) + per-session rollup: the
+      // canonical event-stream operator for behavioral training data.
+      val ev = T(s, dir, "events").withColumn("ts_sec", tsSec)
+      Windowed.sessionize(ev, Seq("user_id"), "ts_sec", gapSec = 1800L,
+        tieBreak = Seq("event_id"))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_sec")).as("session_start_sec"),
+          max(col("ts_sec")).as("session_end_sec"))
+        .orderBy("user_id", "session_id")
+    }, Some(s"""WITH ev AS (SELECT event_id, user_id,
+               |    $tsSecSql AS ts_sec FROM events),
+               |flagged AS (SELECT event_id, user_id, ts_sec,
+               |    CASE WHEN ts_sec - lag(ts_sec, 1) OVER w > 1800
+               |          OR lag(ts_sec, 1) OVER w IS NULL
+               |         THEN 1 ELSE 0 END AS new_session
+               |  FROM ev
+               |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+               |sess AS (SELECT user_id, ts_sec,
+               |    CAST(SUM(new_session) OVER (PARTITION BY user_id
+               |      ORDER BY ts_sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+               |      AND CURRENT ROW) AS BIGINT) AS session_id
+               |  FROM flagged)
+               |SELECT user_id, session_id, count(*) AS n_events,
+               |  MIN(ts_sec) AS session_start_sec, MAX(ts_sec) AS session_end_sec
+               |FROM sess GROUP BY user_id, session_id
+               |ORDER BY user_id, session_id""".stripMargin)))
+}

@@ -40,31 +40,22 @@ class LlmOpsSpec extends SparkTestBase {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // unrelated doc never pairs
   }
 
-  test("candidatePairs pins no RDDs and reuses one exchange for the self-join") {
+  test("candidatePairs: one pass over the signature lineage, no join, no pinned RDDs") {
     val before = spark.sparkContext.getPersistentRDDs.size
     val sh = Dedup.shingleArray(docs, "doc_id", "text", 3)
     val bands = Dedup.lshBands(Dedup.minhashSignaturesNative(sh, "doc_id", 8), "doc_id", 8, 2)
-    // Force the 100TB plan shape: sort-merge (not tiny-data broadcast),
-    // and AQE off so the static ReuseExchange rule is visible in the
-    // plan string (AQE reuses the same stages at runtime via its
-    // semantic-equality stage cache).
-    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      val pairs = Dedup.candidatePairs(bands, "doc_id")
-      pairs.collect()
-      val plan = pairs.queryExecution.executedPlan.toString
-      // Both self-join sides shuffle the identical lineage on
-      // (band, band_hash): the expensive MinHash map must run once.
-      assert(plan.contains("ReusedExchange"), s"no exchange reuse in:\n$plan")
-      // r3 verdict item 4: the old persist() was never released.
-      assert(spark.sparkContext.getPersistentRDDs.size === before)
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-    }
+    val pairs = Dedup.candidatePairs(bands, "doc_id")
+    pairs.collect()
+    // AQE plan strings append the pre-adaptive "Initial Plan" — assert on
+    // the final plan section only.
+    val plan = pairs.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // Bucket-aggregation formulation: the expensive MinHash lineage has
+    // exactly one consumer — no self-join that would compute it twice.
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+    assert("Generate explode".r.findAllIn(plan).length === 2, // bands + pair expansion
+      s"unexpected generators in:\n$plan")
+    // r3 verdict item 4: the old persist() was never released.
+    assert(spark.sparkContext.getPersistentRDDs.size === before)
   }
 
   test("zero-shuffle native MinHash signatures equal the groupBy formulation") {

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Windowed
+
+class WindowedSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("keepLatest keeps exactly the newest row per key with deterministic ties") {
+    val df = Seq(
+      ("k1", 1L, "old"), ("k1", 3L, "new"), ("k1", 2L, "mid"),
+      ("k2", 5L, "only"),
+      ("k3", 7L, "tie_a"), ("k3", 7L, "tie_b")).toDF("key", "v", "tag")
+    val out = Windowed.keepLatest(df, Seq("key"), col("v"), tieBreak = Seq(col("tag")))
+      .orderBy("key").collect()
+    assert(out.map(r => (r.getString(0), r.getString(2))).toSeq ===
+      Seq(("k1", "new"), ("k2", "only"), ("k3", "tie_b"))) // desc tie → "tie_b"
+  }
+
+  test("asofJoin matches latest at-or-before right row, NULL when none precedes") {
+    val left = Seq((1L, "u1", 100L), (2L, "u1", 205L), (3L, "u2", 50L))
+      .toDF("id", "user", "ts")
+    val right = Seq(("u1", 100L, "a"), ("u1", 200L, "b"), ("u2", 60L, "late"))
+      .toDF("user", "rts", "payload")
+    val out = Windowed.asofJoin(left, right, Seq("user"),
+      leftTs = "ts", rightTs = "rts", rightPayload = Seq("payload"))
+      .orderBy("id").collect()
+    // id=1: right row AT ts=100 matches (inclusive); id=2: latest before
+    // 205 is "b"; id=3: the only u2 right row is later → NULL.
+    assert(out.map(_.getAs[String]("asof_payload")).toSeq === Seq("a", "b", null))
+  }
+
+  test("sessionize splits strictly on gap > gapSec and numbers sessions per key") {
+    val df = Seq(
+      ("u1", 0L), ("u1", 1800L),        // gap == gapSec → SAME session
+      ("u1", 3601L),                    // gap 1801 > 1800 → new session
+      ("u2", 10L)).toDF("user", "sec")
+    val out = Windowed.sessionize(df, Seq("user"), "sec", gapSec = 1800L)
+      .orderBy("user", "sec").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq(("u1", 0L, 1L), ("u1", 1800L, 1L), ("u1", 3601L, 2L), ("u2", 10L, 1L)))
+  }
+
+  test("sessionize plans both window functions in a single exchange") {
+    val df = Seq(("u1", 0L), ("u1", 5L)).toDF("user", "sec")
+    val out = Windowed.sessionize(df, Seq("user"), "sec", gapSec = 1L)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected one shuffle, plan:\n$plan")
+  }
+}
