@@ -61,6 +61,27 @@ object Checks {
     UniqueResult("unique", column, total - d == 0, total - d, total, d)
   }
 
+  final case class ApproxDistinctResult(check: String, column: String, passed: Boolean,
+      approxDistinct: Long, totalCount: Long, maxRsd: Double) extends CheckResult
+
+  /** Approximate-distinct sanity check — the 100 TB path for uniqueness
+    * profiling (SURVEY §2.4 note). `count_distinct` shuffles every
+    * distinct value; HyperLogLog++ (`approx_count_distinct`) is a
+    * constant-size sketch merged map-side, so the check costs one scan
+    * and a few KB of shuffle at any scale. HLL register merges are
+    * max-operations — commutative and associative — so the estimate is
+    * deterministic for a given dataset regardless of partitioning.
+    * Passes when the estimate is within `tolerance` of `expected`
+    * (e.g. the row count when the column should be unique). */
+  def checkApproxDistinct(df: DataFrame, column: String, expected: Long,
+      tolerance: Double = 0.1, rsd: Double = 0.01): ApproxDistinctResult = {
+    val Row(approx: Long, total: Long) = df.agg(
+      approx_count_distinct(col(column), rsd).as("approx"),
+      count(lit(1)).as("total")).head()
+    val within = math.abs(approx - expected) <= tolerance * math.max(expected, 1L)
+    ApproxDistinctResult("approx_distinct", column, within, approx, total, tolerance)
+  }
+
   /** dbt `accepted_values` test with a 10-value sample of offenders
     * (`data_quality_checks.py:43-64`). */
   def checkAcceptedValues(df: DataFrame, column: String, accepted: Seq[String]): AcceptedValuesResult = {

@@ -765,6 +765,29 @@ object PipelineQueries {
               |    count(*) = count(DISTINCT o_orderkey) FROM orders
               |) ORDER BY check_name""".stripMargin)),
 
+    "dq_approx_distinct" -> Q((s, dir) => {
+      import s.implicits._
+      // HLL++ sketch check — the affordable uniqueness probe at 100 TB
+      // (constant-size sketch vs a full distinct shuffle). The estimate
+      // itself is engine-specific, so the gate compares the CHECK
+      // VERDICT (within-tolerance boolean) and exact totals, not the
+      // sketch value.
+      val o = T(s, dir, "orders")
+      val li = T(s, dir, "lineitem")
+      val r1 = Checks.checkApproxDistinct(o, "o_orderkey", o.count(), tolerance = 0.05)
+      val r2 = Checks.checkApproxDistinct(li, "l_orderkey",
+        expected = 1L, tolerance = 0.05) // wrong expectation must FAIL
+      Seq(("lineitem.l_orderkey_vs_1", r2.passed, r2.totalCount),
+        ("orders.o_orderkey_unique", r1.passed, r1.totalCount))
+        .toDF("check_target", "passed", "total_count").orderBy("check_target")
+    }, Some("""SELECT * FROM (
+              |  SELECT 'lineitem.l_orderkey_vs_1' AS check_target, FALSE AS passed,
+              |    (SELECT count(*) FROM lineitem) AS total_count
+              |  UNION ALL
+              |  SELECT 'orders.o_orderkey_unique', TRUE,
+              |    (SELECT count(*) FROM orders)
+              |) ORDER BY check_target""".stripMargin)),
+
     "dq_table_sweep" -> Q((s, dir) => {
       import s.implicits._
       // Post-pipeline sweep (notebooks/run_data_quality_checks.py): one

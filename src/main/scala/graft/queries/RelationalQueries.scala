@@ -309,6 +309,25 @@ object RelationalQueries {
              |  ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
              |ORDER BY nation_a, nation_b""".stripMargin)),
 
+    "j9_salted_skew_join" -> Q((s, dir) => {
+      // Skew-mitigation path (operators/Skew): hot join keys spread over
+      // (key, salt) reducers; semantics must equal the plain inner join,
+      // which is exactly what the oracle runs. Aggregated so the gate
+      // output is stable regardless of salt assignment.
+      val li = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_quantity"))
+      val o = T(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus"))
+      graft.operators.Skew.saltedJoin(li, o, "k", saltFactor = 8)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy("o_orderstatus")
+    }, Some("""SELECT o.o_orderstatus, count(*) AS cnt,
+              |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+              |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin)),
+
     // ----- §2.4 aggregations -------------------------------------------
     "a1_groupby_multiagg" -> Q((s, dir) =>
       // TPC-H Q1 shape: the canonical hash-agg with map-side combine.

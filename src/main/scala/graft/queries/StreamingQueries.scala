@@ -74,6 +74,51 @@ object StreamingQueries {
     }, Some("""SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS cnt
               |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
 
+    "st4_session_window" -> Q((s, dir) => {
+      // Beyond-parity ST6: event-time SESSION windows — the streaming
+      // twin of the batch sessionizer (w4_sessionize). `session_window`
+      // merges events whose gap is < 30 min; window end = last event +
+      // gap. Complete mode to a memory sink for a deterministic final
+      // state; the oracle replays the same gap chaining in SQL over
+      // exact integer microseconds.
+      val base = tmp("graft_st4")
+      val src = s"$base/in"
+      T(s, dir, "events").write.mode("append").parquet(src)
+      val q = s.readStream
+        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+        .parquet(src)
+        // nanos-since-epoch (nanosAsLong) → micros timestamp.
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .writeStream
+        .format("memory")
+        .queryName("graft_st4_sessions")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_st4_sessions")
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          unix_micros(col("session_window.end")).as("session_end_us"),
+          col("n_events"))
+        .orderBy("user_id", "session_start_us")
+    }, Some("""WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+              |flagged AS (SELECT user_id, us,
+              |    CASE WHEN us - lag(us, 1) OVER w >= 1800000000
+              |          OR lag(us, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+              |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+              |sess AS (SELECT user_id, us,
+              |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              |  FROM flagged)
+              |SELECT user_id, MIN(us) AS session_start_us,
+              |  MAX(us) + 1800000000 AS session_end_us, count(*) AS n_events
+              |FROM sess GROUP BY user_id, sid
+              |ORDER BY user_id, session_start_us""".stripMargin)),
+
     "st3_mapgroupswithstate" -> Q((s, dir) => {
       // Custom per-key state via KeyValueGroupedDataset.mapGroupsWithState:
       // running per-user event counts + value sum (decimal-exact).
