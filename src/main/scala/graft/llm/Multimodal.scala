@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
@@ -35,6 +35,55 @@ object Multimodal {
       (length(col("payload")) % 1280 + 640).cast("int").as("fake_width"),
       (length(col("payload")) % 720 + 360).cast("int").as("fake_height"),
       md5(col("payload")).as("pixel_digest")))
+
+  /** What a decode produces: typed dimensions + a content digest. A real
+    * image/audio codec fills the same shape. */
+  final case class DecodedMedia(width: Int, height: Int, nFrames: Int, digest: String)
+
+  /** Pluggable codec, constructed ONCE PER PARTITION inside
+    * [[decodeWithCodec]] — heavy native init (a libjpeg/ffmpeg context)
+    * is amortized over a partition's rows, never paid per row. This is
+    * the Scala analog of a batched (pandas-style) decode UDF: the
+    * partition iterator is the batch. */
+  trait MediaCodec extends Serializable {
+    def decode(payload: Array[Byte]): DecodedMedia
+  }
+
+  /** STUB codec (this container ships no media codecs): deterministic
+    * fake dimensions from the byte length + a true md5 of the payload
+    * bytes, so the plumbing around it — binary column in, typed row
+    * out, per-partition batching — is fully exercised and oracle-
+    * checkable. A real decoder replaces ONLY this class. */
+  final class StubCodec extends MediaCodec {
+    private val md = java.security.MessageDigest.getInstance("MD5")
+    def decode(payload: Array[Byte]): DecodedMedia = {
+      md.reset()
+      val digest = md.digest(payload).map("%02x".format(_)).mkString
+      DecodedMedia(payload.length % 1280 + 640, payload.length % 720 + 360,
+        payload.length / 16, digest)
+    }
+  }
+
+  /** Partition-wise decode: the imperative escape hatch (mapPartitions)
+    * the SURVEY reserves for genuine per-partition logic — a codec is
+    * exactly that. `mkCodec` runs once per partition (asserted in
+    * LlmOpsSpec via an accumulator); rows stream through the iterator
+    * without materializing the partition. Narrow op: no shuffle, scales
+    * with input splits. */
+  def decodeWithCodec(spark: SparkSession, df: DataFrame,
+      mkCodec: () => MediaCodec): DataFrame = {
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = mkCodec()
+        rows.map { case (id, bytes) =>
+          val d = codec.decode(bytes)
+          (id, d.width, d.height, d.nFrames, d.digest)
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_frames", "digest")
+  }
 
   /** STUB frame sampling: `n` consecutive "frames", each fingerprinted
     * from a slice of the BINARY payload itself — the byte-domain slicing

@@ -308,6 +308,21 @@ object LlmQueries {
               |  md5(substring(hex(encode(text)), 33, 32)) AS frame_1
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    "llm_multimodal_codec" -> Q((s, dir) => {
+      // Partition-wise decode through the pluggable-codec mapPartitions
+      // path (one codec per partition) — vs llm_multimodal_stub, which
+      // exercises the pure-SQL projection plumbing.
+      val withPayload = Multimodal.withPayload(
+        T(s, dir, "documents").select("doc_id", "text"))
+      Multimodal.decodeWithCodec(s, withPayload, () => new Multimodal.StubCodec)
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id,
+              |  CAST(octet_length(encode(text)) % 1280 + 640 AS INT) AS width,
+              |  CAST(octet_length(encode(text)) % 720 + 360 AS INT) AS height,
+              |  CAST(octet_length(encode(text)) // 16 AS INT) AS n_frames,
+              |  md5(text) AS digest
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ----- JSON prop extraction over events (F23 companion) ------------
     "llm_json_props_agg" -> Q((s, dir) =>
       T(s, dir, "events")

@@ -69,7 +69,8 @@ object WindowQueries {
               |  w_cum AS (PARTITION BY l_orderkey
               |        ORDER BY l_linenumber, l_partkey, l_suppkey
               |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)),
+              |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin),
+      bench = true),
 
     "j8_asof_join" -> Q((s, dir) => {
       // As-of join: each 'click' matched to the user's most recent
@@ -106,7 +107,7 @@ object WindowQueries {
                |  v.view_event_id, v.ts_sec AS view_sec
                |FROM clicks c ASOF LEFT JOIN views v
                |  ON c.user_id = v.user_id AND v.ts_sec <= c.ts_sec
-               |ORDER BY c.event_id""".stripMargin)),
+               |ORDER BY c.event_id""".stripMargin), bench = true),
 
     "w4_sessionize" -> Q((s, dir) => {
       // Gap-based sessionization (30-min gap) + per-session rollup: the

@@ -172,6 +172,25 @@ class LlmOpsSpec extends SparkTestBase {
     assert(r.getAs[scala.collection.Seq[String]]("frame_hashes").length === 2)
   }
 
+  test("decodeWithCodec constructs ONE codec per partition and decodes payload bytes") {
+    val acc = spark.sparkContext.longAccumulator("codec_inits")
+    val withPayload = Multimodal.withPayload(docs).repartition(3)
+    val out = Multimodal.decodeWithCodec(spark, withPayload,
+      () => { acc.add(1); new Multimodal.StubCodec })
+    // Collect WITHOUT orderBy: a range sort samples its input in an extra
+    // pass, which would double-run the decode and the init counter.
+    val rows = out.collect()
+    assert(rows.length === docs.count())
+    // Codec init is per-partition (amortized native setup), not per-row.
+    assert(acc.value === 3, s"expected 3 codec inits, got ${acc.value}")
+    // Digest is the md5 of the BYTES, matching the SQL-side md5(text).
+    val r0 = rows.find(_.getLong(0) == 0L).get
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest(docs.filter(col("doc_id") === 0).head().getAs[String]("text")
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r0.getAs[String]("digest") === expected)
+  }
+
   test("frame fingerprints come from payload BYTE slices, not the source text") {
     import org.apache.spark.sql.functions.{hex, md5, substring}
     val out = Multimodal.frameSampleStub(
