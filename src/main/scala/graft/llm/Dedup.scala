@@ -176,6 +176,27 @@ object Dedup {
     withVotes.select(col(idCol), sig.as("simhash"))
   }
 
+  /** Jaccard verification from per-document shingle ARRAYS: attach each
+    * side's sorted array to the candidate pair, then ONE fused
+    * merge-scan per pair (codegen'd `graft.plans.SortedJaccard`) — no
+    * shingle explode, no per-pair groupBy. Versus [[jaccardPairs]], the
+    * shuffle carries |pairs| rows with two arrays each instead of the
+    * full exploded shingle stream plus an aggregation; after LSH,
+    * candidates are a tiny fraction of the corpus, so this is the
+    * cheaper shape whenever shingles are already per-document arrays
+    * (the [[shingleArray]]→[[minhashSignaturesNative]] pipeline).
+    * Equal output to [[jaccardPairs]] (asserted in LlmOpsSpec). */
+  def jaccardPairsFromArrays(shingleArrayDf: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val sorted = shingleArrayDf
+      .select(col(idCol), sort_array(col("shingles")).as("sh"))
+    pairs
+      .join(sorted.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sorted.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.plans.SortedJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+  }
+
   /** Exact n-gram Jaccard similarity for given candidate pairs (verify
     * step after LSH). `pairs` must have columns (id_a, id_b). */
   def jaccardPairs(shingleDf: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {

@@ -137,6 +137,37 @@ object LlmQueries {
                |JOIN sizes sb ON sb.doc_id = p.id_b
                |ORDER BY p.id_a""".stripMargin)),
 
+    "llm_jaccard_arrays" -> Q((s, dir) => {
+      // Same pairs and same Jaccard as llm_ngram_jaccard, but through the
+      // array path: per-doc sorted shingle arrays + the fused codegen'd
+      // SortedJaccard merge-scan (plans/SortedJaccard) — no shingle
+      // explode, no per-pair groupBy. The oracle is the exploded SQL
+      // formulation: two independent computations of the same number.
+      val docs = T(s, dir, "documents")
+      val sh = Dedup.shingleArray(docs, "doc_id", "text", 3)
+      val pairs = docs.select(col("doc_id").as("id_a")).alias("a")
+        .join(docs.select(col("doc_id").as("id_b")).alias("b"),
+          col("b.id_b") === col("a.id_a") + 1)
+      Dedup.jaccardPairsFromArrays(sh, "doc_id", pairs.select("id_a", "id_b"))
+        .orderBy("id_a")
+    }, Some(s"""WITH $toksCte, $shCte,
+               |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+               |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+               |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+               |inter AS (SELECT p.id_a, p.id_b, count(*) AS n_inter
+               |  FROM pairs p
+               |  JOIN sh x ON x.doc_id = p.id_a
+               |  JOIN sh y ON y.doc_id = p.id_b AND y.shingle = x.shingle
+               |  GROUP BY p.id_a, p.id_b)
+               |SELECT p.id_a, p.id_b,
+               |  CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+               |    CAST(sa.n + sb.n - COALESCE(i.n_inter, 0) AS DOUBLE) AS jaccard
+               |FROM pairs p
+               |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+               |JOIN sizes sa ON sa.doc_id = p.id_a
+               |JOIN sizes sb ON sb.doc_id = p.id_b
+               |ORDER BY p.id_a""".stripMargin)),
+
     // ----- text analysis -----------------------------------------------
     "llm_text_stats" -> Q((s, dir) =>
       TextOps.textStats(T(s, dir, "documents").select("doc_id", "text"))

@@ -58,6 +58,17 @@ class LlmOpsSpec extends SparkTestBase {
     assert(spark.sparkContext.getPersistentRDDs.size === before)
   }
 
+  test("array-path Jaccard equals the exploded-shingle formulation") {
+    val pairs = Seq((0L, 1L), (0L, 2L), (1L, 4L), (2L, 3L)).toDF("id_a", "id_b")
+    val exploded = Dedup.jaccardPairs(
+      Dedup.shingles(docs, "doc_id", "text", 3), "doc_id", pairs)
+    val arrays = Dedup.jaccardPairsFromArrays(
+      Dedup.shingleArray(docs, "doc_id", "text", 3), "doc_id", pairs)
+    val joined = exploded.alias("e").join(arrays.alias("a"), Seq("id_a", "id_b"))
+    assert(joined.count() === 4)
+    assert(joined.filter(col("e.jaccard") =!= col("a.jaccard")).count() === 0)
+  }
+
   test("zero-shuffle native MinHash signatures equal the groupBy formulation") {
     val classic = Dedup.minhashSignatures(
       Dedup.shingles(docs, "doc_id", "text", 3), "doc_id", 8)

@@ -26,6 +26,39 @@ class PlansStreamingSpec extends SparkTestBase {
     assert(diff === 0) // exact double equality, not approximate
   }
 
+  test("fused SortedJaccard equals the built-in intersect/union composition") {
+    val r = new scala.util.Random(11)
+    val words = (0 until 40).map(i => s"w$i")
+    val docs = (0 until 60).map { i =>
+      (i.toLong, r.shuffle(words).take(5 + r.nextInt(20)).toArray)
+    }.toDF("id", "raw")
+    val sets = docs.select(col("id"),
+      sort_array(array_distinct(col("raw"))).as("sh"))
+    val pairs = sets.alias("a").join(sets.alias("b"), col("a.id") < col("b.id"))
+      .select(
+        graft.plans.SortedJaccard(col("a.sh"), col("b.sh")).as("fused"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh"))).cast("double")).as("composed"))
+    assert(pairs.filter(col("fused") =!= col("composed")).count() === 0)
+  }
+
+  test("jaccard_sorted registers as a SQL function, disjoint and identical cases") {
+    graft.plans.SortedJaccard.register(spark)
+    val same = spark.sql(
+      "SELECT jaccard_sorted(array('a','b'), array('a','b')) AS j").head().getDouble(0)
+    assert(same === 1.0)
+    val disjoint = spark.sql(
+      "SELECT jaccard_sorted(array('a'), array('b')) AS j").head().getDouble(0)
+    assert(disjoint === 0.0)
+    val half = spark.sql(
+      "SELECT jaccard_sorted(array('a','b'), array('b','c')) AS j").head().getDouble(0)
+    assert(half === 1.0 / 3.0)
+    val empty = spark.sql(
+      """SELECT jaccard_sorted(CAST(array() AS ARRAY<STRING>),
+        |CAST(array() AS ARRAY<STRING>)) AS j""".stripMargin).head().getDouble(0)
+    assert(empty === 0.0)
+  }
+
   test("cosine_similarity registers as a SQL function") {
     CosineSimilarity.register(spark)
     val sim = spark.sql(
