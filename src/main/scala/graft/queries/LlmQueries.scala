@@ -135,7 +135,7 @@ object LlmQueries {
                |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
                |JOIN sizes sa ON sa.doc_id = p.id_a
                |JOIN sizes sb ON sb.doc_id = p.id_b
-               |ORDER BY p.id_a""".stripMargin)),
+               |ORDER BY p.id_a""".stripMargin), bench = true),
 
     "llm_jaccard_arrays" -> Q((s, dir) => {
       // Same pairs and same Jaccard as llm_ngram_jaccard, but through the
@@ -166,7 +166,7 @@ object LlmQueries {
                |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
                |JOIN sizes sa ON sa.doc_id = p.id_a
                |JOIN sizes sb ON sb.doc_id = p.id_b
-               |ORDER BY p.id_a""".stripMargin)),
+               |ORDER BY p.id_a""".stripMargin), bench = true),
 
     // ----- text analysis -----------------------------------------------
     "llm_text_stats" -> Q((s, dir) =>
