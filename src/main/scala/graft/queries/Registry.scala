@@ -12,7 +12,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * defaults to NULLS LAST, so oracles must spell `NULLS FIRST` when
   * ordering nullable columns). Aggregates over doubles are routed through
   * decimal casts with enough scale to hold the exact value, so both
-  * engines recover identical numbers.
+  * engines recover identical numbers — and every TERMINAL decimal column
+  * is then cast to DOUBLE on both sides ([[Registry.decimalsToDouble]]):
+  * DECIMAL cells canonicalize differently between the driver's pyarrow
+  * and DuckDB fetch paths, so a decimal output hash-mismatches even when
+  * positionally value-identical (settled round 4; tools/check.py fails
+  * any remaining decimal arrow output).
   */
 final case class Q(
     fn: (SparkSession, String) => DataFrame,
