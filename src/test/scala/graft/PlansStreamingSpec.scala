@@ -42,6 +42,22 @@ class PlansStreamingSpec extends SparkTestBase {
     assert(pairs.filter(col("fused") =!= col("composed")).count() === 0)
   }
 
+  test("SortedJaccard matches a Scala Set reference on 300 random set pairs") {
+    val r = new scala.util.Random(17)
+    val pool = (0 until 60).map(i => f"tok$i%02d")
+    val cases = (0 until 300).map { i =>
+      val a = r.shuffle(pool).take(r.nextInt(pool.size)).toSet
+      val b = r.shuffle(pool).take(r.nextInt(pool.size)).toSet
+      (i.toLong, a.toArray.sorted, b.toArray.sorted,
+        if ((a ++ b).isEmpty) 0.0 else (a & b).size.toDouble / (a ++ b).size)
+    }
+    val df = cases.map(c => (c._1, c._2, c._3)).toDF("id", "a", "b")
+    val got = df.select(col("id"),
+      graft.plans.SortedJaccard(col("a"), col("b")).as("j"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    cases.foreach { case (id, _, _, want) => assert(got(id) === want, s"case $id") }
+  }
+
   test("jaccard_sorted registers as a SQL function, disjoint and identical cases") {
     graft.plans.SortedJaccard.register(spark)
     val same = spark.sql(

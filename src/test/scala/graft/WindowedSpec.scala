@@ -42,6 +42,32 @@ class WindowedSpec extends SparkTestBase {
       Seq(("u1", 0L, 1L), ("u1", 1800L, 1L), ("u1", 3601L, 2L), ("u2", 10L, 1L)))
   }
 
+  test("sessionize matches a plain-Scala reference on 500 random event streams") {
+    val r = new scala.util.Random(13)
+    // Random users with random sorted timestamps, gaps straddling 100.
+    val rows = (0 until 500).flatMap { u =>
+      var t = r.nextInt(50).toLong
+      (0 until 1 + r.nextInt(8)).map { _ =>
+        val row = (s"u$u", t)
+        t += 1 + r.nextInt(200) // gaps 1..200 around gapSec=100
+        row
+      }
+    }
+    val df = rows.toDF("user", "sec")
+    val got = Windowed.sessionize(df, Seq("user"), "sec", gapSec = 100L)
+      .select("user", "sec", "session_id").collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> x.getLong(2)).toMap
+    // Reference: sequential fold per user.
+    rows.groupBy(_._1).foreach { case (u, evs) =>
+      var sid = 0L; var prev = Long.MinValue
+      evs.map(_._2).sorted.foreach { t =>
+        if (prev == Long.MinValue || t - prev > 100L) sid += 1
+        assert(got((u, t)) === sid, s"user $u ts $t")
+        prev = t
+      }
+    }
+  }
+
   test("sessionize plans both window functions in a single exchange") {
     val df = Seq(("u1", 0L), ("u1", 5L)).toDF("user", "sec")
     val out = Windowed.sessionize(df, Seq("user"), "sec", gapSec = 1L)
