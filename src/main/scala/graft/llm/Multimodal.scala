@@ -85,6 +85,19 @@ object Multimodal {
       .toDF("doc_id", "width", "height", "n_frames", "digest")
   }
 
+  /** Resize planning: aspect-preserving fit of decoded (width, height)
+    * into a (maxW, maxH) box, never upscaling — REAL arithmetic (this is
+    * what a resize stage computes; only the pixel resample itself
+    * belongs in the codec). Pure projection: codegen'd, zero shuffle. */
+  def resizePlan(df: DataFrame, maxW: Int = 224, maxH: Int = 224): DataFrame =
+    df.withColumn("resize_scale",
+        least(lit(maxW.toDouble) / col("width"),
+          lit(maxH.toDouble) / col("height"), lit(1.0)))
+      .withColumn("target_width",
+        floor(col("width") * col("resize_scale")).cast("int"))
+      .withColumn("target_height",
+        floor(col("height") * col("resize_scale")).cast("int"))
+
   /** STUB frame sampling: `n` consecutive "frames", each fingerprinted
     * from a slice of the BINARY payload itself — the byte-domain slicing
     * (`substring` over BinaryType) is the real multimodal plumbing under

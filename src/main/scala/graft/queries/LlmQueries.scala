@@ -354,6 +354,29 @@ object LlmQueries {
               |  md5(text) AS digest
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    "llm_multimodal_resize" -> Q((s, dir) => {
+      // Resize planning over decoded dimensions: aspect-preserving fit
+      // into 224x224, no upscale. The arithmetic is the real stage; the
+      // dims come from the stubbed decode.
+      val decoded = Multimodal.decodeWithCodec(s,
+        Multimodal.withPayload(T(s, dir, "documents").select("doc_id", "text")),
+        () => new Multimodal.StubCodec)
+      Multimodal.resizePlan(decoded, 224, 224)
+        .select("doc_id", "width", "height", "resize_scale",
+          "target_width", "target_height")
+        .orderBy("doc_id")
+    }, Some("""WITH d AS (SELECT doc_id,
+              |    CAST(octet_length(encode(text)) % 1280 + 640 AS INT) AS width,
+              |    CAST(octet_length(encode(text)) % 720 + 360 AS INT) AS height
+              |  FROM documents)
+              |SELECT doc_id, width, height,
+              |  LEAST(224.0 / width, 224.0 / height, 1.0) AS resize_scale,
+              |  CAST(FLOOR(width * LEAST(224.0 / width, 224.0 / height, 1.0)) AS INT)
+              |    AS target_width,
+              |  CAST(FLOOR(height * LEAST(224.0 / width, 224.0 / height, 1.0)) AS INT)
+              |    AS target_height
+              |FROM d ORDER BY doc_id""".stripMargin)),
+
     // ----- JSON prop extraction over events (F23 companion) ------------
     "llm_json_props_agg" -> Q((s, dir) =>
       T(s, dir, "events")
