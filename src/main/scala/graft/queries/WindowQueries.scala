@@ -136,5 +136,46 @@ object WindowQueries {
                |SELECT user_id, session_id, count(*) AS n_events,
                |  MIN(ts_sec) AS session_start_sec, MAX(ts_sec) AS session_end_sec
                |FROM sess GROUP BY user_id, session_id
-               |ORDER BY user_id, session_id""".stripMargin)))
+               |ORDER BY user_id, session_id""".stripMargin)),
+
+    "w5_session_funnel" -> Q((s, dir) => {
+      // Session-level funnel: per user, how many sessions converted
+      // (saw a 'view' and then a 'click' at-or-after it). Sessionize →
+      // per-session conditional MIN/MAX → per-user rollup; the whole
+      // funnel is two hash aggregates on top of the one-shuffle
+      // sessionizer, no self-joins.
+      val ev = T(s, dir, "events").withColumn("ts_sec", tsSec)
+      Windowed.sessionize(ev, Seq("user_id"), "ts_sec", gapSec = 1800L,
+        tieBreak = Seq("event_id"))
+        .groupBy("user_id", "session_id")
+        .agg(
+          min(when(col("event_type") === "view", col("ts_sec"))).as("first_view"),
+          max(when(col("event_type") === "click", col("ts_sec"))).as("last_click"),
+          count(lit(1)).as("n_events"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          count(when(col("last_click") >= col("first_view"), lit(1)))
+            .as("converted_sessions"),
+          sum(col("n_events")).as("n_events"))
+        .orderBy("user_id")
+    }, Some(s"""WITH ev AS (SELECT event_id, user_id, event_type,
+               |    $tsSecSql AS ts_sec FROM events),
+               |flagged AS (SELECT event_id, user_id, event_type, ts_sec,
+               |    CASE WHEN ts_sec - lag(ts_sec, 1) OVER w > 1800
+               |          OR lag(ts_sec, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+               |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+               |sess AS (SELECT user_id, event_type, ts_sec,
+               |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+               |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               |  FROM flagged),
+               |per_session AS (SELECT user_id, sid,
+               |    MIN(CASE WHEN event_type = 'view' THEN ts_sec END) AS first_view,
+               |    MAX(CASE WHEN event_type = 'click' THEN ts_sec END) AS last_click,
+               |    count(*) AS n_events
+               |  FROM sess GROUP BY user_id, sid)
+               |SELECT user_id, count(*) AS n_sessions,
+               |  count(CASE WHEN last_click >= first_view THEN 1 END)
+               |    AS converted_sessions,
+               |  CAST(SUM(n_events) AS BIGINT) AS n_events
+               |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin)))
 }
