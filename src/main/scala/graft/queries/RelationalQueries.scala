@@ -503,6 +503,24 @@ object RelationalQueries {
              |  (SELECT * FROM orders ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT 200)
              |ORDER BY o_orderkey""".stripMargin)),
 
+    "o5_topk_per_group" -> Q((s, dir) => {
+      // Top-k per group via windowed rank — the distributed top-k that
+      // never collects a global sort: one shuffle on the group key, heap
+      // per partition. (A global orderBy+limit can't express per-group
+      // k; a groupBy+sort-in-UDF would leave codegen.)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("o_custkey", "rnk", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rnk")
+    }, Some("""SELECT o_custkey, CAST(rnk AS INT) AS rnk, o_orderkey, o_totalprice
+              |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+              |        ORDER BY o_totalprice DESC, o_orderkey) AS rnk FROM orders)
+              |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin)),
+
     // ----- §2.7 set ops -------------------------------------------------
     "u1_union_by_name" -> Q((s, dir) => {
       val o = T(s, dir, "orders")
