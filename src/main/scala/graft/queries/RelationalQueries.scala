@@ -444,6 +444,27 @@ object RelationalQueries {
              |  quantile_cont(l_quantity, 0.95) AS p95_qty
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    "a14_approx_percentile_check" -> Q((s, dir) =>
+      // The 100 TB percentile path: approx_percentile is a mergeable
+      // constant-size sketch (map-side combinable), where exact
+      // percentile materializes every group's values. The sketch value
+      // is engine-specific, so the gate compares the VERDICT — the
+      // approximation must land within 5% of the exact percentile
+      // (guaranteed by the sketch's rank-error bound at this accuracy) —
+      // plus the exact values, mirroring dq_approx_distinct.
+      T(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("exact_median"),
+          expr("approx_percentile(l_quantity, 0.5, 1000)").as("approx_median"))
+        .select(col("l_returnflag"), col("exact_median"),
+          (abs(col("approx_median") - col("exact_median")) <=
+            col("exact_median") * 0.05).as("approx_within_5pct"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.5) AS exact_median,
+             |  TRUE AS approx_within_5pct
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // ----- §2.5 generator (W1 date spine via dim_date) ------------------
     "w1_dim_date_spine" -> Q((s, _) =>
       graft.operators.GoldDims.buildDimDate(s, "2020-01-01", "2022-01-01")
