@@ -41,7 +41,14 @@ object Bench {
             -1.0
         }
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.sorted.apply(times.size / 2))
+      val median = {
+        val s = times.sorted
+        val n = s.size
+        // True median: average the two middle elements for even n
+        // (SPARK_GRAFT_BENCH_ITERS is user-settable).
+        if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+      }
+      name -> (if (times.exists(_ < 0)) -1.0 else median)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -55,7 +55,10 @@ object Multimodal {
     * out, per-partition batching — is fully exercised and oracle-
     * checkable. A real decoder replaces ONLY this class. */
   final class StubCodec extends MediaCodec {
-    private val md = java.security.MessageDigest.getInstance("MD5")
+    // transient + lazy: MessageDigest is not serializable, and a codec
+    // instance captured in a task closure must survive the round-trip
+    // (re-initialized per deserialized copy, once, not per row).
+    @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
     def decode(payload: Array[Byte]): DecodedMedia = {
       md.reset()
       val digest = md.digest(payload).map("%02x".format(_)).mkString

@@ -45,18 +45,28 @@ object Windowed {
     * native `ASOF JOIN`.
     *
     * `rightPayload` columns come back prefixed `asof_`; `tieBreak`
-    * orders right rows sharing (key, ts) so the survivor is
-    * deterministic. */
+    * names RIGHT-frame columns that totalize the order of right rows
+    * sharing (key, ts): the row with the GREATEST tieBreak values is
+    * the deterministic survivor. The columns are carried through the
+    * internal right projection under `_tb_i` aliases (left rows hold
+    * NULL there, which never matters — left rows already sort after
+    * every same-ts right row via the side tag), so they need not exist
+    * on the left frame and never collide with its column names. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTs: String, rightTs: String, rightPayload: Seq[String],
       tieBreak: Seq[String] = Nil): DataFrame = {
+    val tbAliases = tieBreak.indices.map(i => s"_tb_$i")
     val l = left.withColumn("_ts", col(leftTs)).withColumn("_side", lit(1))
     val r = right.select(
-      (keyCols.map(col) :+ col(rightTs).as("_ts") :+
-        struct(rightPayload.map(col): _*).as("_payload")): _*)
+      (keyCols.map(col) ++
+        Seq(col(rightTs).as("_ts"), struct(rightPayload.map(col): _*).as("_payload")) ++
+        tieBreak.zip(tbAliases).map { case (c, a) => col(c).as(a) }): _*)
       .withColumn("_side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    val order = (col("_ts") +: col("_side") +: tieBreak.map(col)).map(_.asc)
+    // Among right rows tied on (key, ts), ascending _tb_i order makes
+    // `last(...)` pick the greatest-tieBreak row — a total order, so
+    // the surviving payload is deterministic for any caller.
+    val order = (col("_ts") +: col("_side") +: tbAliases.map(col)).map(_.asc)
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
@@ -65,7 +75,7 @@ object Windowed {
     val out = rightPayload.foldLeft(matched) { (df, c) =>
       df.withColumn(s"asof_$c", col(s"_asof.$c"))
     }
-    out.drop("_ts", "_side", "_payload", "_asof")
+    out.drop(Seq("_ts", "_side", "_payload", "_asof") ++ tbAliases: _*)
   }
 
   /** Gap-based sessionization: rows of the same key whose `tsSecCol`

@@ -62,7 +62,8 @@ object Checks {
   }
 
   final case class ApproxDistinctResult(check: String, column: String, passed: Boolean,
-      approxDistinct: Long, totalCount: Long, maxRsd: Double) extends CheckResult
+      approxDistinct: Long, totalCount: Long, tolerance: Double,
+      rsd: Double) extends CheckResult
 
   /** Approximate-distinct sanity check — the 100 TB path for uniqueness
     * profiling (SURVEY §2.4 note). `count_distinct` shuffles every
@@ -79,7 +80,7 @@ object Checks {
       approx_count_distinct(col(column), rsd).as("approx"),
       count(lit(1)).as("total")).head()
     val within = math.abs(approx - expected) <= tolerance * math.max(expected, 1L)
-    ApproxDistinctResult("approx_distinct", column, within, approx, total, tolerance)
+    ApproxDistinctResult("approx_distinct", column, within, approx, total, tolerance, rsd)
   }
 
   /** dbt `accepted_values` test with a 10-value sample of offenders

@@ -44,12 +44,21 @@ object Registry {
     */
   def decimalsToDouble(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
-    import org.apache.spark.sql.types.DecimalType
+    import org.apache.spark.sql.types._
+    // Recurse into nested types: a DECIMAL buried in a struct/array/map
+    // hash-mismatches exactly like a top-level one, so the rewrite must
+    // reach it (cast to the decimal-free twin of the declared type).
+    def noDecimals(dt: DataType): DataType = dt match {
+      case _: DecimalType => DoubleType
+      case s: StructType  => StructType(s.fields.map(f => f.copy(dataType = noDecimals(f.dataType))))
+      case a: ArrayType   => a.copy(elementType = noDecimals(a.elementType))
+      case m: MapType     => m.copy(keyType = noDecimals(m.keyType), valueType = noDecimals(m.valueType))
+      case other          => other
+    }
     val cols = df.schema.fields.map { f =>
-      f.dataType match {
-        case _: DecimalType => col(f.name).cast("double").as(f.name)
-        case _              => col(f.name)
-      }
+      val target = noDecimals(f.dataType)
+      if (target == f.dataType) col(f.name)
+      else col(f.name).cast(target).as(f.name)
     }
     df.select(cols.toIndexedSeq: _*)
   }

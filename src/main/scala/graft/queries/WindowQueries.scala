@@ -87,10 +87,12 @@ object WindowQueries {
       val views = ev.filter(col("event_type") === "view")
         .groupBy("user_id", "ts_sec")
         .agg(max(col("event_id")).as("view_event_id"))
+      // No tieBreak needed: views are pre-collapsed to one row per
+      // (user_id, ts_sec) above, so right-side (key, ts) ties cannot
+      // occur. (tieBreak names RIGHT-frame columns — see asofJoin doc.)
       Windowed.asofJoin(clicks, views, Seq("user_id"),
         leftTs = "ts_sec", rightTs = "ts_sec",
-        rightPayload = Seq("view_event_id", "ts_sec"),
-        tieBreak = Seq("event_id"))
+        rightPayload = Seq("view_event_id", "ts_sec"))
         .select(col("event_id"), col("user_id"),
           col("ts_sec").as("click_sec"),
           col("asof_view_event_id").as("view_event_id"),

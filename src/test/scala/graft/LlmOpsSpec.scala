@@ -202,6 +202,19 @@ class LlmOpsSpec extends SparkTestBase {
     assert(r0.getAs[String]("digest") === expected)
   }
 
+  test("a pre-built StubCodec instance captured in a task closure serializes") {
+    // ADVICE r4: MessageDigest is not serializable; the codec must keep
+    // it @transient so the natural mistake — capturing one shared codec
+    // instead of using the per-partition factory — still works.
+    val codec = new Multimodal.StubCodec
+    val digests = spark.sparkContext.parallelize(Seq("a", "bb"), 2)
+      .map(s => codec.decode(s.getBytes("UTF-8")).digest).collect().sorted
+    val expect = Seq("a", "bb").map(s =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString).sorted
+    assert(digests.toSeq === expect)
+  }
+
   test("frame fingerprints come from payload BYTE slices, not the source text") {
     import org.apache.spark.sql.functions.{hex, md5, substring}
     val out = Multimodal.frameSampleStub(

@@ -31,6 +31,34 @@ class WindowedSpec extends SparkTestBase {
     assert(out.map(_.getAs[String]("asof_payload")).toSeq === Seq("a", "b", null))
   }
 
+  test("asofJoin tieBreak totalizes right rows sharing (key, ts): greatest wins") {
+    val left = Seq((1L, "u1", 100L)).toDF("id", "user", "ts")
+    // Three right rows at the SAME (user, ts): the survivor must be the
+    // greatest-tieBreak one regardless of input/partition order.
+    val right = Seq(("u1", 100L, "low", 1L), ("u1", 100L, "high", 3L),
+      ("u1", 100L, "mid", 2L)).toDF("user", "rts", "payload", "seq")
+    (1 to 5).foreach { seed =>
+      val shuffled = right.orderBy(rand(seed)).repartition(4)
+      val out = Windowed.asofJoin(left, shuffled, Seq("user"),
+        leftTs = "ts", rightTs = "rts", rightPayload = Seq("payload"),
+        tieBreak = Seq("seq"))
+        .collect()
+      assert(out.map(_.getAs[String]("asof_payload")).toSeq === Seq("high"))
+    }
+  }
+
+  test("asofJoin tieBreak columns need not exist on the left frame") {
+    // Left has no "seq" column; the tieBreak contract is RIGHT-frame
+    // columns only (ADVICE r4: they used to be silently NULL).
+    val left = Seq((1L, "u1", 10L)).toDF("id", "user", "ts")
+    val right = Seq(("u1", 5L, "a", 9L), ("u1", 5L, "b", 8L))
+      .toDF("user", "rts", "payload", "seq")
+    val out = Windowed.asofJoin(left, right, Seq("user"),
+      leftTs = "ts", rightTs = "rts", rightPayload = Seq("payload"),
+      tieBreak = Seq("seq")).collect()
+    assert(out.map(_.getAs[String]("asof_payload")).toSeq === Seq("a"))
+  }
+
   test("sessionize splits strictly on gap > gapSec and numbers sessions per key") {
     val df = Seq(
       ("u1", 0L), ("u1", 1800L),        // gap == gapSec → SAME session
