@@ -465,6 +465,77 @@ object RelationalQueries {
              |  TRUE AS approx_within_5pct
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    "a15_pivot" -> Q((s, dir) =>
+      // Beyond reference (SURVEY §2.4 note): PIVOT — wide conditional
+      // aggregation. The value list is EXPLICIT: a values-less pivot
+      // first runs a distinct job to discover columns and makes the
+      // output schema data-dependent — never acceptable at 100 TB.
+      // With the list given, this is one hash aggregate, same cost as
+      // the underlying groupBy. Exact decimal SUM, DOUBLE at the gate.
+      T(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")))
+        .select(col("l_returnflag"),
+          coalesce(col("F").cast("double"), lit(0.0)).as("qty_f"),
+          coalesce(col("O").cast("double"), lit(0.0)).as("qty_o"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F'
+             |    THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty_f,
+             |  CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O'
+             |    THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty_o
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    "a16_unpivot" -> Q((s, dir) =>
+      // UNPIVOT/melt — wide metrics to long (metric, value) rows, the
+      // shape feature stores and reshape steps need. Narrow op: each
+      // input row expands locally to |values| rows, no shuffle beyond
+      // the feeding aggregate. Oracle is the UNION ALL formulation.
+      T(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).cast("double").as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          min(col("o_totalprice")).cast("double").as("min_price"))
+        .unpivot(Array(col("o_orderstatus")),
+          Array(col("n_orders"), col("sum_price"), col("min_price")),
+          "metric", "value")
+        .orderBy("o_orderstatus", "metric"),
+      Some("""WITH w AS (SELECT o_orderstatus,
+             |    CAST(count(*) AS DOUBLE) AS n_orders,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             |    CAST(MIN(o_totalprice) AS DOUBLE) AS min_price
+             |  FROM orders GROUP BY o_orderstatus)
+             |SELECT o_orderstatus, metric, value FROM (
+             |  SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM w
+             |  UNION ALL SELECT o_orderstatus, 'sum_price', sum_price FROM w
+             |  UNION ALL SELECT o_orderstatus, 'min_price', min_price FROM w) u
+             |ORDER BY o_orderstatus, metric""".stripMargin)),
+
+    "a17_grouping_sets" -> Q((s, dir) => {
+      // GROUPING SETS — the general expansion ROLLUP/CUBE specialize
+      // (disjoint sets here: per-status, per-priority, grand total in
+      // ONE pass over the input instead of three unioned aggregates).
+      // grouping() flags disambiguate a real NULL key from a subtotal
+      // row — the classic correctness trap of grouping-set outputs.
+      T(s, dir, "orders").createOrReplaceTempView("orders_gsets")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+              |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+              |  CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+              |  count(*) AS cnt
+              |FROM orders_gsets
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+              |ORDER BY g_status, g_priority,
+              |  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    }, Some("""SELECT o_orderstatus, o_orderpriority,
+              |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+              |  CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+              |  count(*) AS cnt
+              |FROM orders
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+              |ORDER BY g_status, g_priority,
+              |  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
     // ----- §2.5 generator (W1 date spine via dim_date) ------------------
     "w1_dim_date_spine" -> Q((s, _) =>
       graft.operators.GoldDims.buildDimDate(s, "2020-01-01", "2022-01-01")

@@ -179,5 +179,42 @@ object WindowQueries {
                |  count(CASE WHEN last_click >= first_view THEN 1 END)
                |    AS converted_sessions,
                |  CAST(SUM(n_events) AS BIGINT) AS n_events
-               |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin)))
+               |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    "w6_rank_family" -> Q((s, dir) => {
+      // The full SQL rank family in ONE exchange. Two window specs share
+      // the partitioning (one shuffle) and differ only in sort: the
+      // tie-ABLE order (quantity only) for rank/dense_rank/percent_rank/
+      // cume_dist, whose tie semantics are the point, and a TOTALIZED
+      // order (quantity + the unique lineitem key) for row_number/ntile,
+      // which are position-based and engine-nondeterministic under ties.
+      import org.apache.spark.sql.expressions.Window
+      val part = Window.partitionBy("l_returnflag")
+      val tieable = part.orderBy(col("l_quantity"))
+      val total = part.orderBy(col("l_quantity"), col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_returnflag"),
+          col("l_quantity").as("qty"),
+          rank().over(tieable).as("rnk"),
+          dense_rank().over(tieable).as("drnk"),
+          percent_rank().over(tieable).as("prnk"),
+          cume_dist().over(tieable).as("cdist"),
+          row_number().over(total).as("rn"),
+          ntile(4).over(total).as("quartile"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    }, Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+              |  l_returnflag, l_quantity AS qty,
+              |  CAST(rank() OVER w1 AS INT) AS rnk,
+              |  CAST(dense_rank() OVER w1 AS INT) AS drnk,
+              |  percent_rank() OVER w1 AS prnk,
+              |  cume_dist() OVER w1 AS cdist,
+              |  CAST(row_number() OVER w2 AS INT) AS rn,
+              |  CAST(ntile(4) OVER w2 AS INT) AS quartile
+              |FROM lineitem
+              |WINDOW w1 AS (PARTITION BY l_returnflag ORDER BY l_quantity),
+              |  w2 AS (PARTITION BY l_returnflag ORDER BY l_quantity,
+              |    l_orderkey, l_linenumber, l_partkey, l_suppkey)
+              |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)))
 }

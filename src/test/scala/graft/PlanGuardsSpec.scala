@@ -30,6 +30,44 @@ class PlanGuardsSpec extends SparkTestBase {
       s"expected both predicates pushed:\n$plan")
   }
 
+  test("two window specs sharing a partitioning plan ONE exchange (w6 shape)") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.read.parquet(s"$dir/t.parquet")
+    val part = Window.partitionBy("bucket")
+    val tieable = part.orderBy(col("amount"))
+    val total = part.orderBy(col("amount"), col("id"))
+    val out = df.select(col("id"), col("bucket"),
+      rank().over(tieable).as("rnk"),
+      row_number().over(total).as("rn"))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1,
+      s"same-partitioning windows must reuse one shuffle, plan:\n$plan")
+  }
+
+  test("explicit-values pivot runs NO eager distinct job at construction time") {
+    // A values-less pivot collects the column's distinct values with a
+    // driver-blocking job BEFORE the query even runs; with the value
+    // list given, constructing and planning the pivot must launch no
+    // job at all (a15_pivot's 100 TB contract).
+    // Source read happens OUTSIDE the guarded group: the fixture write
+    // and parquet schema inference legitimately run jobs; the claim
+    // under test is only about the pivot construction itself.
+    val src = spark.read.parquet(s"$dir/t.parquet")
+    val sc = spark.sparkContext
+    sc.setJobGroup("pivot_guard", "pivot construction must be lazy")
+    try {
+      val df = src
+        .groupBy("bucket").pivot("name", Seq("name1", "name2"))
+        .agg(sum(col("amount").cast("decimal(18,2)")))
+      df.queryExecution.executedPlan // force full planning
+      assert(df.queryExecution.executedPlan.toString.contains("pivotfirst"))
+    } finally sc.clearJobGroup()
+    assert(sc.statusTracker.getJobIdsForGroup("pivot_guard").isEmpty,
+      "explicit-values pivot launched an eager job during construction")
+  }
+
   test("narrow projection prunes the scan's ReadSchema to the used columns") {
     val df = spark.read.parquet(s"$dir/t.parquet")
       .groupBy("bucket").agg(sum(col("amount").cast("decimal(18,2)")).as("s"))
