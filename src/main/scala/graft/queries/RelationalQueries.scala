@@ -328,6 +328,31 @@ object RelationalQueries {
               |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
               |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin)),
 
+    "j10_bloom_prune_join" -> Q((s, dir) => {
+      // Bloom semi-join reduction (operators/BloomPrune): the fact side
+      // is pruned by a constant-size sketch of the selective dim keys
+      // BEFORE the join shuffle; false positives die in the exact join,
+      // so the result is identical to the plain join the oracle runs —
+      // only the shuffled volume differs (by the join selectivity).
+      val urgent = T(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val li = T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      graft.operators.BloomPrune
+        .prunedEquiJoin(li, "l_orderkey", urgent, "o_orderkey",
+          expectedItems = 100000L, fpp = 0.01)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy("o_orderstatus")
+    }, Some("""SELECT o.o_orderstatus, count(*) AS cnt,
+              |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+              |FROM lineitem l
+              |JOIN orders o ON l.l_orderkey = o.o_orderkey
+              |WHERE o.o_orderpriority = '1-URGENT'
+              |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin)),
+
     // ----- §2.4 aggregations -------------------------------------------
     "a1_groupby_multiagg" -> Q((s, dir) =>
       // TPC-H Q1 shape: the canonical hash-agg with map-side combine.

@@ -23,6 +23,45 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(salted.collect().toSeq === plain.collect().toSeq)
   }
 
+  test("bloom prune keeps every true match and drops most non-matches") {
+    import graft.operators.BloomPrune
+    val fact = (1L to 20000L).map(i => (i, i % 7)).toDF("fk", "payload")
+    val dim = (1L to 20000L by 100).map(i => (i, s"d$i")).toDF("dk", "attr") // 200 keys
+    val bf = BloomPrune.buildFilter(dim, "dk", expectedItems = 1000L, fpp = 0.01)
+    val pruned = BloomPrune.prune(fact, "fk", bf)
+    // Zero false negatives: every true join partner survives the prune.
+    val trueMatches = fact.join(dim, col("fk") === col("dk"), "left_semi")
+    assert(trueMatches.join(pruned, Seq("fk", "payload"), "left_anti").count() === 0)
+    // Real pruning: ~1% fpp on 19800 non-matching keys leaves the pruned
+    // frame far below the fact size (generous bound: < 5% of non-matches).
+    val prunedCount = pruned.count()
+    assert(prunedCount >= 200 && prunedCount < 200 + 19800 / 20,
+      s"pruned=$prunedCount")
+  }
+
+  test("prunedEquiJoin equals the plain equi-join exactly (false positives die)") {
+    import graft.operators.BloomPrune
+    val fact = (1L to 5000L).map(i => (i, i * 2)).toDF("fk", "v")
+    val dim = (1L to 5000L by 50).map(i => (i, s"d$i")).toDF("dk", "attr")
+    val plain = fact.join(dim, col("fk") === col("dk")).orderBy("fk")
+    val viaBloom = BloomPrune.prunedEquiJoin(fact, "fk", dim, "dk",
+      expectedItems = 500L).orderBy("fk")
+    assert(viaBloom.collect().toSeq === plain.collect().toSeq)
+  }
+
+  test("bloom prune supports string keys and rejects unsupported types") {
+    import graft.operators.BloomPrune
+    val fact = Seq("a", "b", "c", "zz").toDF("k")
+    val dim = Seq("a", "zz").toDF("k")
+    val bf = BloomPrune.buildFilter(dim, "k", 100L)
+    val kept = BloomPrune.prune(fact, "k", bf).collect().map(_.getString(0)).toSet
+    assert(Set("a", "zz").subsetOf(kept))
+    val bad = Seq(1.5, 2.5).toDF("k")
+    intercept[IllegalArgumentException] {
+      BloomPrune.prune(bad, "k", bf)
+    }
+  }
+
   test("keySkewProfile surfaces the hot key's share") {
     val df = (Seq.fill(90)("hot") ++ Seq.fill(10)("cold")).toDF("k")
     val top = Skew.keySkewProfile(df, "k", 1).head()
