@@ -353,6 +353,36 @@ object RelationalQueries {
               |WHERE o.o_orderpriority = '1-URGENT'
               |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin)),
 
+    "j11_range_bucket_join" -> Q((s, dir) => {
+      import s.implicits._
+      // Point-in-interval join via the bucketed equi-join rewrite
+      // (operators/RangeJoin): a plain BETWEEN theta-join (what the
+      // oracle runs) would plan nested-loop at scale; the rewrite
+      // shuffles on bucket ids instead. Bands OVERLAP deliberately —
+      // a row can land in several, which a naive "assign one bucket
+      // per row" groupBy cannot express.
+      val bands = Seq(
+        (0, "low", 1, 10), (1, "mid", 5, 25),
+        (2, "high", 20, 50), (3, "all", 1, 50))
+        .toDF("band_id", "band_name", "lo", "hi")
+      val pts = T(s, dir, "lineitem")
+        .select(col("l_quantity").cast("int").as("qty"),
+          col("l_extendedprice"))
+      graft.operators.RangeJoin
+        .pointInInterval(pts, "qty", bands, "lo", "hi", bucketSize = 8L)
+        .groupBy("band_id", "band_name")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy("band_id")
+    }, Some("""WITH bands(band_id, band_name, lo, hi) AS (VALUES
+              |  (0, 'low', 1, 10), (1, 'mid', 5, 25),
+              |  (2, 'high', 20, 50), (3, 'all', 1, 50))
+              |SELECT b.band_id, b.band_name, count(*) AS cnt,
+              |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+              |FROM lineitem l JOIN bands b
+              |  ON CAST(l.l_quantity AS INT) BETWEEN b.lo AND b.hi
+              |GROUP BY b.band_id, b.band_name ORDER BY b.band_id""".stripMargin)),
+
     // ----- §2.4 aggregations -------------------------------------------
     "a1_groupby_multiagg" -> Q((s, dir) =>
       // TPC-H Q1 shape: the canonical hash-agg with map-side combine.

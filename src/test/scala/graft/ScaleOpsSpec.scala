@@ -62,6 +62,57 @@ class ScaleOpsSpec extends SparkTestBase {
     }
   }
 
+  test("bucketed range join matches the naive theta-join on random data") {
+    import graft.operators.RangeJoin
+    val r = new scala.util.Random(7)
+    // Points and intervals straddle negative values on purpose — the
+    // floordiv bucketing must stay exact there (truncating div would
+    // mis-bucket). Interval lengths vary 0..60 around bucketSize 16.
+    val points = (1 to 2000).map(i => (i.toLong, r.nextLong(4000) - 2000L))
+      .toDF("pid", "p")
+    val intervals = (1 to 60).map { i =>
+      val lo = r.nextLong(4000) - 2000L
+      (i.toLong, lo, lo + r.nextLong(61))
+    }.toDF("iid", "lo", "hi")
+    val naive = points.join(intervals,
+      col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pid", "iid").orderBy("pid", "iid")
+    val bucketed = RangeJoin.pointInInterval(points, "p", intervals,
+      "lo", "hi", bucketSize = 16L)
+      .select("pid", "iid").orderBy("pid", "iid")
+    assert(bucketed.collect().toSeq === naive.collect().toSeq)
+  }
+
+  test("bucketed range join plans an equi-join, never a nested loop") {
+    import graft.operators.RangeJoin
+    val points = (1L to 1000L).map(i => (i, i % 500)).toDF("pid", "p")
+    val intervals = (1L to 50L).map(i => (i, i * 9, i * 9 + 30)).toDF("iid", "lo", "hi")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi", 16L)
+      out.collect()
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"range join fell back to a quadratic strategy:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled equi-join on the bucket id:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("range join honors extra equi-keys alongside the interval predicate") {
+    import graft.operators.RangeJoin
+    val points = Seq((1L, "u1", 10L), (2L, "u2", 10L)).toDF("pid", "user", "p")
+    val intervals = Seq(("u1", 0L, 20L, "a"), ("u2", 15L, 30L, "b"))
+      .toDF("user", "lo", "hi", "tag")
+    val out = RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi",
+      bucketSize = 8L, extraKeys = Seq("user"))
+      .select("pid", "tag").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // u1's point 10 is inside u1's [0,20]; u2's point 10 is OUTSIDE
+    // u2's [15,30] and must not match u1's interval either.
+    assert(out === Set((1L, "a")))
+  }
+
   test("keySkewProfile surfaces the hot key's share") {
     val df = (Seq.fill(90)("hot") ++ Seq.fill(10)("cold")).toDF("k")
     val top = Skew.keySkewProfile(df, "k", 1).head()
