@@ -591,6 +591,21 @@ object RelationalQueries {
               |ORDER BY g_status, g_priority,
               |  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
 
+    "a18_heavy_hitters" -> Q((s, dir) => {
+      // Frequent-value mining the sketch way (operators/HeavyHitters):
+      // a k-counter Misra-Gries pass (shuffles fixed-size summaries, not
+      // one row per distinct key) proposes candidates, an exact pass
+      // verifies — output is EXACT, so the plain HAVING oracle matches.
+      // capacity+1 = 1025 > n/threshold = 15000/17, satisfying the
+      // sketch's no-false-negative guarantee at this threshold.
+      graft.operators.HeavyHitters
+        .heavyHitters(T(s, dir, "orders"), "o_custkey",
+          minCount = 17L, capacity = 1024)
+        .orderBy("o_custkey")
+    }, Some("""SELECT o_custkey, count(*) AS exact_count FROM orders
+              |GROUP BY o_custkey HAVING count(*) >= 17
+              |ORDER BY o_custkey""".stripMargin)),
+
     // ----- §2.5 generator (W1 date spine via dim_date) ------------------
     "w1_dim_date_spine" -> Q((s, _) =>
       graft.operators.GoldDims.buildDimDate(s, "2020-01-01", "2022-01-01")
