@@ -119,6 +119,86 @@ object StreamingQueries {
               |FROM sess GROUP BY user_id, sid
               |ORDER BY user_id, session_start_us""".stripMargin)),
 
+    "st5_stream_stream_join" -> Q((s, dir) => {
+      // Beyond-parity: stream-stream inner join. Clicks and views are
+      // two independent streams of the same source; each click joins
+      // every view by the same user in the preceding 30 minutes. Both
+      // sides carry watermarks and the join condition bounds event time
+      // in BOTH directions — the contract Spark needs to evict join
+      // state instead of buffering streams forever (the 100 TB
+      // requirement for an unbounded join). AvailableNow over one
+      // staged batch emits every qualifying pair exactly once.
+      val base = tmp("graft_st5")
+      val src = s"$base/in"
+      T(s, dir, "events").write.mode("append").parquet(src)
+      def stream() = s.readStream
+        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+        .parquet(src)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val clicks = stream().filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val views = stream().filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+          col("ts").as("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+      val q = clicks.join(views,
+        col("c_user") === col("v_user") &&
+          col("v_ts") >= col("c_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("v_ts") <= col("c_ts"))
+        .select(col("click_id"), col("view_id"), col("c_user").as("user_id"))
+        .writeStream
+        .format("memory")
+        .queryName("graft_st5_pairs")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_st5_pairs").orderBy("click_id", "view_id")
+    }, Some("""SELECT c.event_id AS click_id, v.event_id AS view_id,
+              |  c.user_id
+              |FROM events c JOIN events v
+              |  ON c.event_type = 'click' AND v.event_type = 'view'
+              | AND v.user_id = c.user_id
+              | AND epoch_ns(v.ts) // 1000 >= epoch_ns(c.ts) // 1000 - 1800000000
+              | AND epoch_ns(v.ts) // 1000 <= epoch_ns(c.ts) // 1000
+              |ORDER BY click_id, view_id""".stripMargin)),
+
+    "st6_watermark_dedup" -> Q((s, dir) => {
+      // Beyond-parity: streaming dedup with bounded state. The source is
+      // staged TWICE (every event is a duplicate); the stream drops
+      // duplicates on event_id within the watermark horizon — the
+      // streaming twin of exact dedup, with state evicted once the
+      // watermark passes an id's event time (at scale the horizon is
+      // the real duplicate window, here generous so the bounded run is
+      // exact). Output equals the original events exactly once.
+      val base = tmp("graft_st6")
+      val src = s"$base/in"
+      val ev = T(s, dir, "events")
+      ev.write.mode("append").parquet(src)
+      ev.write.mode("append").parquet(src) // duplicate copy lands
+      val q = s.readStream
+        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+        .parquet(src)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "7 days")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("user_id")).as("user_id_checksum"))
+        .writeStream
+        .format("memory")
+        .queryName("graft_st6_dedup")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_st6_dedup").orderBy("event_type")
+    }, Some("""SELECT event_type, count(*) AS cnt,
+              |  CAST(SUM(user_id) AS BIGINT) AS user_id_checksum
+              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     "st3_mapgroupswithstate" -> Q((s, dir) => {
       // Custom per-key state via KeyValueGroupedDataset.mapGroupsWithState:
       // running per-user event counts + value sum (decimal-exact).
