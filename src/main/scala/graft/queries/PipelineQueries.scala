@@ -908,5 +908,47 @@ object PipelineQueries {
       Seq((r.matched, r.onlyInSource.mkString(","), r.onlyInTarget.mkString(",")))
         .toDF("matched", "only_in_source", "only_in_target")
     }, Some("""SELECT FALSE AS matched, 'o_orderpriority' AS only_in_source,
-              |  'extra_col' AS only_in_target""".stripMargin)))
+              |  'extra_col' AS only_in_target""".stripMargin)),
+
+    "recon_table_diff" -> Q((s, dir) => {
+      // Row-LEVEL diff at scale (validation/TableDiff): each side
+      // reduces to (row_hash, multiplicity), the hash sets full-outer
+      // join, disagreements come back — no collect, no full-width
+      // compare. Injected drift: every 97th key dropped, every 101st
+      // duplicated, every 103rd modified; the diff must surface exactly
+      // those hashes. The oracle rebuilds the same drift and the same
+      // canonical hash (cast|sentinel|md5) independently in DuckDB.
+      val cols = Seq("o_orderkey", "o_orderstatus", "o_orderpriority")
+      val left = T(s, dir, "orders").select(cols.map(col): _*)
+      val right = left.filter(col("o_orderkey") % 97 =!= 0)
+        .unionByName(left.filter(col("o_orderkey") % 101 === 0))
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 103 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+      graft.validation.TableDiff.diff(left, right, cols)
+        .orderBy("row_hash")
+    }, Some("""WITH l AS (SELECT o_orderkey, o_orderstatus, o_orderpriority
+              |    FROM orders),
+              |r0 AS (SELECT * FROM l WHERE o_orderkey % 97 <> 0
+              |  UNION ALL SELECT * FROM l WHERE o_orderkey % 101 = 0),
+              |r AS (SELECT o_orderkey,
+              |    CASE WHEN o_orderkey % 103 = 0 THEN 'X'
+              |         ELSE o_orderstatus END AS o_orderstatus,
+              |    o_orderpriority FROM r0),
+              |lh AS (SELECT md5(concat_ws('|',
+              |      COALESCE(CAST(o_orderkey AS VARCHAR), '_null_'),
+              |      COALESCE(o_orderstatus, '_null_'),
+              |      COALESCE(o_orderpriority, '_null_'))) AS row_hash,
+              |    count(*) AS left_count FROM l GROUP BY 1),
+              |rh AS (SELECT md5(concat_ws('|',
+              |      COALESCE(CAST(o_orderkey AS VARCHAR), '_null_'),
+              |      COALESCE(o_orderstatus, '_null_'),
+              |      COALESCE(o_orderpriority, '_null_'))) AS row_hash,
+              |    count(*) AS right_count FROM r GROUP BY 1)
+              |SELECT COALESCE(lh.row_hash, rh.row_hash) AS row_hash,
+              |  COALESCE(left_count, 0) AS left_count,
+              |  COALESCE(right_count, 0) AS right_count
+              |FROM lh FULL OUTER JOIN rh ON lh.row_hash = rh.row_hash
+              |WHERE COALESCE(left_count, 0) <> COALESCE(right_count, 0)
+              |ORDER BY row_hash""".stripMargin)))
 }

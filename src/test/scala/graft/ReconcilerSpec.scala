@@ -51,6 +51,37 @@ class ReconcilerSpec extends SparkTestBase {
     assert(!r.matched && r.onlyInTarget === Seq("v"))
   }
 
+  test("tableDiff: equal multisets diff empty, each drift class surfaces") {
+    import graft.validation.TableDiff
+    val cols = Seq("id", "v")
+    val base = Seq((1, "a"), (2, "b"), (3, "c"), (3, "c"), (4, "d")).toDF("id", "v")
+    // Identical (incl. duplicate rows with equal multiplicity) → empty.
+    assert(TableDiff.diff(base, base, cols).count() === 0)
+    assert(TableDiff.summarize(base, base, cols).equal)
+    // Drop id=1, duplicate id=2, modify id=4 → three distinct classes.
+    val right = Seq((2, "b"), (2, "b"), (3, "c"), (3, "c"), (4, "DIFF")).toDF("id", "v")
+    val sum = TableDiff.summarize(base, right, cols)
+    assert(!sum.equal)
+    assert(sum.onlyLeft === 2)        // (1,a) dropped and (4,d) replaced
+    assert(sum.onlyRight === 1)       // (4,DIFF) appeared
+    assert(sum.countMismatches === 1) // (2,b) multiplicity 1 vs 2
+    // Offending-row recovery round-trips through the hash.
+    val d = TableDiff.diff(base, right, cols)
+    val offL = TableDiff.offendingRows(base, cols, d)
+      .select("id", "v").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(offL === Set((1, "a"), (2, "b"), (4, "d")))
+  }
+
+  test("tableDiff: NULL cells hash via the sentinel, not as errors") {
+    import graft.validation.TableDiff
+    val a = Seq((Some(1), Option.empty[String]), (Some(2), Some("x"))).toDF("id", "v")
+    assert(TableDiff.diff(a, a, Seq("id", "v")).count() === 0)
+    val b = Seq((Some(1), Some("_null_")), (Some(2), Some("x"))).toDF("id", "v")
+    // Documented collision caveat: NULL and the literal sentinel hash
+    // equal — the diff treats them as the same row.
+    assert(TableDiff.diff(a, b, Seq("id", "v")).count() === 0)
+  }
+
   test("generateReport rolls up pass/fail") {
     val a = Seq(1, 2).toDF("v")
     val report = Reconciler.generateReport("dim_policy",
