@@ -683,6 +683,31 @@ object RelationalQueries {
               |        ORDER BY o_totalprice DESC, o_orderkey) AS rnk FROM orders)
               |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin)),
 
+    "o6_zorder_morton" -> Q((s, dir) => {
+      // Z-order clustering key (operators/ZOrder): bit-interleave two
+      // dimensions into one sort key so range-partitioned output files
+      // are rectangles in (ca, cb) space — min/max pruning then works
+      // on EITHER predicate column, where a single-column sort prunes
+      // only its own. The gate checks the Morton code itself (pure
+      // integer shifts both engines reproduce); the layout property is
+      // asserted in ScaleOpsSpec.
+      val o = T(s, dir, "orders")
+        .select(col("o_orderkey"),
+          (col("o_custkey") % 256).as("ca"),
+          (col("o_orderkey") % 256).as("cb"))
+      o.select(col("o_orderkey"), col("ca"), col("cb"),
+          graft.operators.ZOrder.mortonCode(col("ca"), col("cb"), 8).as("z"))
+        .orderBy("z", "o_orderkey")
+    }, Some({
+      val zSql = (0 until 8).map(i =>
+        s"((ca // ${1L << i}) % 2) * ${1L << (2 * i + 1)} + " +
+          s"((cb // ${1L << i}) % 2) * ${1L << (2 * i)}").mkString(" + ")
+      s"""WITH b AS (SELECT o_orderkey, o_custkey % 256 AS ca,
+         |    o_orderkey % 256 AS cb FROM orders)
+         |SELECT o_orderkey, ca, cb, CAST($zSql AS BIGINT) AS z
+         |FROM b ORDER BY z, o_orderkey""".stripMargin
+    })),
+
     // ----- §2.7 set ops -------------------------------------------------
     "u1_union_by_name" -> Q((s, dir) => {
       val o = T(s, dir, "orders")

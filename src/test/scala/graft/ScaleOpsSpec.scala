@@ -113,6 +113,44 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(out === Set((1L, "a")))
   }
 
+  test("mortonCode matches a plain-Scala bit interleave on random inputs") {
+    import graft.operators.ZOrder
+    def ref(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).map(i =>
+        (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i))).sum
+    val r = new scala.util.Random(21)
+    val rows = (1 to 500).map(_ => (r.nextLong(1 << 12), r.nextLong(1 << 12)))
+    val got = ZOrder.mortonCode(col("a"), col("b"), 12)
+    val out = rows.toDF("a", "b").select(col("a"), col("b"), got.as("z")).collect()
+    out.foreach(x =>
+      assert(x.getLong(2) === ref(x.getLong(0), x.getLong(1), 12),
+        s"(${x.getLong(0)}, ${x.getLong(1)})"))
+  }
+
+  test("zorderBy yields rectangular partitions: both dims prune, not just one") {
+    import graft.operators.ZOrder
+    // Full 64x64 grid into 16 partitions (256 cells each). A contiguous
+    // z-range of 256 codes covers a bounding box of side O(sqrt(256));
+    // a single-column sort leaves the OTHER dim spanning the whole 0..63.
+    val grid = (for (a <- 0 until 64; b <- 0 until 64) yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    val z = ZOrder.zorderBy(grid, "a", "b", bits = 6, numPartitions = 16)
+    assert(z.count() === 64L * 64L) // no rows lost
+    val spans = z.withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg((max("a") - min("a")).as("spanA"), (max("b") - min("b")).as("spanB"))
+      .collect()
+    spans.foreach { p =>
+      assert(p.getAs[Long]("spanA") <= 48 && p.getAs[Long]("spanB") <= 48,
+        s"partition ${p.getInt(0)} spans (${p.getAs[Long]("spanA")}, ${p.getAs[Long]("spanB")})")
+    }
+    // Contrast: linear sort on `a` leaves b unclustered (full span).
+    val linear = grid.repartitionByRange(16, col("a")).sortWithinPartitions("a")
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid").agg((max("b") - min("b")).as("spanB")).collect()
+    assert(linear.forall(_.getAs[Long]("spanB") === 63L))
+  }
+
   test("keySkewProfile surfaces the hot key's share") {
     val df = (Seq.fill(90)("hot") ++ Seq.fill(10)("cold")).toDF("k")
     val top = Skew.keySkewProfile(df, "k", 1).head()
