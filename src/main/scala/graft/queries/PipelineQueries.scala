@@ -910,6 +910,38 @@ object PipelineQueries {
     }, Some("""SELECT FALSE AS matched, 'o_orderpriority' AS only_in_source,
               |  'extra_col' AS only_in_target""".stripMargin)),
 
+    "g_incremental_summary" -> Q((s, dir) => {
+      // Incremental summary maintenance (operators/IncrementalAgg): the
+      // daily-batch alternative to rebuilding gold aggregates from full
+      // history. Base and delta are aggregated separately and keywise-
+      // MERGED (counts/sums add, min/max fold) — shuffle cost is the
+      // key cardinality, independent of history size. The oracle is the
+      // full recompute over everything: merge(state(base), state(delta))
+      // must equal state(base ∪ delta) exactly.
+      import graft.operators.IncrementalAgg
+      import graft.operators.IncrementalAgg.{Add, TakeMax, TakeMin}
+      val o = T(s, dir, "orders")
+      def summarize(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("o_custkey").agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+      val base = summarize(o.filter(col("o_orderkey") % 5 =!= 0))
+      val delta = summarize(o.filter(col("o_orderkey") % 5 === 0))
+      IncrementalAgg.merge(base, delta, Seq("o_custkey"),
+        Seq("n_orders" -> Add, "sum_price" -> Add,
+          "min_price" -> TakeMin, "max_price" -> TakeMax))
+        .select(col("o_custkey"), col("n_orders"),
+          col("sum_price").cast("double").as("sum_price"),
+          col("min_price"), col("max_price"))
+        .orderBy("o_custkey")
+    }, Some("""SELECT o_custkey, count(*) AS n_orders,
+              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+              |  MIN(o_totalprice) AS min_price,
+              |  MAX(o_totalprice) AS max_price
+              |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
     "recon_table_diff" -> Q((s, dir) => {
       // Row-LEVEL diff at scale (validation/TableDiff): each side
       // reduces to (row_hash, multiplicity), the hash sets full-outer
