@@ -74,6 +74,36 @@ object TextOps {
           .otherwise(lit("en")).as("predicted_lang")): _*)
   }
 
+  /** TF-IDF top-`k` terms per document — the classic salience score for
+    * corpus keyword extraction and quality filtering.
+    *
+    * Three shuffles, single lineage pass: (1) hash-agg term counts per
+    * (doc, term) — map-side combinable, the exploded token stream never
+    * shuffles raw; (2) a `count over (partition by term)` window gives
+    * each term's document frequency WITHOUT a self-join back onto the
+    * tf frame (two consumers of the same lineage would re-run the
+    * explode: AQE does not reuse exchanges here, measured in round 4);
+    * (3) windowed rank per doc. Rank order is (tfidf desc, term asc) —
+    * equal (tf, df) pairs produce bit-identical scores, so the term
+    * tiebreak totalizes the order deterministically. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      nDocs: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("term")))
+    val scored = withDf.withColumn("tfidf",
+      col("tf") * log(lit(nDocs.toDouble) / col("df")))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** Document fingerprints: full-content MD5, a min-token hash (1-wide
     * MinHash), and a rolling chained hash over the token stream (order
     * sensitive, so re-ordered documents get distinct prints). All pure

@@ -186,6 +186,31 @@ object LlmQueries {
               |  len(string_split($normSql, ' ')) BETWEEN 5 AND 100000 AS len_ok
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    "llm_tfidf_topterms" -> Q((s, dir) => {
+      // TF-IDF top-3 salient terms per document (TextOps.tfidfTopTerms):
+      // one lineage pass, window-based document frequency (no self-join
+      // re-running the explode), deterministic (tfidf desc, term) rank.
+      // Scores round to 4 decimals on both sides; equal (tf, df) pairs
+      // give bit-identical scores, so ranks agree across engines.
+      val docs = T(s, dir, "documents")
+      val n = docs.count()
+      TextOps.tfidfTopTerms(docs.select("doc_id", "text"), "doc_id", "text", n, 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          round(col("tfidf"), 4).as("tfidf"), col("rnk"))
+        .orderBy("doc_id", "rnk")
+    }, Some(s"""WITH $toksCte,
+               |terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+               |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+               |  WHERE term <> '' GROUP BY doc_id, term),
+               |wdf AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf),
+               |scored AS (SELECT doc_id, term, tf, df,
+               |    tf * ln((SELECT count(*) FROM documents) / df) AS tfidf FROM wdf),
+               |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+               |    ORDER BY tfidf DESC, term) AS rnk FROM scored)
+               |SELECT doc_id, term, tf, CAST(df AS BIGINT) AS df,
+               |  round(tfidf, 4) AS tfidf, CAST(rnk AS INT) AS rnk
+               |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
+
     "llm_lang_id" -> Q((s, dir) =>
       TextOps.langId(T(s, dir, "documents").select("doc_id", "lang", "text"))
         .drop("text").orderBy("doc_id"),

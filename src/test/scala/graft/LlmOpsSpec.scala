@@ -98,6 +98,25 @@ class LlmOpsSpec extends SparkTestBase {
     assert(jac((0L, 3L)) < 0.1)
   }
 
+  test("tfidfTopTerms scores and ranks against a hand-computed corpus") {
+    val corpus = Seq(
+      (1L, "apple banana apple"),   // tf(apple)=2, tf(banana)=1
+      (2L, "banana cherry"),
+      (3L, "cherry cherry date")).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopTerms(corpus, "doc_id", "text", nDocs = 3L, k = 2)
+      .orderBy("doc_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getInt(5)))
+    // df: apple=1, banana=2, cherry=2, date=1.
+    // doc1: apple 2*ln(3) > banana 1*ln(1.5); doc2 banana=cherry scores
+    // tie exactly (same tf, same df) → term asc breaks it; doc3:
+    // cherry 2*ln(1.5) < date 1*ln(3).
+    assert(out.toSeq === Seq(
+      (1L, "apple", 2L, 1L, 1), (1L, "banana", 1L, 2L, 2),
+      (2L, "banana", 1L, 2L, 1), (2L, "cherry", 1L, 2L, 2),
+      (3L, "date", 1L, 1L, 1), (3L, "cherry", 2L, 2L, 2)))
+  }
+
   test("textStats computes token counts and ratios") {
     val stats = TextOps.textStats(docs).filter(col("doc_id") === 0).head()
     assert(stats.getAs[Int]("n_tokens") === 14)
