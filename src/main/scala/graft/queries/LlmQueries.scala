@@ -209,7 +209,22 @@ object LlmQueries {
                |    ORDER BY tfidf DESC, term) AS rnk FROM scored)
                |SELECT doc_id, term, tf, CAST(df AS BIGINT) AS df,
                |  round(tfidf, 4) AS tfidf, CAST(rnk AS INT) AS rnk
-               |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
+               |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+      ), bench = true),
+
+    "llm_posexplode_tokens" -> Q((s, dir) =>
+      // Positional explode — the order-aware generator (SURVEY §2.10:
+      // the reference's only generator is the date spine; position-
+      // encoded tokens are the training-data sibling). Narrow op.
+      T(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "token")))
+        .orderBy("doc_id", "pos"),
+      Some(s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS t
+              |    FROM documents WHERE doc_id % 10 = 0)
+              |SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, t[u.i] AS token
+              |FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) u
+              |ORDER BY doc_id, pos""".stripMargin)),
 
     "llm_lang_id" -> Q((s, dir) =>
       TextOps.langId(T(s, dir, "documents").select("doc_id", "lang", "text"))

@@ -982,5 +982,6 @@ object PipelineQueries {
               |  COALESCE(right_count, 0) AS right_count
               |FROM lh FULL OUTER JOIN rh ON lh.row_hash = rh.row_hash
               |WHERE COALESCE(left_count, 0) <> COALESCE(right_count, 0)
-              |ORDER BY row_hash""".stripMargin)))
+              |ORDER BY row_hash""".stripMargin,
+      ), bench = true))
 }

@@ -351,7 +351,8 @@ object RelationalQueries {
               |FROM lineitem l
               |JOIN orders o ON l.l_orderkey = o.o_orderkey
               |WHERE o.o_orderpriority = '1-URGENT'
-              |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin)),
+              |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin,
+      ), bench = true),
 
     "j11_range_bucket_join" -> Q((s, dir) => {
       import s.implicits._
@@ -381,7 +382,8 @@ object RelationalQueries {
               |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
               |FROM lineitem l JOIN bands b
               |  ON CAST(l.l_quantity AS INT) BETWEEN b.lo AND b.hi
-              |GROUP BY b.band_id, b.band_name ORDER BY b.band_id""".stripMargin)),
+              |GROUP BY b.band_id, b.band_name ORDER BY b.band_id""".stripMargin,
+      ), bench = true),
 
     // ----- §2.4 aggregations -------------------------------------------
     "a1_groupby_multiagg" -> Q((s, dir) =>
@@ -604,7 +606,8 @@ object RelationalQueries {
         .orderBy("o_custkey")
     }, Some("""SELECT o_custkey, count(*) AS exact_count FROM orders
               |GROUP BY o_custkey HAVING count(*) >= 17
-              |ORDER BY o_custkey""".stripMargin)),
+              |ORDER BY o_custkey""".stripMargin,
+      ), bench = true),
 
     // ----- §2.5 generator (W1 date spine via dim_date) ------------------
     "w1_dim_date_spine" -> Q((s, _) =>
@@ -905,5 +908,22 @@ object RelationalQueries {
       Some("""SELECT event_id,
              |  json_extract_string(props, '$.k') AS k_str,
              |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int
-             |FROM events ORDER BY event_id""".stripMargin)))
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    "f24_levenshtein" -> Q((s, dir) => {
+      // Edit distance — the scalar for fuzzy entity matching at
+      // migration boundaries (name drift between systems). Codegen'd
+      // built-in; consecutive-key self pair keeps the gate a narrow
+      // broadcast join.
+      val c = T(s, dir, "customer")
+      val a = c.select(col("c_custkey").as("k"), col("c_name").as("name_a"))
+      val b = c.select((col("c_custkey") - 1).as("k"), col("c_name").as("name_b"))
+      a.join(b, "k")
+        .select(col("k").as("c_custkey"), col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).as("edit_dist"))
+        .orderBy("c_custkey")
+    }, Some("""SELECT a.c_custkey, a.c_name AS name_a, b.c_name AS name_b,
+              |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
+              |FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+              |ORDER BY a.c_custkey""".stripMargin)))
 }
