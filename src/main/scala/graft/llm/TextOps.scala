@@ -74,6 +74,43 @@ object TextOps {
           .otherwise(lit("en")).as("predicted_lang")): _*)
   }
 
+  /** Repetition quality signals (the Gopher-rules family): documents
+    * dominated by one repeated n-gram, or with a high duplicate-gram
+    * fraction, are boilerplate/spam candidates for pre-training
+    * filtering. Two map-side-combinable shuffles — per-(doc, gram)
+    * counts, then per-doc rollup; the raw gram stream never shuffles
+    * un-aggregated. `multiset` grams (dedup=false) are the point here —
+    * the signal IS the multiplicity. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, maxTopFrac: Double = 0.2, maxDupFrac: Double = 0.5): DataFrame = {
+    val grams = Dedup.shingles(df.select(col(idCol), col(textCol)),
+      idCol, textCol, n, dedup = false)
+    grams.groupBy(col(idCol), col("shingle"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(sum("cnt").as("n_grams"),
+        max("cnt").as("top_cnt"),
+        count(lit(1)).as("n_distinct"))
+      .select(col(idCol),
+        col("n_grams"),
+        (col("top_cnt").cast("double") / col("n_grams")).as("top_gram_frac"),
+        ((col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
+          .as("dup_gram_frac"),
+        ((col("top_cnt").cast("double") / col("n_grams")) <= maxTopFrac &&
+          ((col("n_grams") - col("n_distinct")).cast("double") / col("n_grams")) <= maxDupFrac)
+          .as("repetition_ok"))
+  }
+
+  /** PII redaction: replace email addresses and NANP-style phone
+    * numbers with typed placeholders. Patterns stay in the regex subset
+    * every engine parses identically (char classes, bounded repeats —
+    * no lookarounds); pure projection, no shuffle, codegen'd. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "\\d{3}-\\d{3}-\\d{4}", "<PHONE>")
+
   /** TF-IDF top-`k` terms per document — the classic salience score for
     * corpus keyword extraction and quality filtering.
     *

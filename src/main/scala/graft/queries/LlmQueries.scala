@@ -26,6 +26,22 @@ object LlmQueries {
       |      ELSE [array_to_string(t, ' ')] END) AS shingle
       |  FROM toks))""".stripMargin
 
+  // 16-bit SimHash as chained CTEs ending in sims(doc_id, simhash) —
+  // mirrors Dedup.simhash bit-for-bit (odd hex nibble = +1 vote).
+  private val simhashCtes: String = {
+    val odd = "('1','3','5','7','9','b','d','f')"
+    val votes = (0 until 16).map(i =>
+      s"SUM(CASE WHEN substring(m, ${i + 1}, 1) IN $odd THEN 1 ELSE -1 END) AS v$i")
+      .mkString(", ")
+    val bits = (0 until 16).map(i =>
+      s"(CASE WHEN v$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""h AS (SELECT doc_id, md5(tok) AS m FROM
+       |  (SELECT doc_id, unnest(t) AS tok FROM toks)),
+       |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+       |sims AS (SELECT doc_id, $bits AS simhash FROM v)""".stripMargin
+  }
+
   private def dotSql(a: String, b: String) =
     s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (x, y) -> x + y)"
   private def simSql(a: String, b: String) =
@@ -96,20 +112,30 @@ object LlmQueries {
     // ----- dedup: SimHash ----------------------------------------------
     "llm_simhash" -> Q((s, dir) =>
       Dedup.simhash(T(s, dir, "documents"), "doc_id", "text", 16).orderBy("doc_id"),
-      Some({
-        val odd = "('1','3','5','7','9','b','d','f')"
-        val votes = (0 until 16).map(i =>
-          s"SUM(CASE WHEN substring(m, ${i + 1}, 1) IN $odd THEN 1 ELSE -1 END) AS v$i")
-          .mkString(", ")
-        val bits = (0 until 16).map(i =>
-          s"(CASE WHEN v$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
-          .mkString(" + ")
-        s"""WITH $toksCte,
-           |h AS (SELECT doc_id, md5(tok) AS m FROM
-           |  (SELECT doc_id, unnest(t) AS tok FROM toks)),
-           |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
-           |SELECT doc_id, $bits AS simhash FROM v ORDER BY doc_id""".stripMargin
-      })),
+      Some(s"""WITH $toksCte, $simhashCtes
+              |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin)),
+
+    "llm_simhash_hamming" -> Q((s, dir) => {
+      // SimHash near-dup VERIFICATION: candidate pairs scored by Hamming
+      // distance = bit_count(xor) — both built-ins, fully codegen'd, so
+      // the verify step is a projection on the joined pair. (At scale
+      // the signature frame is computed once and the pairs come from
+      // LSH/banding; the consecutive-id pairing here keeps the gate
+      // deterministic.) threshold 3 of 16 bits flags near-dups.
+      val sh = Dedup.simhash(T(s, dir, "documents"), "doc_id", "text", 16)
+      val a = sh.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+      val b = sh.select((col("doc_id") - 1).as("id_a"), col("simhash").as("sh_b"))
+      a.join(b, "id_a")
+        .select(col("id_a"), col("sh_a"), col("sh_b"),
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"),
+          (bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 3).as("near_dup"))
+        .orderBy("id_a")
+    }, Some(s"""WITH $toksCte, $simhashCtes
+               |SELECT a.doc_id AS id_a, a.simhash AS sh_a, b.simhash AS sh_b,
+               |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming,
+               |  bit_count(xor(a.simhash, b.simhash)) <= 3 AS near_dup
+               |FROM sims a JOIN sims b ON b.doc_id = a.doc_id + 1
+               |ORDER BY id_a""".stripMargin)),
 
     // ----- dedup: n-gram Jaccard verification --------------------------
     "llm_ngram_jaccard" -> Q((s, dir) => {
@@ -211,6 +237,49 @@ object LlmQueries {
                |  round(tfidf, 4) AS tfidf, CAST(rnk AS INT) AS rnk
                |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
       ), bench = true),
+
+    "llm_repetition_filter" -> Q((s, dir) =>
+      // Gopher-style repetition signals (TextOps.repetitionStats):
+      // top-2-gram dominance + duplicate-gram fraction per doc. Exact
+      // fractions of exact integer counts — engine-identical doubles.
+      TextOps.repetitionStats(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH $toksCte,
+              |g2 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+              |    THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+              |    ELSE [array_to_string(t, ' ')] END) AS g FROM toks),
+              |pg AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY doc_id, g),
+              |agg AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+              |    MAX(cnt) AS top_cnt, count(*) AS n_distinct
+              |  FROM pg GROUP BY doc_id)
+              |SELECT doc_id, n_grams,
+              |  CAST(top_cnt AS DOUBLE) / n_grams AS top_gram_frac,
+              |  CAST(n_grams - n_distinct AS DOUBLE) / n_grams AS dup_gram_frac,
+              |  CAST(top_cnt AS DOUBLE) / n_grams <= 0.2 AND
+              |    CAST(n_grams - n_distinct AS DOUBLE) / n_grams <= 0.5
+              |    AS repetition_ok
+              |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    "llm_pii_redact" -> Q((s, dir) =>
+      // PII redaction (TextOps.redactPii) over text with DETERMINISTIC
+      // injected PII (the synthetic corpus has none), so the regexes do
+      // real work on both engines. Both patterns sit in the dialect-
+      // portable regex subset.
+      T(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          TextOps.redactPii(concat(col("text"),
+            lit(" contact user"), col("doc_id"),
+            lit("@example.com or 555-123-4567"))).as("redacted"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  regexp_replace(regexp_replace(
+             |      text || ' contact user' || CAST(doc_id AS VARCHAR)
+             |        || '@example.com or 555-123-4567',
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             |      '<EMAIL>', 'g'),
+             |    '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS redacted
+             |FROM documents WHERE doc_id % 7 = 0
+             |ORDER BY doc_id""".stripMargin)),
 
     "llm_posexplode_tokens" -> Q((s, dir) =>
       // Positional explode — the order-aware generator (SURVEY §2.10:

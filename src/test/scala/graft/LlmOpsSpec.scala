@@ -117,6 +117,34 @@ class LlmOpsSpec extends SparkTestBase {
       (3L, "date", 1L, 1L, 1), (3L, "cherry", 2L, 2L, 2)))
   }
 
+  test("repetitionStats flags gram-dominated docs and passes diverse ones") {
+    val corpus = Seq(
+      (1L, "spam spam spam spam spam spam"),   // one 2-gram repeated 5x
+      (2L, "the quick brown fox jumps over")). // all 2-grams distinct
+      toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val spam = out(0)
+    assert(spam.getAs[Long]("n_grams") === 5L)
+    assert(spam.getAs[Double]("top_gram_frac") === 1.0)
+    assert(spam.getAs[Double]("dup_gram_frac") === 0.8)
+    assert(!spam.getAs[Boolean]("repetition_ok"))
+    val ok = out(1)
+    assert(ok.getAs[Double]("top_gram_frac") === 0.2)
+    assert(ok.getAs[Double]("dup_gram_frac") === 0.0)
+    assert(ok.getAs[Boolean]("repetition_ok"))
+  }
+
+  test("redactPii masks emails and phones, leaves clean text alone") {
+    val df = Seq(
+      (1L, "reach me at jane.doe+x@sub.example.org or 555-867-5309 today"),
+      (2L, "no pii here, just 12-34 and at-signs @ alone")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextOps.redactPii(col("text")).as("r"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(out(0) === "reach me at <EMAIL> or <PHONE> today")
+    assert(out(1) === "no pii here, just 12-34 and at-signs @ alone")
+  }
+
   test("textStats computes token counts and ratios") {
     val stats = TextOps.textStats(docs).filter(col("doc_id") === 0).head()
     assert(stats.getAs[Int]("n_tokens") === 14)
