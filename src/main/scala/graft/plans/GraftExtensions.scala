@@ -4,12 +4,13 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-/** Session extension installing graft's custom expressions, for use via
-  * `spark.sql.extensions=graft.plans.GraftExtensions` or
-  * `SparkSession.builder().withExtensions(new GraftExtensions)` — the
-  * standard plug-in route for engine extensions (no custom analyzer or
-  * planner rules are needed for this engine; SURVEY §4 concludes parity
-  * requires none, so functions are the only injection point used).
+/** Session extension installing graft's custom expressions and optimizer
+  * rules, for use via `spark.sql.extensions=graft.plans.GraftExtensions`
+  * or `SparkSession.builder().withExtensions(new GraftExtensions)` — the
+  * standard plug-in route for engine extensions. SURVEY §4 concludes
+  * PARITY needs no custom rules; the one rule injected here
+  * ([[RangeJoinRewrite]]) is beyond-parity, conf-gated, and off by
+  * default.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -21,5 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("jaccard_sorted"),
       new ExpressionInfo(classOf[SortedJaccard].getName, "jaccard_sorted"),
       (exprs: Seq[Expression]) => SortedJaccard(exprs.head, exprs(1))))
+    // No-op until spark.graft.rangeJoin.bucketSize is set > 0.
+    ext.injectOptimizerRule(_ => RangeJoinRewrite)
   }
 }

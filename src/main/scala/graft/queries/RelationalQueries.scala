@@ -385,6 +385,46 @@ object RelationalQueries {
               |GROUP BY b.band_id, b.band_name ORDER BY b.band_id""".stripMargin,
       ), bench = true),
 
+    "j12_range_rewrite_rule" -> Q((s, dir) => {
+      import s.implicits._
+      // The OPTIMIZER-RULE form of j11 (plans/RangeJoinRewrite): the
+      // query below is the naive BETWEEN theta-join a user would write;
+      // the injected rule rewrites it to the bucketed equi-join during
+      // optimization. localCheckpoint materializes while the rule is
+      // installed (the driver's write happens after this fn returns, by
+      // which time the session is restored to leave other queries'
+      // plans untouched). PlansStreamingSpec asserts the plan shape.
+      import graft.plans.RangeJoinRewrite
+      val bands = Seq(
+        (0, "low", 1, 10), (1, "mid", 5, 25),
+        (2, "high", 20, 50), (3, "all", 1, 50))
+        .toDF("band_id", "band_name", "lo", "hi")
+      val pts = T(s, dir, "lineitem")
+        .select(col("l_quantity").cast("int").as("qty"))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ RangeJoinRewrite
+      s.conf.set(RangeJoinRewrite.BucketSizeKey, "8")
+      try {
+        pts.join(bands, col("qty") >= col("lo") && col("qty") <= col("hi"))
+          .groupBy("band_id", "band_name")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("qty").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+          .orderBy("band_id")
+          .localCheckpoint(true)
+      } finally {
+        s.conf.unset(RangeJoinRewrite.BucketSizeKey)
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations.filterNot(_ eq RangeJoinRewrite)
+      }
+    }, Some("""WITH bands(band_id, band_name, lo, hi) AS (VALUES
+              |  (0, 'low', 1, 10), (1, 'mid', 5, 25),
+              |  (2, 'high', 20, 50), (3, 'all', 1, 50))
+              |SELECT b.band_id, b.band_name, count(*) AS cnt,
+              |  CAST(SUM(CAST(CAST(l.l_quantity AS INT) AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+              |FROM lineitem l JOIN bands b
+              |  ON CAST(l.l_quantity AS INT) BETWEEN b.lo AND b.hi
+              |GROUP BY b.band_id, b.band_name ORDER BY b.band_id""".stripMargin)),
+
     // ----- §2.4 aggregations -------------------------------------------
     "a1_groupby_multiagg" -> Q((s, dir) =>
       // TPC-H Q1 shape: the canonical hash-agg with map-side combine.

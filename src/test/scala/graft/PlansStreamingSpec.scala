@@ -107,6 +107,62 @@ class PlansStreamingSpec extends SparkTestBase {
     }
   }
 
+  test("RangeJoinRewrite turns a BETWEEN nested-loop join into a bucketed equi-join") {
+    import graft.plans.RangeJoinRewrite
+    val r = new scala.util.Random(33)
+    val points = (1 to 1500).map(i => (i.toLong, r.nextLong(2000) - 500L)).toDF("pid", "p")
+    val intervals = (1 to 40).map { i =>
+      val lo = r.nextLong(2000) - 500L
+      (i.toLong, lo, lo + r.nextLong(80))
+    }.toDF("iid", "lo", "hi")
+    def theta = points.join(intervals, col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pid", "iid").orderBy("pid", "iid")
+    val expected = theta.collect().toSeq // rule OFF: nested-loop baseline
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ RangeJoinRewrite
+    spark.conf.set(RangeJoinRewrite.BucketSizeKey, "32")
+    try {
+      val rewritten = theta
+      assert(rewritten.collect().toSeq === expected)
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"rewrite did not fire:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected an equi-join on the bucket:\n$plan")
+    } finally {
+      spark.conf.unset(RangeJoinRewrite.BucketSizeKey)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq RangeJoinRewrite)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    }
+  }
+
+  test("RangeJoinRewrite leaves non-matching joins and disabled sessions alone") {
+    import graft.plans.RangeJoinRewrite
+    val a = Seq((1L, 5L)).toDF("pid", "p")
+    val b = Seq((1L, 0L, 9L)).toDF("iid", "lo", "hi")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ RangeJoinRewrite
+    try {
+      // Conf unset → rule is a no-op even when installed.
+      val off = a.join(b, col("p") >= col("lo") && col("p") <= col("hi"))
+      assert(!off.queryExecution.optimizedPlan.toString.contains("_bucket_l"))
+      // Equi-key joins and one-sided ranges must not match the pattern.
+      spark.conf.set(RangeJoinRewrite.BucketSizeKey, "8")
+      val oneSided = a.join(b, col("p") >= col("lo"))
+      assert(!oneSided.queryExecution.optimizedPlan.toString.contains("_bucket_l"))
+      val matched = a.join(b, col("p") >= col("lo") && col("p") <= col("hi"))
+      assert(matched.queryExecution.optimizedPlan.toString.contains("_bucket_l"))
+      assert(matched.collect().map(r => (r.getLong(0), r.getLong(2))).toSeq === Seq((1L, 1L)))
+    } finally {
+      spark.conf.unset(RangeJoinRewrite.BucketSizeKey)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq RangeJoinRewrite)
+    }
+  }
+
   test("CosineSimilarity rejects non-array-double inputs at analysis") {
     val bad = intercept[Exception] {
       Seq((1, 2)).toDF("a", "b")
