@@ -42,6 +42,24 @@ object AccessControls {
       case c => col(c)
     }: _*)
 
+  /** Right-to-erasure (GDPR art. 17): split a frame into the retained
+    * rows and the per-subject erasure tally for the compliance record.
+    * The erase set joins as a broadcast left_anti / left_semi pair —
+    * two passes over the frame, zero over the (tiny) subject list; at
+    * 100 TB this is the partition-rewrite driver, with the anti-join
+    * exactly the reference's orphan-check idiom (J5) reused for
+    * deletion. Erasure is by KEY; physical file rewrite is the caller's
+    * write (e.g. `Tables.overwritePartitioned`). */
+  def eraseSubjects(df: DataFrame, keyCol: String,
+      subjects: DataFrame, subjectCol: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{broadcast, count, lit}
+    val keys = broadcast(subjects.select(col(subjectCol).as(keyCol)).distinct())
+    val retained = df.join(keys, Seq(keyCol), "left_anti")
+    val erasedTally = df.join(keys, Seq(keyCol), "left_semi")
+      .groupBy(keyCol).agg(count(lit(1)).as("rows_erased"))
+    (retained, erasedTally)
+  }
+
   /** Create the masked secure view over a dim_policy table (BI analysts
     * query the view, never the base table). */
   def createMaskedPolicyView(spark: SparkSession, dimPolicyTable: String,

@@ -94,5 +94,34 @@ object GovernanceQueries {
               |  ('graft_gov', 'nation_cols', 'n_name', 'string'),
               |  ('graft_gov', 'nation_cols', 'n_nationkey', 'int'))
               |  AS t(table_schema, table_name, column_name, data_type)
-              |ORDER BY table_schema, table_name, column_name""".stripMargin)))
+              |ORDER BY table_schema, table_name, column_name""".stripMargin)),
+
+    "gov_right_to_erasure" -> Q((s, dir) => {
+      import s.implicits._
+      // GDPR erasure (AccessControls.eraseSubjects): subjects' rows
+      // leave the retained frame, and the compliance record tallies
+      // exactly what was removed. Output fuses both halves: per-status
+      // retained counts + the erased-row total, so the gate pins the
+      // split is a PARTITION of the input (nothing lost, nothing
+      // duplicated).
+      val o = T(s, dir, "orders")
+      val subjects = (1L to 1500L by 13).toDF("subject_key")
+      val (retained, tally) = graft.governance.AccessControls
+        .eraseSubjects(o, "o_custkey", subjects, "subject_key")
+      val byStatus = retained.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("o_orderstatus").as("bucket"), col("cnt"))
+      val erasedTotal = tally.agg(
+        sum(col("rows_erased")).as("cnt"))
+        .select(lit("_erased_rows").as("bucket"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+      byStatus.unionByName(erasedTotal).orderBy("bucket")
+    }, Some("""SELECT * FROM (
+              |  SELECT o_orderstatus AS bucket, count(*) AS cnt FROM orders
+              |  WHERE o_custkey NOT IN (SELECT unnest(range(1, 1501, 13)))
+              |  GROUP BY o_orderstatus
+              |  UNION ALL
+              |  SELECT '_erased_rows', count(*) FROM orders
+              |  WHERE o_custkey IN (SELECT unnest(range(1, 1501, 13)))
+              |) ORDER BY bucket""".stripMargin)))
 }

@@ -102,6 +102,42 @@ object RelationalQueries {
       s.read.orc(out).orderBy("r_regionkey")
     }, Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
 
+    "s15_dynamic_partition_overwrite" -> Q((s, dir) => {
+      // Dynamic partition overwrite — the lakehouse daily-batch write
+      // contract: an overwrite touching ONE partition must leave every
+      // other partition's data intact (static mode would truncate the
+      // whole table). Seed all statuses, dynamically overwrite only the
+      // 'F' partition with its urgent subset, then read the table back:
+      // F shrinks to urgent rows, O/P survive untouched.
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_dpo")
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_orderstatus")
+      o.write.mode("overwrite").partitionBy("o_orderstatus")
+        .saveAsTable("graft_dpo.orders_p")
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        val repl = o.filter(col("o_orderstatus") === "F" &&
+          col("o_orderpriority") === "1-URGENT")
+        val tableCols = s.read.table("graft_dpo.orders_p").columns
+        repl.select(tableCols.map(col): _*)
+          .write.mode("overwrite").insertInto("graft_dpo.orders_p")
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None    => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      s.catalog.refreshTable("graft_dpo.orders_p")
+      s.read.table("graft_dpo.orders_p")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          count(when(col("o_orderpriority") === "1-URGENT", lit(1))).as("urgent_cnt"))
+        .orderBy("o_orderstatus")
+    }, Some("""SELECT o_orderstatus, count(*) AS cnt,
+              |  count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent_cnt
+              |FROM orders
+              |WHERE o_orderstatus <> 'F' OR o_orderpriority = '1-URGENT'
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     "s11_ddl_catalog" -> Q((s, dir) => {
       s.sql("CREATE DATABASE IF NOT EXISTS graft_ddl")
       s.sql("DROP TABLE IF EXISTS graft_ddl.nation_ctas")

@@ -206,6 +206,18 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(out.count() === 1)
   }
 
+  test("eraseSubjects partitions the frame: retained + erased = input, no overlap") {
+    import graft.governance.AccessControls
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("k", "v")
+    val subjects = Seq(1L, 3L, 99L).toDF("s") // 99 matches nothing
+    val (retained, tally) = AccessControls.eraseSubjects(df, "k", subjects, "s")
+    assert(retained.collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((2L, "c")))
+    val t = tally.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(t === Map(1L -> 2L, 3L -> 1L)) // no phantom row for 99
+    assert(retained.count() + t.values.sum === df.count())
+  }
+
   test("access controls: masked frame and secure view gate PII by role") {
     import graft.governance.AccessControls
     val dim = graft.operators.GoldDims.buildDimPolicy(
