@@ -87,6 +87,50 @@ object Similarity {
     rankTopK(sims, k, extraCols = Seq("cluster_id"))
   }
 
+  /** Lloyd's k-means in pure DataFrame algebra — the IVF INDEX BUILD
+    * step ([[ivfAssign]]/[[ivfTopK]] consume the centroids this
+    * produces). Per iteration: one narrow assign against broadcast
+    * centroids + one mean recompute; cost is iters × (n·k cosines +
+    * one (cluster, dim) shuffle of the exploded members) — linear in
+    * corpus size, standard for index builds.
+    *
+    * Determinism, the part that matters for reproducible index builds:
+    * initial centroids are the `k` smallest-id vectors; assignment ties
+    * break by centroid id; and the per-dimension MEAN sums in
+    * DECIMAL(28,14) — decimal addition is exact and order-independent,
+    * where a double sum would vary with partition merge order and
+    * could flip a borderline assignment between runs. Empty clusters
+    * keep their previous centroid. Centroids are localCheckpoint'd
+    * each iteration (they are k tiny rows; the checkpoint cuts the
+    * otherwise-iteration-deep lineage). */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = corpus.select(col(idCol).as("vid"), asDoubleVec(col(vecCol)).as("vv"))
+    var cent = v.orderBy("vid").limit(k)
+      .select(col("vid").as("cid"), col("vv").as("cv"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy("vid").orderBy(col("csim").desc, col("cid"))
+      val assigned = v.crossJoin(broadcast(cent))
+        .select(col("vid"), col("cid"), col("vv"),
+          cosine(col("vv"), col("cv")).as("csim"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      val means = assigned
+        .select(col("cid"), posexplode(col("vv")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg((sum(col("x").cast("decimal(28,14)")).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy("cid")
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), expr("transform(pm, p -> p.m)").as("new_cv"))
+      cent = cent.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("new_cv"), col("cv")).as("cv"))
+        .localCheckpoint(true)
+    }
+    cent.select(col("cid").as("cluster_id"), col("cv").as("centroid"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: candidate pairs are generated
     * INSIDE IVF clusters (never all-pairs — candidate count drops by
     * ~|clusters|× like any IVF probe), then filtered by cosine threshold.

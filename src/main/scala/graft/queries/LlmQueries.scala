@@ -400,6 +400,51 @@ object LlmQueries {
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
     }), bench = true),
 
+    "llm_kmeans_ivf_build" -> Q((s, dir) => {
+      // IVF index BUILD: two Lloyd iterations in DataFrame algebra
+      // (Similarity.kmeansCentroids — decimal-exact means make the
+      // build run-reproducible), then a final assignment. The oracle
+      // unrolls the same two iterations in SQL. Output: per-cluster
+      // membership + the first two centroid components.
+      val emb = T(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 4, 2)
+      val assigned = Similarity.ivfAssign(emb,
+        cents.select(col("cluster_id").as("vec_id"), col("centroid").as("embedding")),
+        "vec_id", "embedding")
+      assigned.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+        .join(cents, "cluster_id")
+        .select(col("cluster_id"), col("n_members"),
+          round(element_at(col("centroid"), 1), 8).as("c_dim0"),
+          round(element_at(col("centroid"), 2), 8).as("c_dim1"))
+        .orderBy("cluster_id")
+    }, Some({
+      def assignCte(name: String, cents: String) =
+        s"""$name AS (SELECT vec_id, cid, vv FROM (
+           |  SELECT a.vec_id, c.cid, a.vv,
+           |    row_number() OVER (PARTITION BY a.vec_id
+           |      ORDER BY ${simSql("a.vv", "c.cv")} DESC, c.cid) AS rn
+           |  FROM v a CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+      def meanCtes(a: String, m: String, c: String) =
+        s"""$m AS (SELECT cid, i,
+           |    CAST(SUM(CAST(vv[i] AS DECIMAL(28,14))) AS DOUBLE) / count(*) AS m
+           |  FROM $a, LATERAL (SELECT unnest(generate_series(1, len(vv))) AS i) u
+           |  GROUP BY cid, i),
+           |$c AS (SELECT cid, list(m ORDER BY i) AS cv FROM $m GROUP BY cid)""".stripMargin
+      s"""WITH v AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, vv AS cv FROM v ORDER BY vec_id LIMIT 4),
+         |${assignCte("a1", "c0")},
+         |${meanCtes("a1", "m1", "c1")},
+         |${assignCte("a2", "c1")},
+         |${meanCtes("a2", "m2", "c2")},
+         |${assignCte("a3", "c2")},
+         |sizes AS (SELECT cid, count(*) AS n_members FROM a3 GROUP BY cid)
+         |SELECT s.cid AS cluster_id, s.n_members,
+         |  round(c2.cv[1], 8) AS c_dim0, round(c2.cv[2], 8) AS c_dim1
+         |FROM sizes s JOIN c2 ON s.cid = c2.cid
+         |ORDER BY cluster_id""".stripMargin
+    })),
+
     "llm_embedding_neardup" -> Q((s, dir) => {
       val emb = T(s, dir, "embeddings")
       Similarity.nearDupPairs(emb, emb.filter(col("vec_id") < 8),

@@ -174,6 +174,29 @@ class LlmOpsSpec extends SparkTestBase {
     assert(fp(0L)._3 === fp(1L)._3) // same token set → same min hash
   }
 
+  test("kmeansCentroids converges on two obvious cosine clusters") {
+    // Two angular groups: near (1,0) and near (0,1). Seeds are ids 0,1
+    // (one from each group), so one iteration already separates them.
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (4L, Seq(0.8f, 0.05f)),
+      (1L, Seq(0.0f, 1.0f)), (3L, Seq(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding", 2, 2)
+      .orderBy("cluster_id").collect()
+    assert(cents.map(_.getLong(0)).toSeq === Seq(0L, 1L))
+    val c0 = cents(0).getAs[scala.collection.Seq[Double]]("centroid")
+    val c1 = cents(1).getAs[scala.collection.Seq[Double]]("centroid")
+    // Cluster 0 = mean of the x-heavy group; cluster 1 = y-heavy group.
+    assert(math.abs(c0(0) - (1.0 + 0.9f.toDouble + 0.8f.toDouble) / 3) < 1e-6, c0)
+    assert(math.abs(c1(1) - (1.0 + 0.9f.toDouble) / 2) < 1e-6, c1)
+    // Final assignment puts every vector with its group's centroid.
+    val assigned = Similarity.ivfAssign(vecs,
+      Similarity.kmeansCentroids(vecs, "vec_id", "embedding", 2, 2)
+        .select(col("cluster_id").as("vec_id"), col("centroid").as("embedding")),
+      "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned === Map(0L -> 0L, 2L -> 0L, 4L -> 0L, 1L -> 1L, 3L -> 1L))
+  }
+
   test("brute-force cosine top-k ranks the nearest vector first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
