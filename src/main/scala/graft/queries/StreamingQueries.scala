@@ -15,6 +15,9 @@ object StreamingQueries {
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  // events.ts (nanos) → exact epoch seconds on the DuckDB side.
+  private val tsSecSql = "CAST(floor(date_part('epoch', ts)) AS BIGINT)"
+
   val defs: Seq[(String, Q)] = Seq(
 
     "st1_availablenow_incremental" -> Q((s, dir) => {
@@ -198,6 +201,70 @@ object StreamingQueries {
     }, Some("""SELECT event_type, count(*) AS cnt,
               |  CAST(SUM(user_id) AS BIGINT) AS user_id_checksum
               |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    "st7_foreachbatch_upsert" -> Q((s, dir) => {
+      // foreachBatch keyed upsert — the OSS mapping of the reference's
+      // autoloader→MERGE pattern (streaming sink with row-level merge
+      // semantics Parquet lacks natively). Two incremental runs share
+      // one checkpoint: batch A is the full event set, batch B re-emits
+      // even users with NEWER events; each micro-batch merges
+      // latest-per-user into the target via keepLatest and rewrites.
+      // Final table = latest event per user over A ∪ B.
+      import graft.operators.Windowed
+      val base = tmp("graft_st7")
+      val src = s"$base/in"; val chk = s"$base/chk"
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_st7")
+      s.sql("DROP TABLE IF EXISTS graft_st7.user_latest")
+      val ev = T(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000000000").cast("long").as("ts_sec"))
+      def runOnce(): Unit = {
+        val q = s.readStream
+          .schema("event_id BIGINT, user_id BIGINT, ts_sec BIGINT")
+          .parquet(src)
+          .writeStream
+          .option("checkpointLocation", chk)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              val sp = batch.sparkSession
+              val existing =
+                if (sp.catalog.tableExists("graft_st7.user_latest"))
+                  sp.read.table("graft_st7.user_latest")
+                else batch.limit(0)
+              val merged = Windowed.keepLatest(
+                existing.unionByName(batch), Seq("user_id"),
+                col("ts_sec"), tieBreak = Seq(col("event_id")))
+                .localCheckpoint(true) // materialize BEFORE overwriting the source table
+              merged.write.mode("overwrite").saveAsTable("graft_st7.user_latest")
+            }
+          }
+          .start()
+        q.awaitTermination()
+      }
+      ev.write.mode("append").parquet(src) // batch A
+      runOnce()
+      ev.filter(col("user_id") % 2 === 0)  // batch B: newer events, even users
+        .select((col("event_id") + 1000000L).as("event_id"), col("user_id"),
+          (col("ts_sec") + 3600L).as("ts_sec"))
+        .write.mode("append").parquet(src)
+      runOnce()
+      s.read.table("graft_st7.user_latest")
+        .select(col("user_id"), col("event_id").as("latest_event_id"),
+          col("ts_sec").as("latest_ts_sec"))
+        .orderBy("user_id")
+    }, Some(s"""WITH ev AS (SELECT event_id, user_id,
+               |    $tsSecSql AS ts_sec FROM events),
+               |all_ev AS (SELECT * FROM ev
+               |  UNION ALL
+               |  SELECT event_id + 1000000, user_id, ts_sec + 3600 FROM ev
+               |  WHERE user_id % 2 = 0),
+               |ranked AS (SELECT *, row_number() OVER (PARTITION BY user_id
+               |    ORDER BY ts_sec DESC, event_id DESC) AS rn FROM all_ev)
+               |SELECT user_id, event_id AS latest_event_id,
+               |  ts_sec AS latest_ts_sec
+               |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin)),
 
     "st3_mapgroupswithstate" -> Q((s, dir) => {
       // Custom per-key state via KeyValueGroupedDataset.mapGroupsWithState:
