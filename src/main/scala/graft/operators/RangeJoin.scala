@@ -58,4 +58,32 @@ object RangeJoin {
       ptb.join(ivb, joinCond, "inner")
         .drop(ivb("_bucket")).drop(ptb("_bucket"))) { (df, k) => df.drop(ivb(k)) }
   }
+
+  /** Interval-OVERLAP join: each left interval `[aLo, aHi]` to every
+    * right interval `[bLo, bHi]` with `aLo <= bHi AND bLo <= aHi`
+    * (inclusive overlap). Both sides explode onto their covered
+    * buckets; a pair sharing several buckets would surface once per
+    * shared bucket, so each pair is EMITTED exactly once — only in the
+    * bucket containing `greatest(aLo, bLo)`, the overlap's left edge
+    * (a bucket both sides provably cover). Same linearity as
+    * [[pointInInterval]]; malformed intervals (lo > hi) drop. Column
+    * names of the two frames must be disjoint. */
+  def intervalOverlapJoin(left: DataFrame, leftLo: String, leftHi: String,
+      right: DataFrame, rightLo: String, rightHi: String,
+      bucketSize: Long): DataFrame = {
+    require(bucketSize > 0, "bucketSize must be positive")
+    def explodeTo(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.filter(col(lo) <= col(hi))
+        .withColumn("_bucket", explode(sequence(
+          floorDiv(col(lo), bucketSize), floorDiv(col(hi), bucketSize))))
+    val l = explodeTo(left, leftLo, leftHi)
+    val r = explodeTo(right, rightLo, rightHi)
+    l.join(r,
+        l("_bucket") === r("_bucket") &&
+          l(leftLo) <= r(rightHi) && r(rightLo) <= l(leftHi) &&
+          // dedupe: emit only in the bucket of the overlap's left edge
+          l("_bucket") === floorDiv(greatest(l(leftLo), r(rightLo)), bucketSize),
+        "inner")
+      .drop(l("_bucket")).drop(r("_bucket"))
+  }
 }

@@ -181,6 +181,51 @@ object WindowQueries {
                |  CAST(SUM(n_events) AS BIGINT) AS n_events
                |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    "j13_interval_overlap_join" -> Q((s, dir) => {
+      import s.implicits._
+      // Interval×interval OVERLAP join (RangeJoin.intervalOverlapJoin):
+      // user sessions against fixed 6-hour analysis windows — the
+      // "which sessions touch this window" query that a naive overlap
+      // theta-join answers quadratically. Each overlapping pair is
+      // emitted exactly once (left-edge-bucket dedup). Windows anchor
+      // at the corpus min timestamp so the gate is data-deterministic.
+      import graft.operators.{RangeJoin, Windowed}
+      val ev = T(s, dir, "events").withColumn("ts_sec", tsSec)
+      val sessions = Windowed.sessionize(ev, Seq("user_id"), "ts_sec",
+        gapSec = 1800L, tieBreak = Seq("event_id"))
+        .groupBy("user_id", "session_id")
+        .agg(min("ts_sec").as("s_lo"), max("ts_sec").as("s_hi"))
+      val mn = ev.agg(min("ts_sec")).head().getLong(0)
+      val windows = (0 until 8).map(i =>
+        (i, mn + i * 43200L, mn + i * 43200L + 21600L))
+        .toDF("w_id", "w_lo", "w_hi")
+      val counts = RangeJoin.intervalOverlapJoin(
+        sessions, "s_lo", "s_hi", windows, "w_lo", "w_hi", bucketSize = 21600L)
+        .groupBy("w_id").agg(count(lit(1)).as("n_sessions"))
+      windows.select("w_id").join(counts, Seq("w_id"), "left")
+        .select(col("w_id"), coalesce(col("n_sessions"), lit(0L)).as("n_sessions"))
+        .orderBy("w_id")
+    }, Some(s"""WITH ev AS (SELECT event_id, user_id,
+               |    $tsSecSql AS ts_sec FROM events),
+               |flagged AS (SELECT user_id, ts_sec,
+               |    CASE WHEN ts_sec - lag(ts_sec, 1) OVER w > 1800
+               |          OR lag(ts_sec, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+               |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+               |sess AS (SELECT user_id, ts_sec,
+               |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_sec
+               |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               |  FROM flagged),
+               |bounds AS (SELECT user_id, sid, MIN(ts_sec) AS s_lo,
+               |    MAX(ts_sec) AS s_hi FROM sess GROUP BY user_id, sid),
+               |mn AS (SELECT MIN(ts_sec) AS m FROM ev),
+               |win AS (SELECT CAST(i AS INT) AS w_id, m + i * 43200 AS w_lo,
+               |    m + i * 43200 + 21600 AS w_hi
+               |  FROM mn, (SELECT unnest(range(0, 8)) AS i)),
+               |cnt AS (SELECT w_id, count(*) AS n FROM win w JOIN bounds b
+               |  ON b.s_lo <= w.w_hi AND w.w_lo <= b.s_hi GROUP BY w_id)
+               |SELECT w.w_id, COALESCE(cnt.n, 0) AS n_sessions
+               |FROM win w LEFT JOIN cnt USING (w_id) ORDER BY w_id""".stripMargin)),
+
     "w6_rank_family" -> Q((s, dir) => {
       // The full SQL rank family in ONE exchange. Two window specs share
       // the partitioning (one shuffle) and differ only in sort: the

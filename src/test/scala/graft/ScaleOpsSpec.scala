@@ -100,6 +100,24 @@ class ScaleOpsSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("intervalOverlapJoin matches the naive overlap theta-join, each pair once") {
+    import graft.operators.RangeJoin
+    val r = new scala.util.Random(11)
+    // Long intervals versus bucketSize so pairs share MANY buckets —
+    // the left-edge dedup must still emit each pair exactly once.
+    val a = (1 to 120).map { i =>
+      val lo = r.nextLong(2000) - 700L; (i.toLong, lo, lo + r.nextLong(300))
+    }.toDF("aid", "a_lo", "a_hi")
+    val b = (1 to 80).map { i =>
+      val lo = r.nextLong(2000) - 700L; (i.toLong, lo, lo + r.nextLong(300))
+    }.toDF("bid", "b_lo", "b_hi")
+    val naive = a.join(b, col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("aid", "bid").orderBy("aid", "bid")
+    val bucketed = RangeJoin.intervalOverlapJoin(a, "a_lo", "a_hi", b, "b_lo", "b_hi",
+      bucketSize = 32L).select("aid", "bid").orderBy("aid", "bid")
+    assert(bucketed.collect().toSeq === naive.collect().toSeq)
+  }
+
   test("range join honors extra equi-keys alongside the interval predicate") {
     import graft.operators.RangeJoin
     val points = Seq((1L, "u1", 10L), (2L, "u2", 10L)).toDF("pid", "user", "p")
