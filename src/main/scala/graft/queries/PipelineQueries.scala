@@ -942,6 +942,35 @@ object PipelineQueries {
               |  MAX(o_totalprice) AS max_price
               |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
 
+    "recon_drift_chi2" -> Q((s, dir) => {
+      // Distribution DRIFT (Reconciler.distributionDriftChi2): the urgent
+      // subset has a different status mix than all orders — chi2 over
+      // (observed − expected)²/expected quantifies it, robust to the
+      // sides' size difference (exact-equality reconciliation is not).
+      // The few-category double sum is rounded for the cross-engine
+      // compare.
+      val o = T(s, dir, "orders")
+      graft.validation.Reconciler.distributionDriftChi2(
+          o, o.filter(col("o_orderpriority") === "1-URGENT"), "o_orderstatus")
+        .select(col("categories"), col("new_categories"),
+          round(col("chi2"), 6).as("chi2"))
+    }, Some("""WITH s AS (SELECT o_orderstatus AS v, count(*) AS sc
+              |  FROM orders GROUP BY 1),
+              |t AS (SELECT o_orderstatus AS v, count(*) AS tc FROM orders
+              |  WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+              |j AS (SELECT COALESCE(s.v, t.v) AS v, COALESCE(sc, 0) AS sc,
+              |    COALESCE(tc, 0) AS tc
+              |  FROM s FULL OUTER JOIN t ON s.v = t.v),
+              |tot AS (SELECT CAST(SUM(sc) AS BIGINT) AS st,
+              |    CAST(SUM(tc) AS BIGINT) AS tt FROM j)
+              |SELECT CAST(count(CASE WHEN sc > 0 THEN 1 END) AS BIGINT) AS categories,
+              |  CAST(count(CASE WHEN sc = 0 AND tc > 0 THEN 1 END) AS BIGINT)
+              |    AS new_categories,
+              |  round(SUM(CASE WHEN CAST(tt AS DOUBLE) * sc / st > 0 THEN
+              |    pow(tc - CAST(tt AS DOUBLE) * sc / st, 2)
+              |      / (CAST(tt AS DOUBLE) * sc / st) END), 6) AS chi2
+              |FROM j, tot""".stripMargin)),
+
     "recon_table_diff" -> Q((s, dir) => {
       // Row-LEVEL diff at scale (validation/TableDiff): each side
       // reduces to (row_hash, multiplicity), the hash sets full-outer

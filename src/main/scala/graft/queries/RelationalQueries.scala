@@ -685,6 +685,37 @@ object RelationalQueries {
               |ORDER BY o_custkey""".stripMargin,
       ), bench = true),
 
+    "a19_winsorize" -> Q((s, dir) => {
+      // Winsorization — outlier clipping at per-group exact percentiles
+      // (the numeric-stability sibling of the repetition text filters):
+      // one percentile aggregate, broadcast back, least/greatest clip,
+      // re-aggregate. The percentile interpolation is engine-identical
+      // (pinned by a13), so clipped values match bit-for-bit.
+      val li = T(s, dir, "lineitem")
+      val pct = li.groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.05)").as("p05"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95"))
+      li.join(broadcast(pct), "l_returnflag")
+        .select(col("l_returnflag"),
+          greatest(least(col("l_extendedprice"), col("p95")), col("p05")).as("clipped"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("clipped").cast("decimal(18,2)")).cast("double").as("sum_clipped"),
+          min(col("clipped")).as("min_clipped"),
+          max(col("clipped")).as("max_clipped"))
+        .orderBy("l_returnflag")
+    }, Some("""WITH pct AS (SELECT l_returnflag,
+              |    quantile_cont(l_extendedprice, 0.05) AS p05,
+              |    quantile_cont(l_extendedprice, 0.95) AS p95
+              |  FROM lineitem GROUP BY l_returnflag)
+              |SELECT l.l_returnflag, count(*) AS cnt,
+              |  CAST(SUM(CAST(greatest(least(l.l_extendedprice, p.p95), p.p05)
+              |    AS DECIMAL(18,2))) AS DOUBLE) AS sum_clipped,
+              |  MIN(greatest(least(l.l_extendedprice, p.p95), p.p05)) AS min_clipped,
+              |  MAX(greatest(least(l.l_extendedprice, p.p95), p.p05)) AS max_clipped
+              |FROM lineitem l JOIN pct p ON l.l_returnflag = p.l_returnflag
+              |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin)),
+
     // ----- §2.5 generator (W1 date spine via dim_date) ------------------
     "w1_dim_date_spine" -> Q((s, _) =>
       graft.operators.GoldDims.buildDimDate(s, "2020-01-01", "2022-01-01")

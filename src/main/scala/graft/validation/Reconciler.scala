@@ -70,6 +70,35 @@ object Reconciler {
           .as("matched"))
   }
 
+  /** Distribution DRIFT via Pearson's chi-squared statistic: expected
+    * target counts are the source proportions scaled to the target
+    * total; the stat sums (observed − expected)²/expected over the
+    * categories. Exact-match reconciliation ([[compareDistributions]])
+    * answers "identical?"; this answers the production question
+    * "did the MIX shift?" — robust to the two sides having different
+    * sizes, which exact count equality is not. All counts are exact
+    * longs; only the final few-category reduction is floating, so the
+    * caller should round the stat for cross-engine comparison.
+    * Categories absent from the source (expected 0) are excluded from
+    * the sum and reported via `new_categories` instead (the stat is
+    * undefined there; a new category IS drift, flagged separately). */
+  def distributionDriftChi2(source: DataFrame, target: DataFrame,
+      column: String): DataFrame = {
+    val j = distributionDiff(source, target, column)
+    val totals = j.agg(sum("source_count").as("s_tot"), sum("target_count").as("t_tot"))
+    val expected = j.crossJoin(broadcast(totals))
+      .select(col("value"), col("source_count"), col("target_count"),
+        (col("t_tot").cast("double") * col("source_count") / col("s_tot"))
+          .as("expected"))
+    expected.agg(
+      count(when(col("source_count") > 0, lit(1))).as("categories"),
+      count(when(col("source_count") === 0 && col("target_count") > 0, lit(1)))
+        .as("new_categories"),
+      sum(when(col("expected") > 0,
+        pow(col("target_count") - col("expected"), 2) / col("expected")))
+        .as("chi2"))
+  }
+
   /** Exact distribution equality verdict (`reconciliation.py:94-130`),
     * computed from the join diff in one aggregate. */
   def compareDistributions(source: DataFrame, target: DataFrame, column: String): DistributionResult = {

@@ -51,6 +51,24 @@ class ReconcilerSpec extends SparkTestBase {
     assert(!r.matched && r.onlyInTarget === Seq("v"))
   }
 
+  test("distributionDriftChi2: zero for proportional mixes, hand-value for drift") {
+    // Proportional shrink (same mix, half the size) → chi2 == 0.
+    val src = (Seq.fill(40)("a") ++ Seq.fill(60)("b")).toDF("v")
+    val half = (Seq.fill(20)("a") ++ Seq.fill(30)("b")).toDF("v")
+    val zero = Reconciler.distributionDriftChi2(src, half, "v").head()
+    assert(zero.getAs[Double]("chi2") === 0.0)
+    assert(zero.getAs[Long]("categories") === 2L)
+    // Drifted mix: target (30 a, 20 b) vs expected (20 a, 30 b):
+    // chi2 = 100/20 + 100/30 = 8.3333...; 'c' is new → counted, not summed.
+    val drifted = (Seq.fill(30)("a") ++ Seq.fill(20)("b") ++ Seq.fill(5)("c")).toDF("v")
+    val d = Reconciler.distributionDriftChi2(src, drifted, "v").head()
+    assert(d.getAs[Long]("new_categories") === 1L)
+    // Expected counts scale to the FULL target total (55): e_a = 22, e_b = 33.
+    val eA = 55.0 * 40 / 100; val eB = 55.0 * 60 / 100
+    val expect = math.pow(30 - eA, 2) / eA + math.pow(20 - eB, 2) / eB
+    assert(math.abs(d.getAs[Double]("chi2") - expect) < 1e-9)
+  }
+
   test("tableDiff: equal multisets diff empty, each drift class surfaces") {
     import graft.validation.TableDiff
     val cols = Seq("id", "v")
