@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Registry.T
+
+/** Classic TPC-H query shapes (Q1/Q3/Q5/Q10) adapted to the driver
+  * corpus — the recognizable multi-join/aggregate benchmark workloads
+  * the reference itself never ships (SURVEY §5: no TPC corpus there).
+  * All run in BENCH at sf0.1.
+  *
+  * Determinism per the gate rules: money aggregates sum in DECIMAL
+  * (exact, order-independent) and cast DOUBLE at the terminal
+  * projection; averages are decimal-sum ÷ count (a double AVG's
+  * partial-merge order varies run to run); every ORDER BY is totalized
+  * with a key tiebreak. Timestamps compare as DATE on both engines.
+  */
+object TpchQueries {
+
+  private val disc4 = "decimal(18,4)"
+
+  val defs: Seq[(String, Q)] = Seq(
+
+    "tpch_q1" -> Q((s, dir) =>
+      // Q1 pricing summary: the canonical scan-heavy single-shuffle
+      // aggregate — filter reaches the parquet scan, everything else is
+      // one map-side-combinable hash aggregate.
+      T(s, dir, "lineitem")
+        .filter(to_date(col("l_shipdate")) <= lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(disc4))
+            .cast("double").as("sum_disc_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax"))).cast("decimal(18,6)"))
+            .cast("double").as("sum_charge"),
+          (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+            count(lit(1))).as("avg_qty"),
+          (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
+            count(lit(1))).as("avg_price"),
+          (sum(col("l_discount").cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             |    AS sum_disc_price,
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+             |    AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+             |  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin), bench = true),
+
+    "tpch_q3" -> Q((s, dir) => {
+      // Q3 shipping priority: selective dim filter → two equi-joins →
+      // aggregate → top-10. AQE broadcasts the filtered customer side.
+      val c = T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = T(s, dir, "orders")
+        .filter(to_date(col("o_orderdate")) < lit("1998-03-15").cast("date"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val l = T(s, dir, "lineitem")
+        .filter(to_date(col("l_shipdate")) > lit("1998-03-15").cast("date"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(disc4))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+    }, Some("""SELECT l_orderkey, o_orderdate, revenue FROM (
+              |  SELECT l.l_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
+              |    CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+              |      AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+              |  FROM customer c
+              |  JOIN orders o ON c.c_custkey = o.o_custkey
+              |  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+              |  WHERE c.c_mktsegment = 'BUILDING'
+              |    AND CAST(o.o_orderdate AS DATE) < DATE '1998-03-15'
+              |    AND CAST(l.l_shipdate AS DATE) > DATE '1998-03-15'
+              |  GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)
+              |  ORDER BY revenue DESC, l_orderkey LIMIT 10)
+              |ORDER BY revenue DESC, l_orderkey""".stripMargin), bench = true),
+
+    "tpch_q5" -> Q((s, dir) => {
+      // Q5 local-supplier volume: the 6-way star join — region/nation
+      // broadcast down the chain, the c_nationkey = s_nationkey
+      // "locality" predicate applied as a residual.
+      val r = T(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = T(s, dir, "nation")
+      val sup = T(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val c = T(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val o = T(s, dir, "orders")
+        .filter(to_date(col("o_orderdate")) >= lit("1996-01-01").cast("date") &&
+          to_date(col("o_orderdate")) < lit("1997-01-01").cast("date"))
+        .select("o_orderkey", "o_custkey")
+      val l = T(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(disc4))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }, Some("""SELECT n.n_name, CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+              |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+              |FROM customer c
+              |JOIN orders o ON c.c_custkey = o.o_custkey
+              |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+              |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              |  AND c.c_nationkey = s.s_nationkey
+              |JOIN nation n ON s.s_nationkey = n.n_nationkey
+              |JOIN region r ON n.n_regionkey = r.r_regionkey
+              |WHERE r.r_name = 'ASIA'
+              |  AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+              |  AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+              |GROUP BY n.n_name ORDER BY revenue DESC, n_name""".stripMargin),
+      bench = true),
+
+    "tpch_q10" -> Q((s, dir) => {
+      // Q10 returned-item reporting: who returned the most revenue in a
+      // quarter — join fact to three dims, aggregate per customer,
+      // top-20.
+      val c = T(s, dir, "customer").select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      val o = T(s, dir, "orders")
+        .filter(to_date(col("o_orderdate")) >= lit("1996-10-01").cast("date") &&
+          to_date(col("o_orderdate")) < lit("1997-01-01").cast("date"))
+        .select("o_orderkey", "o_custkey")
+      val l = T(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val n = T(s, dir, "nation").select("n_nationkey", "n_name")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(disc4))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+        .orderBy(col("revenue").desc, col("c_custkey"))
+    }, Some("""SELECT c_custkey, c_name, n_name, revenue FROM (
+              |  SELECT c.c_custkey, c.c_name, n.n_name,
+              |    CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+              |      AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+              |  FROM customer c
+              |  JOIN orders o ON c.c_custkey = o.o_custkey
+              |  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+              |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+              |  WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-10-01'
+              |    AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+              |    AND l.l_returnflag = 'R'
+              |  GROUP BY c.c_custkey, c.c_name, n.n_name
+              |  ORDER BY revenue DESC, c_custkey LIMIT 20)
+              |ORDER BY revenue DESC, c_custkey""".stripMargin), bench = true))
+}
