@@ -59,6 +59,52 @@ object TpchQueries {
              |GROUP BY l_returnflag, l_linestatus
              |ORDER BY l_returnflag, l_linestatus""".stripMargin), bench = true),
 
+    "tpch_q6" -> Q((s, dir) =>
+      // Q6 forecasting revenue change: the pure filter-pushdown
+      // microbenchmark — every predicate reaches the scan, one global
+      // aggregate, no shuffle beyond the final partial merge.
+      T(s, dir, "lineitem")
+        .filter(to_date(col("l_shipdate")) >= lit("1996-01-01").cast("date") &&
+          to_date(col("l_shipdate")) < lit("1997-01-01").cast("date") &&
+          col("l_discount").between(0.04, 0.08) && col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice") * col("l_discount")).cast(disc4))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_rows")),
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+             |    AS DOUBLE) AS revenue,
+             |  count(*) AS n_rows
+             |FROM lineitem
+             |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+             |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+             |  AND l_discount BETWEEN 0.04 AND 0.08 AND l_quantity < 24""".stripMargin),
+      bench = true),
+
+    "tpch_q14" -> Q((s, dir) => {
+      // Q14 promotion effect: fact ⋈ part (broadcastable dim) with a
+      // conditional-share aggregate — the percent-of-total pattern.
+      val l = T(s, dir, "lineitem")
+        .filter(to_date(col("l_shipdate")) >= lit("1996-06-01").cast("date") &&
+          to_date(col("l_shipdate")) < lit("1996-07-01").cast("date"))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+      val p = T(s, dir, "part").select("p_partkey", "p_type")
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .agg(
+          (lit(100.0) *
+            sum(when(col("p_type") === "PROMO",
+              (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(disc4))
+              .otherwise(lit(0).cast(disc4))).cast("double") /
+            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(disc4))
+              .cast("double")).as("promo_revenue_pct"))
+    }, Some("""SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+              |    THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+              |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+              |  / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+              |    AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue_pct
+              |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              |WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-06-01'
+              |  AND CAST(l.l_shipdate AS DATE) < DATE '1996-07-01'""".stripMargin),
+      bench = true),
+
     "tpch_q3" -> Q((s, dir) => {
       // Q3 shipping priority: selective dim filter → two equi-joins →
       // aggregate → top-10. AQE broadcasts the filtered customer side.
