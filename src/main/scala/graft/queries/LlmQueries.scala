@@ -330,6 +330,43 @@ object LlmQueries {
              |    ELSE 'en' END AS predicted_lang
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    "llm_langid_eval" -> Q((s, dir) => {
+      // Classifier EVALUATION harness: confusion counts of the language
+      // identifier against the corpus labels plus per-language recall —
+      // the eval loop a training-data pipeline runs after any heuristic
+      // filter change. One extra aggregate over the existing langId
+      // projection.
+      val pred = TextOps.langId(T(s, dir, "documents").select("doc_id", "lang", "text"))
+        .select(col("lang"), col("predicted_lang"))
+      pred.groupBy("lang", "predicted_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted_lang")
+    }, Some("""SELECT lang, CASE
+              |    WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+              |    WHEN len(regexp_extract_all(lower(text), '\b(der|die|und|ist|das|nicht)\b')) >
+              |           len(regexp_extract_all(lower(text), '\b(the|and|is|of|to)\b'))
+              |     AND len(regexp_extract_all(lower(text), '\b(der|die|und|ist|das|nicht)\b')) >=
+              |           len(regexp_extract_all(lower(text), '\b(le|les|et|est|dans|une)\b'))
+              |     AND len(regexp_extract_all(lower(text), '\b(der|die|und|ist|das|nicht)\b')) >=
+              |           len(regexp_extract_all(lower(text), '\b(el|los|y|es|una|que)\b'))
+              |      THEN 'de'
+              |    WHEN len(regexp_extract_all(lower(text), '\b(le|les|et|est|dans|une)\b')) >
+              |           len(regexp_extract_all(lower(text), '\b(the|and|is|of|to)\b'))
+              |     AND len(regexp_extract_all(lower(text), '\b(le|les|et|est|dans|une)\b')) >=
+              |           len(regexp_extract_all(lower(text), '\b(der|die|und|ist|das|nicht)\b'))
+              |     AND len(regexp_extract_all(lower(text), '\b(le|les|et|est|dans|une)\b')) >=
+              |           len(regexp_extract_all(lower(text), '\b(el|los|y|es|una|que)\b'))
+              |      THEN 'fr'
+              |    WHEN len(regexp_extract_all(lower(text), '\b(el|los|y|es|una|que)\b')) >
+              |           len(regexp_extract_all(lower(text), '\b(the|and|is|of|to)\b'))
+              |     AND len(regexp_extract_all(lower(text), '\b(el|los|y|es|una|que)\b')) >=
+              |           len(regexp_extract_all(lower(text), '\b(der|die|und|ist|das|nicht)\b'))
+              |     AND len(regexp_extract_all(lower(text), '\b(el|los|y|es|una|que)\b')) >=
+              |           len(regexp_extract_all(lower(text), '\b(le|les|et|est|dans|une)\b'))
+              |      THEN 'es'
+              |    ELSE 'en' END AS predicted_lang, count(*) AS n
+              |FROM documents GROUP BY 1, 2 ORDER BY lang, predicted_lang""".stripMargin)),
+
     "llm_token_counts" -> Q((s, dir) =>
       TextOps.tokenCounts(T(s, dir, "documents").select("doc_id", "text"))
         .drop("text").orderBy("doc_id"),

@@ -177,6 +177,64 @@ object TpchQueries {
               |GROUP BY n.n_name ORDER BY revenue DESC, n_name""".stripMargin),
       bench = true),
 
+    "tpch_q4" -> Q((s, dir) => {
+      // Q4 order-priority checking (EXISTS form): orders with at least
+      // one late-shipped line — a LEFT SEMI join with a non-equi
+      // residual, the decorrelated-EXISTS plan shape.
+      val o = T(s, dir, "orders")
+        .filter(to_date(col("o_orderdate")) >= lit("1996-07-01").cast("date") &&
+          to_date(col("o_orderdate")) < lit("1996-10-01").cast("date"))
+      val l = T(s, dir, "lineitem").select(
+        col("l_orderkey"), to_date(col("l_shipdate")).as("ship_d"))
+      o.join(l, col("o_orderkey") === col("l_orderkey") &&
+          col("ship_d") > to_date(col("o_orderdate")), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }, Some("""SELECT o_orderpriority, count(*) AS order_count
+              |FROM orders o
+              |WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-07-01'
+              |  AND CAST(o.o_orderdate AS DATE) < DATE '1996-10-01'
+              |  AND EXISTS (SELECT 1 FROM lineitem l
+              |    WHERE l.l_orderkey = o.o_orderkey
+              |      AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE))
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      bench = true),
+
+    "tpch_q18" -> Q((s, dir) => {
+      // Q18 large-volume customers: HAVING over the fact, then join the
+      // qualifying keys BACK to the dims — aggregate-filter-rejoin, with
+      // the qualifying set broadcast as a semi filter.
+      val big = T(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("total_qty"))
+        .filter(col("total_qty") > 180)
+      val o = T(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      val c = T(s, dir, "customer").select("c_custkey", "c_name")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("o_orderdate"), col("o_totalprice"),
+          col("total_qty").cast("double").as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    }, Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+              |  total_qty FROM (
+              |  SELECT c.c_name, c.c_custkey, o.o_orderkey,
+              |    CAST(o.o_orderdate AS DATE) AS o_orderdate, o.o_totalprice,
+              |    CAST(b.total_qty AS DOUBLE) AS total_qty
+              |  FROM customer c
+              |  JOIN orders o ON c.c_custkey = o.o_custkey
+              |  JOIN (SELECT l_orderkey,
+              |      SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+              |    FROM lineitem GROUP BY l_orderkey
+              |    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 180) b
+              |    ON o.o_orderkey = b.l_orderkey
+              |  ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20)
+              |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin), bench = true),
+
     "tpch_q10" -> Q((s, dir) => {
       // Q10 returned-item reporting: who returned the most revenue in a
       // quarter — join fact to three dims, aggregate per customer,

@@ -68,6 +68,21 @@ class PlanGuardsSpec extends SparkTestBase {
       "explicit-values pivot launched an eager job during construction")
   }
 
+  test("tpch_q5 star join plans broadcasts + one aggregate exchange, no nested loop") {
+    // The 6-way star: every dim side must broadcast (AQE) and the only
+    // hash exchange left is the final per-nation aggregate. If a
+    // refactor turns a dim join into a sort-merge or nested loop, the
+    // 100 TB plan silently shuffles the fact N times — this pins it.
+    val df = graft.SparkEntry.queries("tpch_q5")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bhj >= 4, s"expected dim broadcasts, got $bhj:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"star join should shuffle once (final agg):\n$plan")
+  }
+
   test("narrow projection prunes the scan's ReadSchema to the used columns") {
     val df = spark.read.parquet(s"$dir/t.parquet")
       .groupBy("bucket").agg(sum(col("amount").cast("decimal(18,2)")).as("s"))
