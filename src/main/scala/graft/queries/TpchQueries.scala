@@ -235,6 +235,51 @@ object TpchQueries {
               |  ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20)
               |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin), bench = true),
 
+    "tpch_q7" -> Q((s, dir) => {
+      // Q7 volume shipping: supplier-nation × customer-nation trade flow
+      // with the DISJUNCTIVE pair predicate — a filter no single join
+      // can absorb, applied as a residual over two independently
+      // broadcast nation dims; per (pair, year) decimal-exact revenue.
+      val n1 = T(s, dir, "nation").select(col("n_nationkey").as("n1_key"),
+        col("n_name").as("supp_nation"))
+      val n2 = T(s, dir, "nation").select(col("n_nationkey").as("n2_key"),
+        col("n_name").as("cust_nation"))
+      val sup = T(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val c = T(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val o = T(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val l = T(s, dir, "lineitem")
+        .filter(to_date(col("l_shipdate")) >= lit("1996-01-01").cast("date") &&
+          to_date(col("l_shipdate")) < lit("1998-01-01").cast("date"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(to_date(col("l_shipdate"))).as("l_year"),
+          col("l_extendedprice"), col("l_discount"))
+      sup.join(l, col("s_suppkey") === col("l_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n1, col("s_nationkey") === col("n1_key"))
+        .join(n2, col("c_nationkey") === col("n2_key"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(disc4))
+          .cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }, Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              |  CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+              |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+              |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+              |FROM supplier s
+              |JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+              |JOIN orders o ON l.l_orderkey = o.o_orderkey
+              |JOIN customer c ON o.o_custkey = c.c_custkey
+              |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+              |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+              |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              |  AND CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+              |  AND CAST(l.l_shipdate AS DATE) < DATE '1998-01-01'
+              |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin), bench = true),
+
     "tpch_q10" -> Q((s, dir) => {
       // Q10 returned-item reporting: who returned the most revenue in a
       // quarter — join fact to three dims, aggregate per customer,
