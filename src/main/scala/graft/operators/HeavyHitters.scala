@@ -84,6 +84,17 @@ object HeavyHitters {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
   }
 
+  /** Smallest capacity whose survival guarantee covers every key with
+    * true count ≥ `minCount` over `n` rows: capacity + 1 > n/minCount.
+    * CAPACITY MUST SCALE WITH n — a fixed k that works at one scale
+    * factor silently drops true heavy hitters at 10× (caught by the
+    * sf0.1 verification sweep in round 5; the sketch yielded 19 of 391
+    * true keys with k=1024 at n=150k, threshold 17). */
+  def capacityFor(n: Long, minCount: Long): Int = {
+    require(minCount > 0, "minCount must be positive")
+    math.max(64L, n / minCount + 1L).min(Int.MaxValue.toLong).toInt
+  }
+
   /** Candidate heavy keys and their (under-)estimated counts from one
     * sketch pass — every key with true count > n/(capacity+1) is here. */
   def candidateKeys(df: DataFrame, keyCol: String, capacity: Int): DataFrame = {

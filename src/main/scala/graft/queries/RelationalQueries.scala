@@ -674,11 +674,14 @@ object RelationalQueries {
       // a k-counter Misra-Gries pass (shuffles fixed-size summaries, not
       // one row per distinct key) proposes candidates, an exact pass
       // verifies — output is EXACT, so the plain HAVING oracle matches.
-      // capacity+1 = 1025 > n/threshold = 15000/17, satisfying the
-      // sketch's no-false-negative guarantee at this threshold.
+      // Capacity DERIVED from n (capacityFor): the survival guarantee
+      // needs capacity+1 > n/threshold, so a fixed k that passes at one
+      // scale factor silently loses true heavy keys at 10× — the r5
+      // sf0.1 sweep caught exactly that (19/391 keys with k=1024).
+      val o = T(s, dir, "orders")
+      val cap = graft.operators.HeavyHitters.capacityFor(o.count(), 17L)
       graft.operators.HeavyHitters
-        .heavyHitters(T(s, dir, "orders"), "o_custkey",
-          minCount = 17L, capacity = 1024)
+        .heavyHitters(o, "o_custkey", minCount = 17L, capacity = cap)
         .orderBy("o_custkey")
     }, Some("""SELECT o_custkey, count(*) AS exact_count FROM orders
               |GROUP BY o_custkey HAVING count(*) >= 17

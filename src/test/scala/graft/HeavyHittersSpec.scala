@@ -27,6 +27,25 @@ class HeavyHittersSpec extends SparkTestBase {
     assert(out.toSeq === Seq(("x", 10L)))
   }
 
+  test("capacityFor scales with n so the guarantee holds at any size") {
+    import graft.operators.HeavyHitters.capacityFor
+    assert(capacityFor(15000L, 17L) === 883)
+    assert(capacityFor(150000L, 17L) === 8824)   // 10x data -> 10x capacity
+    assert(capacityFor(10L, 17L) === 64)         // floor for tiny inputs
+    // The guarantee inequality holds: capacity + 1 > n / minCount.
+    Seq((15000L, 17L), (150000L, 17L), (1000000L, 3L)).foreach { case (n, t) =>
+      assert((capacityFor(n, t) + 1).toDouble > n.toDouble / t, s"n=$n t=$t")
+    }
+    // Derived capacity recovers ALL heavy keys where a fixed small k
+    // loses them (the r5 sf0.1 regression, shrunk): 400 keys x 25 rows.
+    val rows = (1 to 400).flatMap(i => Seq.fill(25)(s"k$i"))
+    val df = rows.toDF("k").repartition(8)
+    val full = HeavyHitters
+      .heavyHitters(df, "k", minCount = 25L, capacity = capacityFor(rows.size, 25L))
+      .count()
+    assert(full === 400L)
+  }
+
   test("sketch guarantee: every key with count > n/(k+1) survives 300 random streams") {
     val rnd = new scala.util.Random(42)
     (1 to 300).foreach { trial =>
