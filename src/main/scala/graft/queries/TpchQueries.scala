@@ -280,6 +280,111 @@ object TpchQueries {
               |  AND CAST(l.l_shipdate AS DATE) < DATE '1998-01-01'
               |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin), bench = true),
 
+    "tpch_q8" -> Q((s, dir) => {
+      // Q8 national market share: the deepest join tree in the set
+      // (part + supplier + two nation roles + region + fact), then a
+      // share-of-total per year — a conditional sum over the SAME
+      // aggregate, no second pass.
+      val p = T(s, dir, "part").filter(col("p_type") === "ECONOMY")
+        .select("p_partkey")
+      val sup = T(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val c = T(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val o = T(s, dir, "orders")
+        .filter(to_date(col("o_orderdate")) >= lit("1996-01-01").cast("date") &&
+          to_date(col("o_orderdate")) < lit("1998-01-01").cast("date"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(to_date(col("o_orderdate"))).as("o_year"))
+      val l = T(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val n1 = T(s, dir, "nation").select(col("n_nationkey").as("sup_nkey"),
+        col("n_name").as("supp_nation"))
+      val n2 = T(s, dir, "nation").select(col("n_nationkey").as("cust_nkey"),
+        col("n_regionkey"))
+      val r = T(s, dir, "region").filter(col("r_name") === "AMERICA")
+        .select("r_regionkey")
+      p.join(l, col("p_partkey") === col("l_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n2, col("c_nationkey") === col("cust_nkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("s_nationkey") === col("sup_nkey"))
+        .groupBy("o_year")
+        .agg(
+          (sum(when(col("supp_nation") === "NATION_3",
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(disc4))
+            .otherwise(lit(0).cast(disc4))).cast("double") /
+            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(disc4))
+              .cast("double")).as("mkt_share"))
+        .orderBy("o_year")
+    }, Some("""SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+              |  CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+              |      THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+              |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+              |    CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+              |      AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share
+              |FROM part p
+              |JOIN lineitem l ON p.p_partkey = l.l_partkey
+              |JOIN orders o ON l.l_orderkey = o.o_orderkey
+              |JOIN customer c ON o.o_custkey = c.c_custkey
+              |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+              |JOIN region r ON n2.n_regionkey = r.r_regionkey
+              |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+              |WHERE p.p_type = 'ECONOMY' AND r.r_name = 'AMERICA'
+              |  AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+              |  AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+              |GROUP BY 1 ORDER BY o_year""".stripMargin), bench = true),
+
+    "tpch_q13" -> Q((s, dir) => {
+      // Q13 customer order-count distribution: LEFT join (customers
+      // with no orders must count at cnt=0) feeding a second aggregate
+      // — the histogram-of-an-aggregate shape.
+      val c = T(s, dir, "customer").select("c_custkey")
+      val o = T(s, dir, "orders").select("o_custkey", "o_orderkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }, Some("""SELECT c_count, count(*) AS custdist FROM (
+              |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+              |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+              |  GROUP BY c.c_custkey) cc
+              |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin),
+      bench = true),
+
+    "tpch_q15" -> Q((s, dir) => {
+      // Q15 top supplier: revenue per supplier in a quarter, keep the
+      // supplier(s) achieving the MAX — a scalar aggregate over an
+      // aggregate, expressed as a broadcast join against the 1-row max
+      // (no window over the whole agg, no second scan of the fact).
+      val l = T(s, dir, "lineitem")
+        .filter(to_date(col("l_shipdate")) >= lit("1996-01-01").cast("date") &&
+          to_date(col("l_shipdate")) < lit("1996-04-01").cast("date"))
+      val rev = l.groupBy("l_suppkey")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(disc4))
+          .as("total_rev"))
+      val mx = rev.agg(max("total_rev").as("max_rev"))
+      val sup = T(s, dir, "supplier").select("s_suppkey", "s_name")
+      rev.join(broadcast(mx), col("total_rev") === col("max_rev"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_rev"))
+        .orderBy("s_suppkey")
+    }, Some("""WITH rev AS (SELECT l_suppkey,
+              |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+              |      AS total_rev
+              |  FROM lineitem
+              |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+              |    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+              |  GROUP BY l_suppkey)
+              |SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_rev
+              |FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+              |WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+              |ORDER BY s.s_suppkey""".stripMargin), bench = true),
+
     "tpch_q10" -> Q((s, dir) => {
       // Q10 returned-item reporting: who returned the most revenue in a
       // quarter — join fact to three dims, aggregate per customer,
