@@ -385,6 +385,98 @@ object TpchQueries {
               |WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
               |ORDER BY s.s_suppkey""".stripMargin), bench = true),
 
+    "tpch_q17" -> Q((s, dir) => {
+      // Q17 small-quantity-order revenue: the correlated-subquery
+      // classic, decorrelated into a join against the per-part
+      // threshold (0.2 × avg qty). The average is decimal-sum ÷ count
+      // on BOTH sides — a correlated double AVG would vary with each
+      // engine's partial-merge order at the compare boundary.
+      val l = T(s, dir, "lineitem")
+      val p = T(s, dir, "part").filter(col("p_brand") === "Brand#12")
+        .select("p_partkey")
+      val thr = l.groupBy(col("l_partkey").as("t_partkey"))
+        .agg((lit(0.2) * sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("qty_thr"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .join(thr, col("l_partkey") === col("t_partkey"))
+        .filter(col("l_quantity") < col("qty_thr"))
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
+          lit(7.0)).as("avg_yearly"))
+    }, Some("""WITH thr AS (SELECT l_partkey AS t_partkey,
+              |    0.2 * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+              |      / count(*) AS qty_thr
+              |  FROM lineitem GROUP BY l_partkey)
+              |SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+              |    / 7.0 AS avg_yearly
+              |FROM lineitem l
+              |JOIN part p ON l.l_partkey = p.p_partkey
+              |JOIN thr ON l.l_partkey = thr.t_partkey
+              |WHERE p.p_brand = 'Brand#12' AND l.l_quantity < thr.qty_thr""".stripMargin),
+      bench = true),
+
+    "tpch_q19" -> Q((s, dir) => {
+      // Q19 discounted revenue: the DISJUNCTION of conjunct groups as a
+      // join residual — three (brand, size-range, qty-range) branches
+      // OR-ed together; the equi-key still drives a hash join and the
+      // disjunction stays a residual filter, never a nested loop.
+      val l = T(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      val p = T(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30)))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(disc4))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }, Some("""SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+              |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+              |  count(*) AS n_rows
+              |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+              |    AND l.l_quantity BETWEEN 1 AND 11)
+              |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+              |    AND l.l_quantity BETWEEN 10 AND 20)
+              |   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+              |    AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin), bench = true),
+
+    "tpch_q22" -> Q((s, dir) => {
+      // Q22 global sales opportunity: customers with above-average
+      // positive balance and NO urgent orders — scalar threshold from
+      // one aggregate (decimal-exact) + broadcast anti-join, grouped by
+      // nation in place of the absent phone country code. (Anti-join
+      // side restricted to urgent priority: in this corpus every
+      // customer has SOME order, which would gate on an empty set.)
+      val c = T(s, dir, "customer")
+      val o = T(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      val avgBal = c.filter(col("c_acctbal") > 0.0)
+        .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("avg_bal"))
+      c.join(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("totacctbal"))
+        .orderBy("c_nationkey")
+    }, Some("""WITH avg_bal AS (SELECT
+              |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS v
+              |  FROM customer WHERE c_acctbal > 0.0)
+              |SELECT c.c_nationkey, count(*) AS numcust,
+              |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+              |FROM customer c, avg_bal
+              |WHERE c.c_acctbal > avg_bal.v
+              |  AND NOT EXISTS (SELECT 1 FROM orders o
+              |    WHERE o.o_custkey = c.c_custkey
+              |      AND o.o_orderpriority = '1-URGENT')
+              |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin),
+      bench = true),
+
     "tpch_q10" -> Q((s, dir) => {
       // Q10 returned-item reporting: who returned the most revenue in a
       // quarter — join fact to three dims, aggregate per customer,
