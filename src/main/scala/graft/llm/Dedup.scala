@@ -221,4 +221,85 @@ object Dedup {
           (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L))).cast("double"))
           .as("jaccard"))
   }
+
+  /** Connected components of an undirected edge list — the final dedup
+    * stage: LSH/verified near-dup PAIRS become duplicate CLUSTERS, from
+    * which one canonical document per cluster survives. Returns one row
+    * per vertex: (`id`, `component`) where `component` is the minimum
+    * vertex id reachable from `id` (so the canonical doc of a cluster is
+    * the one with `id == component`).
+    *
+    * Algorithm: iterative min-label propagation. Each iteration is one
+    * equi-join (edge × current labels) plus one MIN aggregate — two
+    * shuffles on vertex id, both with map-side partial aggregation, no
+    * row explosion. Labels only ever decrease, so the fixpoint test
+    * (`any label changed?`) is exact and the loop converges in
+    * O(diameter) iterations. Near-dup graphs are unions of near-cliques
+    * (LSH buckets make every member adjacent to most others), so the
+    * diameter is tiny — 2-4 iterations in practice; `maxIter` bounds the
+    * adversarial case (a path graph needs `diameter` rounds; switch to
+    * an alternating large-star/small-star scheme [Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond"] if such graphs ever
+    * dominate). Each new label frame is `localCheckpoint`ed: iterative
+    * self-referencing DataFrames otherwise grow a logical plan that
+    * doubles per round — analysis time, not data, becomes the
+    * bottleneck. The checkpoint truncates lineage to the materialized
+    * blocks, keeping every iteration's plan constant-size.
+    *
+    * Reference behavior anchor: the migration suite dedups claim rows
+    * exactly (`data_quality_checks.py:71-94`); clustering generalizes
+    * that to the near-dup graph the LSH pipeline produces. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = edges.isEmpty
+    while (!converged && it < maxIter) {
+      // Min label among each vertex's neighbors, folded into its own.
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("component").as("c")), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("c")).as("nbr_min"))
+      val next = labels.alias("l")
+        .join(nbrMin.alias("n"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("l.component"),
+            coalesce(col("n.nbr_min"), col("l.component"))).as("component"))
+        .localCheckpoint(true)
+      converged = next.alias("a")
+        .join(labels.select(col("id"), col("component").as("prev")).alias("b"), Seq("id"))
+        .filter(col("a.component") < col("b.prev"))
+        .isEmpty
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Cluster assignment for EVERY document (singletons keep their own id
+    * as the component), with the canonical flag and the cluster size —
+    * the frame a training pipeline filters to `is_canonical` to drop
+    * near-duplicates. One broadcast-size join against the (tiny) label
+    * frame plus one aggregate over it; the full corpus is never
+    * shuffled. */
+  def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+    val assigned = docs.select(col(idCol))
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("component"))
+    val sizes = assigned.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    assigned.join(sizes, "component")
+      .select(col(idCol), col("component"),
+        (col(idCol) === col("component")).as("is_canonical"),
+        col("cluster_size"))
+  }
 }

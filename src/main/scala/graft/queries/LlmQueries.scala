@@ -26,6 +26,24 @@ object LlmQueries {
       |      ELSE [array_to_string(t, ' ')] END) AS shingle
       |  FROM toks))""".stripMargin
 
+  // sigs → bands → lsh_pairs CTE chain shared by the LSH-pair gate and
+  // the cluster gate. Mirrors Dedup.windowHash: 8-hex-char (32-bit)
+  // windows of two digests give all 8 MinHash functions.
+  private val lshPairsCtes: String = {
+    val sigCols = (0 until 8).map { j =>
+      val digest = if (j < 4) "md5(shingle)" else "md5('#' || shingle)"
+      s"min(substring($digest, ${(j % 4) * 8 + 1}, 8)) AS h$j"
+    }.mkString(", ")
+    val bandsSql = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(h${2 * b} || '|' || h${2 * b + 1}) AS band_hash FROM sigs")
+      .mkString(" UNION ALL ")
+    s"""sigs AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+       |bands AS ($bandsSql),
+       |lsh_pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
   // 16-bit SimHash as chained CTEs ending in sims(doc_id, simhash) —
   // mirrors Dedup.simhash bit-for-bit (odd hex nibble = +1 vote).
   private val simhashCtes: String = {
@@ -92,22 +110,45 @@ object LlmQueries {
       val bands = Dedup.lshBands(sig, "doc_id", 8, 2)
       Dedup.candidatePairs(bands, "doc_id").orderBy("id_a", "id_b")
     }, Some({
-      // Mirrors Dedup.windowHash: 8-hex-char windows of two digests.
-      val sigCols = (0 until 8).map { j =>
-        val digest = if (j < 4) "md5(shingle)" else "md5('#' || shingle)"
-        s"min(substring($digest, ${(j % 4) * 8 + 1}, 8)) AS h$j"
-      }.mkString(", ")
-      val bandsSql = (0 until 4).map(b =>
-        s"SELECT doc_id, $b AS band, md5(h${2 * b} || '|' || h${2 * b + 1}) AS band_hash FROM sigs")
-        .mkString(" UNION ALL ")
       s"""WITH $toksCte, $shCte,
-         |sigs AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
-         |bands AS ($bandsSql)
-         |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |FROM bands x JOIN bands y
-         |  ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+         |$lshPairsCtes
+         |SELECT id_a, id_b FROM lsh_pairs
          |ORDER BY id_a, id_b""".stripMargin
     }), bench = true),
+
+    // ----- dedup: clusters + canonical pick ----------------------------
+    "llm_dedup_clusters" -> Q((s, dir) => {
+      // LSH candidate pairs → connected components (iterative min-label
+      // propagation, Dedup.connectedComponents) → every document labeled
+      // with its duplicate-cluster id, canonical flag, and cluster size.
+      // The oracle recomputes the same components with a recursive CTE —
+      // a fully independent fixpoint formulation of min-reachable-id.
+      val docs = T(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism * 2)
+      val sh = Dedup.shingleArray(docs, "doc_id", "text", 3)
+      val sig = Dedup.minhashSignaturesNative(sh, "doc_id", 8)
+      val bands = Dedup.lshBands(sig, "doc_id", 8, 2)
+      val pairs = Dedup.candidatePairs(bands, "doc_id")
+      Dedup.dedupClusters(T(s, dir, "documents"), "doc_id", pairs)
+        .orderBy("doc_id")
+    }, Some(s"""WITH RECURSIVE $toksCte, $shCte,
+               |$lshPairsCtes,
+               |edges AS (SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+               |          UNION SELECT id_b, id_a FROM lsh_pairs),
+               |reach AS (SELECT src AS id, src AS comp FROM edges
+               |          UNION
+               |          SELECT e.src, r.comp FROM edges e
+               |          JOIN reach r ON e.dst = r.id),
+               |comps AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+               |assigned AS (SELECT d.doc_id,
+               |    coalesce(c.component, d.doc_id) AS component
+               |  FROM documents d LEFT JOIN comps c ON c.id = d.doc_id),
+               |sizes AS (SELECT component, count(*) AS cluster_size
+               |  FROM assigned GROUP BY component)
+               |SELECT a.doc_id, a.component,
+               |  a.doc_id = a.component AS is_canonical, s.cluster_size
+               |FROM assigned a JOIN sizes s USING (component)
+               |ORDER BY a.doc_id""".stripMargin)),
 
     // ----- dedup: SimHash ----------------------------------------------
     "llm_simhash" -> Q((s, dir) =>

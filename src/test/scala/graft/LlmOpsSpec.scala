@@ -297,4 +297,34 @@ class LlmOpsSpec extends SparkTestBase {
     val f0 = out.select(col("frame_hashes")(0)).distinct().count()
     assert(f0 > 1)
   }
+
+  test("connectedComponents labels every vertex with its cluster minimum") {
+    // Two components {1,2,3,9} and {5,6}; 9 reaches 1 only through 3.
+    val pairs = Seq((2L, 1L), (2L, 3L), (9L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("connectedComponents converges on a path graph (diameter > 1 iteration)") {
+    // Path 10-11-12-...-17: min label must propagate 7 hops.
+    val pairs = (10L until 17L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 8 && got.values.forall(_ === 10L))
+  }
+
+  test("dedupClusters assigns singletons their own id and flags canonicals") {
+    val pairs = Seq((0L, 1L), (1L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.dedupClusters(docs, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out === Seq(
+      (0L, 0L, true, 3L), (1L, 0L, false, 3L), (2L, 2L, true, 1L),
+      (3L, 3L, true, 1L), (4L, 0L, false, 3L)))
+    // Empty pair set: every doc is its own canonical singleton.
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val solo = Dedup.dedupClusters(docs, "doc_id", empty)
+    assert(solo.filter(!col("is_canonical") || col("cluster_size") =!= 1L).count() === 0)
+  }
 }
