@@ -138,6 +138,35 @@ object RelationalQueries {
               |WHERE o_orderstatus <> 'F' OR o_orderpriority = '1-URGENT'
               |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    "s16_bucketed_colocated_join" -> Q((s, dir) => {
+      // Redshift distkey analog (SURVEY §4): both sides bucketed on the
+      // join key at write time, so the fact-dim join reads co-located
+      // buckets and plans an exchange-free sort-merge join — at 100 TB
+      // the standing tables never re-shuffle for this key, only the
+      // daily increment pays a write-side shuffle. The MERGE hint pins
+      // SMJ (a broadcast would also be fine but wouldn't exercise the
+      // bucket path); PlanGuardsSpec asserts zero Exchange under the
+      // join. Oracle is the plain unbucketed join — bucketing must not
+      // change results, only the plan.
+      Tables.ensureDatabase(s, "graft_w")
+      Tables.overwriteBucketed(T(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+        "graft_w.s16_orders", "o_custkey", 8)
+      Tables.overwriteBucketed(T(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment"),
+        "graft_w.s16_cust", "c_custkey", 8)
+      val o = s.read.table("graft_w.s16_orders")
+      val c = s.read.table("graft_w.s16_cust")
+      o.hint("MERGE").join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("order_cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+        .orderBy("c_mktsegment")
+    }, Some("""SELECT c_mktsegment, count(*) AS order_cnt,
+              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+              |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     "s11_ddl_catalog" -> Q((s, dir) => {
       s.sql("CREATE DATABASE IF NOT EXISTS graft_ddl")
       s.sql("DROP TABLE IF EXISTS graft_ddl.nation_ctas")

@@ -93,4 +93,25 @@ class PlanGuardsSpec extends SparkTestBase {
     assert(!readSchema.contains("name") && !readSchema.contains("id"),
       s"unused columns not pruned:\n$readSchema")
   }
+
+  test("same-bucketed tables sort-merge join with ZERO exchanges (s16 shape)") {
+    // The distkey contract: two tables bucketed on the join key with the
+    // same bucket count must join without shuffling either side. If a
+    // refactor drops the bucket spec (or misaligns counts), both 100 TB
+    // standing tables silently re-shuffle on every join — this pins it.
+    import graft.sources.Tables
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_pg")
+    val a = (1 to 500).map(i => (i.toLong, s"v$i")).toDF("k", "va")
+    val b = (1 to 500).map(i => (i.toLong, i * 2.0)).toDF("k", "vb")
+    Tables.overwriteBucketed(a.withColumnRenamed("k", "ka"), "graft_pg.bkt_a", "ka", 4)
+    Tables.overwriteBucketed(b.withColumnRenamed("k", "kb"), "graft_pg.bkt_b", "kb", 4)
+    val ta = spark.read.table("graft_pg.bkt_a")
+    val tb = spark.read.table("graft_pg.bkt_b")
+    val joined = ta.hint("MERGE").join(tb, ta("ka") === tb("kb"))
+    assert(joined.count() === 500)
+    val plan = joined.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ over buckets:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle either side:\n$plan")
+  }
 }
