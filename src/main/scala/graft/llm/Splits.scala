@@ -1,0 +1,64 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting and sampling for training pipelines.
+  *
+  * `randomSplit`/`sample` are seeded per-partition: the assignment of a
+  * given row changes when the partition layout changes (repartition,
+  * cluster resize, file compaction). A training pipeline needs the
+  * OPPOSITE contract — a document's train/val/test fate must be a pure
+  * function of its id, stable across runs, engines, and cluster sizes,
+  * so evaluation sets never leak into training even as the corpus is
+  * re-ingested. Everything here hashes the id column: zero shuffle for
+  * split assignment (a projection), one window shuffle for stratified
+  * caps.
+  *
+  * Reference behavior anchor: the migration suite's sampled compare
+  * (`MIGRATION_PLAYBOOK.md:235`) wants "the same 1000 rows each run" —
+  * hash order is the distributed, engine-portable way to get that.
+  */
+object Splits {
+
+  /** Uniform bucket in `[0, buckets)` as a pure function of `id` (+ an
+    * optional salt to draw an independent assignment): the first 32
+    * bits of md5, so any engine with md5 reproduces it bit-for-bit. */
+  def hashBucket(id: Column, buckets: Int, salt: String = ""): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** Adds a `split` column assigning each row to a named split by
+    * cumulative weight (basis points out of 10000 — e.g.
+    * `Seq("train" -> 8000, "val" -> 1000, "test" -> 1000)`). Pure
+    * projection: no shuffle, no state, no seed — the 100 TB corpus is
+    * split at scan speed. */
+  def assignSplits(df: DataFrame, idCol: String,
+      weights: Seq[(String, Int)] = Seq("train" -> 8000, "val" -> 1000, "test" -> 1000),
+      salt: String = ""): DataFrame = {
+    require(weights.map(_._2).sum == 10000, "split weights must sum to 10000")
+    val bucket = hashBucket(col(idCol), 10000, salt)
+    val cum = weights.scanLeft(0)(_ + _._2).tail
+    val split = weights.zip(cum).foldRight(lit(weights.last._1): Column) {
+      case (((name, _), upper), rest) =>
+        when(bucket < upper, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", split)
+  }
+
+  /** Keeps at most `n` rows per stratum, chosen by hash order — a
+    * deterministic, uniformly-drawn downsample that caps dominant
+    * groups (the class-balance step before training). One window
+    * shuffle on the stratum key; ties in the (astronomically unlikely)
+    * md5-collision case break on the id itself, so the kept set is a
+    * total function of the data. */
+  def stratifiedCap(df: DataFrame, strataCols: Seq[String], idCol: String,
+      n: Int, salt: String = ""): DataFrame = {
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(md5(concat(col(idCol).cast("string"), lit(salt))), col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n)
+      .drop("_rn")
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+import graft.llm.{Dedup, Multimodal, Similarity, Splits, TextOps}
 import Registry.T
 
 /** Driver-gradable queries for the LLM training-data pipeline operators
@@ -622,5 +622,33 @@ object LlmQueries {
              |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
              |  MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
              |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ----- deterministic splits + stratified sampling -------------------
+    "llm_hash_split" -> Q((s, dir) =>
+      // Train/val/test as a pure function of doc_id (Splits.assignSplits):
+      // no seed, no shuffle, stable across engines — the oracle recomputes
+      // the same md5-bucket assignment in DuckDB and must agree row-by-row.
+      Splits.assignSplits(T(s, dir, "documents").select("doc_id"), "doc_id")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CASE WHEN bucket < 8000 THEN 'train'
+             |       WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+             |FROM (SELECT doc_id,
+             |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+             |      AS bucket FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    "llm_stratified_sample" -> Q((s, dir) =>
+      // Class-balance cap: at most 20 docs per language, drawn by hash
+      // order (Splits.stratifiedCap) — deterministic, so both engines
+      // keep the identical subset.
+      Splits.stratifiedCap(T(s, dir, "documents").select("doc_id", "lang"),
+        Seq("lang"), "doc_id", 20)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang FROM (
+             |  SELECT doc_id, lang, row_number() OVER (
+             |      PARTITION BY lang
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents) WHERE rn <= 20 ORDER BY doc_id""".stripMargin)))
 }

@@ -327,4 +327,30 @@ class LlmOpsSpec extends SparkTestBase {
     val solo = Dedup.dedupClusters(docs, "doc_id", empty)
     assert(solo.filter(!col("is_canonical") || col("cluster_size") =!= 1L).count() === 0)
   }
+
+  test("hash split is a pure function of id: stable across partitionings") {
+    import graft.llm.Splits
+    val ids = spark.range(0, 2000).toDF("id")
+    val a = Splits.assignSplits(ids, "id").orderBy("id").collect()
+    val b = Splits.assignSplits(ids.repartition(13), "id").orderBy("id").collect()
+    assert(a.toSeq === b.toSeq)
+    // Weights are respected within a few percent at n=2000.
+    val counts = Splits.assignSplits(ids, "id").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("train") > 1500 && counts("val") > 100 && counts("test") > 100)
+    assert(counts.values.sum === 2000L)
+    // A salt draws an independent assignment.
+    val salted = Splits.assignSplits(ids, "id", salt = "v2").orderBy("id").collect()
+    assert(salted.toSeq !== a.toSeq)
+  }
+
+  test("stratifiedCap keeps at most n per stratum, deterministically") {
+    import graft.llm.Splits
+    val rows = (1 to 300).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "grp")
+    val capped = Splits.stratifiedCap(rows, Seq("grp"), "id", 10)
+    val perGroup = capped.groupBy("grp").count().collect().map(_.getLong(1))
+    assert(perGroup.forall(_ === 10L))
+    val again = Splits.stratifiedCap(rows.repartition(7), Seq("grp"), "id", 10)
+    assert(capped.orderBy("id").collect().toSeq === again.orderBy("id").collect().toSeq)
+  }
 }
