@@ -1012,5 +1012,46 @@ object PipelineQueries {
               |FROM lh FULL OUTER JOIN rh ON lh.row_hash = rh.row_hash
               |WHERE COALESCE(left_count, 0) <> COALESCE(right_count, 0)
               |ORDER BY row_hash""".stripMargin,
-      ), bench = true))
+      ), bench = true),
+
+    "recon_sampled_compare" -> Q((s, dir) => {
+      // O4: deterministic sampled row compare (TableDiff.sampledCompare)
+      // — the 200 keys with the smallest md5 drawn from BOTH sides'
+      // keys, each key's full row hashed per side. Injected drift:
+      // every 97th key dropped from the target, every 103rd modified;
+      // sampled keys hitting either must come back is_match=false with
+      // the exact hash evidence. Oracle rebuilds the identical sample
+      // and hashes in DuckDB.
+      val cols = Seq("o_orderkey", "o_orderstatus", "o_orderpriority")
+      val source = T(s, dir, "orders").select(cols.map(col): _*)
+      val target = source.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 103 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+      graft.validation.TableDiff
+        .sampledCompare(source, target, "o_orderkey", cols, n = 200)
+        .orderBy("o_orderkey")
+    }, Some("""WITH l AS (SELECT o_orderkey, o_orderstatus, o_orderpriority
+              |    FROM orders),
+              |r AS (SELECT o_orderkey,
+              |    CASE WHEN o_orderkey % 103 = 0 THEN 'X'
+              |         ELSE o_orderstatus END AS o_orderstatus,
+              |    o_orderpriority FROM l WHERE o_orderkey % 97 <> 0),
+              |keys AS (SELECT o_orderkey FROM (
+              |    SELECT o_orderkey FROM l UNION SELECT o_orderkey FROM r)
+              |  ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey LIMIT 200),
+              |sh AS (SELECT o_orderkey, md5(concat_ws('|',
+              |      COALESCE(CAST(o_orderkey AS VARCHAR), '_null_'),
+              |      COALESCE(o_orderstatus, '_null_'),
+              |      COALESCE(o_orderpriority, '_null_'))) AS source_hash FROM l),
+              |th AS (SELECT o_orderkey, md5(concat_ws('|',
+              |      COALESCE(CAST(o_orderkey AS VARCHAR), '_null_'),
+              |      COALESCE(o_orderstatus, '_null_'),
+              |      COALESCE(o_orderpriority, '_null_'))) AS target_hash FROM r)
+              |SELECT k.o_orderkey, sh.source_hash, th.target_hash,
+              |  sh.source_hash IS NOT DISTINCT FROM th.target_hash AS is_match
+              |FROM keys k
+              |LEFT JOIN sh ON sh.o_orderkey = k.o_orderkey
+              |LEFT JOIN th ON th.o_orderkey = k.o_orderkey
+              |ORDER BY k.o_orderkey""".stripMargin)))
 }

@@ -74,4 +74,33 @@ object TableDiff {
   def offendingRows(side: DataFrame, cols: Seq[String], theDiff: DataFrame): DataFrame =
     side.withColumn("row_hash", rowHash(cols))
       .join(broadcast(theDiff.select("row_hash")), Seq("row_hash"), "left_semi")
+
+  /** The playbook's "random 1000-row sample compare"
+    * (`MIGRATION_PLAYBOOK.md:235`, SURVEY §2 O4), made deterministic
+    * and distributed: the sample is the `n` keys with the SMALLEST
+    * md5(key) — a uniform draw that both engines and every rerun agree
+    * on without a seed or coordination, taken over the UNION of both
+    * sides' keys so a row missing from one side still surfaces. Each
+    * sampled key's full row reduces to [[rowHash]] per side; a key
+    * mismatches when the hashes differ or one side lacks it.
+    *
+    * Cost at 100 TB: two narrow key scans, a top-n (TakeOrdered — no
+    * global sort materialization), then two broadcast semi-joins of the
+    * tiny key sample against the tables — the full rows of only ~n keys
+    * are ever hashed or moved. `keyCol` must be unique per side (it is
+    * the row identity being compared). */
+  def sampledCompare(source: DataFrame, target: DataFrame, keyCol: String,
+      cols: Seq[String], n: Int = 1000): DataFrame = {
+    val keys = source.select(col(keyCol))
+      .union(target.select(col(keyCol))).distinct()
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+      .limit(n)
+    def sideHash(df: DataFrame, name: String) =
+      df.join(broadcast(keys), Seq(keyCol), "left_semi")
+        .select(col(keyCol), rowHash(cols).as(name))
+    keys.join(sideHash(source, "source_hash"), Seq(keyCol), "left")
+      .join(sideHash(target, "target_hash"), Seq(keyCol), "left")
+      .select(col(keyCol), col("source_hash"), col("target_hash"),
+        (col("source_hash") <=> col("target_hash")).as("is_match"))
+  }
 }

@@ -113,4 +113,25 @@ class ReconcilerSpec extends SparkTestBase {
       Reconciler.compareSchemas(a, a))
     assert(bad.contains("OVERALL: FAIL") && bad.contains("MISMATCH"))
   }
+
+  test("sampledCompare: same sample every run, drift classes surface (O4)") {
+    import graft.validation.TableDiff
+    val cols = Seq("id", "v")
+    val source = (1L to 500L).map(i => (i, s"v$i")).toDF("id", "v")
+    // Drop id=7, modify id=9; both must mismatch IF sampled.
+    val target = source.filter(col("id") =!= 7)
+      .withColumn("v", when(col("id") === 9, lit("CHANGED")).otherwise(col("v")))
+    val out = TableDiff.sampledCompare(source, target, "id", cols, n = 500)
+    assert(out.count() === 500)
+    val byId = out.collect().map(r => r.getLong(0) ->
+      (Option(r.getString(1)), Option(r.getString(2)), r.getBoolean(3))).toMap
+    assert(byId(7L)._2.isEmpty && !byId(7L)._3)      // dropped: no target hash
+    assert(byId(9L)._2.isDefined && !byId(9L)._3)    // modified: hashes differ
+    assert(byId(8L)._3)                              // untouched: match
+    // Determinism: a 50-key sample picks the same keys regardless of layout.
+    val s1 = TableDiff.sampledCompare(source, target, "id", cols, n = 50)
+    val s2 = TableDiff.sampledCompare(
+      source.repartition(11), target.repartition(3), "id", cols, n = 50)
+    assert(s1.orderBy("id").collect().toSeq === s2.orderBy("id").collect().toSeq)
+  }
 }
