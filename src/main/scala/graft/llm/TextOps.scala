@@ -155,4 +155,25 @@ object TextOps {
         expr(s"aggregate($toksExpr, 'graftseed', (acc, t) -> md5(concat(acc, t)))")
           .as("rolling_hash")): _*)
   }
+
+  /** Sliding token-window chunking — the step that turns documents into
+    * training sequences: windows of `chunkTokens` tokens starting every
+    * `stride` tokens (overlap = chunkTokens − stride). One row per
+    * (document, window): (`chunk_id`, `chunk_text`, `n_tokens`), where
+    * the final window is the ragged tail. A narrow projection + explode
+    * per document — no shuffle, no state; a 100 TB corpus chunks at scan
+    * speed and the explode fan-out (~n_tokens/stride rows per doc) is
+    * the output's intrinsic size, not an intermediate. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0, "chunkTokens and stride must be positive")
+    df.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, size(_toks) - 1, $stride),
+           |  st -> named_struct(
+           |    'chunk_text', array_join(slice(_toks, st + 1, $chunkTokens), ' '),
+           |    'n_tokens', least($chunkTokens, size(_toks) - st)))""".stripMargin)))
+      .select(col(idCol), col("pos").cast("int").as("chunk_id"),
+        col("col.chunk_text"), col("col.n_tokens"))
+  }
 }

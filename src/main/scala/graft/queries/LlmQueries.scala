@@ -624,6 +624,38 @@ object LlmQueries {
              |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // ----- chunking + embedding quantization ----------------------------
+    "llm_chunk_documents" -> Q((s, dir) =>
+      // Sliding 12-token windows every 8 tokens (overlap 4) — documents
+      // become training sequences with ragged tails kept. The oracle
+      // re-derives identical windows from DuckDB list slicing.
+      TextOps.chunk(T(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", chunkTokens = 12, stride = 8)
+        .orderBy("doc_id", "chunk_id"),
+      Some(s"""WITH $toksCte,
+              |c AS (SELECT doc_id, t, range(0, len(t), 8) AS starts FROM toks)
+              |SELECT doc_id, CAST(i - 1 AS INT) AS chunk_id,
+              |  array_to_string(t[starts[i] + 1 : starts[i] + 12], ' ') AS chunk_text,
+              |  CAST(LEAST(12, len(t) - starts[i]) AS INT) AS n_tokens
+              |FROM c, LATERAL (SELECT unnest(generate_series(1, len(starts))) AS i)
+              |ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    "llm_embed_quantize" -> Q((s, dir) =>
+      // Per-vector min-max 8-bit quantization (Similarity.quantize): the
+      // 4× storage shrink before ANN indexing. Codes are computed in
+      // DOUBLE from exact float inputs, so DuckDB reproduces every code.
+      Similarity.quantize(T(s, dir, "embeddings").select("vec_id", "embedding"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id, mn AS q_min, mx AS q_max,
+             |  list_transform(embedding, v -> CAST(coalesce(
+             |    round((CAST(v AS DOUBLE) - mn) / nullif(mx - mn, 0.0) * 255.0),
+             |    0.0) AS INT)) AS codes
+             |FROM (SELECT vec_id, embedding,
+             |    CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
+             |    CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS mx
+             |  FROM embeddings)
+             |ORDER BY vec_id""".stripMargin)),
+
     // ----- deterministic splits + stratified sampling -------------------
     "llm_hash_split" -> Q((s, dir) =>
       // Train/val/test as a pure function of doc_id (Splits.assignSplits):

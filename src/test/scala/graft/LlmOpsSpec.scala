@@ -344,6 +344,31 @@ class LlmOpsSpec extends SparkTestBase {
     assert(salted.toSeq !== a.toSeq)
   }
 
+  test("chunk: sliding windows with overlap, ragged tail, hand-checked") {
+    val d = Seq((1L, "a b c d e f g"), (2L, "x")).toDF("doc_id", "text")
+    val out = TextOps.chunk(d, "doc_id", "text", chunkTokens = 3, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(out === Seq(
+      (1L, 0, "a b c", 3), (1L, 1, "c d e", 3), (1L, 2, "e f g", 3),
+      (1L, 3, "g", 1), (2L, 0, "x", 1)))
+  }
+
+  test("quantize: 8-bit codes round-trip within half a quantization step") {
+    val vecs = Seq((1L, Array(0.0f, 0.5f, 1.0f)), (2L, Array(2.0f, 2.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val q = Similarity.quantize(vecs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getSeq[Int](3)))
+      .toMap
+    assert(q(1L) === ((0.0, 1.0, Seq(0, 128, 255))))
+    assert(q(2L)._3 === Seq(0, 0, 0)) // constant vector: all-zero codes
+    // Dequantized values sit within (mx-mn)/255/2 of the originals.
+    val (mn, mx, codes) = q(1L)
+    val err = codes.zip(Seq(0.0, 0.5, 1.0)).map { case (c, v) =>
+      math.abs(mn + c * (mx - mn) / 255.0 - v) }.max
+    assert(err <= (mx - mn) / 255.0 / 2 + 1e-12)
+  }
+
   test("stratifiedCap keeps at most n per stratum, deterministically") {
     import graft.llm.Splits
     val rows = (1 to 300).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "grp")
