@@ -478,6 +478,62 @@ object LlmQueries {
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
     }), bench = true),
 
+    "llm_ann_recall" -> Q((s, dir) => {
+      // Eval of the approximation: recall@3 of IVF against brute-force
+      // ground truth, per query. The join of the two top-k sets is tiny
+      // (k rows per query); the oracle recomputes BOTH retrievals and
+      // the recall independently in DuckDB.
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id").between(10, 14))
+      val exact = Similarity
+        .bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+        .select("query_id", "corpus_id")
+      val approx = Similarity
+        .ivfTopK(emb, queries, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 3)
+        .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+      exact.join(approx, Seq("query_id", "corpus_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("n_hits"))
+        .withColumn("recall_at_3", col("n_hits") / 3.0)
+        .orderBy("query_id")
+    }, Some({
+      val sim = simSql("a.vv", "c.cv")
+      s"""WITH v AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, vv AS qv FROM v
+         |  WHERE vec_id BETWEEN 10 AND 14),
+         |bf_pairs AS (
+         |  SELECT q.query_id, c.vec_id AS corpus_id, ${simSql("q.qv", "c.vv")} AS sim
+         |  FROM v c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+         |exact AS (SELECT query_id, corpus_id FROM (
+         |  SELECT query_id, corpus_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS rank
+         |  FROM bf_pairs) WHERE rank <= 3),
+         |cent AS (SELECT vec_id AS centroid_id, vv AS cv FROM v WHERE vec_id < 8),
+         |assigned AS (SELECT vec_id, centroid_id AS cluster_id FROM (
+         |  SELECT a.vec_id, c.centroid_id,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY $sim DESC, c.centroid_id) AS rn
+         |  FROM v a CROSS JOIN cent c) WHERE rn = 1),
+         |corpus AS (SELECT v.vec_id AS corpus_id, v.vv AS cv, a.cluster_id
+         |  FROM v JOIN assigned a ON v.vec_id = a.vec_id),
+         |queries2 AS (SELECT v.vec_id AS query_id, v.vv AS qv, a.cluster_id
+         |  FROM v JOIN assigned a ON v.vec_id = a.vec_id
+         |  WHERE v.vec_id BETWEEN 10 AND 14),
+         |ivf_pairs AS (
+         |  SELECT q.query_id, c.corpus_id, ${simSql("q.qv", "c.cv")} AS sim
+         |  FROM corpus c JOIN queries2 q ON c.cluster_id = q.cluster_id
+         |  WHERE c.corpus_id <> q.query_id),
+         |approx AS (SELECT query_id, corpus_id FROM (
+         |  SELECT query_id, corpus_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS rank
+         |  FROM ivf_pairs) WHERE rank <= 3)
+         |SELECT e.query_id, CAST(count(a.corpus_id) AS INT) AS n_hits,
+         |  CAST(count(a.corpus_id) AS INT) / 3.0 AS recall_at_3
+         |FROM exact e LEFT JOIN approx a
+         |  ON a.query_id = e.query_id AND a.corpus_id = e.corpus_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+    })),
+
     "llm_kmeans_ivf_build" -> Q((s, dir) => {
       // IVF index BUILD: two Lloyd iterations in DataFrame algebra
       // (Similarity.kmeansCentroids — decimal-exact means make the
@@ -623,6 +679,28 @@ object LlmQueries {
              |  MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
              |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ----- corpus n-gram statistics -------------------------------------
+    "llm_top_bigrams" -> Q((s, dir) => {
+      // Corpus-level bigram frequencies, top 50 — the n-gram census that
+      // feeds boilerplate detection. Per-doc bigram arrays explode then
+      // one hash aggregate; ties in the tail break on the bigram string
+      // so the cut is total.
+      val d = T(s, dir, "documents")
+        .select(TextOps.tokens(col("text")).as("_toks"))
+        .filter(size(col("_toks")) >= 2)
+      d.select(explode(expr(
+          """transform(sequence(0, size(_toks) - 2),
+            |  i -> concat(element_at(_toks, i + 1), ' ', element_at(_toks, i + 2)))"""
+            .stripMargin)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram")).limit(50)
+    }, Some(s"""WITH $toksCte,
+               |bg AS (SELECT unnest(list_transform(range(1, len(t)),
+               |    i -> t[i] || ' ' || t[i+1])) AS bigram
+               |  FROM toks WHERE len(t) >= 2)
+               |SELECT bigram, count(*) AS cnt FROM bg
+               |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin)),
 
     // ----- chunking + embedding quantization ----------------------------
     "llm_chunk_documents" -> Q((s, dir) =>

@@ -748,6 +748,20 @@ object RelationalQueries {
               |FROM lineitem l JOIN pct p ON l.l_returnflag = p.l_returnflag
               |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin)),
 
+    "a20_price_histogram" -> Q((s, dir) =>
+      // Equi-width histogram: floor-division bucketing (clamped tail
+      // bucket) + one hash aggregate — the distribution profile at scan
+      // speed, identical arithmetic in both engines.
+      T(s, dir, "orders")
+        .select(least(floor(col("o_totalprice").cast("double") / 30000.0), lit(19.0))
+          .cast("int").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket"),
+      Some("""SELECT CAST(LEAST(FLOOR(CAST(o_totalprice AS DOUBLE) / 30000.0), 19) AS INT)
+             |    AS bucket,
+             |  count(*) AS cnt
+             |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // ----- §2.5 generator (W1 date spine via dim_date) ------------------
     "w1_dim_date_spine" -> Q((s, _) =>
       graft.operators.GoldDims.buildDimDate(s, "2020-01-01", "2022-01-01")
