@@ -222,6 +222,28 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Incremental exact dedup: drop new-batch rows whose key already
+    * exists in the standing corpus — one anti-join against the corpus's
+    * distinct keys. The daily-ingest contract at 100 TB: the corpus is
+    * never rescanned against itself, only the (small) new batch shuffles
+    * against the (bucketable/broadcastable) key set. */
+  def dropExistingExact(newDf: DataFrame, corpus: DataFrame,
+      keyCols: Seq[String]): DataFrame =
+    newDf.join(corpus.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+
+  /** Cross-frame LSH candidates: only NEW×CORPUS collisions. The
+    * standing corpus keeps an append-only (band, band_hash) index;
+    * each new batch's bands equi-join it, so corpus×corpus pairs are
+    * never recomputed — incremental near-dup at the cost of the batch,
+    * not the corpus. Returns (`id_new`, `id_corpus`) distinct pairs. */
+  def candidatePairsAcross(newBands: DataFrame, corpusBands: DataFrame,
+      idCol: String): DataFrame =
+    newBands.select(col("band"), col("band_hash"), col(idCol).as("id_new"))
+      .join(corpusBands.select(col("band"), col("band_hash"), col(idCol).as("id_corpus")),
+        Seq("band", "band_hash"))
+      .select("id_new", "id_corpus")
+      .distinct()
+
   /** Connected components of an undirected edge list — the final dedup
     * stage: LSH/verified near-dup PAIRS become duplicate CLUSTERS, from
     * which one canonical document per cluster survives. Returns one row

@@ -148,7 +148,43 @@ object LlmQueries {
                |SELECT a.doc_id, a.component,
                |  a.doc_id = a.component AS is_canonical, s.cluster_size
                |FROM assigned a JOIN sizes s USING (component)
-               |ORDER BY a.doc_id""".stripMargin)),
+               |ORDER BY a.doc_id""".stripMargin), bench = true),
+
+    // ----- dedup: incremental (new batch vs standing corpus) -----------
+    "llm_dedup_incremental" -> Q((s, dir) => {
+      // Daily-ingest exact dedup: new docs (id >= 250) whose normalized
+      // text already exists in the standing corpus (id < 250) are
+      // dropped by ONE anti-join — the corpus never rescans itself.
+      val docs = T(s, dir, "documents")
+        .withColumn("norm_text", TextOps.normText(col("text")))
+      val survivors = Dedup.dropExistingExact(
+        docs.filter(col("doc_id") >= 250),
+        docs.filter(col("doc_id") < 250), Seq("norm_text"))
+      survivors.select("doc_id").orderBy("doc_id")
+    }, Some(s"""SELECT doc_id FROM documents
+               |WHERE doc_id >= 250 AND $normSql NOT IN
+               |  (SELECT $normSql FROM documents WHERE doc_id < 250)
+               |ORDER BY doc_id""".stripMargin)),
+
+    "llm_dedup_incremental_lsh" -> Q((s, dir) => {
+      // Incremental NEAR-dup: the new batch's LSH bands equi-join the
+      // corpus's standing band index — only new×corpus collisions are
+      // generated, never corpus×corpus. Oracle: the full-corpus pair set
+      // filtered to cross-boundary pairs must be identical.
+      val docs = T(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism * 2)
+      val sh = Dedup.shingleArray(docs, "doc_id", "text", 3)
+      val sig = Dedup.minhashSignaturesNative(sh, "doc_id", 8)
+      val bands = Dedup.lshBands(sig, "doc_id", 8, 2)
+      Dedup.candidatePairsAcross(
+        bands.filter(col("doc_id") >= 250),
+        bands.filter(col("doc_id") < 250), "doc_id")
+        .orderBy("id_new", "id_corpus")
+    }, Some(s"""WITH $toksCte, $shCte,
+               |$lshPairsCtes
+               |SELECT id_b AS id_new, id_a AS id_corpus FROM lsh_pairs
+               |WHERE id_a < 250 AND id_b >= 250
+               |ORDER BY id_new, id_corpus""".stripMargin)),
 
     // ----- dedup: SimHash ----------------------------------------------
     "llm_simhash" -> Q((s, dir) =>

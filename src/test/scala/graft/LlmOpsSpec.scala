@@ -328,6 +328,25 @@ class LlmOpsSpec extends SparkTestBase {
     assert(solo.filter(!col("is_canonical") || col("cluster_size") =!= 1L).count() === 0)
   }
 
+  test("incremental dedup drops only new rows already in the corpus") {
+    val normed = docs.withColumn("norm", TextOps.normText(col("text")))
+    val corpus = normed.filter(col("doc_id") === 0)
+    val fresh = normed.filter(col("doc_id") > 0)
+    // 1 and 4 normalize to doc 0's text; 2 and 3 are genuinely new.
+    val kept = Dedup.dropExistingExact(fresh, corpus, Seq("norm"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L))
+    // Cross-frame LSH: near-dup 2 collides with corpus doc 0; unrelated 3 doesn't.
+    val sh = Dedup.shingleArray(
+      docs.withColumn("text", TextOps.normText(col("text"))), "doc_id", "text", 3)
+    val bands = Dedup.lshBands(
+      Dedup.minhashSignaturesNative(sh, "doc_id", 8), "doc_id", 8, 2)
+    val cross = Dedup.candidatePairsAcross(
+      bands.filter(col("doc_id") > 0), bands.filter(col("doc_id") === 0), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cross.contains((1L, 0L)) && !cross.exists(_._1 == 3L))
+  }
+
   test("hash split is a pure function of id: stable across partitionings") {
     import graft.llm.Splits
     val ids = spark.range(0, 2000).toDF("id")
