@@ -762,6 +762,30 @@ object RelationalQueries {
              |  count(*) AS cnt
              |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
+    "a21_percent_of_total" -> Q((s, dir) => {
+      // Percent-of-total done scale-safely: `sum().over()` with an EMPTY
+      // window collapses the whole table into ONE partition — the 100 TB
+      // anti-pattern. Instead the grand total is a 1-row aggregate of the
+      // (tiny) per-segment frame, broadcast-cross-joined back. Decimal
+      // sums keep both engines exact; the division happens in DOUBLE.
+      val seg = T(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("seg_total"))
+      val grand = seg.agg(sum("seg_total").as("grand_total"))
+      seg.crossJoin(broadcast(grand))
+        .select(col("o_orderstatus"),
+          col("seg_total").cast("double").as("seg_total"),
+          (col("seg_total").cast("double") / col("grand_total").cast("double"))
+            .as("pct_of_total"))
+        .orderBy("o_orderstatus")
+    }, Some("""WITH seg AS (SELECT o_orderstatus,
+              |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS seg_total
+              |  FROM orders GROUP BY o_orderstatus)
+              |SELECT o_orderstatus, CAST(seg_total AS DOUBLE) AS seg_total,
+              |  CAST(seg_total AS DOUBLE) /
+              |    CAST((SELECT SUM(seg_total) FROM seg) AS DOUBLE) AS pct_of_total
+              |FROM seg ORDER BY o_orderstatus""".stripMargin)),
+
     // ----- §2.5 generator (W1 date spine via dim_date) ------------------
     "w1_dim_date_spine" -> Q((s, _) =>
       graft.operators.GoldDims.buildDimDate(s, "2020-01-01", "2022-01-01")

@@ -261,5 +261,54 @@ object WindowQueries {
               |WINDOW w1 AS (PARTITION BY l_returnflag ORDER BY l_quantity),
               |  w2 AS (PARTITION BY l_returnflag ORDER BY l_quantity,
               |    l_orderkey, l_linenumber, l_partkey, l_suppkey)
-              |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)))
+              |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)),
+
+    "w7_gap_fill_ffill" -> Q((s, dir) => {
+      // Gap-fill + forward-fill: the time-series densification every
+      // reporting pipeline needs. A per-key date spine (months × keys —
+      // generated, tiny, broadcastable) left-joins the sparse actuals;
+      // last(_, ignoreNulls) over an explicit ROWS frame carries the
+      // last observation forward. One window shuffle on the key; the
+      // spine costs |keys|·|months| rows, never a scan of the fact.
+      // Rare high-value orders make real gaps at every SF.
+      import org.apache.spark.sql.expressions.Window
+      val base = T(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_orderpriority").as("prio"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+        .groupBy("prio", "month")
+        .agg(sum("price").as("monthly_total"), count(lit(1)).as("n_orders"))
+      val months = base.agg(min("month").as("lo"), max("month").as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 1 month)")).as("month"))
+      val spine = base.select("prio").distinct().crossJoin(broadcast(months))
+      val w = Window.partitionBy("prio").orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(base, Seq("prio", "month"), "left")
+        .select(col("prio"), col("month"),
+          col("n_orders").isNotNull.as("observed"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          last(col("monthly_total"), ignoreNulls = true).over(w)
+            .cast("double").as("ffill_total"))
+        .orderBy("prio", "month")
+    }, Some("""WITH base AS (SELECT o_orderpriority AS prio,
+              |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+              |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monthly_total,
+              |    count(*) AS n_orders
+              |  FROM orders WHERE o_totalprice > 400000 GROUP BY 1, 2),
+              |months AS (SELECT CAST(unnest(generate_series(lo, hi,
+              |    INTERVAL 1 MONTH)) AS DATE) AS month
+              |  FROM (SELECT min(month) AS lo, max(month) AS hi FROM base)),
+              |spine AS (SELECT p.prio, m.month
+              |  FROM (SELECT DISTINCT prio FROM base) p CROSS JOIN months m)
+              |SELECT s.prio, s.month,
+              |  b.n_orders IS NOT NULL AS observed,
+              |  COALESCE(b.n_orders, 0) AS n_orders,
+              |  CAST(last_value(b.monthly_total IGNORE NULLS) OVER (
+              |    PARTITION BY s.prio ORDER BY s.month
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+              |    AS ffill_total
+              |FROM spine s LEFT JOIN base b
+              |  ON b.prio = s.prio AND b.month = s.month
+              |ORDER BY s.prio, s.month""".stripMargin)))
 }
