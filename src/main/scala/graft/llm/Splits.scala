@@ -47,6 +47,26 @@ object Splits {
     df.withColumn("split", split)
   }
 
+  /** Data-mixing downsample: each row survives with its source's
+    * probability (basis points out of 10000; sources absent from the map
+    * keep `defaultBps`), decided by the row id's hash bucket — the
+    * "mixture weights" step that rebalances a training corpus across
+    * sources. Pure projection + filter: no shuffle, no seed, and the
+    * kept set for a source is a stable subset as its weight grows
+    * (bucket < threshold nests), so raising a weight only ADDS rows —
+    * ideal for reproducible mixture sweeps. */
+  def mixtureSample(df: DataFrame, idCol: String, sourceCol: String,
+      weightsBps: Map[String, Int], defaultBps: Int = 10000,
+      salt: String = ""): DataFrame = {
+    require((defaultBps +: weightsBps.values.toSeq).forall(w => w >= 0 && w <= 10000),
+      "weights are basis points in [0, 10000]")
+    val threshold = weightsBps.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultBps): Column) { case (acc, (src, bps)) =>
+        when(col(sourceCol) === src, lit(bps)).otherwise(acc)
+      }
+    df.filter(hashBucket(col(idCol), 10000, salt) < threshold)
+  }
+
   /** Keeps at most `n` rows per stratum, chosen by hash order — a
     * deterministic, uniformly-drawn downsample that caps dominant
     * groups (the class-balance step before training). One window

@@ -44,6 +44,22 @@ object TextOps {
         (nTokens >= 5 && nTokens <= 100000).as("len_ok")): _*)
   }
 
+  /** Composite quality FILTER over the [[textStats]] signals: every
+    * failing threshold lands in `fail_reasons` (so rejects are
+    * explainable and per-reason rates are one groupBy away) and `keep`
+    * is their conjunction. Still a pure projection — the 100 TB corpus
+    * is scored and filtered at scan speed. */
+  def qualityFilter(df: DataFrame, textCol: String = "text",
+      minTokens: Int = 10, maxTokens: Int = 100000,
+      maxPunctRatio: Double = 0.1, minStopwordRatio: Double = 0.01): DataFrame =
+    textStats(df, textCol)
+      .withColumn("fail_reasons", array_compact(array(
+        when(col("n_tokens") < minTokens, lit("too_short")),
+        when(col("n_tokens") > maxTokens, lit("too_long")),
+        when(col("punct_ratio") > maxPunctRatio, lit("punct_heavy")),
+        when(col("stopword_ratio") < minStopwordRatio, lit("low_stopword")))))
+      .withColumn("keep", size(col("fail_reasons")) === 0)
+
   /** Token counting two ways: whitespace tokens and a BPE-ish regex
     * tokenization (letter runs / digit runs / single punctuation marks),
     * the standard cheap proxy for subword token counts. */

@@ -26,6 +26,18 @@ object LlmQueries {
       |      ELSE [array_to_string(t, ' ')] END) AS shingle
       |  FROM toks))""".stripMargin
 
+  // 5-gram shingle CTE (decontamination uses longer shingles than the
+  // n=3 dedup chain: short shingles flag common phrases, not leakage).
+  private val sh5Cte = {
+    val parts = (0 until 5).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""sh5 AS (SELECT DISTINCT doc_id, shingle FROM (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(t) >= 5
+       |      THEN list_transform(range(1, len(t) - 3), i -> $parts)
+       |      ELSE [array_to_string(t, ' ')] END) AS shingle
+       |  FROM toks))""".stripMargin
+  }
+
   // sigs → bands → lsh_pairs CTE chain shared by the LSH-pair gate and
   // the cluster gate. Mirrors Dedup.windowHash: 8-hex-char (32-bit)
   // windows of two digests give all 8 MinHash functions.
@@ -715,6 +727,68 @@ object LlmQueries {
              |  MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
              |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ----- decontamination / mixing / quality filtering -----------------
+    "llm_decontaminate" -> Q((s, dir) => {
+      // Eval-set leakage guard: training docs (id >= 10) sharing any
+      // 5-gram with the eval docs (id < 10) are dropped. The eval
+      // shingle set broadcasts; the corpus never shuffles.
+      val docs = T(s, dir, "documents")
+      Dedup.decontaminate(docs.filter(col("doc_id") >= 10),
+          docs.filter(col("doc_id") < 10), "doc_id", "text", 5)
+        .select("doc_id").orderBy("doc_id")
+    }, Some(s"""WITH $toksCte, $sh5Cte
+               |SELECT doc_id FROM documents
+               |WHERE doc_id >= 10 AND doc_id NOT IN (
+               |  SELECT DISTINCT t.doc_id FROM sh5 t
+               |  JOIN (SELECT DISTINCT shingle FROM sh5 WHERE doc_id < 10) e
+               |    ON t.shingle = e.shingle
+               |  WHERE t.doc_id >= 10)
+               |ORDER BY doc_id""".stripMargin)),
+
+    "llm_mixture_sample" -> Q((s, dir) =>
+      // Data-mixing weights: src0 zeroed out, src1 at 25%, src2 at 50%,
+      // everything else kept — decided per row by the id's md5 bucket,
+      // so the oracle reproduces the exact kept set.
+      Splits.mixtureSample(T(s, dir, "documents").select("doc_id", "source"),
+          "doc_id", "source",
+          Map("src0" -> 0, "src1" -> 2500, "src2" -> 5000))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, source FROM (SELECT doc_id, source,
+             |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+             |      AS bucket FROM documents)
+             |WHERE bucket < CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 2500
+             |  WHEN 'src2' THEN 5000 ELSE 10000 END
+             |ORDER BY doc_id""".stripMargin)),
+
+    "llm_quality_filter" -> Q((s, dir) =>
+      // Composite keep/drop with explainable reasons: each failed
+      // threshold lands in fail_reasons; keep is their conjunction.
+      TextOps.qualityFilter(T(s, dir, "documents").select("doc_id", "text"),
+          minTokens = 20, maxTokens = 100000,
+          maxPunctRatio = 0.06, minStopwordRatio = 0.05)
+        .select("doc_id", "n_tokens", "fail_reasons", "keep")
+        .orderBy("doc_id"),
+      Some(s"""WITH st AS (SELECT doc_id,
+              |    len(string_split($normSql, ' ')) AS n_tokens,
+              |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) /
+              |      NULLIF(CAST(length(text) AS DOUBLE), 0) AS punct_ratio,
+              |    CAST(len(regexp_extract_all(lower(text),
+              |        '\\b(the|a|an|and|of|to|in|is|it)\\b')) AS DOUBLE) /
+              |      NULLIF(CAST(len(string_split($normSql, ' ')) AS DOUBLE), 0)
+              |      AS stopword_ratio
+              |  FROM documents),
+              |r AS (SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+              |    list_filter([
+              |      CASE WHEN n_tokens < 20 THEN 'too_short' END,
+              |      CASE WHEN n_tokens > 100000 THEN 'too_long' END,
+              |      CASE WHEN punct_ratio > 0.06 THEN 'punct_heavy' END,
+              |      CASE WHEN stopword_ratio < 0.05 THEN 'low_stopword' END],
+              |      x -> x IS NOT NULL) AS fail_reasons
+              |  FROM st)
+              |SELECT doc_id, n_tokens, fail_reasons,
+              |  len(fail_reasons) = 0 AS keep
+              |FROM r ORDER BY doc_id""".stripMargin)),
 
     // ----- corpus n-gram statistics -------------------------------------
     "llm_top_bigrams" -> Q((s, dir) => {

@@ -347,6 +347,45 @@ class LlmOpsSpec extends SparkTestBase {
     assert(cross.contains((1L, 0L)) && !cross.exists(_._1 == 3L))
   }
 
+  test("decontaminate drops exactly the train docs sharing an eval n-gram") {
+    // Eval doc 0; 1 and 4 are its exact/whitespace twins, 2 shares every
+    // 5-gram except the last token's — all three must drop; 3 survives.
+    val evalSet = docs.filter(col("doc_id") === 0)
+    val train = docs.filter(col("doc_id") > 0)
+    val kept = graft.llm.Dedup.decontaminate(train, evalSet, "doc_id", "text", 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L))
+  }
+
+  test("mixtureSample: weights nest — raising a weight only adds rows") {
+    import graft.llm.Splits
+    val rows = (1 to 400).map(i => (i.toLong, s"src${i % 2}")).toDF("id", "source")
+    val lo = Splits.mixtureSample(rows, "id", "source", Map("src0" -> 2500))
+      .collect().map(_.getLong(0)).toSet
+    val hi = Splits.mixtureSample(rows, "id", "source", Map("src0" -> 7500))
+      .collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi))
+    assert(Splits.mixtureSample(rows, "id", "source", Map("src0" -> 0))
+      .filter(col("source") === "src0").count() === 0)
+    // src1 untouched by the map: defaultBps keeps everything.
+    assert(hi.count(_ % 2 == 1) === 200)
+  }
+
+  test("qualityFilter: reasons explain every reject, keep is their conjunction") {
+    val d = Seq(
+      (1L, "the cat and the dog sat in the sun and it is a good day today ok"),
+      (2L, "short text"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")
+    ).toDF("doc_id", "text")
+    val out = TextOps.qualityFilter(d, minTokens = 5, maxPunctRatio = 0.5,
+        minStopwordRatio = 0.1)
+      .select("doc_id", "keep", "fail_reasons").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getSeq[String](2))).toMap
+    assert(out(1L) === ((true, Seq())))
+    assert(out(2L)._2 === Seq("too_short", "low_stopword"))
+    assert(out(3L) === ((false, Seq("low_stopword"))))
+  }
+
   test("hash split is a pure function of id: stable across partitionings") {
     import graft.llm.Splits
     val ids = spark.range(0, 2000).toDF("id")
