@@ -172,6 +172,15 @@ object TextOps {
           .as("rolling_hash")): _*)
   }
 
+  /** Hash-vocabulary token ids: each token maps to
+    * `md5(token)[0:32bits] mod vocabSize` — the deterministic stand-in
+    * for a learned BPE vocabulary (feature hashing), turning chunk text
+    * into the fixed-range int arrays a training loader consumes. Any
+    * engine with md5 reproduces the ids exactly. */
+  def hashTokenIds(textCol: Column, vocabSize: Int): Column =
+    transform(split(textCol, " "), t =>
+      (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % vocabSize).cast("int"))
+
   /** Sliding token-window chunking — the step that turns documents into
     * training sequences: windows of `chunkTokens` tokens starting every
     * `stride` tokens (overlap = chunkTokens − stride). One row per

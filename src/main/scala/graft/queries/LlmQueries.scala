@@ -828,6 +828,23 @@ object LlmQueries {
               |FROM c, LATERAL (SELECT unnest(generate_series(1, len(starts))) AS i)
               |ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    "llm_tokenize_ids" -> Q((s, dir) =>
+      // chunk → fixed-range id arrays (TextOps.hashTokenIds): the
+      // text-to-tensors bridge with a feature-hashed 50257-slot vocab.
+      TextOps.chunk(T(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", chunkTokens = 12, stride = 8)
+        .select(col("doc_id"), col("chunk_id"),
+          TextOps.hashTokenIds(col("chunk_text"), 50257).as("token_ids"))
+        .orderBy("doc_id", "chunk_id"),
+      Some(s"""WITH $toksCte,
+              |c AS (SELECT doc_id, t, range(0, len(t), 8) AS starts FROM toks)
+              |SELECT doc_id, CAST(i - 1 AS INT) AS chunk_id,
+              |  list_transform(t[starts[i] + 1 : starts[i] + 12], tok ->
+              |    CAST(('0x' || substring(md5(tok), 1, 8))::BIGINT % 50257 AS INT))
+              |    AS token_ids
+              |FROM c, LATERAL (SELECT unnest(generate_series(1, len(starts))) AS i)
+              |ORDER BY doc_id, chunk_id""".stripMargin)),
+
     "llm_embed_quantize" -> Q((s, dir) =>
       // Per-vector min-max 8-bit quantization (Similarity.quantize): the
       // 4× storage shrink before ANN indexing. Codes are computed in
