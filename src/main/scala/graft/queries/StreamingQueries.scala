@@ -300,5 +300,53 @@ object StreamingQueries {
       s.table("graft_st3_state").orderBy("user_id")
     }, Some("""SELECT user_id, count(*) AS n_events,
               |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
-              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)))
+              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    "st8_stream_quality_filter" -> Q((s, dir) => {
+      // The LLM ops compose with streaming: qualityFilter is a pure
+      // projection, so it drops into a readStream→writeStream pipeline
+      // unchanged (same code path as batch — no streaming-specific
+      // rewrite). Per-micro-batch the stream scores documents and the
+      // sink aggregates keep/drop counts per first failure reason.
+      val base = tmp("graft_st8")
+      val src = s"$base/in"
+      T(s, dir, "documents").select("doc_id", "text")
+        .write.mode("append").parquet(src)
+      val scored = graft.llm.TextOps.qualityFilter(
+        s.readStream.schema("doc_id BIGINT, text STRING").parquet(src),
+        minTokens = 20, maxPunctRatio = 0.06, minStopwordRatio = 0.05)
+        .select(col("keep"),
+          coalesce(try_element_at(col("fail_reasons"), lit(1)), lit("none"))
+            .as("first_reason"))
+      val q = scored
+        .groupBy("keep", "first_reason").agg(count(lit(1)).as("cnt"))
+        .writeStream
+        .format("memory")
+        .queryName("graft_st8_counts")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_st8_counts").orderBy("keep", "first_reason")
+    }, Some(s"""WITH st AS (SELECT doc_id,
+               |    len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+               |      AS n_tokens,
+               |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) /
+               |      NULLIF(CAST(length(text) AS DOUBLE), 0) AS punct_ratio,
+               |    CAST(len(regexp_extract_all(lower(text),
+               |        '\\b(the|a|an|and|of|to|in|is|it)\\b')) AS DOUBLE) /
+               |      NULLIF(CAST(len(string_split(trim(regexp_replace(lower(text),
+               |        '\\s+', ' ', 'g')), ' ')) AS DOUBLE), 0) AS stopword_ratio
+               |  FROM documents),
+               |r AS (SELECT doc_id, list_filter([
+               |      CASE WHEN n_tokens < 20 THEN 'too_short' END,
+               |      CASE WHEN n_tokens > 100000 THEN 'too_long' END,
+               |      CASE WHEN punct_ratio > 0.06 THEN 'punct_heavy' END,
+               |      CASE WHEN stopword_ratio < 0.05 THEN 'low_stopword' END],
+               |      x -> x IS NOT NULL) AS fail_reasons
+               |  FROM st)
+               |SELECT len(fail_reasons) = 0 AS keep,
+               |  COALESCE(fail_reasons[1], 'none') AS first_reason,
+               |  count(*) AS cnt
+               |FROM r GROUP BY 1, 2 ORDER BY keep, first_reason""".stripMargin)))
 }

@@ -94,6 +94,32 @@ class PlanGuardsSpec extends SparkTestBase {
       s"unused columns not pruned:\n$readSchema")
   }
 
+  test("scan-speed LLM ops plan ZERO exchanges; decontaminate broadcasts eval") {
+    import graft.llm.{Dedup, Splits, TextOps}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // Pure projections: split assignment, mixture filter, quality filter,
+    // chunking — any Exchange here means the 100 TB corpus shuffles for
+    // what should be a scan-speed map.
+    val projections = Seq(
+      Splits.assignSplits(docs.select("doc_id"), "doc_id"),
+      Splits.mixtureSample(docs.select("doc_id", "source"), "doc_id", "source",
+        Map("src0" -> 2500)),
+      TextOps.qualityFilter(docs.select("doc_id", "text")),
+      TextOps.chunk(docs.select("doc_id", "text"), "doc_id", "text", 12, 8))
+    projections.foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"scan-speed op shuffled:\n$plan")
+    }
+    // Decontamination: the eval shingle set must BROADCAST into the
+    // corpus-side semi-join — a sort-merge there shuffles the corpus.
+    val decon = Dedup.decontaminate(docs.filter(col("doc_id") >= 10),
+      docs.filter(col("doc_id") < 10), "doc_id", "text", 5)
+    decon.collect()
+    val plan = decon.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("BroadcastHashJoin.*LeftSemi".r.findFirstIn(plan).isDefined,
+      s"eval shingles must broadcast into the semi-join:\n$plan")
+  }
+
   test("same-bucketed tables sort-merge join with ZERO exchanges (s16 shape)") {
     // The distkey contract: two tables bucketed on the join key with the
     // same bucket count must join without shuffling either side. If a
