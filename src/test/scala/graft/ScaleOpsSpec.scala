@@ -294,4 +294,23 @@ class ScaleOpsSpec extends SparkTestBase {
     val fact = spark.read.table(s"$db.fact_claims")
     assert(fact.count() === counts1("claims"))
   }
+
+  test("connectedComponents scale probe: 10k-node clique forest + a long path") {
+    import graft.llm.Dedup
+    // 2000 disjoint 5-cliques (the near-dup shape: converges in O(1)
+    // rounds regardless of graph size) plus one 30-node path (the
+    // adversarial diameter case maxIter must bound).
+    val cliqueEdges = (0L until 2000L).flatMap { c =>
+      val base = c * 5
+      for (i <- 0 until 5; j <- i + 1 until 5) yield (base + i, base + j)
+    }
+    val pathEdges = (100000L until 100029L).map(i => (i, i + 1))
+    val pairs = (cliqueEdges ++ pathEdges).toDF("id_a", "id_b")
+      .repartition(16)
+    val comps = Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(comps.length === 10030)
+    assert(comps.forall { case (id, c) =>
+      if (id >= 100000L) c === 100000L else c === (id / 5) * 5 })
+  }
 }
