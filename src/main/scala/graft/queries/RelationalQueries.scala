@@ -138,6 +138,25 @@ object RelationalQueries {
               |WHERE o_orderstatus <> 'F' OR o_orderpriority = '1-URGENT'
               |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    "s17_compaction_roundtrip" -> Q((s, dir) => {
+      // Small-file compaction (Tables.compactTable): a table landed as
+      // many tiny files is rewritten to few — the lakehouse maintenance
+      // job that keeps scan task counts sane at 100 TB. The gate proves
+      // content survives the rewrite bit-for-bit (ScaleOpsSpec asserts
+      // the file count actually drops).
+      Tables.ensureDatabase(s, "graft_w")
+      T(s, dir, "lineitem").repartition(32)
+        .write.mode("overwrite").format("parquet").saveAsTable("graft_w.s17_li")
+      Tables.compactTable(s, "graft_w.s17_li", targetPartitions = 2)
+      s.read.table("graft_w.s17_li")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy("l_returnflag")
+    }, Some("""SELECT l_returnflag, count(*) AS cnt,
+              |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     "s16_bucketed_colocated_join" -> Q((s, dir) => {
       // Redshift distkey analog (SURVEY §4): both sides bucketed on the
       // join key at write time, so the fact-dim join reads co-located

@@ -295,6 +295,20 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(fact.count() === counts1("claims"))
   }
 
+  test("compactTable collapses a many-file table without changing content") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_sc")
+    val data = (1L to 5000L).map(i => (i, s"p$i")).toDF("id", "payload")
+    data.repartition(24).write.mode("overwrite")
+      .format("parquet").saveAsTable("graft_sc.cmp")
+    def fileCount = spark.read.table("graft_sc.cmp")
+      .select(input_file_name()).distinct().count()
+    assert(fileCount === 24)
+    Tables.compactTable(spark, "graft_sc.cmp", targetPartitions = 2)
+    assert(fileCount === 2)
+    val back = spark.read.table("graft_sc.cmp").orderBy("id").collect()
+    assert(back.length === 5000 && back.head.getLong(0) === 1L)
+  }
+
   test("connectedComponents scale probe: 10k-node clique forest + a long path") {
     import graft.llm.Dedup
     // 2000 disjoint 5-cliques (the near-dup shape: converges in O(1)
