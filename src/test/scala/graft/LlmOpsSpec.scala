@@ -412,6 +412,23 @@ class LlmOpsSpec extends SparkTestBase {
       (1L, 3, "g", 1), (2L, 0, "x", 1)))
   }
 
+  test("chunk with stride == chunkTokens is a lossless partition of the text") {
+    val out = TextOps.chunk(docs, "doc_id", "text", chunkTokens = 4, stride = 4)
+    // sort_array over (chunk_id, text) structs: collect_list alone does
+    // NOT preserve input order across shuffles.
+    val rebuilt = out.groupBy("doc_id")
+      .agg(expr("""array_join(transform(
+             sort_array(collect_list(struct(chunk_id, chunk_text))),
+             s -> s.chunk_text), ' ')""").as("rebuilt"),
+        sum("n_tokens").as("total_tokens"))
+    val joined = docs.select(col("doc_id"),
+        TextOps.normText(col("text")).as("norm"),
+        size(TextOps.tokens(col("text"))).as("n"))
+      .join(rebuilt, "doc_id")
+    assert(joined.filter(col("rebuilt") =!= col("norm")).count() === 0)
+    assert(joined.filter(col("total_tokens") =!= col("n")).count() === 0)
+  }
+
   test("quantize: 8-bit codes round-trip within half a quantization step") {
     val vecs = Seq((1L, Array(0.0f, 0.5f, 1.0f)), (2L, Array(2.0f, 2.0f, 2.0f)))
       .toDF("vec_id", "embedding")
