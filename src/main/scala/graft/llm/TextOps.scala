@@ -60,6 +60,26 @@ object TextOps {
         when(col("stopword_ratio") < minStopwordRatio, lit("low_stopword")))))
       .withColumn("keep", size(col("fail_reasons")) === 0)
 
+  /** Shard-local sequence packing: chunks stream through each shard in a
+    * total deterministic order and land in bins of `capacity` tokens —
+    * `bin_id = (running-total-before-this-chunk) div capacity`, so a
+    * bin's load exceeds `capacity` by at most one chunk (bounded
+    * overflow, the standard approximation: exact first-fit packing is
+    * inherently sequential). ONE window shuffle on the shard key;
+    * parallelism = shards, and the assignment is a pure function of the
+    * data, reproducible on any engine. `orderCols` must totally order
+    * rows within a shard. */
+  def packSequences(chunks: DataFrame, shardCol: String, orderCols: Seq[String],
+      tokenCol: String, capacity: Int): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(shardCol).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks.withColumn("_cum", sum(col(tokenCol)).over(w))
+      .withColumn("bin_id", expr(s"(_cum - $tokenCol) div $capacity"))
+      .drop("_cum")
+  }
+
   /** Token counting two ways: whitespace tokens and a BPE-ish regex
     * tokenization (letter runs / digit runs / single punctuation marks),
     * the standard cheap proxy for subword token counts. */

@@ -845,6 +845,30 @@ object LlmQueries {
               |FROM c, LATERAL (SELECT unnest(generate_series(1, len(starts))) AS i)
               |ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    "llm_pack_sequences" -> Q((s, dir) =>
+      // Chunks packed into 64-token training bins within 8 hash shards
+      // (TextOps.packSequences): one window shuffle, deterministic
+      // bin ids, overflow bounded by one chunk.
+      TextOps.packSequences(
+          TextOps.chunk(T(s, dir, "documents").select("doc_id", "text"),
+            "doc_id", "text", chunkTokens = 12, stride = 8)
+            .withColumn("shard", pmod(col("doc_id"), lit(8))),
+          "shard", Seq("doc_id", "chunk_id"), "n_tokens", capacity = 64)
+        .select("doc_id", "chunk_id", "shard", "n_tokens", "bin_id")
+        .orderBy("doc_id", "chunk_id"),
+      Some(s"""WITH $toksCte,
+              |c AS (SELECT doc_id, t, range(0, len(t), 8) AS starts FROM toks),
+              |ch AS (SELECT doc_id, CAST(i - 1 AS INT) AS chunk_id,
+              |    doc_id % 8 AS shard,
+              |    CAST(LEAST(12, len(t) - starts[i]) AS INT) AS n_tokens
+              |  FROM c, LATERAL (SELECT unnest(generate_series(1, len(starts))) AS i))
+              |SELECT doc_id, chunk_id, shard, n_tokens,
+              |  CAST((CAST(SUM(n_tokens) OVER (PARTITION BY shard
+              |      ORDER BY doc_id, chunk_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              |    - n_tokens) // 64 AS BIGINT) AS bin_id
+              |FROM ch ORDER BY doc_id, chunk_id""".stripMargin)),
+
     "llm_embed_quantize" -> Q((s, dir) =>
       // Per-vector min-max 8-bit quantization (Similarity.quantize): the
       // 4× storage shrink before ANN indexing. Codes are computed in

@@ -429,6 +429,25 @@ class LlmOpsSpec extends SparkTestBase {
     assert(joined.filter(col("total_tokens") =!= col("n")).count() === 0)
   }
 
+  test("packSequences: bins respect capacity with at most one chunk of overflow") {
+    val chunks = TextOps.chunk(docs, "doc_id", "text", chunkTokens = 4, stride = 4)
+      .withColumn("shard", pmod(col("doc_id"), lit(2)))
+    val packed = TextOps.packSequences(chunks, "shard",
+      Seq("doc_id", "chunk_id"), "n_tokens", capacity = 10)
+    val loads = packed.groupBy("shard", "bin_id")
+      .agg(sum("n_tokens").as("load"), max("n_tokens").as("biggest"))
+      .collect()
+    // load ≤ capacity + biggest-chunk − 1 (bounded overflow), and every
+    // bin except possibly the last per shard is at least capacity-full…
+    // the invariant the div formula guarantees is the upper bound:
+    assert(loads.forall(r => r.getLong(2) <= 10 + r.getInt(3) - 1))
+    // Deterministic across layouts.
+    val again = TextOps.packSequences(chunks.repartition(7), "shard",
+      Seq("doc_id", "chunk_id"), "n_tokens", capacity = 10)
+    assert(packed.orderBy("doc_id", "chunk_id").collect().toSeq ===
+      again.orderBy("doc_id", "chunk_id").collect().toSeq)
+  }
+
   test("quantize: 8-bit codes round-trip within half a quantization step") {
     val vecs = Seq((1L, Array(0.0f, 0.5f, 1.0f)), (2L, Array(2.0f, 2.0f, 2.0f)))
       .toDF("vec_id", "embedding")
