@@ -767,7 +767,10 @@ object LlmQueries {
       TextOps.qualityFilter(T(s, dir, "documents").select("doc_id", "text"),
           minTokens = 20, maxTokens = 100000,
           maxPunctRatio = 0.06, minStopwordRatio = 0.05)
-        .select("doc_id", "n_tokens", "fail_reasons", "keep")
+        // Gate projection stringifies the reason array: the driver's
+        // compare sorts columns in pandas, which cannot hash raw arrays.
+        .select(col("doc_id"), col("n_tokens"),
+          concat_ws(",", col("fail_reasons")).as("fail_reasons"), col("keep"))
         .orderBy("doc_id"),
       Some(s"""WITH st AS (SELECT doc_id,
               |    len(string_split($normSql, ' ')) AS n_tokens,
@@ -786,7 +789,8 @@ object LlmQueries {
               |      CASE WHEN stopword_ratio < 0.05 THEN 'low_stopword' END],
               |      x -> x IS NOT NULL) AS fail_reasons
               |  FROM st)
-              |SELECT doc_id, n_tokens, fail_reasons,
+              |SELECT doc_id, n_tokens,
+              |  coalesce(array_to_string(fail_reasons, ','), '') AS fail_reasons,
               |  len(fail_reasons) = 0 AS keep
               |FROM r ORDER BY doc_id""".stripMargin)),
 
@@ -833,15 +837,19 @@ object LlmQueries {
       // text-to-tensors bridge with a feature-hashed 50257-slot vocab.
       TextOps.chunk(T(s, dir, "documents").select("doc_id", "text"),
           "doc_id", "text", chunkTokens = 12, stride = 8)
+        // Stringified id list in the gate projection (driver compare
+        // cannot hash array cells); the library column stays array<int>.
         .select(col("doc_id"), col("chunk_id"),
-          TextOps.hashTokenIds(col("chunk_text"), 50257).as("token_ids"))
+          concat_ws(",", TextOps.hashTokenIds(col("chunk_text"), 50257)
+            .cast("array<string>")).as("token_ids"))
         .orderBy("doc_id", "chunk_id"),
       Some(s"""WITH $toksCte,
               |c AS (SELECT doc_id, t, range(0, len(t), 8) AS starts FROM toks)
               |SELECT doc_id, CAST(i - 1 AS INT) AS chunk_id,
-              |  list_transform(t[starts[i] + 1 : starts[i] + 12], tok ->
-              |    CAST(('0x' || substring(md5(tok), 1, 8))::BIGINT % 50257 AS INT))
-              |    AS token_ids
+              |  coalesce(array_to_string(
+              |    list_transform(t[starts[i] + 1 : starts[i] + 12], tok ->
+              |      CAST(('0x' || substring(md5(tok), 1, 8))::BIGINT % 50257 AS INT)),
+              |    ','), '') AS token_ids
               |FROM c, LATERAL (SELECT unnest(generate_series(1, len(starts))) AS i)
               |ORDER BY doc_id, chunk_id""".stripMargin)),
 
@@ -874,11 +882,16 @@ object LlmQueries {
       // 4× storage shrink before ANN indexing. Codes are computed in
       // DOUBLE from exact float inputs, so DuckDB reproduces every code.
       Similarity.quantize(T(s, dir, "embeddings").select("vec_id", "embedding"))
+        // Stringified code list in the gate projection (driver compare
+        // cannot hash array cells); the library column stays array<int>.
+        .select(col("vec_id"), col("q_min"), col("q_max"),
+          concat_ws(",", col("codes").cast("array<string>")).as("codes"))
         .orderBy("vec_id"),
       Some("""SELECT vec_id, mn AS q_min, mx AS q_max,
-             |  list_transform(embedding, v -> CAST(coalesce(
-             |    round((CAST(v AS DOUBLE) - mn) / nullif(mx - mn, 0.0) * 255.0),
-             |    0.0) AS INT)) AS codes
+             |  coalesce(array_to_string(
+             |    list_transform(embedding, v -> CAST(coalesce(
+             |      round((CAST(v AS DOUBLE) - mn) / nullif(mx - mn, 0.0) * 255.0),
+             |      0.0) AS INT)), ','), '') AS codes
              |FROM (SELECT vec_id, embedding,
              |    CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
              |    CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS mx

@@ -79,6 +79,16 @@ def schema_problems(spark_schema: pa.Schema, oracle_schema: pa.Schema) -> tuple[
                 fails.append(
                     f"col {name}: {side} output is {f.type} — DECIMAL is "
                     f"hash-unsafe in the driver gate; cast to DOUBLE on both sides")
+            # The driver sorts rows via pandas over all columns; numpy-array
+            # cells raise "unhashable type" there (r5: llm_embed_quantize,
+            # llm_quality_filter, llm_tokenize_ids). Nested outputs must be
+            # stringified (concat_ws / array_to_string) on both sides.
+            if (pa.types.is_list(f.type) or pa.types.is_large_list(f.type)
+                    or pa.types.is_fixed_size_list(f.type)
+                    or pa.types.is_struct(f.type) or pa.types.is_map(f.type)):
+                fails.append(
+                    f"col {name}: {side} output is {f.type} — nested types are "
+                    f"sort-unsafe in the driver gate; stringify on both sides")
         if sf.type != of.type and not (
                 pa.types.is_decimal(sf.type) or pa.types.is_decimal(of.type)):
             warns.append(f"col {name}: type spark={sf.type} oracle={of.type}")
