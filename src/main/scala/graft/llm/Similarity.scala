@@ -158,6 +158,118 @@ object Similarity {
       .select((Seq("query_id", "corpus_id") ++ extraCols ++ Seq("sim", "rank")).map(col): _*)
   }
 
+  /** Euclidean (L2) distance via zip_with + left-fold aggregate — same
+    * accumulation order as [[dot]], so any engine folding left-to-right
+    * reproduces it bit-for-bit. */
+  def l2Dist(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Brute-force L2 top-k (nearest by Euclidean distance) — the second
+    * retrieval modality next to [[bruteForceTopK]]'s cosine; rank fusion
+    * ([[rrfFuse]]) combines the two. Same shape: query side broadcast,
+    * corpus never shuffles. Ties break by corpus id. */
+  def l2TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("corpus_id"), asDoubleVec(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), asDoubleVec(col(vecCol)).as("qv"))
+    val w = Window.partitionBy("query_id").orderBy(col("dist").asc, col("corpus_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"), l2Dist(col("qv"), col("cv")).as("dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Reciprocal-rank fusion of retrieval lists — the standard hybrid-
+    * retrieval combiner (Cormack et al., SIGIR'09): each list contributes
+    * `1/(kConst + rank)` to a (query, doc) pair's score, absent lists
+    * contribute 0. Inputs need columns (query_id, corpus_id, rank).
+    *
+    * Determinism across engines: each contribution is rounded to 12
+    * decimals and SUMMED IN DECIMAL — decimal addition is exact and
+    * order-independent, where a double sum would depend on the
+    * (engine-specific) aggregation order. The fused rank breaks score
+    * ties by corpus id. Cost: one union + one hash aggregate over k·|lists|
+    * rows per query — the lists are top-k prefixes, so this is tiny
+    * relative to retrieval itself. */
+  def rrfFuse(rankings: Seq[DataFrame], kConst: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rankings.nonEmpty, "need at least one ranking")
+    val contrib = rankings
+      .map(_.select(col("query_id"), col("corpus_id"),
+        round(lit(1.0) / (lit(kConst.toDouble) + col("rank").cast("double")), 12)
+          .cast("decimal(18,12)").as("c")))
+      .reduce(_ unionByName _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_dec").desc, col("corpus_id"))
+    contrib.groupBy("query_id", "corpus_id")
+      .agg(sum(col("c")).as("rrf_dec"), count(lit(1)).cast("int").as("n_lists"))
+      .withColumn("fused_rank", row_number().over(w))
+      .select(col("query_id"), col("corpus_id"), col("n_lists"),
+        col("rrf_dec").cast("double").as("rrf_score"), col("fused_rank"))
+  }
+
+  /** Component `i` of random hyperplane `k`: +1 when the first hex nibble
+    * of `md5("k_i")` is odd, else −1 — a Rademacher projection that is a
+    * pure function of (k, i), so any engine with md5 regenerates the
+    * exact same hyperplanes (the DuckDB oracle recomputes the signs in
+    * SQL; no RNG state to ship). */
+  def hyperplaneSign(k: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${k}_$i".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 1) == 1) 1.0 else -1.0
+  }
+
+  /** Sign-random-projection (SimHash-for-vectors, Charikar '02) LSH
+    * signature: bit `k` of the integer signature is set when the
+    * projection of the vector onto deterministic ±1 hyperplane `k`
+    * ([[hyperplaneSign]]) is ≥ 0. P[bits agree] = 1 − θ/π, so Hamming
+    * distance estimates cosine angle — the index-free ANN complement to
+    * IVF: no centroid build, pure per-row projection, ZERO shuffle.
+    * The hyperplane matrix is a driver-side literal (nBits × dim tiny
+    * constants), never a join. */
+  def hyperplaneSig(vecCol: Column, dim: Int, nBits: Int = 16): Column = {
+    require(nBits <= 32, "signature packs into an int/long")
+    val bits = (0 until nBits).map { k =>
+      val h = (0 until dim).map(i => hyperplaneSign(k, i))
+      when(dot(asDoubleVec(vecCol), typedLit(h)) >= 0, lit(1L << k)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Banded-LSH candidate pairs over hyperplane signatures: the `nBits`
+    * signature splits into `nBits/bandBits` bands; vectors meet when any
+    * band agrees EXACTLY (the classic OR-of-ANDs amplification), then
+    * survivors are verified by full-signature Hamming distance ≤
+    * `maxHamming` — `bit_count(xor)`, both codegen'd built-ins. Reuses
+    * [[Dedup.candidatePairs]]'s single-aggregation bucket expansion
+    * (no self-join of the signature lineage, no persist): one shuffle
+    * of the tiny (id, band, value) frame, Σ bucket² pair output —
+    * never all-pairs. */
+  def hyperplanePairs(sigs: DataFrame, idCol: String, sigCol: String,
+      nBits: Int = 16, bandBits: Int = 4, maxHamming: Int = 4): DataFrame = {
+    require(nBits % bandBits == 0, "bandBits must divide nBits")
+    val nBands = nBits / bandBits
+    val mask = (1L << bandBits) - 1
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col(sigCol), b * bandBits).bitwiseAND(lit(mask))
+          .cast("string").as("band_hash"))
+    }
+    val bands = sigs.select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+    val pairs = Dedup.candidatePairs(bands, idCol)
+    val sigLookup = sigs.select(col(idCol), col(sigCol))
+    pairs
+      .join(sigLookup.select(col(idCol).as("id_a"), col(sigCol).as("_sig_a")), "id_a")
+      .join(sigLookup.select(col(idCol).as("id_b"), col(sigCol).as("_sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("_sig_a").bitwiseXOR(col("_sig_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Per-vector min-max scalar quantization to 8-bit codes — the storage
     * path for ANN at scale: a 4-byte float becomes a 1-byte code plus two
     * per-vector doubles, a 4× shrink of the dominant column before the

@@ -177,6 +177,85 @@ object TextOps {
       .filter(col("rnk") <= k)
   }
 
+  /** BM25 top-`k` document retrieval for a fixed query term set — the
+    * lexical-retrieval standard (Robertson/Spärck Jones) a training
+    * pipeline uses for corpus search and hybrid (RRF) retrieval next to
+    * embedding ANN.
+    *
+    * Scale shape: tokens explode once, the isin(queryTerms) filter drops
+    * the non-query token stream BEFORE any shuffle, per-(doc, term)
+    * counts hash-aggregate map-side, document frequency comes from a
+    * window over `term` (no self-join re-running the explode), and the
+    * 2-value corpus stats frame (N, Σdl) broadcasts. Final top-k is
+    * `orderBy(...).limit(k)` — TakeOrderedAndProject, per-partition
+    * heaps + one driver merge of k rows, NOT a single-partition window.
+    *
+    * Engine determinism: idf and the tf saturation are doubles derived
+    * from exact integers through one fixed expression shape (mirrored
+    * verbatim in the DuckDB oracle), and the per-doc score SUMS the
+    * 12-dp-rounded term scores IN DECIMAL — exact, order-independent
+    * addition, where double summation order differs between engines.
+    * Score ties break by document id. */
+  def bm25TopDocs(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withDl = df.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), size(col("_toks")).as("dl"), col("_toks"))
+    val stats = withDl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tf = withDl
+      .select(col(idCol), col("dl"), explode(col("_toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("term")))
+    // Expression shape mirrored exactly by the oracle: every constant is
+    // combined as a COLUMN op so both engines do the same double steps.
+    val scored = withDf.crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf", log(
+        (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("tscore",
+        col("idf") * (col("tf") * (lit(k1) + lit(1.0))) /
+          (col("tf") + lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * col("dl") / col("avgdl"))))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_terms_hit"),
+        sum(round(col("tscore"), 12).cast("decimal(28,14)")).as("_score_dec"))
+      .orderBy(col("_score_dec").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("n_terms_hit"),
+        col("_score_dec").cast("double").as("bm25_score"))
+  }
+
+  /** Per-document unigram token entropy (nats) — the information-density
+    * quality signal: near-zero entropy flags single-token spam,
+    * log(n_distinct)-saturating entropy flags natural text. H =
+    * Σ (c/n)·ln(n/c) over per-token counts. Two shuffles on the SAME doc
+    * key (per-(doc, token) counts, then the per-doc rollup; the window
+    * supplying `n` shares the second's partitioning). Each term is a
+    * double derived from two exact integers via identical operations in
+    * both engines, rounded to 12 dp and SUMMED IN DECIMAL — exact
+    * order-independent addition (a double Σ would vary with aggregation
+    * order). */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+    counts
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(idCol)))
+      .groupBy(col(idCol))
+      .agg(max(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(round((col("c") / col("n")) * log(col("n") / col("c")), 12)
+          .cast("decimal(28,14)")).as("_ent_dec"))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        col("_ent_dec").cast("double").as("entropy"))
+  }
+
   /** Document fingerprints: full-content MD5, a min-token hash (1-wide
     * MinHash), and a rolling chained hash over the token stream (order
     * sensitive, so re-ordered documents get distinct prints). All pure

@@ -76,6 +76,29 @@ object LlmQueries {
     s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (x, y) -> x + y)"
   private def simSql(a: String, b: String) =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+  private def l2Sql(a: String, b: String) =
+    s"sqrt(list_reduce(list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y))"
+
+  // Sign-random-projection signatures re-derived end-to-end in SQL:
+  // the ±1 hyperplanes come from the same md5 parity as
+  // Similarity.hyperplaneSign, so the oracle verifies the full
+  // derivation, not Scala-precomputed constants. Ends in
+  // rps(vec_id, rp_sig).
+  private val rpsCtes: String = {
+    val odd = "('1','3','5','7','9','b','d','f')"
+    s"""v AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings),
+       |hp AS (SELECT k, list_transform(range(0, 64), i ->
+       |    CASE WHEN substring(md5(CAST(k AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)
+       |      IN $odd THEN 1.0 ELSE -1.0 END) AS h
+       |  FROM (SELECT unnest(range(0, 16)) AS k)),
+       |proj AS (SELECT v.vec_id, hp.k, ${dotSql("v.vv", "hp.h")} AS p
+       |  FROM v CROSS JOIN hp),
+       |rps AS (SELECT vec_id,
+       |    CAST(SUM(CASE WHEN p >= 0 THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS BIGINT)
+       |      AS rp_sig
+       |  FROM proj GROUP BY vec_id)""".stripMargin
+  }
 
   val defs: Seq[(String, Q)] = Seq(
 
@@ -912,6 +935,146 @@ object LlmQueries {
              |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
              |      AS bucket FROM documents)
              |ORDER BY doc_id""".stripMargin)),
+
+    // ----- sign-random-projection LSH (hyperplane / SimHash-for-vectors) -
+    "llm_hyperplane_sig" -> Q((s, dir) =>
+      // 16-bit sign-of-projection signature per embedding
+      // (Similarity.hyperplaneSig): the index-free ANN signature — pure
+      // projection, zero shuffle, hyperplanes re-derived from md5 parity
+      // independently by the oracle.
+      T(s, dir, "embeddings")
+        .select(col("vec_id"),
+          Similarity.hyperplaneSig(col("embedding"), 64, 16).as("rp_sig"))
+        .orderBy("vec_id"),
+      Some(s"""WITH $rpsCtes
+              |SELECT vec_id, rp_sig FROM rps ORDER BY vec_id""".stripMargin)),
+
+    "llm_hyperplane_pairs" -> Q((s, dir) => {
+      // Banded-LSH candidates over the hyperplane signatures (any 4-bit
+      // band agrees exactly), verified by full-signature Hamming ≤ 6 —
+      // bit_count(xor), codegen'd. Same single-aggregation bucket
+      // expansion as the MinHash pipeline: never all-pairs.
+      val sigs = T(s, dir, "embeddings")
+        .select(col("vec_id"),
+          Similarity.hyperplaneSig(col("embedding"), 64, 16).as("rp_sig"))
+      Similarity.hyperplanePairs(sigs, "vec_id", "rp_sig", 16, 4, 6)
+        .orderBy("id_a", "id_b")
+    }, Some(s"""WITH $rpsCtes,
+               |bands AS (SELECT vec_id, b, (rp_sig >> (b * 4)) & 15 AS bv
+               |  FROM rps, (SELECT unnest(range(0, 4)) AS b)),
+               |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+               |  FROM bands x JOIN bands y
+               |    ON x.b = y.b AND x.bv = y.bv AND x.vec_id < y.vec_id)
+               |SELECT c.id_a, c.id_b,
+               |  CAST(bit_count(xor(a.rp_sig, b.rp_sig)) AS INT) AS hamming
+               |FROM cand c
+               |JOIN rps a ON a.vec_id = c.id_a
+               |JOIN rps b ON b.vec_id = c.id_b
+               |WHERE bit_count(xor(a.rp_sig, b.rp_sig)) <= 6
+               |ORDER BY id_a, id_b""".stripMargin), bench = true),
+
+    // ----- hybrid retrieval: BM25 + reciprocal-rank fusion ---------------
+    "llm_bm25_topk" -> Q((s, dir) =>
+      // BM25 top-20 for a fixed query term set (TextOps.bm25TopDocs):
+      // lexical retrieval with corpus stats broadcast and top-k via
+      // TakeOrderedAndProject, never a single-partition window. Scores
+      // sum 12-dp-rounded term scores in DECIMAL (order-independent);
+      // the oracle mirrors the exact expression shape.
+      TextOps.bm25TopDocs(T(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", Seq("hash", "join", "vector", "stream"), 20)
+        .orderBy(col("bm25_score").desc, col("doc_id")),
+      Some(s"""WITH $toksCte,
+              |dls AS (SELECT doc_id, len(t) AS dl FROM toks),
+              |stats AS (SELECT count(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+              |  FROM dls),
+              |tf AS (SELECT doc_id, term, count(*) AS tf
+              |  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+              |  WHERE term IN ('hash', 'join', 'vector', 'stream')
+              |  GROUP BY doc_id, term),
+              |tfd AS (SELECT f.doc_id, f.term, f.tf, d.dl
+              |  FROM tf f JOIN dls d USING (doc_id)),
+              |wdf AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tfd),
+              |scored AS (SELECT doc_id,
+              |    ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+              |      * (tf * (1.2 + 1.0))
+              |      / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl
+              |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS tscore
+              |  FROM wdf CROSS JOIN stats),
+              |agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_terms_hit,
+              |    SUM(CAST(round(tscore, 12) AS DECIMAL(28,14))) AS sd
+              |  FROM scored GROUP BY doc_id)
+              |SELECT doc_id, n_terms_hit, CAST(sd AS DOUBLE) AS bm25_score
+              |FROM agg ORDER BY sd DESC, doc_id LIMIT 20""".stripMargin),
+      bench = true),
+
+    "llm_rrf_fusion" -> Q((s, dir) => {
+      // Hybrid retrieval: cosine top-5 and L2 top-5 lists fused by
+      // reciprocal rank (Similarity.rrfFuse) — contributions rounded to
+      // 12 dp and summed in DECIMAL so the fused order is
+      // engine-identical. Both input lists reuse the broadcast-query /
+      // corpus-never-shuffles retrieval shape.
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      val cos = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+        .select("query_id", "corpus_id", "rank")
+      val l2 = Similarity.l2TopK(emb, queries, "vec_id", "embedding", 5)
+        .select("query_id", "corpus_id", "rank")
+      Similarity.rrfFuse(Seq(cos, l2), 60)
+        .orderBy("query_id", "fused_rank")
+    }, Some({
+      s"""WITH v AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, vv AS qv FROM v WHERE vec_id < 10),
+         |cos_pairs AS (
+         |  SELECT q.query_id, c.vec_id AS corpus_id, ${simSql("q.qv", "c.vv")} AS sim
+         |  FROM v c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+         |cos_top AS (SELECT query_id, corpus_id, rnk FROM (
+         |  SELECT query_id, corpus_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS rnk
+         |  FROM cos_pairs) WHERE rnk <= 5),
+         |l2_pairs AS (
+         |  SELECT q.query_id, c.vec_id AS corpus_id, ${l2Sql("q.qv", "c.vv")} AS dist
+         |  FROM v c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+         |l2_top AS (SELECT query_id, corpus_id, rnk FROM (
+         |  SELECT query_id, corpus_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, corpus_id) AS rnk
+         |  FROM l2_pairs) WHERE rnk <= 5),
+         |contrib AS (
+         |  SELECT query_id, corpus_id,
+         |    CAST(round(1.0 / (60.0 + CAST(rnk AS DOUBLE)), 12) AS DECIMAL(18,12)) AS c
+         |  FROM cos_top
+         |  UNION ALL
+         |  SELECT query_id, corpus_id,
+         |    CAST(round(1.0 / (60.0 + CAST(rnk AS DOUBLE)), 12) AS DECIMAL(18,12)) AS c
+         |  FROM l2_top),
+         |fused AS (SELECT query_id, corpus_id,
+         |    CAST(count(*) AS INT) AS n_lists, SUM(c) AS rrf_dec
+         |  FROM contrib GROUP BY query_id, corpus_id)
+         |SELECT query_id, corpus_id, n_lists,
+         |  CAST(rrf_dec AS DOUBLE) AS rrf_score,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_dec DESC, corpus_id) AS INT) AS fused_rank
+         |FROM fused ORDER BY query_id, fused_rank""".stripMargin
+    })),
+
+    // ----- token entropy (information-density quality signal) ------------
+    "llm_token_entropy" -> Q((s, dir) =>
+      // Per-doc unigram entropy in nats (TextOps.tokenEntropy): each
+      // (c/n)·ln(n/c) term is an engine-identical double, rounded to
+      // 12 dp and summed in DECIMAL — exact, order-independent.
+      TextOps.tokenEntropy(T(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH $toksCte,
+              |tc AS (SELECT doc_id, tok, count(*) AS c
+              |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+              |  WHERE tok <> '' GROUP BY doc_id, tok),
+              |wn AS (SELECT *, SUM(c) OVER (PARTITION BY doc_id) AS n FROM tc)
+              |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+              |  count(*) AS n_distinct,
+              |  CAST(SUM(CAST(round((c / n) * ln(n / c), 12) AS DECIMAL(28,14)))
+              |    AS DOUBLE) AS entropy
+              |FROM wn GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     "llm_stratified_sample" -> Q((s, dir) =>
       // Class-balance cap: at most 20 docs per language, drawn by hash

@@ -472,4 +472,65 @@ class LlmOpsSpec extends SparkTestBase {
     val again = Splits.stratifiedCap(rows.repartition(7), Seq("grp"), "id", 10)
     assert(capped.orderBy("id").collect().toSeq === again.orderBy("id").collect().toSeq)
   }
+
+  test("hyperplaneSig: 16 bits, equal vectors collide, negation flips every bit") {
+    val rnd = new scala.util.Random(7)
+    val v = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+    val vecs = Seq((1L, v), (2L, v), (3L, v.map(-_)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), Similarity.hyperplaneSig(col("embedding"), 8, 16).as("sig"))
+    val sigs = vecs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sigs.values.foreach(s => assert(s >= 0L && s <= 0xFFFFL))
+    assert(sigs(1L) === sigs(2L))
+    // Negating the vector flips every projection sign (none are exactly
+    // 0 for random data), so the signatures are bitwise complements.
+    assert((sigs(1L) ^ sigs(3L)) === 0xFFFFL)
+  }
+
+  test("hyperplanePairs: exact duplicates pair at Hamming 0, ids ordered") {
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(8)(rnd.nextFloat())
+    val vecs = (Seq((1L, base), (2L, base)) ++
+      (3L to 20L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))))
+      .toDF("vec_id", "embedding")
+    val sigs = vecs.select(col("vec_id"),
+      Similarity.hyperplaneSig(col("embedding"), 8, 16).as("rp_sig"))
+    val pairs = Similarity.hyperplanePairs(sigs, "vec_id", "rp_sig", 16, 4, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
+    assert(pairs.forall { case (a, b, _) => a < b })
+  }
+
+  test("bm25: query-term docs rank by saturated tf, absent docs drop out") {
+    val corpus = Seq(
+      (1L, "spark spark spark query engine"), // tf(spark)=3
+      (2L, "spark query engine planning xyz"), // tf(spark)=1
+      (3L, "nothing relevant here at all")) // no query terms
+      .toDF("doc_id", "text")
+    val top = TextOps.bm25TopDocs(corpus, "doc_id", "text", Seq("spark"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(!top.contains(3L)) // docs with zero hits never score
+    assert(top(1L) > top(2L)) // higher tf wins at equal dl
+    // k1 saturation: tripling tf must NOT triple the score.
+    assert(top(1L) < 3 * top(2L))
+  }
+
+  test("rrfFuse: agreement across lists beats a single first place") {
+    val cos = Seq((0L, 10L, 1), (0L, 11L, 2)).toDF("query_id", "corpus_id", "rank")
+    val l2 = Seq((0L, 11L, 1), (0L, 12L, 2)).toDF("query_id", "corpus_id", "rank")
+    val fused = Similarity.rrfFuse(Seq(cos, l2))
+      .collect().map(r => r.getLong(1) -> (r.getInt(2), r.getInt(4))).toMap
+    // 11 appears in both lists (1/62 + 1/61) > 10's single 1/61.
+    assert(fused(11L)._2 === 1)
+    assert(fused(11L)._1 === 2) // n_lists
+    assert(fused(10L)._1 === 1)
+  }
+
+  test("tokenEntropy: zero for constant docs, ln(k) for uniform docs") {
+    val d = Seq((1L, "a a a a"), (2L, "a b c d")).toDF("doc_id", "text")
+    val ent = TextOps.tokenEntropy(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(math.abs(ent(1L)) < 1e-9)
+    assert(math.abs(ent(2L) - math.log(4)) < 1e-9)
+  }
 }

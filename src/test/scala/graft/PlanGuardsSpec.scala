@@ -120,6 +120,30 @@ class PlanGuardsSpec extends SparkTestBase {
       s"eval shingles must broadcast into the semi-join:\n$plan")
   }
 
+  test("hyperplane signatures plan zero exchanges; bm25 top-k plans a TakeOrdered") {
+    import graft.llm.{Similarity, TextOps}
+    // Signature computation is the index-free ANN selling point: a pure
+    // per-row projection. Any Exchange means the 100 TB corpus shuffles
+    // to compute what is a scan-speed map.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val sigs = emb.select(col("vec_id"),
+      Similarity.hyperplaneSig(col("embedding"), 64, 16).as("rp_sig"))
+    val sigPlan = sigs.queryExecution.executedPlan.toString
+    assert(!sigPlan.contains("Exchange"), s"signature projection shuffled:\n$sigPlan")
+    // BM25's global top-k must be TakeOrderedAndProject (per-partition
+    // heaps + driver merge of k rows), never a 1-partition window sort.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val top = TextOps.bm25TopDocs(docs.select("doc_id", "text"),
+      "doc_id", "text", Seq("hash", "join"), 10)
+    val topPlan = top.queryExecution.executedPlan.toString
+    assert(topPlan.contains("TakeOrderedAndProject"),
+      s"global top-k must use TakeOrderedAndProject:\n$topPlan")
+    // The df window is fine (partitioned by term); what must NOT appear
+    // is a partition-less window doing the global ranking.
+    assert(!topPlan.contains("windowspecdefinition(specifiedwindowframe"),
+      s"partition-less window in top-k path:\n$topPlan")
+  }
+
   test("same-bucketed tables sort-merge join with ZERO exchanges (s16 shape)") {
     // The distkey contract: two tables bucketed on the join key with the
     // same bucket count must join without shuffling either side. If a
