@@ -256,6 +256,74 @@ object TextOps {
         col("_ent_dec").cast("double").as("entropy"))
   }
 
+  /** Segment-level dedup (the line/paragraph dedup of RefinedWeb/CCNet,
+    * expressed over [[chunk]] windows): a segment survives only in its
+    * FIRST occurrence across the corpus — min (doc, position) per
+    * distinct segment text — and each document reports how much of it
+    * survived. Boilerplate (headers, navigation, license blocks) repeats
+    * across millions of documents; whole-document dedup never sees it.
+    *
+    * One shuffle, keyed on the segment HASH (md5), not the raw text —
+    * at 100 TB the exchange carries 32-byte keys instead of kilobyte
+    * segments. First-occurrence pick is a window row_number over
+    * (doc, chunk) — deterministic total order, no arbitrary
+    * dropDuplicates survivor. The doc-level rollup groups on the doc
+    * key. Returns one row per doc: n_chunks, n_kept, kept_frac, and the
+    * surviving text reassembled in position order. */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = chunk(df, idCol, textCol, chunkTokens, chunkTokens)
+    val w = Window.partitionBy(md5(col("chunk_text")))
+      .orderBy(col(idCol), col("chunk_id"))
+    chunks
+      .withColumn("_rn", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_chunks"),
+        sum(when(col("_rn") === 1, 1).otherwise(0)).cast("int").as("n_kept"),
+        concat_ws(" ", sort_array(collect_list(
+          when(col("_rn") === 1,
+            struct(col("chunk_id"), col("chunk_text")))))
+          .getField("chunk_text")).as("kept_text"))
+      .withColumn("kept_frac",
+        col("n_kept").cast("double") / col("n_chunks").cast("double"))
+  }
+
+  /** Per-document cross-entropy under the corpus unigram LM (nats/token)
+    * — the CCNet-style statistical quality score: documents far from the
+    * corpus distribution (gibberish, boilerplate, wrong language) score
+    * high. `ce = (1/n) Σ_tokens ln(T / cnt(token))` where `cnt` is the
+    * corpus frequency of the token and `T` the corpus token total, so
+    * every token's surprisal is a double derived from two exact
+    * integers.
+    *
+    * Scale shape: corpus counts are ONE map-side-combinable aggregate;
+    * the per-token join is keyed on the term — the vocabulary is tiny
+    * relative to the corpus (Heaps' law), so at scale the count frame
+    * broadcasts and the token stream never shuffles (hinted here). The
+    * 2-value totals frame broadcasts. Surprisals round to 12 dp and SUM
+    * IN DECIMAL (order-independent); the mean divides the exact sum by
+    * the exact count in double — one correctly-rounded op, engine-
+    * identical. */
+  def unigramCrossEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val counts = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum("cnt").as("t_total"))
+    toks
+      .join(broadcast(counts), "term")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        round(log(col("t_total").cast("double") / col("cnt").cast("double")), 12)
+          .cast("decimal(28,14)").as("_surprisal"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_surprisal")).as("_sum"))
+      .select(col(idCol), col("n_tokens"),
+        (col("_sum").cast("double") / col("n_tokens").cast("double"))
+          .as("cross_entropy"))
+  }
+
   /** Document fingerprints: full-content MD5, a min-token hash (1-wide
     * MinHash), and a rolling chained hash over the token stream (order
     * sensitive, so re-ordered documents get distinct prints). All pure

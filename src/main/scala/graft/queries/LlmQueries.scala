@@ -1076,6 +1076,50 @@ object LlmQueries {
               |    AS DOUBLE) AS entropy
               |FROM wn GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ----- sub-document dedup + statistical quality ----------------------
+    "llm_segment_dedup" -> Q((s, dir) =>
+      // Segment-level dedup (TextOps.segmentDedup): 12-token segments
+      // survive only at their first (doc, position) occurrence — the
+      // boilerplate killer whole-document dedup can't see. Shuffle keys
+      // are segment md5s, not raw text.
+      TextOps.segmentDedup(T(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", chunkTokens = 12)
+        .orderBy("doc_id"),
+      Some(s"""WITH $toksCte,
+              |c AS (SELECT doc_id, t, range(0, len(t), 12) AS starts FROM toks),
+              |ch AS (SELECT doc_id, CAST(i - 1 AS INT) AS chunk_id,
+              |    array_to_string(t[starts[i] + 1 : starts[i] + 12], ' ') AS chunk_text
+              |  FROM c, LATERAL (SELECT unnest(generate_series(1, len(starts))) AS i)),
+              |rn AS (SELECT *, row_number() OVER (PARTITION BY md5(chunk_text)
+              |    ORDER BY doc_id, chunk_id) AS rn FROM ch)
+              |SELECT doc_id, CAST(count(*) AS INT) AS n_chunks,
+              |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+              |  coalesce(string_agg(chunk_text, ' ' ORDER BY chunk_id)
+              |    FILTER (WHERE rn = 1), '') AS kept_text,
+              |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              |    / CAST(count(*) AS DOUBLE) AS kept_frac
+              |FROM rn GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    "llm_unigram_ppl" -> Q((s, dir) =>
+      // CCNet-style statistical quality: per-doc cross-entropy under the
+      // corpus unigram LM (TextOps.unigramCrossEntropy). Counts frame
+      // broadcasts (vocab ≪ corpus); surprisals sum in DECIMAL.
+      TextOps.unigramCrossEntropy(
+          T(s, dir, "documents").select("doc_id", "text"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH $toksCte,
+              |tkf AS (SELECT doc_id, term FROM
+              |  (SELECT doc_id, unnest(t) AS term FROM toks) WHERE term <> ''),
+              |cnts AS (SELECT term, count(*) AS cnt FROM tkf GROUP BY term),
+              |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t_total FROM cnts),
+              |sp AS (SELECT doc_id,
+              |    CAST(round(ln(CAST(t_total AS DOUBLE) / CAST(cnt AS DOUBLE)), 12)
+              |      AS DECIMAL(28,14)) AS s
+              |  FROM tkf JOIN cnts USING (term) CROSS JOIN tot)
+              |SELECT doc_id, count(*) AS n_tokens,
+              |  CAST(SUM(s) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS cross_entropy
+              |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     "llm_stratified_sample" -> Q((s, dir) =>
       // Class-balance cap: at most 20 docs per language, drawn by hash
       // order (Splits.stratifiedCap) — deterministic, so both engines

@@ -526,6 +526,30 @@ class LlmOpsSpec extends SparkTestBase {
     assert(fused(10L)._1 === 1)
   }
 
+  test("segmentDedup: repeated segment survives only at first occurrence") {
+    // Doc 1 and 2 share their first 3-token segment; doc 2's copy drops.
+    val d = Seq(
+      (1L, "a b c x y z"),
+      (2L, "a b c q r s"),
+      (3L, "u v w")).toDF("doc_id", "text")
+    val out = TextOps.segmentDedup(d, "doc_id", "text", chunkTokens = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3), r.getDouble(4))).toMap
+    assert(out(1L) === ((2, 2, "a b c x y z", 1.0)))
+    assert(out(2L) === ((2, 1, "q r s", 0.5))) // shared segment dropped
+    assert(out(3L) === ((1, 1, "u v w", 1.0)))
+  }
+
+  test("unigramCrossEntropy: common-token docs score below rare-token docs") {
+    val d = Seq((1L, "a a a"), (2L, "b c d")).toDF("doc_id", "text")
+    // T=6; cnt(a)=3, cnt(b)=cnt(c)=cnt(d)=1.
+    val ce = TextOps.unigramCrossEntropy(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(ce(1L) - math.log(2)) < 1e-9)
+    assert(math.abs(ce(2L) - math.log(6)) < 1e-9)
+    assert(ce(1L) < ce(2L))
+  }
+
   test("tokenEntropy: zero for constant docs, ln(k) for uniform docs") {
     val d = Seq((1L, "a a a a"), (2L, "a b c d")).toDF("doc_id", "text")
     val ent = TextOps.tokenEntropy(d, "doc_id", "text")
