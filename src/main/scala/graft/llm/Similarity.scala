@@ -158,10 +158,16 @@ object Similarity {
       .select((Seq("query_id", "corpus_id") ++ extraCols ++ Seq("sim", "rank")).map(col): _*)
   }
 
-  /** Euclidean (L2) distance via zip_with + left-fold aggregate — same
-    * accumulation order as [[dot]], so any engine folding left-to-right
-    * reproduces it bit-for-bit. */
-  def l2Dist(a: Column, b: Column): Column =
+  /** Euclidean (L2) distance — the native fused expression
+    * ([[graft.plans.EuclideanDistance]]): one allocation-free pass in
+    * whole-stage codegen, bit-identical to the HOF fold (same
+    * accumulation order; equivalence-tested in SimilaritySpec). */
+  def l2Dist(a: Column, b: Column): Column = graft.plans.EuclideanDistance(a, b)
+
+  /** The composed-HOF formulation, kept as the reference semantics the
+    * fused expression must match. Same left-fold order as [[dot]], so
+    * any engine folding left-to-right reproduces it bit-for-bit. */
+  def l2DistHof(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x))
 

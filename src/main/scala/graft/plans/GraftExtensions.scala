@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
     ext.injectFunction((
+      new FunctionIdentifier("euclidean_distance"),
+      new ExpressionInfo(classOf[EuclideanDistance].getName, "euclidean_distance"),
+      (exprs: Seq[Expression]) => EuclideanDistance(exprs.head, exprs(1))))
+    ext.injectFunction((
       new FunctionIdentifier("jaccard_sorted"),
       new ExpressionInfo(classOf[SortedJaccard].getName, "jaccard_sorted"),
       (exprs: Seq[Expression]) => SortedJaccard(exprs.head, exprs(1))))

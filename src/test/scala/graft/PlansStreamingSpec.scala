@@ -26,6 +26,21 @@ class PlansStreamingSpec extends SparkTestBase {
     assert(diff === 0) // exact double equality, not approximate
   }
 
+  test("fused EuclideanDistance is bit-identical to the HOF formulation") {
+    val r = new scala.util.Random(13)
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Array.fill(64)(r.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val v = vecs.select(col("vec_id"), Similarity.asDoubleVec(col("embedding")).as("v"))
+    val pairs = v.alias("a").join(v.alias("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        graft.plans.EuclideanDistance(col("a.v"), col("b.v")).as("fused"),
+        Similarity.l2DistHof(col("a.v"), col("b.v")).as("hof"))
+    assert(pairs.filter(col("fused") =!= col("hof")).count() === 0)
+    // Identity: distance to self is exactly 0.
+    val self = v.select(graft.plans.EuclideanDistance(col("v"), col("v")).as("d"))
+    assert(self.filter(col("d") =!= 0.0).count() === 0)
+  }
+
   test("fused SortedJaccard equals the built-in intersect/union composition") {
     val r = new scala.util.Random(11)
     val words = (0 until 40).map(i => s"w$i")
