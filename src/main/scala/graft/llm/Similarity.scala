@@ -235,25 +235,36 @@ object Similarity {
     * distance estimates cosine angle — the index-free ANN complement to
     * IVF: no centroid build, pure per-row projection, ZERO shuffle.
     * The hyperplane matrix is a driver-side literal (nBits × dim tiny
-    * constants), never a join. */
+    * constants), never a join.
+    *
+    * `dim` MUST equal the actual vector length: `zip_with` pads a
+    * shorter side with null, which would turn every projection NULL and
+    * emit all-zero signatures silently. A row-level `assert_true` guard
+    * makes that misconfiguration fail loudly instead. */
   def hyperplaneSig(vecCol: Column, dim: Int, nBits: Int = 16): Column = {
     require(nBits <= 32, "signature packs into an int/long")
     val bits = (0 until nBits).map { k =>
       val h = (0 until dim).map(i => hyperplaneSign(k, i))
       when(dot(asDoubleVec(vecCol), typedLit(h)) >= 0, lit(1L << k)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    val dimGuard = assert_true(size(vecCol) === dim,
+      concat(lit(s"hyperplaneSig: dim=$dim but vector has "),
+        size(vecCol).cast("string"), lit(" elements")))
+    bits.reduce(_ + _) + coalesce(dimGuard.cast("long"), lit(0L))
   }
 
   /** Banded-LSH candidate pairs over hyperplane signatures: the `nBits`
     * signature splits into `nBits/bandBits` bands; vectors meet when any
     * band agrees EXACTLY (the classic OR-of-ANDs amplification), then
     * survivors are verified by full-signature Hamming distance ≤
-    * `maxHamming` — `bit_count(xor)`, both codegen'd built-ins. Reuses
-    * [[Dedup.candidatePairs]]'s single-aggregation bucket expansion
-    * (no self-join of the signature lineage, no persist): one shuffle
-    * of the tiny (id, band, value) frame, Σ bucket² pair output —
-    * never all-pairs. */
+    * `maxHamming` — `bit_count(xor)`, both codegen'd built-ins. Uses the
+    * same single-aggregation bucket expansion as
+    * [[Dedup.candidatePairs]], but carries the full signature INTO the
+    * bucket structs, so verification is inline on the expanded pair —
+    * the `sigs` lineage (and the 16×dim dot-product projection feeding
+    * it) is evaluated exactly ONCE, with one shuffle of the tiny
+    * (id, sig, band, value) frame and Σ bucket² pair output — never
+    * all-pairs, no re-join, no persist. */
   def hyperplanePairs(sigs: DataFrame, idCol: String, sigCol: String,
       nBits: Int = 16, bandBits: Int = 4, maxHamming: Int = 4): DataFrame = {
     require(nBits % bandBits == 0, "bandBits must divide nBits")
@@ -264,16 +275,26 @@ object Similarity {
         shiftright(col(sigCol), b * bandBits).bitwiseAND(lit(mask))
           .cast("string").as("band_hash"))
     }
-    val bands = sigs.select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
-    val pairs = Dedup.candidatePairs(bands, idCol)
-    val sigLookup = sigs.select(col(idCol), col(sigCol))
-    pairs
-      .join(sigLookup.select(col(idCol).as("id_a"), col(sigCol).as("_sig_a")), "id_a")
-      .join(sigLookup.select(col(idCol).as("id_b"), col(sigCol).as("_sig_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("_sig_a").bitwiseXOR(col("_sig_b"))).as("hamming"))
+    val bands = sigs
+      .select(col(idCol), col(sigCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col(sigCol),
+        col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+    // sort_array on struct(id, sig) orders by id first → id_a < id_b,
+    // matching Dedup.candidatePairs' pair canonicalization.
+    bands.groupBy("band", "band_hash")
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col(sigCol).as("sig"))))
+        .as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ms,
+          |  (a, i) -> transform(slice(ms, i + 2, size(ms)),
+          |            b -> struct(a.id AS id_a, b.id AS id_b,
+          |                        a.sig AS sig_a, b.sig AS sig_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"),
+        bit_count(col("p.sig_a").bitwiseXOR(col("p.sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Per-vector min-max scalar quantization to 8-bit codes — the storage

@@ -17,10 +17,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * [[CosineSimilarity]], which the L2 retrieval leg of hybrid search
   * ([[graft.llm.Similarity.l2TopK]]) pairs with.
   *
-  * Float-semantics note: accumulation is the same left-to-right order
-  * with a 0.0 seed as the HOF fold, so results are bit-identical to the
-  * composed version (equivalence-asserted in SimilaritySpec) and to the
-  * DuckDB oracle's `list_reduce`.
+  * Float-semantics note: for equal-length arrays of non-null elements,
+  * accumulation is the same left-to-right order with a 0.0 seed as the
+  * HOF fold, so results are bit-identical to the composed version
+  * (equivalence-asserted in SimilaritySpec) and to the DuckDB oracle's
+  * `list_reduce`.
+  *
+  * Input convention (same as [[CosineSimilarity]]): arrays of UNEQUAL
+  * length are folded over the common prefix (`min(len)`), whereas the
+  * HOF `zip_with` pads the short side with null and returns NULL — the
+  * two formulations intentionally diverge there. Null ELEMENTS are not
+  * supported: `getDouble` on a null slot is undefined. All engine
+  * callers ([[graft.llm.Similarity]]) produce fixed-dimension,
+  * containsNull=false embedding columns, which is the supported domain.
   */
 case class EuclideanDistance(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -485,6 +485,15 @@ class LlmOpsSpec extends SparkTestBase {
     // Negating the vector flips every projection sign (none are exactly
     // 0 for random data), so the signatures are bitwise complements.
     assert((sigs(1L) ^ sigs(3L)) === 0xFFFFL)
+    // A dim that disagrees with the actual vector length must fail
+    // loudly (assert_true guard), not silently emit all-zero signatures.
+    val ex = intercept[Exception] {
+      Seq((1L, v)).toDF("vec_id", "embedding")
+        .select(Similarity.hyperplaneSig(col("embedding"), 16, 16).as("sig"))
+        .collect()
+    }
+    assert(ex.getMessage.contains("hyperplaneSig") ||
+      Option(ex.getCause).exists(_.getMessage.contains("hyperplaneSig")))
   }
 
   test("hyperplanePairs: exact duplicates pair at Hamming 0, ids ordered") {

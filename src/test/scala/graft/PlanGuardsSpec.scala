@@ -139,9 +139,20 @@ class PlanGuardsSpec extends SparkTestBase {
     assert(topPlan.contains("TakeOrderedAndProject"),
       s"global top-k must use TakeOrderedAndProject:\n$topPlan")
     // The df window is fine (partitioned by term); what must NOT appear
-    // is a partition-less window doing the global ranking.
-    assert(!topPlan.contains("windowspecdefinition(specifiedwindowframe"),
-      s"partition-less window in top-k path:\n$topPlan")
+    // is a partition-less window doing the global ranking. A window spec
+    // prints its ORDER BY entries (each carrying ASC/DESC) BETWEEN the
+    // '(' and the frame, so a partition-less spec is one where every
+    // comma-separated token before `specifiedwindowframe` is an order
+    // entry — partition columns would print first with no direction.
+    val partitionlessWindow =
+      """windowspecdefinition\(([^()]*)specifiedwindowframe""".r
+        .findAllMatchIn(topPlan.toLowerCase)
+        .exists { m =>
+          val specs = m.group(1).split(",").map(_.trim).filter(_.nonEmpty)
+          specs.nonEmpty &&
+            specs.forall(s => s.contains(" asc") || s.contains(" desc"))
+        }
+    assert(!partitionlessWindow, s"partition-less window in top-k path:\n$topPlan")
   }
 
   test("same-bucketed tables sort-merge join with ZERO exchanges (s16 shape)") {

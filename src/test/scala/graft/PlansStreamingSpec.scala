@@ -39,6 +39,17 @@ class PlansStreamingSpec extends SparkTestBase {
     // Identity: distance to self is exactly 0.
     val self = v.select(graft.plans.EuclideanDistance(col("v"), col("v")).as("d"))
     assert(self.filter(col("d") =!= 0.0).count() === 0)
+    // Documented divergence outside the supported domain: on UNEQUAL
+    // lengths the fused loop folds the common prefix while the HOF
+    // zip_with null-pads and returns NULL (see EuclideanDistance doc).
+    val uneven = Seq(
+      (Array(3.0, 4.0), Array(0.0, 0.0, 9.0))).toDF("a", "b")
+      .select(
+        graft.plans.EuclideanDistance(col("a"), col("b")).as("fused"),
+        Similarity.l2DistHof(col("a"), col("b")).as("hof"))
+      .head()
+    assert(uneven.getDouble(0) === 5.0) // common-prefix fold
+    assert(uneven.isNullAt(1))          // HOF null-pads → NULL
   }
 
   test("fused SortedJaccard equals the built-in intersect/union composition") {
