@@ -307,22 +307,25 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("src"), col("component").as("c")), "src")
         .groupBy(col("dst").as("id")).agg(min(col("c")).as("nbr_min"))
+      // The `changed` flag rides along INTO the eager checkpoint, so the
+      // fixpoint test is a cheap scan of already-materialized blocks —
+      // not a separate labels⋈next shuffle join per round (which doubled
+      // the per-iteration job count).
       val next = labels.alias("l")
         .join(nbrMin.alias("n"), Seq("id"), "left")
         .select(col("id"),
           least(col("l.component"),
-            coalesce(col("n.nbr_min"), col("l.component"))).as("component"))
+            coalesce(col("n.nbr_min"), col("l.component"))).as("component"),
+          (coalesce(col("n.nbr_min"), col("l.component")) < col("l.component"))
+            .as("changed"))
         .localCheckpoint(true)
-      converged = next.alias("a")
-        .join(labels.select(col("id"), col("component").as("prev")).alias("b"), Seq("id"))
-        .filter(col("a.component") < col("b.prev"))
-        .isEmpty
+      converged = next.filter(col("changed")).isEmpty
       labels.unpersist()
       labels = next
       it += 1
     }
     edges.unpersist()
-    labels
+    labels.select("id", "component")
   }
 
   /** Cluster assignment for EVERY document (singletons keep their own id
