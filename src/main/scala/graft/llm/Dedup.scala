@@ -197,6 +197,32 @@ object Dedup {
         graft.plans.SortedJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
   }
 
+  /** Asymmetric containment scores for candidate pairs:
+    * `C(A in B) = |A∩B| / |A|` and the reverse. Containment is the
+    * sub-document detector that symmetric Jaccard structurally misses —
+    * a 50-shingle quote embedded in a 5000-shingle page has Jaccard
+    * ≈ 0.01 but containment ≈ 1.0 on the quote side, which is exactly
+    * the boilerplate/mirror/quotation case a training corpus needs to
+    * catch (Broder '97 defines both measures for precisely this
+    * reason). Same attach-the-arrays shape as
+    * [[jaccardPairsFromArrays]]: after LSH, candidates are a tiny
+    * fraction of the corpus, so the shuffle carries |pairs| rows with
+    * two shingle arrays each — the corpus-sized shingle stream never
+    * re-shuffles. `shingleArrayDf` arrays are distinct
+    * ([[shingleArray]] applies `array_distinct`), so `|A∩B|` via
+    * `array_intersect` is an exact set intersection size. */
+  def containmentPairs(shingleArrayDf: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val sorted = shingleArrayDf.select(col(idCol), col("shingles").as("sh"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    pairs
+      .join(sorted.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sorted.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (inter / size(col("sh_a")).cast("double")).as("cont_a_in_b"),
+        (inter / size(col("sh_b")).cast("double")).as("cont_b_in_a"))
+  }
+
   /** Exact n-gram Jaccard similarity for given candidate pairs (verify
     * step after LSH). `pairs` must have columns (id_a, id_b). */
   def jaccardPairs(shingleDf: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {

@@ -81,4 +81,19 @@ object Splits {
       .filter(col("_rn") <= n)
       .drop("_rn")
   }
+
+  /** Within-stratum quantile bucket (`ntile(n)`) — the "quality
+    * percentile WITHIN language/source" step of mixture curation:
+    * absolute quality scores aren't comparable across languages (a
+    * heuristic scorer drifts by script), so corpus recipes keep e.g.
+    * the top quartile PER language rather than a global cutoff.
+    * `orderCols` must totalize the order (append the id as the final
+    * key) or bucket boundaries are engine-unspecified. One window
+    * shuffle on the stratum key; ntile's equal-fill semantics
+    * (remainder rows go to the lowest buckets) agree across engines.
+    * Output column `outCol` is the 1-based bucket index. */
+  def quantileBuckets(df: DataFrame, strataCols: Seq[String],
+      orderCols: Seq[Column], n: Int, outCol: String = "bucket"): DataFrame =
+    df.withColumn(outCol, ntile(n).over(
+      Window.partitionBy(strataCols.map(col): _*).orderBy(orderCols: _*)))
 }

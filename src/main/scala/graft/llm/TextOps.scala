@@ -368,4 +368,23 @@ object TextOps {
       .select(col(idCol), col("pos").cast("int").as("chunk_id"),
         col("col.chunk_text"), col("col.n_tokens"))
   }
+
+  /** Adjacent character-pair frequencies within tokens — the first
+    * merge-candidate table of BPE vocabulary induction (Sennrich '16):
+    * the pair with the highest corpus count is the first merge rule.
+    * Shape: tokenize (projection) → explode tokens → explode each
+    * token's `len−1` adjacent 2-grams → ONE hash aggregate. The only
+    * shuffle is the final count-by-pair, and pair cardinality is tiny
+    * (bounded by alphabet², a few thousand keys), so map-side partial
+    * aggregation collapses the exploded stream to near-nothing before
+    * the exchange — the 100 TB-safe shape for corpus-wide symbol
+    * statistics. Iterating merges would re-run this over re-segmented
+    * tokens; the per-iteration plan is identical. */
+  def charPairCounts(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
 }

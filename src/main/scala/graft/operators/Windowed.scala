@@ -98,4 +98,38 @@ object Windowed {
           Window.currentRow)))
       .drop("_new_session")
   }
+
+  /** Rolling z-score anomaly detection over a trailing window of the
+    * last `lookback` rows per key — the metric-drift / outlier flag an
+    * ingestion pipeline runs over event streams.
+    *
+    * Engine-portability is the design constraint: `stddev` over doubles
+    * is partial-merge-order-dependent, so instead the caller supplies
+    * the measure as an exact INTEGER column (`valueIntCol`, e.g.
+    * `round(value * 1000)` for 3-dp data) and the window computes only
+    * integer sums (Σv, Σv²) — exact and order-independent — before one
+    * fixed-shape double evaluation of mean/variance
+    * (`(s2 − s1²/n)/(n−1)`, the textbook shortcut). Any engine
+    * replaying the same formula over the same integers lands on the
+    * same bits. All three window aggregates share ONE
+    * (partitionBy, orderBy, frame) spec = one exchange + one
+    * partition-local sort. `orderCols` must totalize the order.
+    * Emits `z` (NULL until `minRows` fill the window, or when the
+    * window is constant) and `is_anomaly` (|z| > threshold). */
+  def rollingZscore(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[Column], valueIntCol: Column, lookback: Int = 20,
+      minRows: Int = 5, threshold: Double = 2.5): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+      .rowsBetween(-(lookback - 1), Window.currentRow)
+    val n = count(lit(1)).over(w).cast("double")
+    val s1 = sum(valueIntCol).over(w).cast("double")
+    val s2 = sum(valueIntCol * valueIntCol).over(w).cast("double")
+    val mean = s1 / n
+    val variance = (s2 - s1 * s1 / n) / (n - lit(1.0))
+    val std = sqrt(variance)
+    val z = when(n >= minRows && std > 0,
+      (valueIntCol.cast("double") - mean) / std)
+    df.withColumn("z", z)
+      .withColumn("is_anomaly", coalesce(abs(col("z")) > threshold, lit(false)))
+  }
 }

@@ -1131,5 +1131,69 @@ object LlmQueries {
              |  SELECT doc_id, lang, row_number() OVER (
              |      PARTITION BY lang
              |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
-             |  FROM documents) WHERE rn <= 20 ORDER BY doc_id""".stripMargin)))
+             |  FROM documents) WHERE rn <= 20 ORDER BY doc_id""".stripMargin)),
+
+    "llm_containment_dedup" -> Q((s, dir) => {
+      // Asymmetric containment |A∩B|/|A| over LSH candidates
+      // (Dedup.containmentPairs): the sub-document/quotation detector
+      // Jaccard misses. Same LSH chain as llm_minhash_lsh_pairs, then
+      // the shingle ARRAYS attach to the (tiny) candidate set — the
+      // corpus-sized shingle stream never re-shuffles.
+      val docs = T(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism * 2)
+      val sh = Dedup.shingleArray(docs, "doc_id", "text", 3)
+      val sig = Dedup.minhashSignaturesNative(sh, "doc_id", 8)
+      val bands = Dedup.lshBands(sig, "doc_id", 8, 2)
+      val pairs = Dedup.candidatePairs(bands, "doc_id")
+      Dedup.containmentPairs(sh, "doc_id", pairs)
+        .select(col("id_a"), col("id_b"),
+          round(col("cont_a_in_b"), 4).as("cont_a_in_b"),
+          round(col("cont_b_in_a"), 4).as("cont_b_in_a"))
+        .orderBy("id_a", "id_b")
+    }, Some(s"""WITH $toksCte, $shCte,
+               |$lshPairsCtes,
+               |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+               |inter AS (SELECT p.id_a, p.id_b, count(*) AS n_inter
+               |  FROM lsh_pairs p
+               |  JOIN sh x ON x.doc_id = p.id_a
+               |  JOIN sh y ON y.doc_id = p.id_b AND y.shingle = x.shingle
+               |  GROUP BY p.id_a, p.id_b)
+               |SELECT p.id_a, p.id_b,
+               |  round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE) / sa.n, 4) AS cont_a_in_b,
+               |  round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE) / sb.n, 4) AS cont_b_in_a
+               |FROM lsh_pairs p
+               |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+               |JOIN sizes sa ON sa.doc_id = p.id_a
+               |JOIN sizes sb ON sb.doc_id = p.id_b
+               |ORDER BY p.id_a, p.id_b""".stripMargin)),
+
+    "llm_quality_ntile" -> Q((s, dir) => {
+      // Within-language quality quartile (Splits.quantileBuckets):
+      // absolute scores aren't comparable across languages, so corpus
+      // recipes keep the top quartile PER language. n_chars stands in
+      // for the quality score; doc_id totalizes the order.
+      Splits.quantileBuckets(
+          T(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          Seq("lang"), Seq(col("n_chars"), col("doc_id")), 4, "quartile")
+        .withColumn("keep_top", col("quartile") === 4)
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id, lang, n_chars, quartile, quartile = 4 AS keep_top
+              |FROM (SELECT doc_id, lang, n_chars,
+              |    CAST(ntile(4) OVER (PARTITION BY lang
+              |      ORDER BY n_chars, doc_id) AS INT) AS quartile
+              |  FROM documents) ORDER BY doc_id""".stripMargin)),
+
+    "llm_char_pair_merges" -> Q((s, dir) =>
+      // BPE vocabulary induction, step one (TextOps.charPairCounts):
+      // the most frequent adjacent character pair is the first merge
+      // rule. (cnt DESC, pair) totalizes the top-50 cutoff.
+      TextOps.charPairCounts(T(s, dir, "documents").select("text"))
+        .orderBy(desc("cnt"), col("pair")).limit(50),
+      Some(s"""WITH $toksCte,
+              |tok AS (SELECT unnest(t) AS tok FROM toks),
+              |pairs AS (SELECT unnest(list_transform(range(1, length(tok)),
+              |    i -> substring(tok, i, 2))) AS pair
+              |  FROM tok WHERE length(tok) >= 2)
+              |SELECT pair, count(*) AS cnt FROM pairs GROUP BY pair
+              |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin)))
 }

@@ -348,5 +348,45 @@ object StreamingQueries {
                |SELECT len(fail_reasons) = 0 AS keep,
                |  COALESCE(fail_reasons[1], 'none') AS first_reason,
                |  count(*) AS cnt
-               |FROM r GROUP BY 1, 2 ORDER BY keep, first_reason""".stripMargin)))
+               |FROM r GROUP BY 1, 2 ORDER BY keep, first_reason""".stripMargin)),
+
+    "st9_stream_static_join" -> Q((s, dir) => {
+      // Beyond-parity: stream-STATIC join — each streaming purchase
+      // event enriches against a static batch profile (per-user
+      // lifetime counts/totals). Unlike st5's stream-stream join this
+      // is STATELESS: the static side re-evaluates per micro-batch (and
+      // broadcasts when small), no watermark, no state store — the
+      // dimension-enrichment shape of a streaming bronze→silver hop.
+      // The profile's money total sums in exact milli-integers.
+      val base = tmp("graft_st9")
+      val src = s"$base/in"
+      T(s, dir, "events").write.mode("append").parquet(src)
+      val profile = T(s, dir, "events")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("user_event_count"),
+          sum(expr("CAST(round(value * 1000) AS BIGINT)")).as("_vm"))
+      val q = s.readStream
+        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+        .parquet(src)
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "value")
+        .join(profile, Seq("user_id"), "left")
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("user_event_count"),
+          (col("_vm").cast("double") / 1000.0).as("user_value_total"))
+        .writeStream
+        .format("memory")
+        .queryName("graft_st9_enriched")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_st9_enriched").orderBy("event_id")
+    }, Some("""WITH prof AS (SELECT user_id, count(*) AS user_event_count,
+              |    SUM(CAST(round(value * 1000) AS BIGINT)) AS vm
+              |  FROM events GROUP BY user_id)
+              |SELECT e.event_id, e.user_id, e.value, p.user_event_count,
+              |  CAST(p.vm AS DOUBLE) / 1000.0 AS user_value_total
+              |FROM events e LEFT JOIN prof p USING (user_id)
+              |WHERE e.event_type = 'purchase' ORDER BY e.event_id""".stripMargin)))
 }

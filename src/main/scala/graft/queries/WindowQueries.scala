@@ -310,5 +310,40 @@ object WindowQueries {
               |    AS ffill_total
               |FROM spine s LEFT JOIN base b
               |  ON b.prio = s.prio AND b.month = s.month
-              |ORDER BY s.prio, s.month""".stripMargin)))
+              |ORDER BY s.prio, s.month""".stripMargin)),
+
+    "w8_zscore_anomaly" -> Q((s, dir) => {
+      // Rolling z-score outlier flag over each user's last 20 events
+      // (Windowed.rollingZscore). The measure is converted to exact
+      // milli-integers first so the window sums (Σv, Σv²) are
+      // order-independent integers; mean/variance then evaluate in one
+      // fixed-shape double formula both engines replay bit-for-bit.
+      val ev = T(s, dir, "events")
+        .withColumn("ts_sec", tsSec)
+        .withColumn("v_milli", expr("CAST(round(value * 1000) AS BIGINT)"))
+      Windowed.rollingZscore(ev, Seq("user_id"),
+          Seq(col("ts_sec"), col("event_id")), col("v_milli"),
+          lookback = 20, minRows = 5, threshold = 2.5)
+        .select(col("event_id"), col("user_id"), col("ts_sec"), col("value"),
+          round(col("z"), 4).as("z"), col("is_anomaly"))
+        .orderBy("event_id")
+    }, Some(s"""WITH ev AS (SELECT event_id, user_id, $tsSecSql AS ts_sec, value,
+               |    CAST(round(value * 1000) AS BIGINT) AS v_milli FROM events),
+               |win AS (SELECT event_id, user_id, ts_sec, value,
+               |    CAST(count(*) OVER w AS DOUBLE) AS n,
+               |    CAST(SUM(v_milli) OVER w AS DOUBLE) AS s1,
+               |    CAST(SUM(v_milli * v_milli) OVER w AS DOUBLE) AS s2,
+               |    CAST(v_milli AS DOUBLE) AS v
+               |  FROM ev WINDOW w AS (PARTITION BY user_id
+               |    ORDER BY ts_sec, event_id
+               |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+               |z AS (SELECT event_id, user_id, ts_sec, value,
+               |    CASE WHEN n >= 5
+               |        AND sqrt((s2 - s1 * s1 / n) / (n - 1.0)) > 0
+               |      THEN (v - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1.0))
+               |    END AS z_raw FROM win)
+               |SELECT event_id, user_id, ts_sec, value,
+               |  round(z_raw, 4) AS z,
+               |  coalesce(abs(z_raw) > 2.5, FALSE) AS is_anomaly
+               |FROM z ORDER BY event_id""".stripMargin)))
 }

@@ -566,4 +566,42 @@ class LlmOpsSpec extends SparkTestBase {
     assert(math.abs(ent(1L)) < 1e-9)
     assert(math.abs(ent(2L) - math.log(4)) < 1e-9)
   }
+
+  test("containmentPairs: embedded sub-document scores ~1 one way, Jaccard stays low") {
+    // Doc 2 is doc 1 plus a long unrelated tail: every shingle of 1 is
+    // in 2, but 2 has many shingles 1 lacks.
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val tail = (1 to 40).map(i => s"filler$i").mkString(" ")
+    val d = Seq((1L, quote), (2L, s"$quote $tail")).toDF("doc_id", "text")
+    val sh = Dedup.shingleArray(d, "doc_id", "text", 3)
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val r = Dedup.containmentPairs(sh, "doc_id", pairs).head()
+    assert(r.getDouble(2) === 1.0) // cont_a_in_b: the quote is fully contained
+    assert(r.getDouble(3) < 0.15)  // cont_b_in_a: the page is not in the quote
+    val j = Dedup.jaccardPairsFromArrays(sh, "doc_id", pairs).head().getDouble(2)
+    assert(j < 0.15) // symmetric Jaccard misses what containment catches
+  }
+
+  test("charPairCounts: exact pair frequencies, single-char tokens excluded") {
+    val d = Seq((1L, "abab ab  X y"), (2L, "Abab")).toDF("doc_id", "text")
+    // normText lowercases: tokens = abab, ab, x, y, abab. Single-char
+    // x/y contribute nothing.
+    val got = TextOps.charPairCounts(d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("ab" -> 5L, "ba" -> 2L))
+  }
+
+  test("quantileBuckets: ntile fills buckets equally, remainder to the lowest") {
+    val d = (1 to 10).map(i => ("g", i.toLong)).toDF("grp", "score")
+    val got = graft.llm.Splits.quantileBuckets(d, Seq("grp"),
+      Seq(col("score")), 4, "q")
+      .orderBy("score").collect().map(_.getInt(2)).toSeq
+    // 10 rows / 4 buckets: sizes 3,3,2,2 with remainder in the lowest.
+    assert(got === Seq(1, 1, 1, 2, 2, 2, 3, 3, 4, 4))
+    // Top-quartile-per-stratum selection: exactly the 2 highest scores.
+    val top = graft.llm.Splits.quantileBuckets(d, Seq("grp"),
+      Seq(col("score")), 4, "q").filter(col("q") === 4)
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(top === Seq(9L, 10L))
+  }
 }

@@ -104,4 +104,34 @@ class WindowedSpec extends SparkTestBase {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges === 1, s"expected one shuffle, plan:\n$plan")
   }
+
+  test("rollingZscore flags a spike, matches a Scala reference, nulls before minRows") {
+    // 9 steady readings then one spike, per user; values are exact ints.
+    val vals = Seq(10L, 12L, 11L, 10L, 12L, 11L, 10L, 12L, 11L, 500L)
+    val df = vals.zipWithIndex.map { case (v, i) => ("u1", i.toLong, v) }
+      .toDF("user", "sec", "v")
+    val out = Windowed.rollingZscore(df, Seq("user"), Seq(col("sec")), col("v"),
+      lookback = 20, minRows = 5, threshold = 2.5)
+      .orderBy("sec")
+      .select("sec", "z", "is_anomaly").collect()
+    // Rows 0-3: fewer than minRows in the window → z null, not anomalous.
+    out.take(4).foreach { r => assert(r.isNullAt(1)); assert(!r.getBoolean(2)) }
+    // The spike is the only anomaly.
+    assert(out.map(r => r.getBoolean(2)).toSeq ===
+      (0 until 9).map(_ => false) :+ true)
+    // z of the spike matches the textbook sample formula computed in Scala.
+    val w = vals // all 10 fit in the 20-row lookback
+    val n = w.size.toDouble
+    val s1 = w.sum.toDouble; val s2 = w.map(x => x * x).sum.toDouble
+    val std = math.sqrt((s2 - s1 * s1 / n) / (n - 1.0))
+    val expected = (500.0 - s1 / n) / std
+    assert(math.abs(out.last.getDouble(1) - expected) < 1e-12)
+  }
+
+  test("rollingZscore: constant window yields null z (std = 0), never NaN") {
+    val df = (0 until 8).map(i => ("u", i.toLong, 7L)).toDF("user", "sec", "v")
+    val out = Windowed.rollingZscore(df, Seq("user"), Seq(col("sec")), col("v"))
+      .select("z", "is_anomaly").collect()
+    out.foreach { r => assert(r.isNullAt(0)); assert(!r.getBoolean(1)) }
+  }
 }
