@@ -387,4 +387,24 @@ object TextOps {
         "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
         .as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("cnt"))
+
+  /** Inverted-index build: one row per term with document frequency,
+    * collection frequency, and the sorted posting list — the
+    * materialized index behind [[bm25TopDocs]]-style retrieval when
+    * queries outnumber corpus passes (build once, probe many).
+    *
+    * ONE shuffle: explode tokens → hash aggregate on term, with
+    * map-side partial aggregation collapsing each partition's token
+    * stream to its local term stats first. `collect_set` keeps the
+    * postings exact; at 100 TB a term's posting list is only unbounded
+    * for stopword-class terms — cap them upstream with a `df` filter
+    * (they carry no retrieval signal) rather than letting one reducer
+    * hold a billion-element array. */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term")
+      .agg(countDistinct(col(idCol)).as("df"),
+        count(lit(1)).as("cf"),
+        sort_array(collect_set(col(idCol))).as("postings"))
 }

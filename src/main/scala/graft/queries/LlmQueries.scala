@@ -1183,6 +1183,79 @@ object LlmQueries {
               |      ORDER BY n_chars, doc_id) AS INT) AS quartile
               |  FROM documents) ORDER BY doc_id""".stripMargin)),
 
+    "llm_semantic_dedup" -> Q((s, dir) => {
+      // SemDeDup (Abbas et al. '23): a duplicate is high embedding
+      // cosine, not shared n-grams — catches paraphrases and
+      // translations that lexical dedup misses. Composes the IVF
+      // near-dup pair stage (Similarity.nearDupPairs — pairs only form
+      // INSIDE clusters, never all-pairs) with the connected-components
+      // clustering + canonical pick (Dedup.dedupClusters). The oracle
+      // recomputes the full chain independently: cosine assignment,
+      // pair threshold, then a recursive-CTE component fixpoint.
+      val emb = T(s, dir, "embeddings")
+      val pairs = Similarity.nearDupPairs(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", threshold = 0.35)
+      Dedup.dedupClusters(emb.select("vec_id"), "vec_id",
+          pairs.select("id_a", "id_b"))
+        .orderBy("vec_id")
+    }, Some({
+      val sim = simSql("a.vv", "c.cv")
+      val pairSim = "(" + dotSql("x.vv", "y.vv") +
+        s" / (sqrt(${dotSql("x.vv", "x.vv")}) * sqrt(${dotSql("y.vv", "y.vv")})))"
+      s"""WITH RECURSIVE v AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings),
+         |cent AS (SELECT vec_id AS centroid_id, vv AS cv FROM v WHERE vec_id < 8),
+         |assigned AS (SELECT vec_id, centroid_id AS cluster_id FROM (
+         |  SELECT a.vec_id, c.centroid_id,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY $sim DESC, c.centroid_id) AS rn
+         |  FROM v a CROSS JOIN cent c) WHERE rn = 1),
+         |cv AS (SELECT v.vec_id AS id_, v.vv, a.cluster_id
+         |  FROM v JOIN assigned a ON v.vec_id = a.vec_id),
+         |nd AS (SELECT x.id_ AS id_a, y.id_ AS id_b
+         |  FROM cv x JOIN cv y ON x.cluster_id = y.cluster_id AND x.id_ < y.id_
+         |  WHERE $pairSim >= 0.35),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM nd
+         |          UNION SELECT id_b, id_a FROM nd),
+         |reach AS (SELECT src AS id, src AS comp FROM edges
+         |          UNION
+         |          SELECT e.src, r.comp FROM edges e
+         |          JOIN reach r ON e.dst = r.id),
+         |comps AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+         |lbl AS (SELECT emb.vec_id,
+         |    coalesce(c.component, emb.vec_id) AS component
+         |  FROM embeddings emb LEFT JOIN comps c ON c.id = emb.vec_id),
+         |sizes AS (SELECT component, count(*) AS cluster_size
+         |  FROM lbl GROUP BY component)
+         |SELECT l.vec_id, l.component,
+         |  l.vec_id = l.component AS is_canonical, s.cluster_size
+         |FROM lbl l JOIN sizes s USING (component)
+         |ORDER BY l.vec_id""".stripMargin
+    })),
+
+    "llm_inverted_index" -> Q((s, dir) =>
+      // Materialized inverted index (TextOps.invertedIndex): term → df,
+      // cf, sorted posting list. The gate stringifies the postings
+      // array (driver compare cannot sort array cells); df >= 10 keeps
+      // the projection to retrieval-significant terms.
+      TextOps.invertedIndex(
+          T(s, dir, "documents").select("doc_id", "text"), "doc_id", "text")
+        .filter(col("df") >= 10)
+        .select(col("term"), col("df"), col("cf"),
+          concat_ws(",", col("postings").cast("array<string>")).as("postings"))
+        .orderBy("term"),
+      Some(s"""WITH $toksCte,
+              |tk AS (SELECT doc_id, term FROM
+              |  (SELECT doc_id, unnest(t) AS term FROM toks) WHERE term <> ''),
+              |posts AS (SELECT term, doc_id FROM tk GROUP BY term, doc_id),
+              |pl AS (SELECT term, string_agg(CAST(doc_id AS VARCHAR), ','
+              |    ORDER BY doc_id) AS postings
+              |  FROM posts GROUP BY term),
+              |stats AS (SELECT term, count(DISTINCT doc_id) AS df,
+              |    count(*) AS cf FROM tk GROUP BY term)
+              |SELECT s.term, s.df, s.cf, p.postings
+              |FROM stats s JOIN pl p USING (term)
+              |WHERE s.df >= 10 ORDER BY s.term""".stripMargin)),
+
     "llm_char_pair_merges" -> Q((s, dir) =>
       // BPE vocabulary induction, step one (TextOps.charPairCounts):
       // the most frequent adjacent character pair is the first merge

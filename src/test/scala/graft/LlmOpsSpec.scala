@@ -591,6 +591,31 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got === Map("ab" -> 5L, "ba" -> 2L))
   }
 
+  test("invertedIndex: exact df/cf/postings, postings sorted numerically") {
+    val d = Seq((10L, "b a b"), (2L, "a a c"), (3L, "a")).toDF("doc_id", "text")
+    val got = TextOps.invertedIndex(d, "doc_id", "text").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getSeq[Long](3).toSeq))).toMap
+    assert(got("a") === ((3L, 4L, Seq(2L, 3L, 10L)))) // numeric, not lexical, order
+    assert(got("b") === ((1L, 2L, Seq(10L))))
+    assert(got("c") === ((1L, 1L, Seq(2L))))
+  }
+
+  test("semantic dedup composition: cosine-identical vectors cluster, canonical is min id") {
+    val base = Array.fill(8)(0.5f)
+    val scaled = base.map(_ * 2f) // same direction → cosine 1 with base
+    val rnd = new scala.util.Random(3)
+    val others = (3L to 12L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val emb = (Seq((1L, base), (2L, scaled)) ++ others).toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(emb, emb.filter(col("vec_id") <= 4),
+      "vec_id", "embedding", threshold = 0.999)
+    val out = Dedup.dedupClusters(emb.select("vec_id"), "vec_id",
+      pairs.select("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(1L) === ((1L, true)))  // canonical of the dup family
+    assert(out(2L) === ((1L, false))) // clustered under vec 1
+  }
+
   test("quantileBuckets: ntile fills buckets equally, remainder to the lowest") {
     val d = (1 to 10).map(i => ("g", i.toLong)).toDF("grp", "score")
     val got = graft.llm.Splits.quantileBuckets(d, Seq("grp"),
