@@ -345,5 +345,31 @@ object WindowQueries {
                |SELECT event_id, user_id, ts_sec, value,
                |  round(z_raw, 4) AS z,
                |  coalesce(abs(z_raw) > 2.5, FALSE) AS is_anomaly
-               |FROM z ORDER BY event_id""".stripMargin)))
+               |FROM z ORDER BY event_id""".stripMargin)),
+
+    "w9_cohort_retention" -> Q((s, dir) => {
+      // Weekly cohort retention (operators/Retention.cohortRetention):
+      // users cohorted by first active epoch-week; each (cohort, offset)
+      // cell counts distinct still-active users. All-integer bucket
+      // arithmetic; the event log collapses at the first aggregate.
+      val ev = T(s, dir, "events")
+        .withColumn("week", expr("(ts div 1000000000) div 604800"))
+      graft.operators.Retention.cohortRetention(ev, "user_id", col("week"))
+        .orderBy("cohort_bucket", "offset")
+    }, Some(s"""WITH act AS (SELECT DISTINCT user_id,
+               |    ($tsSecSql) // 604800 AS bucket FROM events),
+               |coh AS (SELECT user_id, min(bucket) AS cohort_bucket
+               |  FROM act GROUP BY user_id),
+               |sizes AS (SELECT cohort_bucket, count(*) AS cohort_users
+               |  FROM coh GROUP BY cohort_bucket),
+               |ret AS (SELECT c.cohort_bucket,
+               |    a.bucket - c.cohort_bucket AS "offset",
+               |    count(DISTINCT a.user_id) AS active_users
+               |  FROM act a JOIN coh c USING (user_id) GROUP BY 1, 2)
+               |SELECT r.cohort_bucket, r."offset", r.active_users,
+               |  s.cohort_users,
+               |  CAST(r.active_users AS DOUBLE) / CAST(s.cohort_users AS DOUBLE)
+               |    AS retention
+               |FROM ret r JOIN sizes s USING (cohort_bucket)
+               |ORDER BY r.cohort_bucket, r."offset"""".stripMargin)))
 }

@@ -134,4 +134,23 @@ class WindowedSpec extends SparkTestBase {
       .select("z", "is_anomaly").collect()
     out.foreach { r => assert(r.isNullAt(0)); assert(!r.getBoolean(1)) }
   }
+
+  test("cohortRetention: exact matrix on a hand-computed event log") {
+    import graft.operators.Retention
+    // Cohort week 0: users a,b (a returns week 1, b never).
+    // Cohort week 1: user c (returns weeks 2 and 3).
+    val ev = Seq(
+      ("a", 0L), ("a", 0L), ("b", 0L), ("a", 1L),
+      ("c", 1L), ("c", 2L), ("c", 3L)).toDF("user_id", "week")
+    val got = Retention.cohortRetention(ev, "user_id", col("week"))
+      .orderBy("cohort_bucket", "offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got === Seq(
+      (0L, 0L, 2L, 2L, 1.0),  // both cohort-0 users active at offset 0
+      (0L, 1L, 1L, 2L, 0.5),  // only a returns
+      (1L, 0L, 1L, 1L, 1.0),
+      (1L, 1L, 1L, 1L, 1.0),
+      (1L, 2L, 1L, 1L, 1.0)))
+  }
 }
