@@ -395,16 +395,20 @@ object TextOps {
     *
     * ONE shuffle: explode tokens → hash aggregate on term, with
     * map-side partial aggregation collapsing each partition's token
-    * stream to its local term stats first. `collect_set` keeps the
-    * postings exact; at 100 TB a term's posting list is only unbounded
-    * for stopword-class terms — cap them upstream with a `df` filter
-    * (they carry no retrieval signal) rather than letting one reducer
-    * hold a billion-element array. */
+    * stream to its local term stats first. `df` derives as
+    * `size(postings)` AFTER the aggregate — a `count(distinct id)`
+    * aggregate would expand to a second (term, id)-keyed exchange
+    * (plan-guarded in PlanGuardsSpec), and the set is already exact.
+    * At 100 TB a term's posting list is only unbounded for
+    * stopword-class terms — cap them upstream with a `df` filter (they
+    * carry no retrieval signal) rather than letting one reducer hold a
+    * billion-element array. */
   def invertedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .filter(col("term") =!= "")
       .groupBy("term")
-      .agg(countDistinct(col(idCol)).as("df"),
-        count(lit(1)).as("cf"),
+      .agg(count(lit(1)).as("cf"),
         sort_array(collect_set(col(idCol))).as("postings"))
+      .select(col("term"), size(col("postings")).cast("long").as("df"),
+        col("cf"), col("postings"))
 }

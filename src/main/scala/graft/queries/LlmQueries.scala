@@ -1165,7 +1165,7 @@ object LlmQueries {
                |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
                |JOIN sizes sa ON sa.doc_id = p.id_a
                |JOIN sizes sb ON sb.doc_id = p.id_b
-               |ORDER BY p.id_a, p.id_b""".stripMargin)),
+               |ORDER BY p.id_a, p.id_b""".stripMargin), bench = true),
 
     "llm_quality_ntile" -> Q((s, dir) => {
       // Within-language quality quartile (Splits.quantileBuckets):
@@ -1230,7 +1230,7 @@ object LlmQueries {
          |  l.vec_id = l.component AS is_canonical, s.cluster_size
          |FROM lbl l JOIN sizes s USING (component)
          |ORDER BY l.vec_id""".stripMargin
-    })),
+    }), bench = true),
 
     "llm_inverted_index" -> Q((s, dir) =>
       // Materialized inverted index (TextOps.invertedIndex): term → df,
@@ -1254,7 +1254,7 @@ object LlmQueries {
               |    count(*) AS cf FROM tk GROUP BY term)
               |SELECT s.term, s.df, s.cf, p.postings
               |FROM stats s JOIN pl p USING (term)
-              |WHERE s.df >= 10 ORDER BY s.term""".stripMargin)),
+              |WHERE s.df >= 10 ORDER BY s.term""".stripMargin), bench = true),
 
     "llm_char_pair_merges" -> Q((s, dir) =>
       // BPE vocabulary induction, step one (TextOps.charPairCounts):

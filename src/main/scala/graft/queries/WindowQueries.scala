@@ -371,5 +371,6 @@ object WindowQueries {
                |  CAST(r.active_users AS DOUBLE) / CAST(s.cohort_users AS DOUBLE)
                |    AS retention
                |FROM ret r JOIN sizes s USING (cohort_bucket)
-               |ORDER BY r.cohort_bucket, r."offset"""".stripMargin)))
+               |ORDER BY r.cohort_bucket, r."offset"""".stripMargin),
+      bench = true))
 }

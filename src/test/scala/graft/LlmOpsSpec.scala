@@ -314,6 +314,16 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got.size === 8 && got.values.forall(_ === 10L))
   }
 
+  test("connectedComponents: pointer jumping converges a 30-hop path within maxIter=20") {
+    // Diameter 30 > maxIter: plain min-label propagation CANNOT converge
+    // in 20 rounds — only the O(log diameter) pointer jump makes this
+    // pass, so the test pins the jump against regressions.
+    val pairs = (100L until 130L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 31 && got.values.forall(_ === 100L))
+  }
+
   test("dedupClusters assigns singletons their own id and flags canonicals") {
     val pairs = Seq((0L, 1L), (1L, 4L)).toDF("id_a", "id_b")
     val out = Dedup.dedupClusters(docs, "doc_id", pairs)

@@ -175,4 +175,33 @@ class PlanGuardsSpec extends SparkTestBase {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"bucketed join must not shuffle either side:\n$plan")
   }
+
+  test("invertedIndex aggregates with map-side partials in ONE exchange") {
+    // The 100 TB claim: the exploded token stream collapses to local
+    // term stats BEFORE the shuffle (partial_count/partial_collect_set
+    // under the exchange), and the whole build is a single exchange.
+    import graft.llm.TextOps
+    val d = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextOps.invertedIndex(d, "doc_id", "text")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, // df = size(postings), NOT count(distinct id):
+      s"expected one shuffle:\n$plan") // distinct would add a (term,id) exchange
+    val partialAboveExchange =
+      plan.indexOf("partial_count") > plan.indexOf("Exchange hashpartitioning")
+    assert(partialAboveExchange, // executed plans print top-down: final agg,
+      s"map-side partial aggregation missing under the exchange:\n$plan") // exchange, partial agg
+  }
+
+  test("rollingZscore plans all three window sums in ONE exchange") {
+    import graft.operators.Windowed
+    val df = (0 until 40).map(i => ("u", i.toLong, i.toLong % 7)).toDF("user", "sec", "v")
+    val out = Windowed.rollingZscore(df, Seq("user"), Seq(col("sec")), col("v"))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1,
+      s"count/sum/sumsq share one (partition, order, frame) spec — one shuffle:\n$plan")
+  }
 }
