@@ -157,6 +157,37 @@ object RelationalQueries {
               |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
               |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    "s18_cdc_apply" -> Q((s, dir) =>
+      // CDC changelog replay (Cdc.applyChangelog): the events stream read
+      // as a keyed I/U/D change log (signup=insert, error=delete,
+      // click/view/purchase=update, event_id = commit LSN) collapses to
+      // final per-user state in ONE window shuffle — last writer wins, a
+      // terminal delete removes the key, earlier deletes are survived by
+      // later re-activity. Batch twin of st7_foreachbatch_upsert;
+      // reference merge semantics per silver/merge_scd2.py minus history.
+      graft.operators.Cdc.applyChangelog(
+        T(s, dir, "events").select(col("user_id"), col("event_id"),
+          when(col("event_type") === "signup", "I")
+            .when(col("event_type") === "error", "D")
+            .otherwise("U").as("op"),
+          col("value").cast("decimal(18,2)").cast("double").as("last_value")),
+        keyCols = Seq("user_id"), seqCol = col("event_id"),
+        opCol = col("op"), valueCols = Seq("last_value"))
+        .orderBy("user_id"),
+      Some("""WITH log AS (SELECT user_id, event_id,
+             |    CASE event_type WHEN 'signup' THEN 'I'
+             |         WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+             |    CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS last_value
+             |  FROM events),
+             |ranked AS (SELECT *,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY event_id DESC) AS rn,
+             |    count(*) OVER (PARTITION BY user_id) AS n_changes
+             |  FROM log)
+             |SELECT user_id, op AS last_op, last_value, n_changes
+             |FROM ranked WHERE rn = 1 AND op <> 'D'
+             |ORDER BY user_id""".stripMargin)),
+
     "s16_bucketed_colocated_join" -> Q((s, dir) => {
       // Redshift distkey analog (SURVEY §4): both sides bucketed on the
       // join key at write time, so the fact-dim join reads co-located
@@ -805,6 +836,36 @@ object RelationalQueries {
               |    CAST((SELECT SUM(seg_total) FROM seg) AS DOUBLE) AS pct_of_total
               |FROM seg ORDER BY o_orderstatus""".stripMargin)),
 
+    "a22_hll_union_check" -> Q((s, dir) => {
+      // Mergeable-sketch distinct counting (Sketches.groupSketches /
+      // unionEstimate): per-type HLL sketches of the user universe roll
+      // up to a GLOBAL distinct estimate by merging the constant-size
+      // sketches — the base table is read once; exact count(DISTINCT)
+      // would re-shuffle the full key universe for every grain. The
+      // sketch binary is engine-specific, so the gate emits the exact
+      // value plus the estimate-within-bound verdict (a14 pattern).
+      import graft.operators.Sketches
+      val ev = T(s, dir, "events")
+      val perType = Sketches.groupSketches(ev, "event_type", "user_id")
+      val bound = Sketches.hllBound(12)
+      val typed = perType.select(
+        col("event_type").as("scope"), col("exact_distinct"),
+        (abs(hll_sketch_estimate(col("hll_sketch")) - col("exact_distinct"))
+          <= col("exact_distinct") * bound).as("approx_within_bound"))
+      val globalRow = Sketches.unionEstimate(perType)
+        .crossJoin(ev.agg(count_distinct(col("user_id")).as("exact_distinct")))
+        .select(lit("ALL").as("scope"), col("exact_distinct"),
+          (abs(col("approx_distinct") - col("exact_distinct"))
+            <= col("exact_distinct") * bound).as("approx_within_bound"))
+      typed.unionByName(globalRow).orderBy("scope")
+    }, Some("""SELECT event_type AS scope,
+              |  count(DISTINCT user_id) AS exact_distinct,
+              |  TRUE AS approx_within_bound
+              |FROM events GROUP BY event_type
+              |UNION ALL
+              |SELECT 'ALL', count(DISTINCT user_id), TRUE FROM events
+              |ORDER BY scope""".stripMargin)),
+
     // ----- §2.5 generator (W1 date spine via dim_date) ------------------
     "w1_dim_date_spine" -> Q((s, _) =>
       graft.operators.GoldDims.buildDimDate(s, "2020-01-01", "2022-01-01")
@@ -906,6 +967,32 @@ object RelationalQueries {
          |SELECT o_orderkey, ca, cb, CAST($zSql AS BIGINT) AS z
          |FROM b ORDER BY z, o_orderkey""".stripMargin
     })),
+
+    "o7_weighted_sample" -> Q((s, dir) => {
+      // Weighted sampling without replacement (Efraimidis–Spirakis via
+      // exponential keys): e_i = -ln(u_i)/w_i ~ Exp(w_i); the k SMALLEST
+      // keys are a weighted sample ∝ o_totalprice. u_i is an md5-derived
+      // uniform (the hash-split pattern) — no RNG state, so the sample is
+      // reproducible across engines, runs, AND partition layouts, unlike
+      // rand(seed)/TABLESAMPLE whose per-partition seeding reshuffles
+      // with the layout. Global top-k = orderBy().limit(k) →
+      // TakeOrderedAndProject (per-partition heaps, k rows to the
+      // driver); the key is one correctly-rounded expression shape
+      // mirrored in the oracle, rounded to 12 digits so no engine's ulp
+      // can reorder the boundary (ids break residual ties).
+      val o = T(s, dir, "orders")
+      val bucket = conv(substring(md5(concat(lit("ws_"),
+        col("o_orderkey").cast("string"))), 1, 8), 16, 10).cast("long")
+      val u = (bucket.cast("double") + lit(1.0)) / lit(4294967297.0)
+      o.select(col("o_orderkey"), col("o_totalprice").as("weight"),
+          round(-log(u) / col("o_totalprice"), 12).as("es_key"))
+        .orderBy(col("es_key"), col("o_orderkey"))
+        .limit(100)
+    }, Some("""SELECT o_orderkey, o_totalprice AS weight,
+              |  round(-ln((('0x' || substring(md5('ws_' ||
+              |      CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT + 1.0)
+              |    / 4294967297.0) / o_totalprice, 12) AS es_key
+              |FROM orders ORDER BY es_key, o_orderkey LIMIT 100""".stripMargin)),
 
     // ----- §2.7 set ops -------------------------------------------------
     "u1_union_by_name" -> Q((s, dir) => {
@@ -1121,5 +1208,39 @@ object RelationalQueries {
     }, Some("""SELECT a.c_custkey, a.c_name AS name_a, b.c_name AS name_b,
               |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
               |FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
-              |ORDER BY a.c_custkey""".stripMargin)))
+              |ORDER BY a.c_custkey""".stripMargin)),
+
+    "f25_higher_order_funcs" -> Q((s, dir) =>
+      // The HOF family as a first-class gate: transform / filter /
+      // aggregate / exists / forall over per-order quantity arrays.
+      // HOFs are the codegen'd array workhorses the LLM track leans on
+      // (shingles, signatures, dot products); this pins their scalar
+      // semantics against DuckDB's list_* twins. One hash aggregate
+      // builds the arrays (sort_array(collect_list(struct)) keeps
+      // line-number order without a window); everything after is a pure
+      // projection. Quantities are integral doubles → INT, so both
+      // engines' casts agree.
+      T(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(transform(
+          sort_array(collect_list(struct(col("l_linenumber"),
+            col("l_quantity").cast("int").as("q")))),
+          x => x.getField("q")).as("qtys"))
+        .select(col("l_orderkey"),
+          aggregate(col("qtys"), lit(0L),
+            (acc, x) => acc + x.cast("long") * x).as("sq_sum"),
+          size(filter(col("qtys"), _ > 25)).as("n_over_25"),
+          exists(col("qtys"), _ > 40).as("has_over_40"),
+          forall(col("qtys"), _ > 0).as("all_positive"))
+        .orderBy("l_orderkey"),
+      Some("""WITH a AS (SELECT l_orderkey,
+             |    list(CAST(l_quantity AS INT) ORDER BY l_linenumber) AS q
+             |  FROM lineitem GROUP BY l_orderkey)
+             |SELECT l_orderkey,
+             |  CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x))
+             |    AS BIGINT) AS sq_sum,
+             |  CAST(len(list_filter(q, x -> x > 25)) AS INT) AS n_over_25,
+             |  len(list_filter(q, x -> x > 40)) > 0 AS has_over_40,
+             |  len(list_filter(q, x -> x <= 0)) = 0 AS all_positive
+             |FROM a ORDER BY l_orderkey""".stripMargin)))
 }

@@ -372,5 +372,35 @@ object WindowQueries {
                |    AS retention
                |FROM ret r JOIN sizes s USING (cohort_bucket)
                |ORDER BY r.cohort_bucket, r."offset"""".stripMargin),
-      bench = true))
+      bench = true),
+
+    "w10_sliding_distinct_hll" -> Q((s, dir) => {
+      // Trailing-7-day distinct users per day, twice: exactly
+      // (Sketches.slidingDistinctExact — distinct (day,user) pairs
+      // range-joined to the broadcast day spine) and via daily HLL
+      // sketch merge (Sketches.slidingDistinct — ONE pass over events,
+      // then a window union over the |days|-row sketch frame). At 100 TB
+      // only stage 1 touches the events; the exact variant inflates the
+      // pair set windowDays× and re-distincts every window. The gate
+      // compares the verdict, not the engine-specific sketch estimate.
+      import graft.operators.Sketches
+      val ev = T(s, dir, "events")
+        .select(expr("(ts div 1000000000) div 86400").cast("long").as("day"),
+          col("user_id"))
+      val exact = Sketches.slidingDistinctExact(ev, "day", "user_id", 7)
+      val approx = Sketches.slidingDistinct(ev, "day", "user_id", 7)
+      val bound = Sketches.hllBound(12)
+      exact.join(approx, Seq("day"))
+        .select(col("day"), col("exact_distinct"),
+          (abs(col("approx_distinct") - col("exact_distinct"))
+            <= col("exact_distinct") * bound).as("approx_within_bound"))
+        .orderBy("day")
+    }, Some(s"""WITH pairs AS (SELECT DISTINCT
+               |    ($tsSecSql) // 86400 AS day, user_id FROM events),
+               |days AS (SELECT DISTINCT day FROM pairs)
+               |SELECT d.day,
+               |  count(DISTINCT p.user_id) AS exact_distinct,
+               |  TRUE AS approx_within_bound
+               |FROM days d JOIN pairs p ON p.day BETWEEN d.day - 6 AND d.day
+               |GROUP BY d.day ORDER BY d.day""".stripMargin)))
 }

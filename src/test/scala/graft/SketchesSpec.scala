@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+
+/** Mergeable HLL distinct-count sketches (SURVEY §7.6 beyond-parity:
+  * constant-size mergeable state is the 100 TB distinct-count form). */
+class SketchesSpec extends SparkTestBase {
+
+  private lazy val events = spark.read
+    .parquet("/root/testdata/sf0.001/events.parquet")
+    .select(expr("(ts div 1000000000) div 86400").cast("long").as("day"),
+      col("user_id"), col("event_type"))
+
+  test("per-group sketch estimates land within the HLL error bound") {
+    val g = Sketches.groupSketches(events, "event_type", "user_id")
+      .withColumn("est", hll_sketch_estimate(col("hll_sketch")))
+      .collect()
+    assert(g.nonEmpty)
+    val bound = Sketches.hllBound(12)
+    g.foreach { r =>
+      val exact = r.getAs[Long]("exact_distinct")
+      val est = r.getAs[Long]("est")
+      assert(math.abs(est - exact) <= exact * bound,
+        s"${r.getAs[String]("event_type")}: est=$est exact=$exact")
+    }
+  }
+
+  test("union of per-group sketches estimates the GLOBAL cardinality") {
+    // The mergeability claim itself: sketches built per group, merged
+    // after the fact, must estimate the distinct count over the union of
+    // the groups — without re-reading the base table.
+    val perType = Sketches.groupSketches(events, "event_type", "user_id")
+    val approx = Sketches.unionEstimate(perType).head().getAs[Long]("approx_distinct")
+    val exact = events.agg(count_distinct(col("user_id"))).head().getLong(0)
+    assert(math.abs(approx - exact) <= exact * Sketches.hllBound(12),
+      s"union est=$approx exact=$exact")
+  }
+
+  test("sliding 7-day sketch merge agrees with the exact range-join form") {
+    val exact = Sketches.slidingDistinctExact(events, "day", "user_id", 7)
+    val approx = Sketches.slidingDistinct(events, "day", "user_id", 7)
+    val joined = exact.join(approx, Seq("day")).collect()
+    val nDays = events.select("day").distinct().count()
+    assert(joined.length == nDays, s"${joined.length} rows vs $nDays days")
+    val bound = Sketches.hllBound(12)
+    joined.foreach { r =>
+      val e = r.getAs[Long]("exact_distinct")
+      val a = r.getAs[Long]("approx_distinct")
+      assert(math.abs(a - e) <= e * bound, s"day ${r.getAs[Long]("day")}: $a vs $e")
+    }
+    // First day's window covers only itself: sliding must equal daily.
+    val firstDay = joined.map(r => r.getAs[Long]("day")).min
+    val d0exact = events.filter(col("day") === firstDay)
+      .agg(count_distinct(col("user_id"))).head().getLong(0)
+    val d0 = joined.find(_.getAs[Long]("day") == firstDay).get
+    assert(d0.getAs[Long]("exact_distinct") == d0exact)
+  }
+
+  test("daily sketch aggregate builds map-side partials (one shuffle)") {
+    // The scan-side reduction is the whole scale story: raw events must
+    // collapse to per-day sketches BEFORE the exchange.
+    val daily = events.groupBy("day")
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("s"))
+    val plan = daily.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("partial_hll_sketch_agg")
+      || "(?i)objecthashaggregate.*partial".r.findFirstIn(plan).isDefined,
+      s"no partial aggregation before the exchange:\n$plan")
+    assert("Exchange".r.findAllIn(plan).length == 1,
+      s"daily sketch rollup must be ONE shuffle:\n$plan")
+  }
+}
