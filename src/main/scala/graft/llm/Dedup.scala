@@ -248,6 +248,52 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** EXACT set-similarity self-join via prefix filtering (AllPairs /
+    * PPJoin, Bayardo et al. WWW'07; Xiao et al. WWW'08) — the scalable
+    * exact complement to MinHash LSH: no false negatives, no probability
+    * knobs. For Jaccard ≥ t, two shingle sets ordered by a GLOBAL token
+    * order must share at least one token within their first
+    * `|s| − ceil(t·|s|) + 1` tokens, so only those PREFIX tokens are
+    * exploded into the candidate bucket join. Ordering rarest-df-first
+    * makes prefix buckets the smallest ones (a stopword-class shingle
+    * never lands in a prefix unless a doc is almost all stopwords), and
+    * the length filter `t·|a| ≤ |b| ≤ |a|/t` prunes inside the join.
+    *
+    * Scale shape: one df aggregate over the exploded shingle stream, one
+    * re-order shuffle back to per-doc arrays, one equi-join on prefix
+    * tokens (Σ prefix-bucket², never all-pairs), then the same
+    * attach-arrays [[jaccardPairsFromArrays]] verification as the LSH
+    * path — at high t the prefix is a tiny slice of each document, so
+    * the candidate join carries a small fraction of the corpus.
+    * Output: (id_a, id_b, jaccard) with jaccard ≥ t, id_a < id_b. */
+  def prefixFilterPairs(shingleArrayDf: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    val exploded = shingleArrayDf
+      .select(col(idCol), explode(col("shingles")).as("shingle"))
+    val dfCounts = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // Global total order (df asc, shingle asc) → per-doc ordered arrays.
+    val ordered = exploded.join(dfCounts, "shingle")
+      .groupBy(col(idCol))
+      .agg(transform(
+        sort_array(collect_list(struct(col("df"), col("shingle")))),
+        x => x.getField("shingle")).as("ordered_sh"))
+      .withColumn("n", size(col("ordered_sh")))
+      .withColumn("pref_len",
+        (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int"))
+    val pref = ordered.select(col(idCol), col("n"),
+      explode(expr("slice(ordered_sh, 1, pref_len)")).as("tok"))
+    val cands = pref.select(col(idCol).as("id_a"), col("n").as("n_a"), col("tok"))
+      .join(pref.select(col(idCol).as("id_b"), col("n").as("n_b"), col("tok")),
+        Seq("tok"))
+      .where(col("id_a") < col("id_b") &&
+        col("n_b") * lit(threshold) <= col("n_a") &&
+        col("n_a") * lit(threshold) <= col("n_b"))
+      .select("id_a", "id_b").distinct()
+    jaccardPairsFromArrays(shingleArrayDf, idCol, cands)
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Incremental exact dedup: drop new-batch rows whose key already
     * exists in the standing corpus — one anti-join against the corpus's
     * distinct keys. The daily-ingest contract at 100 TB: the corpus is

@@ -1167,6 +1167,34 @@ object LlmQueries {
                |JOIN sizes sb ON sb.doc_id = p.id_b
                |ORDER BY p.id_a, p.id_b""".stripMargin), bench = true),
 
+    "llm_setsim_prefix_join" -> Q((s, dir) => {
+      // EXACT set-similarity self-join via prefix filtering
+      // (Dedup.prefixFilterPairs — AllPairs/PPJoin): the
+      // no-false-negatives complement to the MinHash LSH chain. Only
+      // each document's rarest-first PREFIX (|s| − ceil(t·|s|) + 1
+      // tokens) enters the candidate bucket join; the oracle is the
+      // full quadratic shingle join filtered to the same threshold, so
+      // any candidate the prefix filter wrongly pruned would surface as
+      // a missing row.
+      val docs = T(s, dir, "documents")
+      val sh = Dedup.shingleArray(docs, "doc_id", "text", 3)
+      Dedup.prefixFilterPairs(sh, "doc_id", 0.6)
+        .orderBy("id_a", "id_b")
+    }, Some(s"""WITH $toksCte, $shCte,
+               |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+               |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+               |    count(*) AS n_inter
+               |  FROM sh x JOIN sh y ON y.shingle = x.shingle
+               |    AND y.doc_id > x.doc_id
+               |  GROUP BY 1, 2)
+               |SELECT id_a, id_b, jaccard FROM (
+               |  SELECT i.id_a, i.id_b,
+               |    CAST(i.n_inter AS DOUBLE) /
+               |      CAST(sa.n + sb.n - i.n_inter AS DOUBLE) AS jaccard
+               |  FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+               |  JOIN sizes sb ON sb.doc_id = i.id_b)
+               |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin)),
+
     "llm_quality_ntile" -> Q((s, dir) => {
       // Within-language quality quartile (Splits.quantileBuckets):
       // absolute scores aren't comparable across languages, so corpus

@@ -639,4 +639,35 @@ class LlmOpsSpec extends SparkTestBase {
       .collect().map(_.getLong(1)).sorted.toSeq
     assert(top === Seq(9L, 10L))
   }
+
+  test("prefixFilterPairs: exact — identical pair set to brute-force all-pairs") {
+    // The whole point of the prefix filter is NO false negatives: on the
+    // real sf0.001 corpus the pruned join must return exactly the pairs
+    // the quadratic all-pairs Jaccard returns at the same threshold.
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sh = Dedup.shingleArray(corpus, "doc_id", "text", 3)
+    val t = 0.6
+    val got = Dedup.prefixFilterPairs(sh, "doc_id", t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ids = corpus.select(col("doc_id")).collect().map(_.getLong(0))
+    val allPairs = (for (a <- ids; b <- ids if a < b) yield (a, b))
+      .toSeq.toDF("id_a", "id_b")
+    val brute = Dedup.jaccardPairsFromArrays(sh, "doc_id", allPairs)
+      .where(col("jaccard") >= t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "testdata must contain near-dup pairs at t=0.6")
+    assert(got === brute)
+  }
+
+  test("prefixFilterPairs: candidate explode carries only prefix tokens") {
+    // 10 identical-length docs sharing every shingle: prefix length is
+    // |s| − ceil(0.9·|s|) + 1 ≪ |s|, so candidate volume stays far below
+    // the full shingle stream (the scale claim behind the operator).
+    val d = (0L until 4L).map(i => (i, "a b c d e f g h i j k l"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleArray(d, "doc_id", "text", 3)
+    val out = Dedup.prefixFilterPairs(sh, "doc_id", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L)))
+  }
 }
