@@ -1195,6 +1195,118 @@ object LlmQueries {
                |  JOIN sizes sb ON sb.doc_id = i.id_b)
                |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin)),
 
+    "llm_minhash_est_check" -> Q((s, dir) => {
+      // MinHash as a Jaccard ESTIMATOR, closed loop: for adjacent doc
+      // pairs, the 8-hash agreement fraction (P[min-hash agrees] = J)
+      // lands beside the exact shingle Jaccard — the per-pair analog of
+      // llm_ann_recall. The estimator is fully deterministic (md5 window
+      // hashes), so the oracle recomputes the SAME estimate bit-for-bit;
+      // the exact value comes from the attach-arrays SortedJaccard scan.
+      val docs = T(s, dir, "documents")
+      val sh = Dedup.shingleArray(docs, "doc_id", "text", 3)
+      val sig = Dedup.minhashSignaturesNative(sh, "doc_id", 8)
+      val pairs = docs.select(col("doc_id").as("id_a"))
+        .join(docs.select(col("doc_id").as("id_b")),
+          col("id_b") === col("id_a") + 1)
+      val sa = sig.select(col("doc_id").as("id_a") +:
+        (0 until 8).map(j => col(s"h$j").as(s"a$j")): _*)
+      val sb = sig.select(col("doc_id").as("id_b") +:
+        (0 until 8).map(j => col(s"h$j").as(s"b$j")): _*)
+      val agree = (0 until 8)
+        .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+        .reduce(_ + _)
+      val est = pairs.join(sa, "id_a").join(sb, "id_b")
+        .select(col("id_a"), col("id_b"),
+          (agree.cast("double") / lit(8.0)).as("est_jaccard"))
+      est.join(Dedup.jaccardPairsFromArrays(sh, "doc_id",
+          pairs.select("id_a", "id_b")), Seq("id_a", "id_b"))
+        .orderBy("id_a")
+    }, Some({
+      val agreeSql = (0 until 8)
+        .map(j => s"CASE WHEN x.h$j = y.h$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $toksCte, $shCte,
+         |$lshPairsCtes,
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+         |est AS (SELECT p.id_a, p.id_b,
+         |    CAST($agreeSql AS DOUBLE) / 8.0 AS est_jaccard
+         |  FROM pairs p JOIN sigs x ON x.doc_id = p.id_a
+         |  JOIN sigs y ON y.doc_id = p.id_b),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT p.id_a, p.id_b, count(*) AS n_inter
+         |  FROM pairs p
+         |  JOIN sh x ON x.doc_id = p.id_a
+         |  JOIN sh y ON y.doc_id = p.id_b AND y.shingle = x.shingle
+         |  GROUP BY p.id_a, p.id_b)
+         |SELECT e.id_a, e.id_b, e.est_jaccard,
+         |  CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+         |    CAST(sa.n + sb.n - COALESCE(i.n_inter, 0) AS DOUBLE) AS jaccard
+         |FROM est e
+         |LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+         |JOIN sizes sa ON sa.doc_id = e.id_a
+         |JOIN sizes sb ON sb.doc_id = e.id_b
+         |ORDER BY e.id_a""".stripMargin
+    })),
+
+    "llm_dedup_pipeline" -> Q((s, dir) => {
+      // The WHOLE lexical dedup stage end-to-end in one gate —
+      // shingle → MinHash → banded LSH candidates → exact-Jaccard
+      // verify (≥ 0.8) → connected components → canonical pick — the
+      // RefinedWeb-shaped pipeline a corpus actually runs, emitting the
+      // corpus-level accounting (docs in, verified dup pairs, multi-doc
+      // clusters, docs kept). Every stage reuses the scale-shaped
+      // operators gated individually above; the oracle recomputes the
+      // full chain independently, ending in a recursive-CTE component
+      // fixpoint.
+      val docs = T(s, dir, "documents")
+      val sh = Dedup.shingleArray(docs, "doc_id", "text", 3)
+      val sig = Dedup.minhashSignaturesNative(sh, "doc_id", 8)
+      val cands = Dedup.candidatePairs(Dedup.lshBands(sig, "doc_id", 8, 2), "doc_id")
+      val verified = Dedup.jaccardPairsFromArrays(sh, "doc_id", cands)
+        .where(col("jaccard") >= 0.8)
+      val clustered = Dedup.dedupClusters(docs.select("doc_id"), "doc_id",
+        verified.select("id_a", "id_b"))
+      clustered.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("is_canonical"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("cluster_size") > 1, 1L).otherwise(0L)).as("n_clustered_docs"),
+        count_distinct(when(col("cluster_size") > 1, col("component")))
+          .as("n_multi_clusters"))
+    }, Some(s"""WITH RECURSIVE $toksCte, $shCte,
+               |$lshPairsCtes,
+               |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+               |inter AS (SELECT p.id_a, p.id_b, count(*) AS n_inter
+               |  FROM lsh_pairs p
+               |  JOIN sh x ON x.doc_id = p.id_a
+               |  JOIN sh y ON y.doc_id = p.id_b AND y.shingle = x.shingle
+               |  GROUP BY p.id_a, p.id_b),
+               |verified AS (SELECT i.id_a, i.id_b FROM inter i
+               |  JOIN sizes sa ON sa.doc_id = i.id_a
+               |  JOIN sizes sb ON sb.doc_id = i.id_b
+               |  WHERE CAST(i.n_inter AS DOUBLE) /
+               |    CAST(sa.n + sb.n - i.n_inter AS DOUBLE) >= 0.8),
+               |edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+               |          UNION SELECT id_b, id_a FROM verified),
+               |reach AS (SELECT src AS id, src AS comp FROM edges
+               |          UNION
+               |          SELECT e.src, r.comp FROM edges e
+               |          JOIN reach r ON e.dst = r.id),
+               |comps AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+               |lbl AS (SELECT d.doc_id,
+               |    coalesce(c.component, d.doc_id) AS component
+               |  FROM documents d LEFT JOIN comps c ON c.id = d.doc_id),
+               |csizes AS (SELECT component, count(*) AS cluster_size
+               |  FROM lbl GROUP BY component)
+               |SELECT count(*) AS n_docs,
+               |  CAST(SUM(CASE WHEN l.doc_id = l.component THEN 1 ELSE 0 END)
+               |    AS BIGINT) AS n_kept,
+               |  CAST(SUM(CASE WHEN s.cluster_size > 1 THEN 1 ELSE 0 END)
+               |    AS BIGINT) AS n_clustered_docs,
+               |  count(DISTINCT CASE WHEN s.cluster_size > 1
+               |    THEN l.component END) AS n_multi_clusters
+               |FROM lbl l JOIN csizes s USING (component)""".stripMargin)),
+
     "llm_quality_ntile" -> Q((s, dir) => {
       // Within-language quality quartile (Splits.quantileBuckets):
       // absolute scores aren't comparable across languages, so corpus
