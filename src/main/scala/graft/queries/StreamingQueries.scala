@@ -388,5 +388,54 @@ object StreamingQueries {
               |SELECT e.event_id, e.user_id, e.value, p.user_event_count,
               |  CAST(p.vm AS DOUBLE) / 1000.0 AS user_value_total
               |FROM events e LEFT JOIN prof p USING (user_id)
-              |WHERE e.event_type = 'purchase' ORDER BY e.event_id""".stripMargin)))
+              |WHERE e.event_type = 'purchase' ORDER BY e.event_id""".stripMargin)),
+
+    "st10_stream_approx_distinct" -> Q((s, dir) => {
+      // Mergeable HLL sketches INSIDE streaming state: per-6h-window
+      // approx distinct users via hll_sketch_agg under a watermark —
+      // exact count(DISTINCT) is structurally unsupported in streaming
+      // aggregation (unbounded per-key state), which is precisely why
+      // the constant-size sketch is THE streaming distinct form. The
+      // sketch estimate is engine-specific, so the gate joins the
+      // streamed result to the BATCH exact per window and emits the
+      // within-bound verdict (a22/w10 pattern, streaming edition).
+      val base = tmp("graft_st10")
+      val src = s"$base/in"
+      T(s, dir, "events").write.mode("append").parquet(src)
+      val q = s.readStream
+        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+        .parquet(src)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+          .as("approx_users"))
+        .writeStream
+        .format("memory")
+        .queryName("graft_st10_sketches")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // Window keys as epoch-second longs on both sides: Spark's
+      // tumbling window aligns to the epoch, so start = ts div 21600.
+      val streamed = s.table("graft_st10_sketches")
+        .select(col("window.start").cast("long").as("window_start"),
+          col("approx_users"))
+      val exact = T(s, dir, "events")
+        .select(expr("((ts div 1000000000) div 21600) * 21600").cast("long")
+          .as("window_start"), col("user_id"))
+        .groupBy("window_start")
+        .agg(count_distinct(col("user_id")).as("exact_users"))
+      val bound = graft.operators.Sketches.hllBound(12)
+      streamed.join(exact, Seq("window_start"))
+        .select(col("window_start"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users"))
+            <= col("exact_users") * bound).as("approx_within_bound"))
+        .orderBy("window_start")
+    }, Some("""SELECT (CAST(floor(date_part('epoch', ts)) AS BIGINT)
+              |    // 21600) * 21600 AS window_start,
+              |  count(DISTINCT user_id) AS exact_users,
+              |  TRUE AS approx_within_bound
+              |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin)))
 }

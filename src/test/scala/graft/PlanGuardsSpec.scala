@@ -204,4 +204,31 @@ class PlanGuardsSpec extends SparkTestBase {
     assert(exchanges === 1,
       s"count/sum/sumsq share one (partition, order, frame) spec — one shuffle:\n$plan")
   }
+
+  test("prefix-filter join plans only equi-joins — no nested-loop/cartesian") {
+    import graft.llm.Dedup
+    // The whole point of AllPairs/PPJoin is that candidates come from an
+    // EQUI-join on prefix tokens. A CartesianProduct or nested-loop
+    // anywhere means the rewrite degenerated to all-pairs — the shape
+    // that cannot run at corpus scale.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sh = Dedup.shingleArray(docs, "doc_id", "text", 3)
+    val out = Dedup.prefixFilterPairs(sh, "doc_id", 0.6)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"prefix-filter candidates must come from an equi-join:\n$plan")
+  }
+
+  test("weighted sample plans TakeOrderedAndProject, not a global sort") {
+    // Efraimidis–Spirakis top-k must be per-partition heaps + a k-row
+    // driver merge; a full Sort before a Limit (or a one-partition
+    // window) would sort the whole table to pick 100 rows.
+    val fn = graft.SparkEntry.queries("o7_weighted_sample")
+    val out = fn(spark, "/root/testdata/sf0.001")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k must be TakeOrderedAndProject:\n$plan")
+  }
 }
