@@ -1053,5 +1053,47 @@ object PipelineQueries {
               |FROM keys k
               |LEFT JOIN sh ON sh.o_orderkey = k.o_orderkey
               |LEFT JOIN th ON th.o_orderkey = k.o_orderkey
-              |ORDER BY k.o_orderkey""".stripMargin)))
+              |ORDER BY k.o_orderkey""".stripMargin)),
+
+    "recon_hll_keyset" -> Q((s, dir) => {
+      // Sketch-based key-universe reconciliation
+      // (TableDiff.hllKeysetCompare): each side collapses to a
+      // constant-size HLL sketch in one pass; |A∆B| falls out of the
+      // merged sketch by inclusion-exclusion — neither key universe
+      // ever shuffles, and the two scans could run on different
+      // clusters. Injected drift: every 11th customer dropped from the
+      // target. The gate pairs the estimates with independently
+      // computed exact counts (a22 verdict pattern).
+      import graft.validation.TableDiff
+      val src = T(s, dir, "orders").select(col("o_custkey").as("k"))
+      val tgt = T(s, dir, "customer")
+        .filter(col("c_custkey") % 11 =!= 0).select(col("c_custkey").as("k"))
+      val est = TableDiff.hllKeysetCompare(src, tgt, "k")
+      val exact = src.distinct().agg(count(lit(1)).as("exact_a"))
+        .crossJoin(tgt.distinct().agg(count(lit(1)).as("exact_b")))
+        .crossJoin(src.union(tgt).distinct().agg(count(lit(1)).as("exact_union")))
+        .withColumn("exact_sym_diff",
+          lit(2L) * col("exact_union") - col("exact_a") - col("exact_b"))
+      val bound = graft.operators.Sketches.hllBound(12)
+      est.crossJoin(exact).select(
+        col("exact_a"), col("exact_b"), col("exact_union"), col("exact_sym_diff"),
+        (abs(col("est_a") - col("exact_a")) <= col("exact_a") * bound)
+          .as("est_a_within"),
+        (abs(col("est_b") - col("exact_b")) <= col("exact_b") * bound)
+          .as("est_b_within"),
+        (abs(col("est_union") - col("exact_union")) <= col("exact_union") * bound)
+          .as("est_union_within"),
+        (abs(col("est_sym_diff") - col("exact_sym_diff"))
+          <= (col("exact_a") + col("exact_b")) * bound).as("est_sym_within"))
+    }, Some("""WITH s AS (SELECT DISTINCT o_custkey AS k FROM orders),
+              |t AS (SELECT DISTINCT c_custkey AS k FROM customer
+              |  WHERE c_custkey % 11 <> 0),
+              |u AS (SELECT k FROM s UNION SELECT k FROM t)
+              |SELECT (SELECT count(*) FROM s) AS exact_a,
+              |  (SELECT count(*) FROM t) AS exact_b,
+              |  (SELECT count(*) FROM u) AS exact_union,
+              |  2 * (SELECT count(*) FROM u) - (SELECT count(*) FROM s)
+              |    - (SELECT count(*) FROM t) AS exact_sym_diff,
+              |  TRUE AS est_a_within, TRUE AS est_b_within,
+              |  TRUE AS est_union_within, TRUE AS est_sym_within""".stripMargin)))
 }

@@ -103,4 +103,37 @@ object TableDiff {
       .select(col(keyCol), col("source_hash"), col("target_hash"),
         (col("source_hash") <=> col("target_hash")).as("is_match"))
   }
+
+  /** Sketch-based key-universe reconciliation: how far apart are two
+    * tables' key sets, WITHOUT co-locating either key universe?
+    *
+    * The exact forms of the reference's count reconciliation
+    * (`migration_validation/reconciliation.py` row counts; [[diff]]'s
+    * hash multisets) shuffle keys; at 100 TB a migration often only
+    * needs "are the key sets the same to within a fraction of a
+    * percent, and how big is the disagreement?". Each side reduces to a
+    * CONSTANT-size HLL sketch in one map-side-combinable pass (the two
+    * scans can run on different clusters — sketches are bytes, shippable
+    * like the reference ships Redshift aggregates to Spark). By
+    * inclusion–exclusion over the merged sketch:
+    * `|A∆B| = 2·|A∪B| − |A| − |B|`.
+    *
+    * Output: ONE row — `est_a`, `est_b`, `est_union`, `est_sym_diff`.
+    * Estimates are sketch-derived (exact below the sparse threshold
+    * ~2^lgK; ±1.6% at lgK=12 beyond). The driver gate pairs them with
+    * independently computed exact counts and emits within-bound
+    * verdicts (`recon_hll_keyset`). */
+  def hllKeysetCompare(source: DataFrame, target: DataFrame, keyCol: String,
+      lgK: Int = 12): DataFrame = {
+    def sk(df: DataFrame, name: String) =
+      df.agg(hll_sketch_agg(col(keyCol).cast("string"), lit(lgK)).as(name))
+    sk(source, "sk_a").crossJoin(sk(target, "sk_b"))
+      .select(
+        hll_sketch_estimate(col("sk_a")).as("est_a"),
+        hll_sketch_estimate(col("sk_b")).as("est_b"),
+        hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b")))
+          .as("est_union"))
+      .withColumn("est_sym_diff",
+        lit(2L) * col("est_union") - col("est_a") - col("est_b"))
+  }
 }

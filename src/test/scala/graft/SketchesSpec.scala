@@ -58,6 +58,24 @@ class SketchesSpec extends SparkTestBase {
     assert(d0.getAs[Long]("exact_distinct") == d0exact)
   }
 
+  test("hllKeysetCompare bounds the symmetric difference of drifted key sets") {
+    import spark.implicits._
+    // 1..1000 vs 1..1000 minus multiples of 11 plus 3 extras: |A∆B| =
+    // 90 dropped + 3 added = 93. At ~1000 keys the lgK=12 sketch is
+    // already estimating (~±1.6%), so assert the recon contract — every
+    // estimate within the bound the gate uses, sym-diff error bounded
+    // by the compounded per-estimate error — not bit-exactness.
+    val a = (1L to 1000L).toDF("k")
+    val b = (1L to 1000L).filter(_ % 11 != 0).map(identity).toDF("k")
+      .union(Seq(2001L, 2002L, 2003L).toDF("k"))
+    val r = graft.validation.TableDiff.hllKeysetCompare(a, b, "k").head()
+    val bound = Sketches.hllBound(12)
+    assert(math.abs(r.getAs[Long]("est_a") - 1000L) <= 1000 * bound)
+    assert(math.abs(r.getAs[Long]("est_b") - 913L) <= 913 * bound)
+    assert(math.abs(r.getAs[Long]("est_union") - 1003L) <= 1003 * bound)
+    assert(math.abs(r.getAs[Long]("est_sym_diff") - 93L) <= (1000 + 913) * bound)
+  }
+
   test("daily sketch aggregate builds map-side partials (one shuffle)") {
     // The scan-side reduction is the whole scale story: raw events must
     // collapse to per-day sketches BEFORE the exchange.
