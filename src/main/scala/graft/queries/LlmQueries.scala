@@ -1175,10 +1175,14 @@ object LlmQueries {
       // tokens) enters the candidate bucket join; the oracle is the
       // full quadratic shingle join filtered to the same threshold, so
       // any candidate the prefix filter wrongly pruned would surface as
-      // a missing row.
+      // a missing row. t = 0.8 (the practical near-dup threshold):
+      // prefix cost scales with (1−t) — at 0.8 the prefix is ~20% of
+      // each doc; lower thresholds on this vocab-limited corpus widen
+      // prefixes into common shingles and the candidate join degrades
+      // toward quadratic (that regime belongs to LSH).
       val docs = T(s, dir, "documents")
       val sh = Dedup.shingleArray(docs, "doc_id", "text", 3)
-      Dedup.prefixFilterPairs(sh, "doc_id", 0.6)
+      Dedup.prefixFilterPairs(sh, "doc_id", 0.8)
         .orderBy("id_a", "id_b")
     }, Some(s"""WITH $toksCte, $shCte,
                |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -1193,7 +1197,7 @@ object LlmQueries {
                |      CAST(sa.n + sb.n - i.n_inter AS DOUBLE) AS jaccard
                |  FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
                |  JOIN sizes sb ON sb.doc_id = i.id_b)
-               |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin)),
+               |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin)),
 
     "llm_minhash_est_check" -> Q((s, dir) => {
       // MinHash as a Jaccard ESTIMATOR, closed loop: for adjacent doc
