@@ -140,13 +140,22 @@ object Similarity {
   def nearDupPairs(corpus: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String, threshold: Double): DataFrame = {
     val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
+    // Pre-normalize ONCE per vector (|corpus| rows), so each candidate
+    // pair costs a single fused dot instead of dot + two norms — at Σ
+    // cluster² pair volume the per-pair work is the whole bill, and
+    // cosine(x, y) ≡ dot(x/|x|, y/|y|). The oracle mirrors the same
+    // unit-vector shape (element division, then the same left fold), so
+    // both engines still compute bit-identical similarities.
     val v = corpus.join(assigned, idCol)
       .select(col(idCol).as("id_"), col("cluster_id"), asDoubleVec(col(vecCol)).as("vv"))
+      .withColumn("nrm", sqrt(graft.plans.DotProduct(col("vv"), col("vv"))))
+      .select(col("id_"), col("cluster_id"),
+        expr("transform(vv, e -> e / nrm)").as("uv"))
     v.alias("x").join(v.alias("y"),
         col("x.cluster_id") === col("y.cluster_id") && col("x.id_") < col("y.id_"))
       .select(col("x.id_").as("id_a"), col("y.id_").as("id_b"),
         col("x.cluster_id").as("cluster_id"),
-        cosine(col("x.vv"), col("y.vv")).as("sim"))
+        graft.plans.DotProduct(col("x.uv"), col("y.uv")).as("sim"))
       .filter(col("sim") >= threshold)
   }
 

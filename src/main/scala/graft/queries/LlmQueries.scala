@@ -665,12 +665,13 @@ object LlmQueries {
          |  SELECT a.vec_id, c.centroid_id,
          |    row_number() OVER (PARTITION BY a.vec_id ORDER BY $sim DESC, c.centroid_id) AS rn
          |  FROM v a CROSS JOIN cent c) WHERE rn = 1),
-         |cv AS (SELECT v.vec_id AS id_, v.vv, a.cluster_id
+         |cv AS (SELECT v.vec_id AS id_,
+         |    list_transform(v.vv, e -> e / sqrt(${dotSql("v.vv", "v.vv")})) AS uv,
+         |    a.cluster_id
          |  FROM v JOIN assigned a ON v.vec_id = a.vec_id)
          |SELECT x.id_ AS id_a, y.id_ AS id_b, x.cluster_id
          |FROM cv x JOIN cv y ON x.cluster_id = y.cluster_id AND x.id_ < y.id_
-         |WHERE ${"(" + dotSql("x.vv", "y.vv") +
-           s" / (sqrt(${dotSql("x.vv", "x.vv")}) * sqrt(${dotSql("y.vv", "y.vv")})))"} >= 0.35
+         |WHERE ${dotSql("x.uv", "y.uv")} >= 0.35
          |ORDER BY id_a, id_b""".stripMargin
     })),
 
@@ -1344,8 +1345,6 @@ object LlmQueries {
         .orderBy("vec_id")
     }, Some({
       val sim = simSql("a.vv", "c.cv")
-      val pairSim = "(" + dotSql("x.vv", "y.vv") +
-        s" / (sqrt(${dotSql("x.vv", "x.vv")}) * sqrt(${dotSql("y.vv", "y.vv")})))"
       s"""WITH RECURSIVE v AS (SELECT vec_id,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings),
          |cent AS (SELECT vec_id AS centroid_id, vv AS cv FROM v WHERE vec_id < 8),
@@ -1353,11 +1352,13 @@ object LlmQueries {
          |  SELECT a.vec_id, c.centroid_id,
          |    row_number() OVER (PARTITION BY a.vec_id ORDER BY $sim DESC, c.centroid_id) AS rn
          |  FROM v a CROSS JOIN cent c) WHERE rn = 1),
-         |cv AS (SELECT v.vec_id AS id_, v.vv, a.cluster_id
+         |cv AS (SELECT v.vec_id AS id_,
+         |    list_transform(v.vv, e -> e / sqrt(${dotSql("v.vv", "v.vv")})) AS uv,
+         |    a.cluster_id
          |  FROM v JOIN assigned a ON v.vec_id = a.vec_id),
          |nd AS (SELECT x.id_ AS id_a, y.id_ AS id_b
          |  FROM cv x JOIN cv y ON x.cluster_id = y.cluster_id AND x.id_ < y.id_
-         |  WHERE $pairSim >= 0.35),
+         |  WHERE ${dotSql("x.uv", "y.uv")} >= 0.35),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM nd
          |          UNION SELECT id_b, id_a FROM nd),
          |reach AS (SELECT src AS id, src AS comp FROM edges

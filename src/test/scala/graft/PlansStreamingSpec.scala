@@ -52,6 +52,31 @@ class PlansStreamingSpec extends SparkTestBase {
     assert(uneven.isNullAt(1))          // HOF null-pads → NULL
   }
 
+  test("fused DotProduct is bit-identical to the HOF fold; unit-dot equals cosine to ~1e-15") {
+    val r = new scala.util.Random(7)
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Array.fill(64)(r.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val v = vecs.select(col("vec_id"), Similarity.asDoubleVec(col("embedding")).as("v"))
+    val pairs = v.alias("a").join(v.alias("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        graft.plans.DotProduct(col("a.v"), col("b.v")).as("fused"),
+        expr("""aggregate(zip_with(a.v, b.v, (x, y) -> x * y),
+               |0d, (acc, p) -> acc + p)""".stripMargin).as("hof"))
+    assert(pairs.filter(col("fused") =!= col("hof")).count() === 0)
+    // The pre-normalized path (nearDupPairs): dot of unit vectors must
+    // match cosine(x, y) to float-rounding distance — not bitwise (the
+    // op order differs by design), which is why BOTH engines compute
+    // the SAME unit-vector shape rather than mixing formulations.
+    val u = v.withColumn("nrm",
+        sqrt(graft.plans.DotProduct(col("v"), col("v"))))
+      .select(col("vec_id"), expr("transform(v, e -> e / nrm)").as("uv"), col("v"))
+    val both = u.alias("a").join(u.alias("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        graft.plans.DotProduct(col("a.uv"), col("b.uv")).as("unit_dot"),
+        Similarity.cosineHof(col("a.v"), col("b.v")).as("cos"))
+    assert(both.filter(abs(col("unit_dot") - col("cos")) > 1e-12).count() === 0)
+  }
+
   test("fused SortedJaccard equals the built-in intersect/union composition") {
     val r = new scala.util.Random(11)
     val words = (0 until 40).map(i => s"w$i")
