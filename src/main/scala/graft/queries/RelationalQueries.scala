@@ -1242,5 +1242,29 @@ object RelationalQueries {
              |  CAST(len(list_filter(q, x -> x > 25)) AS INT) AS n_over_25,
              |  len(list_filter(q, x -> x > 40)) > 0 AS has_over_40,
              |  len(list_filter(q, x -> x <= 0)) = 0 AS all_positive
-             |FROM a ORDER BY l_orderkey""".stripMargin)))
+             |FROM a ORDER BY l_orderkey""".stripMargin)),
+
+    "f26_bitwise_family" -> Q((s, dir) =>
+      // The bitwise function family as a first-class gate — these are
+      // the load-bearing primitives under SimHash, hyperplane-LSH band
+      // extraction and Hamming verification (shiftright/AND/XOR/
+      // bit_count), pinned here on scalar semantics against DuckDB's
+      // operators. Pure projection, zero shuffle.
+      T(s, dir, "orders")
+        .select(col("o_orderkey"),
+          col("o_orderkey").bitwiseAND(lit(255L)).as("band"),
+          col("o_orderkey").bitwiseOR(lit(15L)).as("ored"),
+          col("o_orderkey").bitwiseXOR(lit(129L)).as("xored"),
+          shiftleft(col("o_orderkey"), 3).as("shl"),
+          shiftright(col("o_orderkey"), 2).as("shr"),
+          bit_count(col("o_orderkey")).as("popcount"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  o_orderkey & 255 AS band,
+             |  o_orderkey | 15 AS ored,
+             |  xor(o_orderkey, 129) AS xored,
+             |  o_orderkey << 3 AS shl,
+             |  o_orderkey >> 2 AS shr,
+             |  CAST(bit_count(o_orderkey) AS INT) AS popcount
+             |FROM orders ORDER BY o_orderkey""".stripMargin)))
 }

@@ -402,5 +402,25 @@ object WindowQueries {
                |  count(DISTINCT p.user_id) AS exact_distinct,
                |  TRUE AS approx_within_bound
                |FROM days d JOIN pairs p ON p.day BETWEEN d.day - 6 AND d.day
-               |GROUP BY d.day ORDER BY d.day""".stripMargin)))
+               |GROUP BY d.day ORDER BY d.day""".stripMargin)),
+
+    "w11_moving_percentile" -> Q((s, dir) =>
+      // Moving median over a trailing 5-row frame — the robust (outlier-
+      // immune) twin of w3's moving average. percentile is a mergeable
+      // sketch-buffer aggregate, so it windows like any other aggregate:
+      // ONE exchange on the partition key. Both engines interpolate
+      // lower + (upper − lower)·frac over the same doubles, so the
+      // median is bit-identical; o_orderkey totalizes the frame order.
+      T(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          expr("""percentile(o_totalprice, 0.5) OVER (
+                 |  PARTITION BY o_custkey ORDER BY o_orderkey
+                 |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin)
+            .as("moving_median"))
+        .orderBy("o_custkey", "o_orderkey"),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+             |  quantile_cont(o_totalprice, 0.5) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderkey
+             |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS moving_median
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)))
 }
