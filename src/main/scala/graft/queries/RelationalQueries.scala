@@ -836,6 +836,57 @@ object RelationalQueries {
               |    CAST((SELECT SUM(seg_total) FROM seg) AS DOUBLE) AS pct_of_total
               |FROM seg ORDER BY o_orderstatus""".stripMargin)),
 
+    "a23_corr_exact" -> Q((s, dir) => {
+      // Engine-portable Pearson correlation — the w8 z-score pattern
+      // generalized to a two-variable statistic. Built-in corr() folds
+      // doubles in partition order (merge-order-dependent, never
+      // hash-comparable across engines), so the gate computes the five
+      // moment sums over EXACT integers (milli/centi units; y² routed
+      // through decimal — it overflows bigint), then evaluates ONE
+      // fixed-shape closed form in double mirrored verbatim in the
+      // oracle. The built-in rides along and must agree to 1e-9 —
+      // pinning Spark's streaming covariance against the exact form.
+      val li = T(s, dir, "lineitem").select(col("l_returnflag"),
+        round(col("l_quantity") * 1000).cast("bigint").as("x"),
+        round(col("l_extendedprice") * 100).cast("bigint").as("y"))
+      val sums = li.groupBy("l_returnflag").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y").cast("decimal(19,0)") * col("y").cast("decimal(19,0)"))
+          .cast("double").as("syy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        corr(col("x").cast("double"), col("y").cast("double")).as("corr_builtin"))
+      sums.select(col("l_returnflag"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+             sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("corr_qty_price"),
+          (abs(((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+             sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            - col("corr_builtin")) < 1e-9).as("builtin_agrees"))
+        .orderBy("l_returnflag")
+    }, Some("""WITH b AS (SELECT l_returnflag,
+              |    CAST(round(l_quantity * 1000) AS BIGINT) AS x,
+              |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+              |  FROM lineitem),
+              |m AS (SELECT l_returnflag,
+              |    CAST(count(*) AS DOUBLE) AS n,
+              |    CAST(SUM(x) AS DOUBLE) AS sx,
+              |    CAST(SUM(y) AS DOUBLE) AS sy,
+              |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+              |    CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+              |    CAST(SUM(x * y) AS DOUBLE) AS sxy
+              |  FROM b GROUP BY l_returnflag)
+              |SELECT l_returnflag,
+              |  ((n * sxy - sx * sy) /
+              |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+              |    AS corr_qty_price,
+              |  TRUE AS builtin_agrees
+              |FROM m ORDER BY l_returnflag""".stripMargin)),
+
     "a22_hll_union_check" -> Q((s, dir) => {
       // Mergeable-sketch distinct counting (Sketches.groupSketches /
       // unionEstimate): per-type HLL sketches of the user universe roll
