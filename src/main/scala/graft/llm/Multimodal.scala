@@ -7,13 +7,17 @@ import org.apache.spark.sql.functions._
   * metadata, plus feature-extraction stages.
   *
   * The Spark-side plumbing (schema, payload column, per-row feature
-  * projection, deterministic batch-friendly shapes) is real and tested;
-  * the actual media DECODE is a clearly-marked deterministic stub —
-  * this container ships no image/audio codecs, so `decodeStub` derives
-  * fake-but-stable "decoded" features (dimensions, frame hashes) from the
-  * payload bytes. Swapping in a real codec means replacing only the
-  * stubbed expressions (or routing the payload through `mapPartitions`
-  * with a codec library) — the surrounding pipeline is unchanged.
+  * projection, deterministic batch-friendly shapes) is real and tested.
+  * Decode comes in two tiers:
+  *   - [[PpmCodec]] / [[BmpCodec]]: REAL pure-JVM decoders for the two
+  *     self-contained uncompressed raster formats (PPM P6 and 24-bit
+  *     BMP) — header parse, dimension extraction, pixel-byte extraction,
+  *     pixel digest — no external codec library needed.
+  *   - [[decodeStub]] / [[StubCodec]]: a clearly-marked deterministic
+  *     stub standing in for compressed formats (JPEG/PNG/audio/video)
+  *     whose codec libraries this container does not ship. The stub
+  *     keeps schema and scaling behavior identical, so swapping in a
+  *     libjpeg/ffmpeg-backed [[MediaCodec]] changes nothing around it.
   */
 object Multimodal {
 
@@ -65,6 +69,123 @@ object Multimodal {
       DecodedMedia(payload.length % 1280 + 640, payload.length % 720 + 360,
         payload.length / 16, digest)
     }
+  }
+
+  /** md5 of the UPPERCASE HEX dump of `bytes`, lowercase-hex-encoded.
+    * Digesting the hex string rather than the raw bytes keeps the value
+    * reproducible by engines whose md5() only accepts strings (the
+    * DuckDB oracle among them); the bytes themselves are still the real
+    * decoded pixels. */
+  private[llm] def hexMd5(md: java.security.MessageDigest, bytes: Array[Byte]): String = {
+    val hex = new StringBuilder(bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      hex.append("%02X".format(bytes(i) & 0xff)); i += 1
+    }
+    md.reset()
+    md.digest(hex.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** REAL PPM (P6) decoder — pure JVM, no codec library. Parses the
+    * text header (magic, optional `#` comments, width, height, maxval),
+    * then extracts the binary pixel plane. Dimensions and the pixel
+    * digest come from the actual payload bytes. */
+  final class PpmCodec extends MediaCodec {
+    @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+    def decode(payload: Array[Byte]): DecodedMedia = {
+      require(payload.length >= 2 && payload(0) == 'P' && payload(1) == '6',
+        "not a P6 PPM payload")
+      var pos = 2
+      def skipWsAndComments(): Unit = {
+        var done = false
+        while (!done && pos < payload.length) {
+          val c = payload(pos)
+          if (c == '#') { while (pos < payload.length && payload(pos) != '\n') pos += 1 }
+          else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') pos += 1
+          else done = true
+        }
+      }
+      def readInt(): Int = {
+        skipWsAndComments()
+        val start = pos
+        var v = 0
+        while (pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9') {
+          v = v * 10 + (payload(pos) - '0'); pos += 1
+        }
+        require(pos > start, s"expected integer in PPM header at byte $start")
+        v
+      }
+      val w = readInt(); val h = readInt(); val maxval = readInt()
+      require(w > 0 && h > 0 && maxval > 0 && maxval < 65536,
+        s"bad PPM header: ${w}x$h maxval=$maxval")
+      // Exactly ONE whitespace byte separates maxval from pixel data
+      // (per the netpbm spec — more would be pixel bytes).
+      pos += 1
+      val n = w * h * 3 * (if (maxval < 256) 1 else 2)
+      require(payload.length - pos >= n,
+        s"truncated PPM: need $n pixel bytes, have ${payload.length - pos}")
+      val pixels = java.util.Arrays.copyOfRange(payload, pos, pos + n)
+      DecodedMedia(w, h, 1, hexMd5(md, pixels))
+    }
+  }
+
+  /** REAL 24-bit uncompressed BMP decoder — pure JVM. Parses the
+    * BITMAPFILEHEADER + BITMAPINFOHEADER, honors the 4-byte row stride
+    * padding and bottom-up row order (negative height = top-down), and
+    * digests the pixel bytes in top-down row order with padding
+    * stripped, so the digest depends only on image content, not layout. */
+  final class BmpCodec extends MediaCodec {
+    @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+    private def le32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    private def le16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    def decode(payload: Array[Byte]): DecodedMedia = {
+      require(payload.length >= 54 && payload(0) == 'B' && payload(1) == 'M',
+        "not a BMP payload")
+      val dataOffset = le32(payload, 10)
+      val w = le32(payload, 18)
+      val rawH = le32(payload, 22)
+      val topDown = rawH < 0
+      val h = math.abs(rawH)
+      val bpp = le16(payload, 28)
+      val compression = le32(payload, 30)
+      require(bpp == 24 && compression == 0,
+        s"only 24-bit uncompressed BMP supported (bpp=$bpp, compression=$compression)")
+      require(w > 0 && h > 0, s"bad BMP dimensions ${w}x$rawH")
+      val stride = ((w * 3 + 3) / 4) * 4
+      require(payload.length >= dataOffset + stride.toLong * h,
+        s"truncated BMP: need ${stride.toLong * h} pixel bytes at offset $dataOffset")
+      val pixels = new Array[Byte](w * 3 * h)
+      var row = 0
+      while (row < h) {
+        val srcRow = if (topDown) row else h - 1 - row
+        System.arraycopy(payload, dataOffset + srcRow * stride, pixels, row * w * 3, w * 3)
+        row += 1
+      }
+      DecodedMedia(w, h, 1, hexMd5(md, pixels))
+    }
+  }
+
+  /** Build a REAL PPM (P6) payload per row, dimensions and pixel bytes
+    * derived deterministically from `idCol` so an external oracle can
+    * recompute the decoded features without parsing the image: width =
+    * id%8+2, height = id%5+2, pixel byte i = (id*31+i)%256. Pure
+    * expressions (sequence/transform HOF + unhex) — codegen'd, zero
+    * shuffle; this is the encode twin of [[PpmCodec]]. */
+  def encodePpm(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val id = col(idCol).cast("long")
+    val w = (id % 8 + 2).cast("int")
+    val h = (id % 5 + 2).cast("int")
+    val header = concat(lit("P6\n"), w.cast("string"), lit(" "),
+      h.cast("string"), lit("\n255\n"))
+    val nBytes = (w * h * 3).cast("long")
+    val pixHex = concat_ws("",
+      transform(sequence(lit(0L), nBytes - 1),
+        i => lpad(hex((id * 31 + i) % 256), 2, "0")))
+    df.withColumn("payload", concat(encode(header, "UTF-8"), unhex(pixHex)))
   }
 
   /** Partition-wise decode: the imperative escape hatch (mapPartitions)

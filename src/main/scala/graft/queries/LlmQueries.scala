@@ -700,18 +700,23 @@ object LlmQueries {
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
     "llm_multimodal_codec" -> Q((s, dir) => {
-      // Partition-wise decode through the pluggable-codec mapPartitions
-      // path (one codec per partition) — vs llm_multimodal_stub, which
-      // exercises the pure-SQL projection plumbing.
-      val withPayload = Multimodal.withPayload(
-        T(s, dir, "documents").select("doc_id", "text"))
-      Multimodal.decodeWithCodec(s, withPayload, () => new Multimodal.StubCodec)
+      // REAL decode: each doc gets a genuine PPM (P6) payload built by
+      // encodePpm (header + pixel plane), and PpmCodec parses it back —
+      // width/height from the parsed header, digest from the extracted
+      // pixel bytes — through the pluggable-codec mapPartitions path
+      // (one codec per partition). The oracle recomputes the same
+      // features from the generation formulas, so a codec that misreads
+      // the header or slices the pixel plane off-by-one hash-mismatches.
+      val payloads = Multimodal.encodePpm(T(s, dir, "documents").select("doc_id"))
+      Multimodal.decodeWithCodec(s, payloads, () => new Multimodal.PpmCodec)
         .orderBy("doc_id")
     }, Some("""SELECT doc_id,
-              |  CAST(octet_length(encode(text)) % 1280 + 640 AS INT) AS width,
-              |  CAST(octet_length(encode(text)) % 720 + 360 AS INT) AS height,
-              |  CAST(octet_length(encode(text)) // 16 AS INT) AS n_frames,
-              |  md5(text) AS digest
+              |  CAST(doc_id % 8 + 2 AS INT) AS width,
+              |  CAST(doc_id % 5 + 2 AS INT) AS height,
+              |  CAST(1 AS INT) AS n_frames,
+              |  md5(array_to_string(list_transform(
+              |    range((doc_id % 8 + 2) * (doc_id % 5 + 2) * 3),
+              |    i -> lpad(hex((doc_id * 31 + i) % 256), 2, '0')), '')) AS digest
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
     "llm_multimodal_resize" -> Q((s, dir) => {
