@@ -19,6 +19,77 @@ object TpchQueries {
 
   private val disc4 = "decimal(18,4)"
 
+  // ---- derived-table contract ------------------------------------------
+  // The driver corpus ships no `partsupp` table and no l_shipmode /
+  // l_commitdate / l_receiptdate columns, which blocks TPC-H
+  // q2/q9/q11/q12/q16/q20/q21. Both engines read the SAME parquet, so the
+  // missing data is DERIVED with pure integer/date arithmetic from the
+  // keys — the Spark builders below and the `psSql`/`lxSql` oracle
+  // fragments restate the identical formulas, making every derived value
+  // bit-reproducible on both sides:
+  //   partsupp: 4 suppliers per part, ps_suppkey = (p*7 + k*13) % S for
+  //     k in 0..3 (S = count(supplier), so the derivation scales with the
+  //     corpus; offsets 13/26/39 are distinct mod every S the driver
+  //     generates, so the 4 suppliers never collide);
+  //     ps_availqty = (p*17 + s*31) % 9999 + 1;
+  //     ps_supplycost = ((p*13 + s*7) % 99900)/100.0 + 1.0  (1.00–1000.00)
+  //   lineitem extension: l_shipmode = MODES[(okey+line) % 7];
+  //     l_commitdate = shipdate + (p % 30 - 15) days;
+  //     l_receiptdate = shipdate + (s % 10 + 1) days.
+  // At scale the derivation is a narrow, codegen'd projection over part /
+  // lineitem — no shuffle, no extra scan, nothing to persist.
+
+  /** Derived partsupp: ps_partkey, ps_suppkey, ps_availqty, ps_supplycost.
+    * One row per (part, k<4); explode of a 4-literal array over the part
+    * scan plus one broadcast scalar (supplier count) — zero shuffles. */
+  private def partsupp(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val sTotal = T(s, dir, "supplier").agg(count(lit(1)).as("s_total"))
+    T(s, dir, "part").select(col("p_partkey"))
+      .crossJoin(broadcast(sTotal))
+      .select(col("p_partkey"),
+        explode(array((0 until 4).map(lit): _*)).as("k"), col("s_total"))
+      .select(col("p_partkey").as("ps_partkey"),
+        ((col("p_partkey") * 7 + col("k") * 13) % col("s_total")).as("ps_suppkey"))
+      .withColumn("ps_availqty",
+        ((col("ps_partkey") * 17 + col("ps_suppkey") * 31) % 9999 + 1).cast("int"))
+      .withColumn("ps_supplycost",
+        (col("ps_partkey") * 13 + col("ps_suppkey") * 7) % 99900 / lit(100.0) + 1.0)
+  }
+
+  /** Oracle twin of [[partsupp]] (a WITH-clause fragment). */
+  private val psSql =
+    """s_cnt AS (SELECT count(*) AS s_total FROM supplier),
+      |ps AS (
+      |  SELECT ps_partkey, ps_suppkey,
+      |    CAST((ps_partkey * 17 + ps_suppkey * 31) % 9999 + 1 AS INT) AS ps_availqty,
+      |    ((ps_partkey * 13 + ps_suppkey * 7) % 99900) / 100.0 + 1.0 AS ps_supplycost
+      |  FROM (SELECT p_partkey AS ps_partkey,
+      |          (p_partkey * 7 + k * 13) % s_total AS ps_suppkey
+      |        FROM part, s_cnt, (VALUES (0),(1),(2),(3)) AS gen(k)))""".stripMargin
+
+  private val shipModes = Seq("MAIL", "SHIP", "AIR", "TRUCK", "RAIL", "FOB", "REG AIR")
+
+  /** Lineitem extended with derived l_shipmode / l_commitdate /
+    * l_receiptdate — pure per-row projections, pushdown-transparent. */
+  private def lineitemExt(s: org.apache.spark.sql.SparkSession, dir: String) =
+    T(s, dir, "lineitem")
+      .withColumn("l_shipmode", element_at(array(shipModes.map(lit): _*),
+        ((col("l_orderkey") + col("l_linenumber")) % 7 + 1).cast("int")))
+      .withColumn("l_commitdate",
+        date_add(to_date(col("l_shipdate")), (col("l_partkey") % 30 - 15).cast("int")))
+      .withColumn("l_receiptdate",
+        date_add(to_date(col("l_shipdate")), (col("l_suppkey") % 10 + 1).cast("int")))
+
+  /** Oracle twin of [[lineitemExt]] (a WITH-clause fragment). */
+  private val lxSql =
+    """lx AS (SELECT l_orderkey, l_partkey, l_suppkey, l_quantity,
+      |    l_extendedprice, l_discount, l_shipdate,
+      |    (['MAIL','SHIP','AIR','TRUCK','RAIL','FOB','REG AIR'])[
+      |      CAST((l_orderkey + l_linenumber) % 7 + 1 AS INT)] AS l_shipmode,
+      |    CAST(l_shipdate AS DATE) + CAST(l_partkey % 30 - 15 AS INT) AS l_commitdate,
+      |    CAST(l_shipdate AS DATE) + CAST(l_suppkey % 10 + 1 AS INT) AS l_receiptdate
+      |  FROM lineitem)""".stripMargin
+
   val defs: Seq[(String, Q)] = Seq(
 
     "tpch_q1" -> Q((s, dir) =>
@@ -511,5 +582,291 @@ object TpchQueries {
               |    AND l.l_returnflag = 'R'
               |  GROUP BY c.c_custkey, c.c_name, n.n_name
               |  ORDER BY revenue DESC, c_custkey LIMIT 20)
-              |ORDER BY revenue DESC, c_custkey""".stripMargin), bench = true))
+              |ORDER BY revenue DESC, c_custkey""".stripMargin), bench = true),
+
+    "tpch_q2" -> Q((s, dir) => {
+      // Q2 minimum-cost supplier: per-part MIN over the region-filtered
+      // partsupp, joined back as an equality filter — the decorrelated
+      // correlated-subquery shape. The min-cost side is a tiny aggregate
+      // (one row per regional part), broadcast by AQE.
+      val sup = T(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+      val n = T(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+      val r = T(s, dir, "region").filter(col("r_name") === "EUROPE")
+        .select("r_regionkey")
+      val regional = partsupp(s, dir)
+        .join(sup, col("ps_suppkey") === col("s_suppkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost",
+          "s_acctbal", "s_name", "n_name")
+      val minCost = regional.groupBy(col("ps_partkey").as("mc_partkey"))
+        .agg(min("ps_supplycost").as("min_cost"))
+      val p = T(s, dir, "part")
+        .filter(col("p_type") === "LARGE" && col("p_size").between(1, 15))
+        .select("p_partkey", "p_brand")
+      p.join(regional, col("p_partkey") === col("ps_partkey"))
+        .join(minCost, col("ps_partkey") === col("mc_partkey") &&
+          col("ps_supplycost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+          col("p_brand"), col("ps_supplycost"), col("ps_suppkey"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"), col("ps_suppkey"))
+        .limit(100)
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"), col("ps_suppkey"))
+    }, Some(s"""WITH $psSql,
+              |regional AS (
+              |  SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost,
+              |    s.s_acctbal, s.s_name, n.n_name
+              |  FROM ps
+              |  JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+              |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+              |  JOIN region r ON n.n_regionkey = r.r_regionkey
+              |  WHERE r.r_name = 'EUROPE'),
+              |mincost AS (SELECT ps_partkey AS mc_partkey,
+              |    MIN(ps_supplycost) AS min_cost
+              |  FROM regional GROUP BY ps_partkey)
+              |SELECT rg.s_acctbal, rg.s_name, rg.n_name, p.p_partkey, p.p_brand,
+              |  rg.ps_supplycost, rg.ps_suppkey
+              |FROM part p
+              |JOIN regional rg ON p.p_partkey = rg.ps_partkey
+              |JOIN mincost mc ON rg.ps_partkey = mc.mc_partkey
+              |  AND rg.ps_supplycost = mc.min_cost
+              |WHERE p.p_type = 'LARGE' AND p.p_size BETWEEN 1 AND 15
+              |ORDER BY rg.s_acctbal DESC, rg.n_name, rg.s_name, p.p_partkey,
+              |  rg.ps_suppkey
+              |LIMIT 100""".stripMargin), bench = true),
+
+    "tpch_q9" -> Q((s, dir) => {
+      // Q9 product-type profit: fact joins part + derived partsupp +
+      // supplier + orders + nation; profit = revenue − supply cost,
+      // decimal-cast per row so the per-group sum is exact.
+      val p = T(s, dir, "part").filter(col("p_name").like("%red%"))
+        .select("p_partkey")
+      val l = T(s, dir, "lineitem").select("l_orderkey", "l_partkey",
+        "l_suppkey", "l_quantity", "l_extendedprice", "l_discount")
+      val ps = partsupp(s, dir).select("ps_partkey", "ps_suppkey", "ps_supplycost")
+      val sup = T(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val o = T(s, dir, "orders").select(col("o_orderkey"),
+        year(to_date(col("o_orderdate"))).as("o_year"))
+      val n = T(s, dir, "nation").select("n_nationkey", "n_name")
+      p.join(l, col("p_partkey") === col("l_partkey"))
+        .join(ps, col("ps_suppkey") === col("l_suppkey") &&
+          col("ps_partkey") === col("l_partkey"))
+        .join(sup, col("s_suppkey") === col("l_suppkey"))
+        .join(o, col("o_orderkey") === col("l_orderkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), col("o_year"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+          col("ps_supplycost") * col("l_quantity")).cast(disc4))
+          .cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }, Some(s"""WITH $psSql
+              |SELECT n.n_name AS nation,
+              |  CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+              |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+              |    - ps.ps_supplycost * l.l_quantity AS DECIMAL(18,4)))
+              |    AS DOUBLE) AS sum_profit
+              |FROM part p
+              |JOIN lineitem l ON p.p_partkey = l.l_partkey
+              |JOIN ps ON ps.ps_suppkey = l.l_suppkey AND ps.ps_partkey = l.l_partkey
+              |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              |JOIN orders o ON o.o_orderkey = l.l_orderkey
+              |JOIN nation n ON s.s_nationkey = n.n_nationkey
+              |WHERE p.p_name LIKE '%red%'
+              |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin),
+      bench = true),
+
+    "tpch_q11" -> Q((s, dir) => {
+      // Q11 important stock: share-of-total HAVING — the threshold
+      // compare stays in exact DECIMAL (value*1000 > total) so no
+      // float boundary can flip a row between engines; the 1-row total
+      // broadcasts.
+      val sup = T(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val n = T(s, dir, "nation").filter(col("n_name") === "NATION_1")
+        .select("n_nationkey")
+      val sn = partsupp(s, dir)
+        .join(sup, col("ps_suppkey") === col("s_suppkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .select(col("ps_partkey"),
+          (col("ps_supplycost") * col("ps_availqty")).cast(disc4).as("v"))
+      val tot = sn.agg(sum("v").as("total_v"))
+      sn.groupBy("ps_partkey").agg(sum("v").as("pv"))
+        .crossJoin(broadcast(tot))
+        .filter(col("pv") * 1000 > col("total_v"))
+        .select(col("ps_partkey"), col("pv").cast("double").as("value"))
+        .orderBy(col("value").desc, col("ps_partkey"))
+    }, Some(s"""WITH $psSql,
+              |sn AS (
+              |  SELECT ps.ps_partkey,
+              |    CAST(ps.ps_supplycost * ps.ps_availqty AS DECIMAL(18,4)) AS v
+              |  FROM ps
+              |  JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+              |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+              |  WHERE n.n_name = 'NATION_1'),
+              |tot AS (SELECT SUM(v) AS total_v FROM sn)
+              |SELECT ps_partkey, CAST(SUM(v) AS DOUBLE) AS value
+              |FROM sn, tot
+              |GROUP BY ps_partkey, tot.total_v
+              |HAVING SUM(v) * 1000 > tot.total_v
+              |ORDER BY value DESC, ps_partkey""".stripMargin), bench = true),
+
+    "tpch_q12" -> Q((s, dir) => {
+      // Q12 shipping-mode priority: every filter is over DERIVED columns
+      // (shipmode, commit/receipt dates), proving the derivation contract
+      // survives predicate pushdown and date arithmetic on both engines.
+      val l = lineitemExt(s, dir)
+        .filter(col("l_shipmode").isin("MAIL", "SHIP") &&
+          col("l_commitdate") < col("l_receiptdate") &&
+          to_date(col("l_shipdate")) < col("l_commitdate") &&
+          col("l_receiptdate") >= lit("1996-01-01").cast("date") &&
+          col("l_receiptdate") < lit("1997-01-01").cast("date"))
+        .select("l_orderkey", "l_shipmode")
+      val o = T(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      l.join(o, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_shipmode")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0)
+            .otherwise(1)).as("low_line_count"))
+        .orderBy("l_shipmode")
+    }, Some(s"""WITH $lxSql
+              |SELECT l_shipmode,
+              |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+              |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+              |FROM orders o JOIN lx ON o.o_orderkey = lx.l_orderkey
+              |WHERE lx.l_shipmode IN ('MAIL','SHIP')
+              |  AND lx.l_commitdate < lx.l_receiptdate
+              |  AND CAST(lx.l_shipdate AS DATE) < lx.l_commitdate
+              |  AND lx.l_receiptdate >= DATE '1996-01-01'
+              |  AND lx.l_receiptdate < DATE '1997-01-01'
+              |GROUP BY l_shipmode ORDER BY l_shipmode""".stripMargin),
+      bench = true),
+
+    "tpch_q16" -> Q((s, dir) => {
+      // Q16 part/supplier relationship: COUNT(DISTINCT) per attribute
+      // triple with a NOT-IN supplier exclusion — expressed as a
+      // broadcast anti join (keys are non-null, so anti ≡ NOT IN).
+      val p = T(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val badSup = T(s, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select("s_suppkey")
+      partsupp(s, dir)
+        .join(p, col("ps_partkey") === col("p_partkey"))
+        .join(badSup, col("ps_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("ps_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }, Some(s"""WITH $psSql
+              |SELECT p.p_brand, p.p_type, p.p_size,
+              |  count(DISTINCT ps.ps_suppkey) AS supplier_cnt
+              |FROM ps JOIN part p ON p.p_partkey = ps.ps_partkey
+              |WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+              |  AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+              |  AND ps.ps_suppkey NOT IN
+              |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+              |GROUP BY p.p_brand, p.p_type, p.p_size
+              |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size"""
+      .stripMargin), bench = true),
+
+    "tpch_q20" -> Q((s, dir) => {
+      // Q20 potential part promotion: suppliers whose derived stock more
+      // than doubles a year's shipped quantity — the availqty threshold
+      // compares in exact DECIMAL (availqty*2 > sum_qty), and the
+      // correlated subquery decorrelates into one (part, supplier)
+      // aggregate joined back.
+      val qty = T(s, dir, "lineitem")
+        .filter(to_date(col("l_shipdate")) >= lit("1996-01-01").cast("date") &&
+          to_date(col("l_shipdate")) < lit("1997-01-01").cast("date"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+      val pSmall = T(s, dir, "part").filter(col("p_name").like("small%"))
+        .select("p_partkey")
+      val sup = T(s, dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+      val n = T(s, dir, "nation").filter(col("n_name") === "NATION_1")
+        .select("n_nationkey")
+      partsupp(s, dir)
+        .join(pSmall, col("ps_partkey") === col("p_partkey"))
+        .join(qty, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .filter(col("ps_availqty").cast("decimal(18,2)") * 2 > col("sum_qty"))
+        .join(sup, col("ps_suppkey") === col("s_suppkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name").distinct()
+        .orderBy("s_name", "s_suppkey")
+    }, Some(s"""WITH $psSql,
+              |qty AS (
+              |  SELECT l_partkey, l_suppkey,
+              |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+              |  FROM lineitem
+              |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+              |    AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+              |  GROUP BY l_partkey, l_suppkey)
+              |SELECT DISTINCT s.s_suppkey, s.s_name
+              |FROM supplier s
+              |JOIN nation n ON s.s_nationkey = n.n_nationkey
+              |JOIN ps ON ps.ps_suppkey = s.s_suppkey
+              |JOIN part p ON p.p_partkey = ps.ps_partkey
+              |JOIN qty ON qty.l_partkey = ps.ps_partkey
+              |  AND qty.l_suppkey = ps.ps_suppkey
+              |WHERE n.n_name = 'NATION_1' AND p.p_name LIKE 'small%'
+              |  AND CAST(ps.ps_availqty AS DECIMAL(18,2)) * 2 > qty.sum_qty
+              |ORDER BY s.s_name, s.s_suppkey""".stripMargin), bench = true),
+
+    "tpch_q21" -> Q((s, dir) => {
+      // Q21 suppliers who kept orders waiting: the EXISTS/NOT-EXISTS
+      // pair over the same fact — one LEFT SEMI and one LEFT ANTI join,
+      // each an equi-join on orderkey with a supplier-inequality
+      // residual; late-ness comes from the derived receipt/commit dates.
+      val l = lineitemExt(s, dir)
+        .select("l_orderkey", "l_suppkey", "l_receiptdate", "l_commitdate")
+      val l1 = l.filter(col("l_receiptdate") > col("l_commitdate"))
+      val o = T(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select("o_orderkey")
+      val sup = T(s, dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+      val n = T(s, dir, "nation").filter(col("n_name") === "NATION_2")
+        .select("n_nationkey")
+      val l2 = l.select(col("l_orderkey").as("l2_orderkey"),
+        col("l_suppkey").as("l2_suppkey"))
+      val l3 = l1.select(col("l_orderkey").as("l3_orderkey"),
+        col("l_suppkey").as("l3_suppkey"))
+      l1.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(l2, col("l_orderkey") === col("l2_orderkey") &&
+          col("l2_suppkey") =!= col("l_suppkey"), "left_semi")
+        .join(l3, col("l_orderkey") === col("l3_orderkey") &&
+          col("l3_suppkey") =!= col("l_suppkey"), "left_anti")
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+        .orderBy(col("numwait").desc, col("s_name"))
+    }, Some(s"""WITH $lxSql
+              |SELECT s_name, numwait FROM (
+              |  SELECT s.s_name, count(*) AS numwait
+              |  FROM supplier s
+              |  JOIN lx l1 ON s.s_suppkey = l1.l_suppkey
+              |  JOIN orders o ON o.o_orderkey = l1.l_orderkey
+              |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+              |  WHERE o.o_orderstatus = 'F'
+              |    AND l1.l_receiptdate > l1.l_commitdate
+              |    AND EXISTS (SELECT 1 FROM lx l2
+              |      WHERE l2.l_orderkey = l1.l_orderkey
+              |        AND l2.l_suppkey <> l1.l_suppkey)
+              |    AND NOT EXISTS (SELECT 1 FROM lx l3
+              |      WHERE l3.l_orderkey = l1.l_orderkey
+              |        AND l3.l_suppkey <> l1.l_suppkey
+              |        AND l3.l_receiptdate > l3.l_commitdate)
+              |    AND n.n_name = 'NATION_2'
+              |  GROUP BY s.s_name
+              |  ORDER BY numwait DESC, s.s_name LIMIT 100)
+              |ORDER BY numwait DESC, s_name""".stripMargin), bench = true))
 }

@@ -83,6 +83,32 @@ class PlanGuardsSpec extends SparkTestBase {
     assert(exchanges <= 1, s"star join should shuffle once (final agg):\n$plan")
   }
 
+  test("tpch_q9 derived-partsupp join tree: no cartesian, derivation shuffle-free") {
+    // partsupp is DERIVED (part × 4 via explode + one broadcast scalar);
+    // if the derivation ever introduces a hash exchange of its own, the
+    // 100 TB part table shuffles before the fact join even starts. The
+    // only nested-loop allowed is the 1-row supplier-count broadcast.
+    val df = graft.SparkEntry.queries("tpch_q9")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj <= 1, s"only the 1-row count broadcast may nested-loop:\n$plan")
+    assert(plan.contains("Generate explode"), s"partsupp explode missing:\n$plan")
+  }
+
+  test("tpch_q21 exists/not-exists pair plans semi + anti hash joins") {
+    // sf0.01, not sf0.001: the NATION_2 filter matches nothing at the
+    // smallest SF and AQE collapses the whole tree to EmptyRelation,
+    // which would vacuously pass (and assert against) a missing join.
+    val df = graft.SparkEntry.queries("tpch_q21")(spark, "/root/testdata/sf0.01")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
+    assert(plan.contains("LeftSemi"), s"EXISTS must plan a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS must plan an anti join:\n$plan")
+  }
+
   test("narrow projection prunes the scan's ReadSchema to the used columns") {
     val df = spark.read.parquet(s"$dir/t.parquet")
       .groupBy("bucket").agg(sum(col("amount").cast("decimal(18,2)")).as("s"))
