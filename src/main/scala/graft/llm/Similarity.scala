@@ -243,8 +243,14 @@ object Similarity {
     * ([[hyperplaneSign]]) is ≥ 0. P[bits agree] = 1 − θ/π, so Hamming
     * distance estimates cosine angle — the index-free ANN complement to
     * IVF: no centroid build, pure per-row projection, ZERO shuffle.
-    * The hyperplane matrix is a driver-side literal (nBits × dim tiny
-    * constants), never a join.
+    * The hyperplane matrix ships as ONE literal — an
+    * `array<struct<bit_weight, plane>>` folded by a single `aggregate`
+    * HOF — so the expression tree stays a handful of nodes at ANY
+    * (dim, nBits): at production embedding dims (768–4096) × 32 bits a
+    * per-bit formulation would be 32 independent HOF folds and a tree
+    * that grows with nBits, flirting with the codegen method-size
+    * cliff; this shape is O(1) nodes and never leaves whole-stage
+    * codegen (r7 advice; guarded by the dim=768 spec).
     *
     * `dim` MUST equal the actual vector length: `zip_with` pads a
     * shorter side with null, which would turn every projection NULL and
@@ -252,14 +258,18 @@ object Similarity {
     * makes that misconfiguration fail loudly instead. */
   def hyperplaneSig(vecCol: Column, dim: Int, nBits: Int = 16): Column = {
     require(nBits <= 32, "signature packs into an int/long")
-    val bits = (0 until nBits).map { k =>
-      val h = (0 until dim).map(i => hyperplaneSign(k, i))
-      when(dot(asDoubleVec(vecCol), typedLit(h)) >= 0, lit(1L << k)).otherwise(lit(0L))
-    }
+    // (1L << k, plane_k): the bit weight rides inside the literal so the
+    // fold needs no shift-by-column (Column shiftleft only takes Int).
+    val planes = typedLit(Seq.tabulate(nBits) { k =>
+      (1L << k, Seq.tabulate(dim)(i => hyperplaneSign(k, i)))
+    })
+    val sig = aggregate(planes, lit(0L), (acc, p) =>
+      acc + when(dot(asDoubleVec(vecCol), p.getField("_2")) >= 0,
+        p.getField("_1")).otherwise(lit(0L)))
     val dimGuard = assert_true(size(vecCol) === dim,
       concat(lit(s"hyperplaneSig: dim=$dim but vector has "),
         size(vecCol).cast("string"), lit(" elements")))
-    bits.reduce(_ + _) + coalesce(dimGuard.cast("long"), lit(0L))
+    sig + coalesce(dimGuard.cast("long"), lit(0L))
   }
 
   /** Banded-LSH candidate pairs over hyperplane signatures: the `nBits`

@@ -582,6 +582,27 @@ class LlmOpsSpec extends SparkTestBase {
       Option(ex.getCause).exists(_.getMessage.contains("hyperplaneSig")))
   }
 
+  test("hyperplaneSig at production dims (768 x 32 bits): analyzes, codegens, exact") {
+    // r7 advice: the per-bit literal formulation risked an expression
+    // blowup at real embedding dims. This pins the single-literal fold:
+    // it must analyze + run at dim=768/nBits=32 AND agree bit-for-bit
+    // with a direct Scala evaluation of the same hyperplanes.
+    val rnd = new scala.util.Random(42)
+    val v = Array.fill(768)(rnd.nextFloat() * 2 - 1)
+    val df = Seq((1L, v)).toDF("vec_id", "embedding")
+      .select(Similarity.hyperplaneSig(col("embedding"), 768, 32).as("sig"))
+    // Single literal + single fold: the analyzed expression tree must
+    // stay tiny no matter the matrix size.
+    val treeSize = df.queryExecution.analyzed.expressions.map(_.collect { case e => e }.size).sum
+    assert(treeSize < 200, s"expression tree grew with dim/nBits: $treeSize nodes")
+    val got = df.head().getLong(0)
+    val expected = (0 until 32).map { k =>
+      val proj = (0 until 768).map(i => v(i).toDouble * Similarity.hyperplaneSign(k, i)).sum
+      if (proj >= 0) 1L << k else 0L
+    }.sum
+    assert(got === expected)
+  }
+
   test("hyperplanePairs: exact duplicates pair at Hamming 0, ids ordered") {
     val rnd = new scala.util.Random(11)
     val base = Array.fill(8)(rnd.nextFloat())
