@@ -279,16 +279,24 @@ object Dedup {
         sort_array(collect_list(struct(col("df"), col("shingle")))),
         x => x.getField("shingle")).as("ordered_sh"))
       .withColumn("n", size(col("ordered_sh")))
+      // ceil(t*n - eps), not ceil(t*n): when t*n is exactly integral the
+      // double product can land a hair ABOVE the integer, shortening the
+      // prefix by one token — a false negative in an operator documented
+      // EXACT. The epsilon absorbs representation error without ever
+      // changing the mathematical ceiling (r7 advice).
       .withColumn("pref_len",
-        (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int"))
+        (col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1).cast("int"))
     val pref = ordered.select(col(idCol), col("n"),
       explode(expr("slice(ordered_sh, 1, pref_len)")).as("tok"))
     val cands = pref.select(col(idCol).as("id_a"), col("n").as("n_a"), col("tok"))
       .join(pref.select(col(idCol).as("id_b"), col("n").as("n_b"), col("tok")),
         Seq("tok"))
+      // Same epsilon on the length filter: J >= t implies t*|B| <= |A|
+      // in exact arithmetic; the fp product must not round above the
+      // integer boundary and drop a true pair.
       .where(col("id_a") < col("id_b") &&
-        col("n_b") * lit(threshold) <= col("n_a") &&
-        col("n_a") * lit(threshold) <= col("n_b"))
+        col("n_b") * lit(threshold) - lit(1e-9) <= col("n_a") &&
+        col("n_a") * lit(threshold) - lit(1e-9) <= col("n_b"))
       .select("id_a", "id_b").distinct()
     jaccardPairsFromArrays(shingleArrayDf, idCol, cands)
       .where(col("jaccard") >= threshold)

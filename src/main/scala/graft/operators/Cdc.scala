@@ -27,9 +27,22 @@ object Cdc {
     * @param keyCols  primary key of the target table
     * @param seqCol   total order of changes within a key (commit LSN)
     * @param opCol    'I' | 'U' | 'D'
-    * @param valueCols payload columns carried into the final state */
+    * @param valueCols payload columns carried into the final state.
+    *
+    * `n_changes` counts ALL change rows for the key — deletes included —
+    * i.e. the key's changelog length, NOT its surviving-change count. */
   def applyChangelog(log: DataFrame, keyCols: Seq[String], seqCol: Column,
       opCol: Column, valueCols: Seq[String]): DataFrame = {
+    // The internal working columns and output columns are fixed names; a
+    // caller whose input or valueCols already uses one would get a
+    // silently shadowed column (or an ambiguous-reference error deep in
+    // the plan), so reject the collision loudly up front (r7 advice).
+    val reserved = Set("__op", "__rn", "n_changes", "last_op")
+    val colliding = (log.columns.toSeq ++ valueCols ++ keyCols)
+      .filter(reserved.contains).distinct
+    require(colliding.isEmpty,
+      s"applyChangelog reserves column names ${reserved.mkString(", ")}; " +
+        s"rename colliding input/value columns: ${colliding.mkString(", ")}")
     val part = Window.partitionBy(keyCols.map(col): _*)
     val latest = part.orderBy(seqCol.desc)
     log

@@ -853,10 +853,17 @@ object RelationalQueries {
         count(lit(1)).cast("double").as("n"),
         sum(col("x")).cast("double").as("sx"),
         sum(col("y")).cast("double").as("sy"),
-        sum(col("x") * col("x")).cast("double").as("sxx"),
+        // Every moment sum routes through decimal (r7 advice): bigint
+        // sums of x*x / x*y wrap SILENTLY (non-ANSI) around sf>=30 —
+        // x*y reaches ~5.5e11 per row — producing a wrong corr only
+        // visible at that scale. decimal(38,0) holds ~1e13 rows of the
+        // largest product; the oracle mirrors with HUGEINT.
+        sum(col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)"))
+          .cast("double").as("sxx"),
         sum(col("y").cast("decimal(19,0)") * col("y").cast("decimal(19,0)"))
           .cast("double").as("syy"),
-        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x").cast("decimal(19,0)") * col("y").cast("decimal(19,0)"))
+          .cast("double").as("sxy"),
         corr(col("x").cast("double"), col("y").cast("double")).as("corr_builtin"))
       sums.select(col("l_returnflag"),
           ((col("n") * col("sxy") - col("sx") * col("sy")) /
@@ -876,9 +883,9 @@ object RelationalQueries {
               |    CAST(count(*) AS DOUBLE) AS n,
               |    CAST(SUM(x) AS DOUBLE) AS sx,
               |    CAST(SUM(y) AS DOUBLE) AS sy,
-              |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+              |    CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
               |    CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
-              |    CAST(SUM(x * y) AS DOUBLE) AS sxy
+              |    CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
               |  FROM b GROUP BY l_returnflag)
               |SELECT l_returnflag,
               |  ((n * sxy - sx * sy) /

@@ -28,6 +28,19 @@ class CdcSpec extends SparkTestBase {
     assert(k2.getAs[Long]("n_changes") == 3L)
   }
 
+  test("reserved column names are rejected loudly, not silently shadowed") {
+    val clash = log.withColumnRenamed("v", "n_changes")
+    val ex = intercept[IllegalArgumentException] {
+      Cdc.applyChangelog(clash, Seq("k"), col("seq"), col("op"), Seq("n_changes"))
+    }
+    assert(ex.getMessage.contains("n_changes"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Cdc.applyChangelog(log.withColumn("__op", lit("x")), Seq("k"),
+        col("seq"), col("op"), Seq("v"))
+    }
+    assert(ex2.getMessage.contains("__op"))
+  }
+
   test("latest-pick and change-count share ONE window exchange") {
     val plan = Cdc.applyChangelog(log, Seq("k"), col("seq"), col("op"), Seq("v"))
       .queryExecution.executedPlan.toString
