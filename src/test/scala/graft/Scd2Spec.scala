@@ -111,4 +111,104 @@ class Scd2Spec extends SparkTestBase {
     val second = spark.read.table(table).collect().map(_.toString).sorted
     assert(second === first)
   }
+
+  test("scd2Apply: crash between history-append and current overwrite converges on re-run") {
+    // Inject the crash by REPLAYING phase 1 exactly as scd2Apply commits
+    // it (append the newly-closed rows to the history partition) and
+    // stopping — the table is now in the documented mid-crash state:
+    // closed copy in history, stale row still current. A re-run of the
+    // full merge must converge: no duplicate closed rows, correct
+    // current partition.
+    val table = "graft_test.scd2_crash"
+    Tables.ensureDatabase(spark, "graft_test")
+    Tables.dropTable(spark, table)
+    val v1 = dim(("P1", "ACTIVE", "2024-01-01", None, true),
+      ("P2", "ACTIVE", "2024-01-01", None, true))
+    Tables.scd2Apply(spark, table, v1, Seq("policy_id"), Seq("status"))
+    val v2 = dim(("P1", "CANCELLED", "2024-06-01", None, true),
+      ("P2", "ACTIVE", "2024-06-01", None, true))
+    // --- phase 1 only (what scd2Apply commits first) ---
+    val merged = Scd2.merge(spark.read.table(table), v2,
+      Seq("policy_id"), Seq("status")).localCheckpoint(true)
+    val newHistory = merged.filter(!coalesce(col("is_current"), lit(false)))
+      .localCheckpoint(true)
+    newHistory.write.mode("append").format("parquet")
+      .partitionBy("is_current").saveAsTable(table)
+    spark.catalog.refreshTable(table)
+    // mid-crash state: P1 closed row in history AND stale current P1
+    val mid = spark.read.table(table)
+    assert(mid.filter(!col("is_current")).count() === 1)
+    assert(mid.filter(col("is_current") && col("policy_id") === "P1")
+      .head().getAs[String]("status") === "ACTIVE")
+    // --- recovery: re-run the full merge with the same source ---
+    Tables.scd2Apply(spark, table, v2, Seq("policy_id"), Seq("status"))
+    val after = spark.read.table(table).cache()
+    assert(after.count() === 3, after.collect().mkString("\n"))
+    assert(after.filter(!col("is_current")).count() === 1,
+      "duplicate closed row survived crash recovery")
+    assert(after.filter(col("is_current") && col("policy_id") === "P1")
+      .head().getAs[String]("status") === "CANCELLED")
+  }
+
+  test("scd2ApplyAtomic: location-swap commit, correct state, idempotent re-run") {
+    val table = "graft_test.scd2_atomic"
+    Tables.ensureDatabase(spark, "graft_test")
+    Tables.dropTable(spark, table)
+    val v1 = dim(("P1", "ACTIVE", "2024-01-01", None, true),
+      ("P2", "ACTIVE", "2024-01-01", None, true))
+    Tables.scd2ApplyAtomic(spark, table, v1, Seq("policy_id"), Seq("status"))
+    assert(spark.read.table(table).count() === 2)
+    val locBefore = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .location
+    val v2 = dim(("P1", "CANCELLED", "2024-06-01", None, true),
+      ("P2", "ACTIVE", "2024-06-01", None, true),
+      ("P3", "ACTIVE", "2024-06-01", None, true))
+    Tables.scd2ApplyAtomic(spark, table, v2, Seq("policy_id"), Seq("status"))
+    val after = spark.read.table(table).cache()
+    assert(after.count() === 4)
+    assert(after.filter(!col("is_current")).count() === 1)
+    assert(after.filter(col("is_current")).count() === 3)
+    // The commit really was a pointer swap: location changed, and the
+    // superseded directory was cleaned up.
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
+    assert(meta.location != locBefore)
+    val fs = new org.apache.hadoop.fs.Path(locBefore)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(locBefore)),
+      "old location should be removed after the swap")
+    // Idempotent re-run: same source → row-identical table.
+    val first = spark.read.table(table).collect().map(_.toString).sorted
+    Tables.scd2ApplyAtomic(spark, table, v2, Seq("policy_id"), Seq("status"))
+    val second = spark.read.table(table).collect().map(_.toString).sorted
+    assert(second === first)
+  }
+
+  test("scd2ApplyAtomic: a crash before the swap leaves the live table untouched") {
+    // Simulate "staged write done, swap never happened": drop a stray
+    // staging dir next to the table, then read — the catalog still
+    // points at the old location, so the staged bytes are invisible.
+    val table = "graft_test.scd2_atomic_crash"
+    Tables.ensureDatabase(spark, "graft_test")
+    Tables.dropTable(spark, table)
+    val v1 = dim(("P1", "ACTIVE", "2024-01-01", None, true))
+    Tables.scd2ApplyAtomic(spark, table, v1, Seq("policy_id"), Seq("status"))
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val staged = new org.apache.hadoop.fs.Path(loc.getParent,
+      s"${loc.getName.replaceAll("_v\\d+$", "")}_v999999999999")
+    dim(("P1", "CANCELLED", "2024-06-01", None, true))
+      .write.mode("overwrite").parquet(staged.toString)
+    spark.catalog.refreshTable(table)
+    val rows = spark.read.table(table).collect()
+    assert(rows.length === 1 && rows.head.getAs[String]("status") === "ACTIVE")
+    // Recovery is just a clean re-run; the orphan dir never interferes.
+    Tables.scd2ApplyAtomic(spark, table,
+      dim(("P1", "CANCELLED", "2024-06-01", None, true)),
+      Seq("policy_id"), Seq("status"))
+    val after = spark.read.table(table)
+    assert(after.filter(col("is_current")).head().getAs[String]("status") === "CANCELLED")
+  }
 }
