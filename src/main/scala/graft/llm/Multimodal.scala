@@ -188,6 +188,30 @@ object Multimodal {
     df.withColumn("payload", concat(encode(header, "UTF-8"), unhex(pixHex)))
   }
 
+  /** Build a REAL 24-bit BMP payload per row at fixed 2×2 dims — the
+    * encode twin of [[BmpCodec]], exercising everything that makes BMP
+    * awkward: little-endian headers, 4-byte row stride padding, and
+    * bottom-up storage order. Logical TOP-DOWN pixel byte j (j<12) is
+    * (id*31+j)%256 — the same formula family as [[encodePpm]] — so an
+    * external oracle recomputes the decoded digest without parsing the
+    * image; the encoder stores row 1 before row 0 with 2 pad bytes
+    * each, which the decoder must undo to reach that digest. */
+  def encodeBmp2x2(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    def le(v: Int, bytes: Int): String =
+      (0 until bytes).map(i => "%02X".format((v >> (8 * i)) & 0xff)).mkString
+    // 14-byte file header + 40-byte info header, all dims constant.
+    val headerHex = "424D" + le(70, 4) + le(0, 4) + le(54, 4) + // BM, size, res, offset
+      le(40, 4) + le(2, 4) + le(2, 4) + le(1, 2) + le(24, 2) +  // hdr, w, h, planes, bpp
+      le(0, 4) + le(16, 4) + le(0, 4) + le(0, 4) + le(0, 4) + le(0, 4)
+    val id = col(idCol).cast("long")
+    def rowHex(r: Int) = concat_ws("", (0 until 6).map { c =>
+      lpad(hex((id * 31 + (r * 6 + c)) % 256), 2, "0")
+    }: _*)
+    // Bottom-up: stored row order is logical row 1, then row 0.
+    df.withColumn("payload",
+      unhex(concat(lit(headerHex), rowHex(1), lit("0000"), rowHex(0), lit("0000"))))
+  }
+
   /** Partition-wise decode: the imperative escape hatch (mapPartitions)
     * the SURVEY reserves for genuine per-partition logic — a codec is
     * exactly that. `mkCodec` runs once per partition (asserted in

@@ -719,6 +719,24 @@ object LlmQueries {
               |    i -> lpad(hex((doc_id * 31 + i) % 256), 2, '0')), '')) AS digest
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    "llm_multimodal_bmp" -> Q((s, dir) => {
+      // REAL decode #2: genuine 2x2 24-bit BMPs (LE headers, stride
+      // padding, bottom-up rows) built per doc and parsed back by
+      // BmpCodec. The digest is over LOGICAL top-down pixel content —
+      // the oracle recomputes it from the generation formula, so a
+      // decoder that forgets the row flip or reads padding bytes
+      // hash-mismatches.
+      val payloads = Multimodal.encodeBmp2x2(T(s, dir, "documents").select("doc_id"))
+      Multimodal.decodeWithCodec(s, payloads, () => new Multimodal.BmpCodec)
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id,
+              |  CAST(2 AS INT) AS width,
+              |  CAST(2 AS INT) AS height,
+              |  CAST(1 AS INT) AS n_frames,
+              |  md5(array_to_string(list_transform(range(12),
+              |    i -> lpad(hex((doc_id * 31 + i) % 256), 2, '0')), '')) AS digest
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
     "llm_multimodal_resize" -> Q((s, dir) => {
       // Resize planning over decoded dimensions: aspect-preserving fit
       // into 224x224, no upscale. The arithmetic is the real stage; the

@@ -374,6 +374,19 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got === hexMd5OfBytes(pixels))
   }
 
+  test("encodeBmp2x2 payloads round-trip through BmpCodec (row flip + padding undone)") {
+    val decoded = Multimodal.decodeWithCodec(spark,
+      Multimodal.encodeBmp2x2(docs.select("doc_id")),
+      () => new Multimodal.BmpCodec)
+    val bad = decoded.filter(col("width") =!= 2 || col("height") =!= 2 ||
+      col("n_frames") =!= 1)
+    assert(bad.count() === 0)
+    val id = 3L // docs fixture carries ids 0-4
+    val pixels = Array.tabulate(12)(j => ((id * 31 + j) % 256).toByte)
+    val got = decoded.filter(col("doc_id") === id).head().getAs[String]("digest")
+    assert(got === hexMd5OfBytes(pixels))
+  }
+
   test("connectedComponents labels every vertex with its cluster minimum") {
     // Two components {1,2,3,9} and {5,6}; 9 reaches 1 only through 3.
     val pairs = Seq((2L, 1L), (2L, 3L), (9L, 3L), (5L, 6L)).toDF("id_a", "id_b")
