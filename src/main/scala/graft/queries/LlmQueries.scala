@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.llm.{Dedup, Multimodal, Similarity, Splits, TextOps}
+import graft.operators.CountMin
 import Registry.T
 
 /** Driver-gradable queries for the LLM training-data pipeline operators
@@ -184,6 +185,44 @@ object LlmQueries {
                |  a.doc_id = a.component AS is_canonical, s.cluster_size
                |FROM assigned a JOIN sizes s USING (component)
                |ORDER BY a.doc_id""".stripMargin), bench = true),
+
+    "llm_cluster_split" -> Q((s, dir) => {
+      // Leak-free train/val/test: the split is a pure function of the
+      // duplicate-CLUSTER id, not the document id, so near-duplicates
+      // can never straddle train and test — the leakage channel that
+      // per-document hash splits leave open and that eval
+      // decontamination alone does not close. Pure composition of
+      // existing operators (LSH pairs → components → hash-bucket
+      // split); the only cost over a plain split is the cluster build.
+      val docs = T(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism * 2)
+      val sh = Dedup.shingleArray(docs, "doc_id", "text", 3)
+      val sig = Dedup.minhashSignaturesNative(sh, "doc_id", 8)
+      val bands = Dedup.lshBands(sig, "doc_id", 8, 2)
+      val pairs = Dedup.candidatePairs(bands, "doc_id")
+      val clustered = Dedup.dedupClusters(T(s, dir, "documents"), "doc_id", pairs)
+        .select("doc_id", "component")
+      Splits.assignSplits(clustered, "component").orderBy("doc_id")
+    }, Some(s"""WITH RECURSIVE $toksCte, $shCte,
+               |$lshPairsCtes,
+               |edges AS (SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+               |          UNION SELECT id_b, id_a FROM lsh_pairs),
+               |reach AS (SELECT src AS id, src AS comp FROM edges
+               |          UNION
+               |          SELECT e.src, r.comp FROM edges e
+               |          JOIN reach r ON e.dst = r.id),
+               |comps AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+               |assigned AS (SELECT d.doc_id,
+               |    coalesce(c.component, d.doc_id) AS component
+               |  FROM documents d LEFT JOIN comps c ON c.id = d.doc_id)
+               |SELECT doc_id, component,
+               |  CASE WHEN bucket < 8000 THEN 'train'
+               |       WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+               |FROM (SELECT doc_id, component,
+               |    ('0x' || substring(md5(CAST(component AS VARCHAR)), 1, 8))::BIGINT
+               |      % 10000 AS bucket
+               |  FROM assigned)
+               |ORDER BY doc_id""".stripMargin)),
 
     // ----- dedup: incremental (new batch vs standing corpus) -----------
     "llm_dedup_incremental" -> Q((s, dir) => {
@@ -959,6 +998,42 @@ object LlmQueries {
              |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
              |      AS bucket FROM documents)
              |ORDER BY doc_id""".stripMargin)),
+
+    "llm_countmin_tokens" -> Q((s, dir) => {
+      // Count-Min point-frequency sketch over the token stream
+      // (operators/CountMin): constant-size mergeable counters, one
+      // explode + ONE hash aggregate to build — the key universe never
+      // shuffles. md5-derived buckets make the whole sketch
+      // deterministic, so the oracle replays build AND estimate
+      // bit-for-bit; the one-sided guarantee (estimate >= exact) rides
+      // along as a checked column for every probe token.
+      val tok = T(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+      val sketch = CountMin.build(tok, "token")
+      val exact = tok.groupBy("token").agg(count(lit(1)).as("exact_n"))
+        .filter(col("exact_n") >= 50)
+      exact.join(CountMin.estimate(sketch, exact.select("token"), "token"), "token")
+        .select(col("token"), col("exact_n"), col("cm_estimate"),
+          (col("cm_estimate") >= col("exact_n")).as("one_sided_ok"))
+        .orderBy("token")
+    }, Some(s"""WITH $toksCte,
+               |tok AS (SELECT unnest(t) AS token FROM toks),
+               |sk AS (SELECT r, ('0x' || substring(md5('cm' || CAST(r AS VARCHAR)
+               |      || '|' || token), 1, 8))::BIGINT % 256 AS b,
+               |    count(*) AS c
+               |  FROM tok, (VALUES (0),(1),(2),(3)) g(r) GROUP BY 1, 2),
+               |ex AS (SELECT token, count(*) AS exact_n FROM tok
+               |  GROUP BY token HAVING count(*) >= 50),
+               |probe AS (SELECT token, r, ('0x' || substring(md5('cm'
+               |      || CAST(r AS VARCHAR) || '|' || token), 1, 8))::BIGINT % 256 AS b
+               |  FROM ex, (VALUES (0),(1),(2),(3)) g(r)),
+               |est AS (SELECT p.token, MIN(COALESCE(sk.c, 0)) AS cm_estimate
+               |  FROM probe p LEFT JOIN sk ON sk.r = p.r AND sk.b = p.b
+               |  GROUP BY p.token)
+               |SELECT ex.token AS token, ex.exact_n, est.cm_estimate,
+               |  est.cm_estimate >= ex.exact_n AS one_sided_ok
+               |FROM ex JOIN est ON ex.token = est.token
+               |ORDER BY ex.token""".stripMargin)),
 
     // ----- sign-random-projection LSH (hyperplane / SimHash-for-vectors) -
     "llm_hyperplane_sig" -> Q((s, dir) =>

@@ -387,6 +387,42 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got === hexMd5OfBytes(pixels))
   }
 
+  test("CountMin: estimates are one-sided and half-sketches merge to the whole") {
+    import graft.operators.CountMin
+    val keys = (0 until 400).map(i => s"k${i % 37}").toDF("k")
+    val exact = keys.groupBy("k").agg(count(lit(1)).as("n"))
+    val whole = CountMin.build(keys, "k")
+    val est = CountMin.estimate(whole, exact.select("k"), "k")
+    val joined = exact.join(est, "k").collect()
+    assert(joined.nonEmpty)
+    // One-sided guarantee: a CM estimate can overcount (collisions) but
+    // NEVER undercount.
+    joined.foreach { r =>
+      assert(r.getAs[Long]("cm_estimate") >= r.getAs[Long]("n"), r.toString)
+    }
+    // Mergeability: sketch(A) + sketch(B) must equal sketch(A ∪ B)
+    // cell-for-cell — the property that lets per-day sketches roll up.
+    val merged = CountMin.merge(
+      CountMin.build(keys.limit(150), "k"),
+      CountMin.build(keys.exceptAll(keys.limit(150)), "k"))
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+  }
+
+  test("cluster-aware splits: near-duplicates always land in the same split") {
+    val pairs = Seq((0L, 1L), (1L, 4L)).toDF("id_a", "id_b")
+    val clustered = Dedup.dedupClusters(docs, "doc_id", pairs)
+      .select("doc_id", "component")
+    val split = graft.llm.Splits.assignSplits(clustered, "component")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("component"), r.getAs[String]("split"))).toMap
+    // The {0,1,4} cluster shares one component, hence ONE split — a
+    // per-doc split could put doc 0 in train and its dup 1 in test.
+    assert(split(0L)._1 === 0L && split(1L)._1 === 0L && split(4L)._1 === 0L)
+    assert(Set(split(0L)._2, split(1L)._2, split(4L)._2).size === 1)
+    // Singletons split independently of the cluster members.
+    assert(split(2L)._1 === 2L && split(3L)._1 === 3L)
+  }
+
   test("connectedComponents labels every vertex with its cluster minimum") {
     // Two components {1,2,3,9} and {5,6}; 9 reaches 1 only through 3.
     val pairs = Seq((2L, 1L), (2L, 3L), (9L, 3L), (5L, 6L)).toDF("id_a", "id_b")
