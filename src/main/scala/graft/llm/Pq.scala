@@ -1,0 +1,163 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", PAMI 2011) — the memory-compression path for ANN at
+  * scale, complementing the IVF recall path ([[Similarity.ivfTopK]]) and
+  * the index-free hyperplane path ([[Similarity.hyperplaneSig]]).
+  *
+  * The vector splits into `m` contiguous subspaces of `subDim` dims; each
+  * subspace gets its own tiny k-means codebook; a vector is stored as `m`
+  * one-byte codes (here `array<int>` — the storage win is m·log2(k) bits
+  * vs m·subDim·32: dim 64 floats → 8 codes is a 32× shrink). Queries
+  * score candidates with the ADC (asymmetric distance) trick: a per-query
+  * lookup table of ‖q_s − c_{s,j}‖² for every (subspace, centroid), so a
+  * candidate's approximate distance is `m` table lookups — no float
+  * vector is ever touched at query time.
+  *
+  * Scale shape: codebooks and per-query LUTs are O(m·k) — always
+  * broadcast; the corpus is touched by narrow projections only (encode's
+  * one groupBy shuffles (id, s, cid) triples, never vectors; scoring is a
+  * zero-shuffle projection against the broadcast LUT). Because subspaces
+  * partition the dimensions, the ADC score is EXACTLY the squared L2 to
+  * the reconstruction Σ_s‖q_s − c_{s,code_s}‖² = ‖q − recon(codes)‖² —
+  * spec-pinned in PqSpec.
+  *
+  * Determinism (oracle contract): every distance is ONE left fold over
+  * `zip_with` (the oracle mirrors the same fold); assignment ties break
+  * by centroid id; codebook ids are dense ranks 0..k−1 of the k
+  * smallest-id training vectors, so `codes` index the cid-ordered LUT
+  * rows directly on both engines.
+  *
+  * Centroid means use INTEGER-GRID summation, not the DECIMAL(28,14)
+  * route the earlier k-means build used, because fractional decimals
+  * cannot cross engines bit-for-bit: (a) Spark rounds the
+  * double→DECIMAL(p,14) cast HALF_UP while DuckDB rounds half-even, and
+  * a double-from-float can land exactly on the digit-15 half boundary
+  * (mantissa multiple of 5^14 ≤ 2^33 — happens in this corpus); (b)
+  * DuckDB's DECIMAL(38,s)→DOUBLE cast double-rounds through
+  * (double)int128 / (double)10^s and is 1 ulp off the correctly-rounded
+  * value Java BigDecimal produces (verified empirically for s=24).
+  * Instead each training input snaps to the 2^-30 grid —
+  * `floor(x·2^30)` exact in both engines — and the mean is
+  * `(double)Σq / n / 2^30`: the Σq sum is an exact integer
+  * (DECIMAL(38,0); int→double is correctly rounded everywhere), the
+  * `/n` is one correctly-rounded IEEE division, and the `/2^30` is an
+  * exponent shift. The snap perturbs each input by < 1e-9 — noise far
+  * below k-means' own sensitivity — and buys bit-identical codebooks on
+  * any engine with exact integer sums.
+  */
+object Pq {
+
+  /** Squared L2 distance as one `zip_with` + left-fold `aggregate` —
+    * same accumulation order as [[Similarity.dot]], reproduced verbatim
+    * by the oracle's `list_reduce(list_transform(...))`. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** Explode vectors to (vid, s, sv) subvector rows — `m` rows per
+    * vector, each a `subDim`-slice. `zip_with` would silently null-pad a
+    * wrong-length vector, so a row-level `assert_true` fails loudly when
+    * `size(vec) ≠ m·subDim`. */
+  def subspaces(df: DataFrame, idCol: String, vecCol: String, m: Int, subDim: Int): DataFrame = {
+    val guard = assert_true(size(col(vecCol)) === m * subDim,
+      concat(lit(s"Pq: expected dim ${m * subDim} but vector has "),
+        size(col(vecCol)).cast("string"), lit(" elements")))
+    val vv = Similarity.asDoubleVec(col(vecCol))
+    val slices = array((0 until m).map(j => slice(vv, j * subDim + 1, subDim)): _*)
+    df.select((col(idCol) + coalesce(guard.cast("long"), lit(0L))).as("vid"),
+      posexplode(slices).as(Seq("s", "sv")))
+  }
+
+  /** Per-subspace Lloyd codebooks: (s, cid, cv) with cid dense 0..k−1.
+    * Init = subvectors of the k smallest-id vectors (rank order, so ids
+    * need not be dense); per iteration one broadcast assign + one
+    * decimal-exact mean recompute, all `m` subspaces trained in the SAME
+    * jobs (subspace is just a grouping column). Empty clusters keep
+    * their previous centroid. Centroids localCheckpoint each iteration
+    * (m·k tiny rows) to cut iteration-deep lineage. */
+  def codebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int, k: Int, iters: Int): DataFrame = {
+    val wInit = Window.partitionBy("s").orderBy("vid")
+    var cent = subspaces(corpus.orderBy(idCol).limit(k), idCol, vecCol, m, subDim)
+      .withColumn("cid", row_number().over(wInit) - 1)
+      .select(col("s"), col("cid"), col("sv").as("cv"))
+      .localCheckpoint(true)
+    val sub = subspaces(corpus, idCol, vecCol, m, subDim)
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy("vid", "s").orderBy(col("d2").asc, col("cid"))
+      val assigned = sub.join(broadcast(cent), "s")
+        .select(col("s"), col("cid"), col("sv"), col("vid"), l2sq(col("sv"), col("cv")).as("d2"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      val means = assigned
+        .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("s", "cid", "pos")
+        .agg((sum(floor(col("x") * lit(1073741824.0)).cast("decimal(38,0)")).cast("double") /
+          count(lit(1)) / lit(1073741824.0)).as("mu"))
+        .groupBy("s", "cid")
+        .agg(sort_array(collect_list(struct(col("pos"), col("mu")))).as("pm"))
+        .select(col("s"), col("cid"), expr("transform(pm, p -> p.mu)").as("ncv"))
+      cent = cent.join(means, Seq("s", "cid"), "left")
+        .select(col("s"), col("cid"), coalesce(col("ncv"), col("cv")).as("cv"))
+        .localCheckpoint(true)
+    }
+    cent
+  }
+
+  /** Encode each vector as its `m` nearest-centroid codes, subspace
+    * order: (idCol, codes array<int>). One broadcast join + one groupBy
+    * of (id, s, cid) triples — the vectors themselves never shuffle. */
+  def encode(vectors: DataFrame, cb: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int): DataFrame = {
+    val w = Window.partitionBy("vid", "s").orderBy(col("d2").asc, col("cid"))
+    subspaces(vectors, idCol, vecCol, m, subDim)
+      .join(broadcast(cb), "s")
+      .select(col("s"), col("cid"), col("vid"), l2sq(col("sv"), col("cv")).as("d2"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy("vid")
+      .agg(sort_array(collect_list(struct(col("s"), col("cid")))).as("sc"))
+      .select(col("vid").as(idCol), expr("transform(sc, x -> x.cid)").as("codes"))
+  }
+
+  /** Reconstruct the quantized vector from codes (centroid concat) —
+    * the decode twin of [[encode]], used by PqSpec to pin the ADC
+    * identity. */
+  def reconstruct(codes: DataFrame, cb: DataFrame, idCol: String): DataFrame = {
+    codes.select(col(idCol), posexplode(col("codes")).as(Seq("s", "cid")))
+      .join(broadcast(cb), Seq("s", "cid"))
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("s"), col("cv")))).as("sc"))
+      .select(col(idCol), flatten(expr("transform(sc, x -> x.cv)")).as("recon"))
+  }
+
+  /** ADC top-k: per-query LUT of ‖q_s − c_{s,j}‖² (m·k doubles,
+    * broadcast), candidate score = left fold of `m` LUT lookups over the
+    * codes array — a zero-shuffle projection over the encoded corpus.
+    * Ties break by corpus id; self-matches excluded. */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, cb: DataFrame,
+      idCol: String, vecCol: String, m: Int, subDim: Int, kTop: Int): DataFrame = {
+    val codes = encode(corpus, cb, idCol, vecCol, m, subDim)
+      .withColumnRenamed(idCol, "corpus_id")
+    val lut = subspaces(queries, idCol, vecCol, m, subDim)
+      .join(broadcast(cb), "s")
+      .select(col("vid").as("query_id"), col("s"), col("cid"), l2sq(col("sv"), col("cv")).as("dd"))
+      .groupBy("query_id", "s")
+      .agg(sort_array(collect_list(struct(col("cid"), col("dd")))).as("cd"))
+      .select(col("query_id"), col("s"), expr("transform(cd, c -> c.dd)").as("l"))
+      .groupBy("query_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("l")))).as("sl"))
+      .select(col("query_id"), expr("transform(sl, x -> x.l)").as("luts"))
+    val w = Window.partitionBy("query_id").orderBy(col("approx_d2").asc, col("corpus_id"))
+    codes.crossJoin(broadcast(lut))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        aggregate(zip_with(col("codes"), col("luts"),
+            (c, l) => element_at(l, c + 1)),
+          lit(0.0), (acc, x) => acc + x).as("approx_d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kTop)
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Pq
+
+/** Product quantization ([[graft.llm.Pq]]): codebook shape, code range,
+  * the ADC identity (approximate distance ≡ exact squared L2 to the
+  * reconstructed vector — exact because subspaces PARTITION the dims),
+  * and loud failure on dim mismatch.
+  */
+class PqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val m = 4
+  private val subDim = 4
+  private val dim = m * subDim
+
+  // 12 deterministic dim-16 vectors with some cluster structure.
+  private def vecs = {
+    val rows = (0 until 12).map { i =>
+      val base = i % 3
+      (i.toLong, Array.tabulate(dim)(j =>
+        math.sin(base * 7.0 + j) + 0.01 * i * math.cos(j * 3.0)))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("codebooks: m*k rows, dense cids, subDim-length centroids") {
+    val cb = Pq.codebooks(vecs, "vec_id", "embedding", m, subDim, k = 3, iters = 2)
+    val rows = cb.collect()
+    assert(rows.length == m * 3)
+    val bySub = rows.groupBy(_.getInt(0))
+    assert(bySub.keySet == (0 until m).toSet)
+    bySub.values.foreach { g =>
+      assert(g.map(_.getInt(1)).sorted.toSeq == Seq(0, 1, 2))
+      g.foreach(r => assert(r.getSeq[Double](2).length == subDim))
+    }
+  }
+
+  test("encode: one codes row per vector, m codes each, all in [0, k)") {
+    val cb = Pq.codebooks(vecs, "vec_id", "embedding", m, subDim, k = 3, iters = 2)
+    val codes = Pq.encode(vecs, cb, "vec_id", "embedding", m, subDim).collect()
+    assert(codes.length == 12)
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == m)
+      assert(cs.forall(c => c >= 0 && c < 3))
+    }
+  }
+
+  test("ADC identity: approx_d2 equals exact squared L2 to the reconstruction") {
+    val cb = Pq.codebooks(vecs, "vec_id", "embedding", m, subDim, k = 3, iters = 2)
+    val queries = vecs.filter(col("vec_id") < 3)
+    val adc = Pq.adcTopK(vecs, queries, cb, "vec_id", "embedding", m, subDim, kTop = 11)
+    val recon = Pq.reconstruct(
+      Pq.encode(vecs, cb, "vec_id", "embedding", m, subDim), cb, "vec_id")
+    val qv = queries.select(col("vec_id").as("query_id"),
+      graft.llm.Similarity.asDoubleVec(col("embedding")).as("qv"))
+    val joined = adc
+      .join(recon.withColumnRenamed("vec_id", "corpus_id"), "corpus_id")
+      .join(qv, "query_id")
+      .select(col("query_id"), col("corpus_id"), col("approx_d2"),
+        Pq.l2sq(col("qv"), col("recon")).as("exact_recon_d2"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (a, e) = (r.getDouble(2), r.getDouble(3))
+      // Σ_s ‖q_s − c_s‖² = ‖q − recon‖² up to float association across
+      // the m per-subspace partial folds.
+      assert(math.abs(a - e) <= 1e-9 * math.max(1.0, math.abs(e)),
+        s"ADC ${a} vs recon ${e}")
+    }
+  }
+
+  test("adcTopK ranks by approximate distance, excludes self, respects kTop") {
+    val cb = Pq.codebooks(vecs, "vec_id", "embedding", m, subDim, k = 3, iters = 2)
+    val top = Pq.adcTopK(vecs, vecs.filter(col("vec_id") === 0), cb,
+      "vec_id", "embedding", m, subDim, kTop = 5).collect()
+    assert(top.length == 5)
+    assert(!top.exists(r => r.getLong(1) == 0L))
+    val ds = top.sortBy(_.getInt(3)).map(_.getDouble(2))
+    assert(ds.zip(ds.tail).forall { case (x, y) => x <= y })
+  }
+
+  test("subspaces fails loudly on a wrong-length vector") {
+    val bad = Seq((0L, Array.fill(dim + 1)(0.5))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Pq.subspaces(bad, "vec_id", "embedding", m, subDim).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+}
