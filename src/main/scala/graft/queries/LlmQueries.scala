@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Multimodal, Pq, Similarity, Splits, TextOps}
+import graft.llm.{Classifier, Dedup, Multimodal, Pq, Similarity, Splits, TextOps}
 import graft.operators.CountMin
 import Registry.T
 
@@ -79,6 +79,55 @@ object LlmQueries {
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
   private def l2Sql(a: String, b: String) =
     s"sqrt(list_reduce(list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y))"
+
+  /** Oracle for llm_lr_train / llm_lr_score: unrolls the 4 softsign-GD
+    * iterations (Classifier.trainSoftsignGD) in chained CTEs. Gradient
+    * decimal sums bridge to double through VARCHAR — DuckDB's direct
+    * DECIMAL(38,s)→DOUBLE cast double-rounds via (double)int128, the
+    * VARCHAR parse is correctly rounded like Spark's BigDecimal path. */
+  private def lrOracle(score: Boolean): String = {
+    val dimA = 65 // 64 dims + intercept at index 1
+    val eta = "4.0"
+    val iters = 4
+    def lrDot(x: String, w: String) =
+      s"list_reduce(list_transform(range(1, $dimA + 1), i -> $x[i] * $w[i]), (a, t) -> a + t)"
+    def iterCtes(t: Int) =
+      s"""p$t AS (SELECT vec_id, x, y, cw,
+         |    0.5 + 0.5 * z / (1.0 + abs(z)) AS p FROM (
+         |    SELECT d.vec_id, d.x, d.y, d.cw, ${lrDot("d.x", "w.w")} AS z
+         |    FROM d CROSS JOIN w${t - 1} w) z_),
+         |r$t AS (SELECT vec_id, x,
+         |    (p - y) * (CASE WHEN y = 1.0 THEN cw ELSE 1.0 END) AS r FROM p$t),
+         |g$t AS (SELECT i,
+         |    CAST(CAST(SUM(CAST(round(r * x[i], 12) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS g
+         |  FROM r$t, LATERAL (SELECT unnest(range(1, $dimA + 1)) AS i) u GROUP BY i),
+         |w$t AS (SELECT (SELECT list(w.w[g.i] - $eta * (g.g / n.n) ORDER BY g.i)
+         |    FROM g$t g CROSS JOIN w${t - 1} w CROSS JOIN nn n) AS w)""".stripMargin
+    val train =
+      s"""WITH base AS (SELECT vec_id,
+         |  [1.0] || list_transform(embedding, e -> CAST(e AS DOUBLE)) AS x,
+         |  CAST(CASE WHEN label = 0 THEN 1 ELSE 0 END AS DOUBLE) AS y
+         |  FROM embeddings),
+         |cwq AS (SELECT CAST(SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS DOUBLE) /
+         |               CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE) AS cw FROM base),
+         |d AS (SELECT b.vec_id, b.x, b.y, c.cw FROM base b CROSS JOIN cwq c),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
+         |w0 AS (SELECT list_transform(range(1, $dimA + 1), i -> 0.0) AS w),
+         |${(1 to iters).map(iterCtes).mkString(",\n")}""".stripMargin
+    if (!score)
+      train + s"""
+         |SELECT CAST(i - 1 AS INT) AS feat_idx, w[i] AS weight
+         |FROM w$iters, LATERAL (SELECT unnest(range(1, $dimA + 1)) AS i) u
+         |ORDER BY feat_idx""".stripMargin
+    else
+      train + s""",
+         |scored AS (SELECT z_.vec_id, z_.y, 0.5 + 0.5 * z / (1.0 + abs(z)) AS p FROM (
+         |  SELECT d.vec_id, d.y, ${lrDot("d.x", "w.w")} AS z
+         |  FROM d CROSS JOIN w$iters w) z_)
+         |SELECT CAST(y AS INT) AS is_pos, count(*) AS n,
+         |  CAST(SUM(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos
+         |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   // Sign-random-projection signatures re-derived end-to-end in SQL:
   // the ±1 hyperplanes come from the same md5 parity as
@@ -778,6 +827,35 @@ object LlmQueries {
          |  FROM scored)
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
     }), bench = true),
+
+    "llm_lr_train" -> Q((s, dir) => {
+      // Distributed quality-classifier training (Classifier.scala):
+      // 4 full-batch GD iterations, softsign link, class-weighted
+      // residuals, one hash aggregate per iteration. y = (label == 0).
+      // The oracle unrolls all 4 iterations in chained CTEs and
+      // reproduces every weight bit-for-bit.
+      import s.implicits._
+      val emb = T(s, dir, "embeddings")
+        .withColumn("y", when(col("label") === 0, 1).otherwise(0))
+      val w = Classifier.trainSoftsignGD(emb, "embedding", "y", dim = 64,
+        iters = 4, eta = 4.0)
+      w.zipWithIndex.map { case (v, i) => (i, v) }.toDF("feat_idx", "weight")
+        .orderBy("feat_idx")
+    }, Some(lrOracle(score = false)), bench = true),
+
+    "llm_lr_score" -> Q((s, dir) => {
+      // Apply the trained classifier: per-class row count and predicted-
+      // positive count (the confusion-matrix margins). Scoring is a pure
+      // projection against the broadcast weight literal.
+      val emb = T(s, dir, "embeddings")
+        .withColumn("y", when(col("label") === 0, 1).otherwise(0))
+      val w = Classifier.trainSoftsignGD(emb, "embedding", "y", dim = 64,
+        iters = 4, eta = 4.0)
+      Classifier.scoreSoftsign(emb, "embedding", w)
+        .groupBy(col("y").as("is_pos"))
+        .agg(count(lit(1)).as("n"), sum(col("pred")).cast("bigint").as("n_pred_pos"))
+        .orderBy("is_pos")
+    }, Some(lrOracle(score = true))),
 
     // ----- multimodal plumbing (stubbed decode) ------------------------
     "llm_multimodal_stub" -> Q((s, dir) => {
