@@ -31,11 +31,16 @@ import org.apache.spark.sql.functions._
   * (default n_neg/n_pos — balanced effective classes); without it a rare
   * positive class collapses to the majority predictor.
   *
-  * Cross-engine determinism: gradients sum `round(term, 12)` in
-  * DECIMAL(38,12) (exact, order-independent; the oracle bridges
-  * decimal→double through VARCHAR because DuckDB's direct cast
-  * double-rounds); margin = one left fold over the augmented vector;
-  * weight updates are plain IEEE ops mirrored verbatim in SQL.
+  * Cross-engine determinism: gradients accumulate in FIXED POINT —
+  * `floor(term·10¹²)` summed as DECIMAL(38,0) (exact and
+  * order-independent; the product is the same IEEE multiply everywhere
+  * and floor is exact), then one correctly-rounded division back to
+  * double. `round(term, 12)` is NOT portable: Spark rounds the shortest
+  * string repr via BigDecimal.valueOf while DuckDB rounds the scaled
+  * double, and over many terms a divergent boundary is near-certain
+  * (observed in the PageRank gate at sf0.1). Margin = one left fold
+  * over the augmented vector; weight updates are plain IEEE ops
+  * mirrored verbatim in SQL.
   */
 object Classifier {
 
@@ -60,7 +65,7 @@ object Classifier {
       lit(0.0), (acc, t) => acc + t)
 
   /** Train by full-batch GD: `iters` rounds of
-    * w_j ← w_j − eta·(Σ_i round(r_i·x_ij, 12) / n), r = (p−y)·classWeight.
+    * w_j ← w_j − eta·(Σ_i ⌊r_i·x_ij·10¹²⌋/10¹² / n), r = (p−y)·classWeight.
     * Returns dim+1 weights, index 0 = intercept. `yCol` must be 0/1. */
   def trainSoftsignGD(df: DataFrame, xCol: String, yCol: String, dim: Int,
       iters: Int, eta: Double, posWeight: Option[Double] = None): Seq[Double] = {
@@ -78,8 +83,8 @@ object Classifier {
       val grads = df
         .select(r.as("r"), posexplode(augment(col(xCol))).as(Seq("i", "xi")))
         .groupBy("i")
-        .agg(sum(round(col("r") * col("xi"), 12).cast("decimal(38,12)"))
-          .cast("double").as("g"))
+        .agg((sum(floor((col("r") * col("xi")) * lit(1.0e12)).cast("decimal(38,0)"))
+          .cast("double") / lit(1.0e12)).as("g"))
         .orderBy("i").collect()
       require(grads.length == dim + 1, s"gradient rows ${grads.length} != ${dim + 1}")
       val g = grads.map(_.getDouble(1))

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.llm.{Classifier, Dedup, Multimodal, Pq, Similarity, Splits, TextOps}
-import graft.operators.CountMin
+import graft.operators.{CountMin, PageRank}
 import Registry.T
 
 /** Driver-gradable queries for the LLM training-data pipeline operators
@@ -81,10 +81,9 @@ object LlmQueries {
     s"sqrt(list_reduce(list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y))"
 
   /** Oracle for llm_lr_train / llm_lr_score: unrolls the 4 softsign-GD
-    * iterations (Classifier.trainSoftsignGD) in chained CTEs. Gradient
-    * decimal sums bridge to double through VARCHAR — DuckDB's direct
-    * DECIMAL(38,s)→DOUBLE cast double-rounds via (double)int128, the
-    * VARCHAR parse is correctly rounded like Spark's BigDecimal path. */
+    * iterations (Classifier.trainSoftsignGD) in chained CTEs. Gradients
+    * accumulate fixed-point (floor(term·1e12) in DECIMAL(38,0)) — see
+    * Classifier.scala for why round(term, 12) is not portable. */
   private def lrOracle(score: Boolean): String = {
     val dimA = 65 // 64 dims + intercept at index 1
     val eta = "4.0"
@@ -99,7 +98,8 @@ object LlmQueries {
          |r$t AS (SELECT vec_id, x,
          |    (p - y) * (CASE WHEN y = 1.0 THEN cw ELSE 1.0 END) AS r FROM p$t),
          |g$t AS (SELECT i,
-         |    CAST(CAST(SUM(CAST(round(r * x[i], 12) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS g
+         |    CAST(SUM(CAST(floor((r * x[i]) * 1000000000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+         |      / 1000000000000.0 AS g
          |  FROM r$t, LATERAL (SELECT unnest(range(1, $dimA + 1)) AS i) u GROUP BY i),
          |w$t AS (SELECT (SELECT list(w.w[g.i] - $eta * (g.g / n.n) ORDER BY g.i)
          |    FROM g$t g CROSS JOIN w${t - 1} w CROSS JOIN nn n) AS w)""".stripMargin
@@ -856,6 +856,65 @@ object LlmQueries {
         .agg(count(lit(1)).as("n"), sum(col("pred")).cast("bigint").as("n_pred_pos"))
         .orderBy("is_pos")
     }, Some(lrOracle(score = true))),
+
+    "llm_link_pagerank" -> Q((s, dir) => {
+      // Link-centrality over a DERIVED citation graph (the corpus has no
+      // link column, so edges come from doc_id key arithmetic — the
+      // same formulas in Spark and the oracle over the same parquet;
+      // docs with doc_id % 11 == 0 are dangling). 3 damped PageRank
+      // rounds (operators/PageRank.scala), top-20 by rank.
+      val docs = T(s, dir, "documents").select("doc_id")
+      val n = docs.count()
+      val linky = docs.filter(col("doc_id") % 11 =!= 0)
+      val edges = linky
+        .select(col("doc_id").as("src"), ((col("doc_id") * 31 + 7) % n).as("dst"))
+        .unionByName(linky.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("src"), ((col("doc_id") * 17 + 3) % n).as("dst")))
+        .unionByName(linky.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id").as("src"), ((col("doc_id") * 13 + 5) % n).as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+      val pr = PageRank.run(docs, edges, "doc_id", iters = 3, damping = 0.85)
+      import org.apache.spark.sql.expressions.Window
+      pr.withColumn("rk", row_number().over(Window.orderBy(col("pr").desc, col("doc_id"))))
+        .filter(col("rk") <= 20)
+        .orderBy("rk")
+    }, Some({
+      // Fixed-point accumulation (floor(x·1e12) in DECIMAL(38,0)) — the
+      // portable alternative to round(x,12), which Spark evaluates off
+      // the shortest string repr and DuckDB off the scaled double.
+      def iterCtes(t: Int) =
+        s"""inf$t AS (SELECT e.dst,
+           |    CAST(SUM(CAST(floor((r.pr / o.deg) * 1000000000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+           |      / 1000000000000.0 AS inflow
+           |  FROM edges e JOIN r${t - 1} r ON e.src = r.doc_id JOIN outdeg o ON e.src = o.src
+           |  GROUP BY e.dst),
+           |dm$t AS (SELECT coalesce(
+           |    CAST(SUM(CAST(floor(pr * 1000000000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+           |      / 1000000000000.0, 0.0) AS m
+           |  FROM r${t - 1} r WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = r.doc_id)),
+           |r$t AS (SELECT d.doc_id,
+           |    (1.0e0 - 0.85e0) / n.n + 0.85e0 * (coalesce(i.inflow, 0.0) + dm.m / n.n) AS pr
+           |  FROM docs d CROSS JOIN nn n CROSS JOIN dm$t dm
+           |  LEFT JOIN inf$t i ON i.dst = d.doc_id)""".stripMargin
+      s"""WITH docs AS (SELECT doc_id FROM documents),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n, count(*) AS ni FROM docs),
+         |cand AS (
+         |  SELECT doc_id AS src, (doc_id * 31 + 7) % (SELECT ni FROM nn) AS dst
+         |  FROM docs WHERE doc_id % 11 <> 0
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id * 17 + 3) % (SELECT ni FROM nn)
+         |  FROM docs WHERE doc_id % 11 <> 0 AND doc_id % 2 = 0
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id * 13 + 5) % (SELECT ni FROM nn)
+         |  FROM docs WHERE doc_id % 11 <> 0 AND doc_id % 3 = 0),
+         |edges AS (SELECT DISTINCT src, dst FROM cand WHERE src <> dst),
+         |outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+         |r0 AS (SELECT doc_id, 1.0 / (SELECT n FROM nn) AS pr FROM docs),
+         |${Seq(1, 2, 3).map(iterCtes).mkString(",\n")}
+         |SELECT doc_id, pr, rk FROM (
+         |  SELECT doc_id, pr, row_number() OVER (ORDER BY pr DESC, doc_id) AS rk FROM r3)
+         |WHERE rk <= 20 ORDER BY rk""".stripMargin
+    }), bench = true),
 
     // ----- multimodal plumbing (stubbed decode) ------------------------
     "llm_multimodal_stub" -> Q((s, dir) => {
