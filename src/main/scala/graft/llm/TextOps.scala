@@ -117,6 +117,60 @@ object TextOps {
     * counts, then per-doc rollup; the raw gram stream never shuffles
     * un-aggregated. `multiset` grams (dedup=false) are the point here —
     * the signal IS the multiplicity. */
+  /** Gopher-style rule bundle (Rae et al. '21 §A1.1), the second layer of
+    * quality filtering next to [[qualityFilter]]'s length/punct/stopword
+    * thresholds: mean word length in a sane band, most words contain a
+    * letter, few symbol artifacts (#, ellipses), few bullet-point or
+    * ellipsis-terminated lines, and at least `minRequiredHits` of the
+    * `requiredWords` present (Gopher's English function words by
+    * default — pass corpus-appropriate words for other domains). One
+    * projection, no shuffle, no UDFs; every metric is an integer count
+    * ratio (exact int arithmetic + one double division), so any engine
+    * reproduces it bit-for-bit. */
+  def gopherRules(df: DataFrame, textCol: String = "text",
+      requiredWords: Seq[String] = Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      minAlphaRatio: Double = 0.8, maxSymbolRatio: Double = 0.1,
+      maxBulletRatio: Double = 0.9, maxEllipsisRatio: Double = 0.3,
+      minRequiredHits: Int = 2): DataFrame = {
+    require(requiredWords.nonEmpty, "requiredWords must not be empty")
+    require(requiredWords.forall(_.matches("[a-z0-9]+")),
+      "requiredWords must be plain lowercase tokens (they embed in a regex)")
+    val t = col(textCol)
+    val norm = normText(t)
+    val toks = tokens(t)
+    val nToks = size(toks).cast("double")
+    val lines = split(t, "\n")
+    val nLines = size(lines).cast("double")
+    val meanWordLen =
+      (aggregate(toks, lit(0), (a, x) => a + length(x)).cast("double") / nToks)
+    val alphaRatio =
+      size(filter(toks, x => x.rlike("[a-z]"))).cast("double") / nToks
+    val symbolRatio =
+      regexp_count(norm, lit("(#|\\.\\.\\.|…)")).cast("double") / nToks
+    val bulletRatio =
+      size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast("double") / nLines
+    val ellipsisRatio =
+      size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") / nLines
+    val hits = requiredWords
+      .map(w => when(norm.rlike("\\b" + w + "\\b"), 1).otherwise(0))
+      .reduce(_ + _).cast("int")
+    df.select(df.columns.map(col) ++ Seq(
+      meanWordLen.as("mean_word_len"),
+      alphaRatio.as("alpha_word_ratio"),
+      symbolRatio.as("symbol_word_ratio"),
+      bulletRatio.as("bullet_line_ratio"),
+      ellipsisRatio.as("ellipsis_line_ratio"),
+      hits.as("n_required_hits")): _*)
+      .withColumn("keep",
+        col("mean_word_len") >= minMeanWordLen && col("mean_word_len") <= maxMeanWordLen &&
+        col("alpha_word_ratio") >= minAlphaRatio &&
+        col("symbol_word_ratio") <= maxSymbolRatio &&
+        col("bullet_line_ratio") <= maxBulletRatio &&
+        col("ellipsis_line_ratio") <= maxEllipsisRatio &&
+        col("n_required_hits") >= minRequiredHits)
+  }
+
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2, maxTopFrac: Double = 0.2, maxDupFrac: Double = 0.5): DataFrame = {
     val grams = Dedup.shingles(df.select(col(idCol), col(textCol)),

@@ -916,6 +916,46 @@ object LlmQueries {
          |WHERE rk <= 20 ORDER BY rk""".stripMargin
     }), bench = true),
 
+    "llm_gopher_rules" -> Q((s, dir) => {
+      // Gopher rule bundle (TextOps.gopherRules) with corpus-appropriate
+      // required words (the synthetic corpus has no English function
+      // words; its own high-frequency tokens play that role). All
+      // metrics are exact integer-count ratios — no float traps.
+      TextOps.gopherRules(T(s, dir, "documents").select("doc_id", "text"),
+        requiredWords = Seq("join", "hash", "row", "batch", "scan", "column",
+          "filter", "data"))
+        .drop("text")
+        .orderBy("doc_id")
+    }, Some({
+      val reqSum = Seq("join", "hash", "row", "batch", "scan", "column",
+        "filter", "data")
+        .map(w => s"(CASE WHEN regexp_matches(norm, '\\b$w\\b') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, text,
+         |  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents),
+         |t AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks,
+         |  string_split(text, chr(10)) AS lines FROM d),
+         |m AS (SELECT doc_id,
+         |  CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) /
+         |    CAST(len(toks) AS DOUBLE) AS mean_word_len,
+         |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) /
+         |    CAST(len(toks) AS DOUBLE) AS alpha_word_ratio,
+         |  CAST(len(regexp_extract_all(norm, '(#|\\.\\.\\.|…)')) AS DOUBLE) /
+         |    CAST(len(toks) AS DOUBLE) AS symbol_word_ratio,
+         |  CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) /
+         |    CAST(len(lines) AS DOUBLE) AS bullet_line_ratio,
+         |  CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$'))) AS DOUBLE) /
+         |    CAST(len(lines) AS DOUBLE) AS ellipsis_line_ratio,
+         |  CAST($reqSum AS INT) AS n_required_hits
+         |  FROM t)
+         |SELECT *,
+         |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |   AND alpha_word_ratio >= 0.8 AND symbol_word_ratio <= 0.1
+         |   AND bullet_line_ratio <= 0.9 AND ellipsis_line_ratio <= 0.3
+         |   AND n_required_hits >= 2) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+    })),
+
     // ----- multimodal plumbing (stubbed decode) ------------------------
     "llm_multimodal_stub" -> Q((s, dir) => {
       val df = Multimodal.frameSampleStub(

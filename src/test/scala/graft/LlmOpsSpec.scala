@@ -816,4 +816,29 @@ class LlmOpsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out === Set((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L)))
   }
+
+  test("gopherRules: each rule rejects its own pathology, clean text keeps") {
+    val docs = Seq(
+      (0L, "the cat and the dog have to be with all of that food today"), // clean
+      (1L, "a b c d e f g h i j k l m n o p q r s the of and"),           // mean word len < 3
+      (2L, "the ### of ### and ### ... ... ... that ... have"),           // symbol-heavy
+      (3L, "- the first\n- of second\n- and third\n- that fourth"),       // all bullet lines
+      (4L, "the start...\nof more...\nand yet...\nthat end..."),          // all ellipsis lines
+      (5L, "completely unrelated words about nothing relevant here")      // no required words
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Boolean]("keep"))
+    assert(!out(1L).getAs[Boolean]("keep") && out(1L).getAs[Double]("mean_word_len") < 3.0)
+    assert(!out(2L).getAs[Boolean]("keep") && out(2L).getAs[Double]("symbol_word_ratio") > 0.1)
+    assert(!out(3L).getAs[Boolean]("keep") && out(3L).getAs[Double]("bullet_line_ratio") > 0.9)
+    assert(!out(4L).getAs[Boolean]("keep") && out(4L).getAs[Double]("ellipsis_line_ratio") > 0.3)
+    assert(!out(5L).getAs[Boolean]("keep") && out(5L).getAs[Int]("n_required_hits") < 2)
+    // the 26-letter alphabet doc also fails alpha if numbers dominate
+    val nums = Seq((9L, "11 22 333 444 555 666 777 888 999 000 the of and that"))
+      .toDF("doc_id", "text")
+    val numRow = TextOps.gopherRules(nums).collect().head
+    assert(numRow.getAs[Double]("alpha_word_ratio") < 0.8)
+    assert(!numRow.getAs[Boolean]("keep"))
+  }
 }
