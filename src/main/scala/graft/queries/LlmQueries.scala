@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.llm.{Classifier, Dedup, Multimodal, Pq, Similarity, Splits, TextOps}
-import graft.operators.{CountMin, PageRank}
+import graft.operators.{CountMin, HistQuantile, PageRank}
 import Registry.T
 
 /** Driver-gradable queries for the LLM training-data pipeline operators
@@ -955,6 +955,54 @@ object LlmQueries {
          |   AND n_required_hits >= 2) AS keep
          |FROM m ORDER BY doc_id""".stripMargin
     })),
+
+    "llm_hist_quantiles" -> Q((s, dir) => {
+      // Histogram quantile sketch (operators/HistQuantile) over document
+      // lengths: exact min/max bounds, 32 bins, P50/P90/P99 estimates
+      // with the nearest-rank exact quantile and the ≤-one-bin-width
+      // error bound as checked columns. The exact side windows over the
+      // data — eval ground truth, not the operator's scale path.
+      import s.implicits._
+      val src = T(s, dir, "documents").select(col("n_chars").cast("double").as("x"))
+      val b = src.agg(min("x"), max("x")).first()
+      val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+      val nBins = 32
+      val hist = HistQuantile.build(src, "x", lo, hi, nBins)
+      val est = HistQuantile.estimate(hist, lo, hi, nBins, Seq(0.5, 0.9, 0.99))
+      val n = src.count().toDouble
+      val ranked = src.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy("x")))
+      val exact = ranked.crossJoin(broadcast(Seq(0.5, 0.9, 0.99).toDF("q")))
+        .filter(col("rk") === greatest(ceil(col("q") * n), lit(1.0)).cast("bigint"))
+        .select(col("q"), col("x").as("exact_q"))
+      est.join(exact, "q")
+        .select(col("q"), col("est_q"), col("exact_q"),
+          abs(col("est_q") - col("exact_q")).as("abs_err"),
+          (abs(col("est_q") - col("exact_q")) <= lit((hi - lo) / nBins)).as("within_bin"))
+        .orderBy("q")
+    }, Some(
+      s"""WITH src AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents),
+         |bounds AS (SELECT CAST(min(x) AS DOUBLE) AS lo, CAST(max(x) AS DOUBLE) AS hi FROM src),
+         |hist AS (SELECT CAST(least(greatest(
+         |      floor(((x - b.lo) / (b.hi - b.lo)) * 32), 0.0), 32 - 1.0) AS INT) AS bin,
+         |    count(*) AS cnt
+         |  FROM src CROSS JOIN bounds b GROUP BY 1),
+         |nn AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM hist),
+         |cum AS (SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum,
+         |    SUM(cnt) OVER (ORDER BY bin) - cnt AS cumb FROM hist),
+         |qs AS (SELECT unnest([0.5e0, 0.9e0, 0.99e0]) AS q),
+         |cand AS (SELECT q.q, c.bin, c.cnt, c.cumb,
+         |    row_number() OVER (PARTITION BY q.q ORDER BY c.bin) AS rn
+         |  FROM cum c CROSS JOIN qs q CROSS JOIN nn n WHERE c.cum >= q.q * n.n),
+         |est AS (SELECT c.q,
+         |    b.lo + (c.bin + (c.q * n.n - c.cumb) / c.cnt) * ((b.hi - b.lo) / 32) AS est_q
+         |  FROM cand c CROSS JOIN bounds b CROSS JOIN nn n WHERE c.rn = 1),
+         |exact AS (SELECT q.q, s.x AS exact_q FROM (
+         |    SELECT x, row_number() OVER (ORDER BY x) AS rk FROM src) s
+         |  JOIN qs q ON s.rk = CAST(greatest(ceil(q.q * (SELECT n FROM nn)), 1.0) AS BIGINT))
+         |SELECT e.q, e.est_q, x.exact_q, abs(e.est_q - x.exact_q) AS abs_err,
+         |  abs(e.est_q - x.exact_q) <= ((SELECT (hi - lo) / 32 FROM bounds)) AS within_bin
+         |FROM est e JOIN exact x ON e.q = x.q ORDER BY e.q""".stripMargin)),
 
     // ----- multimodal plumbing (stubbed decode) ------------------------
     "llm_multimodal_stub" -> Q((s, dir) => {

@@ -88,4 +88,43 @@ class SketchesSpec extends SparkTestBase {
     assert("Exchange".r.findAllIn(plan).length == 1,
       s"daily sketch rollup must be ONE shuffle:\n$plan")
   }
+
+  test("histogram quantile sketch: halves merge cell-for-cell into the whole") {
+    import spark.implicits._
+    import graft.operators.HistQuantile
+    val xs = (0 until 400).map(i => ((i * 37 + 11) % 1000).toDouble).toDF("x")
+    val whole = HistQuantile.build(xs, "x", 0.0, 1000.0, 16)
+    val odd = xs.filter((col("x").cast("int") % 2) === 1)
+    val even = xs.filter((col("x").cast("int") % 2) === 0)
+    val m2 = HistQuantile.merge(
+      HistQuantile.build(odd, "x", 0.0, 1000.0, 16),
+      HistQuantile.build(even, "x", 0.0, 1000.0, 16))
+    val a = whole.orderBy("bin").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val b = m2.orderBy("bin").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(a == b)
+  }
+
+  test("histogram quantile estimates stay within one bin width on uniform data") {
+    import spark.implicits._
+    import graft.operators.HistQuantile
+    val xs = (0 until 1000).map(_.toDouble).toDF("x")
+    val hist = HistQuantile.build(xs, "x", 0.0, 999.0, 20)
+    val est = HistQuantile.estimate(hist, 0.0, 999.0, 20, Seq(0.25, 0.5, 0.75))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val width = 999.0 / 20
+    Seq(0.25, 0.5, 0.75).foreach { q =>
+      val exact = q * 999.0
+      assert(math.abs(est(q) - exact) <= width, s"q=$q est=${est(q)} exact=$exact")
+    }
+  }
+
+  test("histogram quantile build clamps out-of-range values into edge bins") {
+    import spark.implicits._
+    import graft.operators.HistQuantile
+    val xs = Seq(-50.0, 0.0, 5.0, 9.9, 200.0).toDF("x")
+    val bins = HistQuantile.build(xs, "x", 0.0, 10.0, 10)
+      .orderBy("bin").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(bins.head._1 == 0 && bins.head._2 == 2L) // -50 clamps down, 0 lands in bin 0
+    assert(bins.last._1 == 9 && bins.last._2 == 2L) // 9.9 in bin 9, 200 clamps up
+  }
 }
