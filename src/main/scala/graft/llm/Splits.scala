@@ -96,4 +96,39 @@ object Splits {
       orderCols: Seq[Column], n: Int, outCol: String = "bucket"): DataFrame =
     df.withColumn(outCol, ntile(n).over(
       Window.partitionBy(strataCols.map(col): _*).orderBy(orderCols: _*)))
+
+  /** Temperature-scaled mixture design — the per-source sampling-weight
+    * table a corpus recipe publishes (the flattening step of multi-
+    * source pre-training mixes: raw token share^τ with τ < 1 upweights
+    * small sources). τ is fixed at 0.5 BY CONSTRUCTION: share^0.5 is
+    * `sqrt`, a correctly-rounded IEEE primitive every engine agrees on,
+    * where a general pow(x, τ) is libm-dependent and breaks the oracle
+    * contract. Weights normalize by a fixed-point Σ (floor(w·10¹²)
+    * summed exactly — a plain double Σ is order-dependent), and the doc
+    * `budget` allocates by LARGEST REMAINDER, so `target_docs` sums to
+    * the budget exactly. Cost: one hash aggregate over the corpus; the
+    * remainder ranking windows over the per-source frame only (sources ≪
+    * rows — sketch-sized by construction). */
+  def temperatureMixtureSqrt(df: DataFrame, sourceCol: String, tokenCol: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val s = df.groupBy(sourceCol)
+      .agg(count(lit(1)).as("n_docs"), sum(tokenCol).cast("bigint").as("n_tokens"))
+    val tot = s.agg(sum("n_tokens").cast("double").as("t"))
+    val w = s.crossJoin(broadcast(tot))
+      .withColumn("raw_w", sqrt(col("n_tokens").cast("double") / col("t")))
+    val norm = w.agg((sum(floor(col("raw_w") * lit(1.0e12)).cast("decimal(38,0)"))
+      .cast("double") / lit(1.0e12)).as("z"))
+    val alloc = w.crossJoin(broadcast(norm))
+      .withColumn("mix_weight", col("raw_w") / col("z"))
+      .withColumn("base_alloc", floor(col("mix_weight") * budget).cast("bigint"))
+      .withColumn("rem",
+        col("mix_weight") * budget - floor(col("mix_weight") * budget))
+    val short = alloc.agg((lit(budget) - sum("base_alloc")).cast("bigint").as("k"))
+    alloc.crossJoin(broadcast(short))
+      .withColumn("rr", row_number().over(Window.orderBy(col("rem").desc, col(sourceCol))))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"), col("mix_weight"),
+        (col("base_alloc") + when(col("rr") <= col("k"), lit(1L)).otherwise(lit(0L)))
+          .cast("bigint").as("target_docs"))
+  }
 }

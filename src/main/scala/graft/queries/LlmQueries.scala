@@ -1004,6 +1004,37 @@ object LlmQueries {
          |  abs(e.est_q - x.exact_q) <= ((SELECT (hi - lo) / 32 FROM bounds)) AS within_bin
          |FROM est e JOIN exact x ON e.q = x.q ORDER BY e.q""".stripMargin)),
 
+    "llm_mixture_weights" -> Q((s, dir) => {
+      // Temperature-scaled mixture design (Splits.temperatureMixtureSqrt):
+      // per-source sqrt(token-share) weights, fixed-point normalizer,
+      // largest-remainder allocation of a 1000-doc budget (sums exactly).
+      Splits.temperatureMixtureSqrt(
+        T(s, dir, "documents").select(col("source"),
+          size(TextOps.tokens(col("text"))).as("n_toks")),
+        "source", col("n_toks"), budget = 1000L)
+        .orderBy("source")
+    }, Some(
+      s"""WITH d AS (SELECT source,
+         |  len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_toks
+         |  FROM documents),
+         |s AS (SELECT source, count(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+         |  FROM d GROUP BY source),
+         |tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS t FROM s),
+         |w AS (SELECT source, n_docs, n_tokens,
+         |    sqrt(CAST(n_tokens AS DOUBLE) / tot.t) AS raw_w FROM s CROSS JOIN tot),
+         |nrm AS (SELECT CAST(SUM(CAST(floor(raw_w * 1000000000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+         |    / 1000000000000.0 AS z FROM w),
+         |alloc AS (SELECT source, n_docs, n_tokens, raw_w / nrm.z AS mix_weight,
+         |    CAST(floor((raw_w / nrm.z) * 1000) AS BIGINT) AS base_alloc,
+         |    (raw_w / nrm.z) * 1000 - floor((raw_w / nrm.z) * 1000) AS rem
+         |  FROM w CROSS JOIN nrm),
+         |short AS (SELECT CAST(1000 - (SELECT SUM(base_alloc) FROM alloc) AS BIGINT) AS k),
+         |ranked AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rr FROM alloc)
+         |SELECT source, n_docs, n_tokens, mix_weight,
+         |  CAST(base_alloc + (CASE WHEN rr <= (SELECT k FROM short) THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS target_docs
+         |FROM ranked ORDER BY source""".stripMargin)),
+
     // ----- multimodal plumbing (stubbed decode) ------------------------
     "llm_multimodal_stub" -> Q((s, dir) => {
       val df = Multimodal.frameSampleStub(

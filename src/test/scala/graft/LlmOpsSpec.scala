@@ -506,6 +506,24 @@ class LlmOpsSpec extends SparkTestBase {
     assert(hi.count(_ % 2 == 1) === 200)
   }
 
+  test("temperatureMixtureSqrt: allocations sum to budget, flattening upweights small sources") {
+    import graft.llm.Splits
+    // src0: 8100 tokens, src1: 900 — raw shares 0.9/0.1, sqrt-flattened
+    // weights 0.75/0.25.
+    val rows = ((1 to 81).map(i => (s"a$i", "src0", 100L)) ++
+      (1 to 9).map(i => (s"b$i", "src1", 100L))).toDF("id", "source", "n_toks")
+    val m = Splits.temperatureMixtureSqrt(rows, "source", col("n_toks"), budget = 1000L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val total = m.values.map(_.getAs[Long]("target_docs")).sum
+    assert(total == 1000L, s"budget must allocate exactly, got $total")
+    val w0 = m("src0").getAs[Double]("mix_weight")
+    val w1 = m("src1").getAs[Double]("mix_weight")
+    assert(math.abs(w0 - 0.75) < 1e-9 && math.abs(w1 - 0.25) < 1e-9, s"$w0 / $w1")
+    // raw share of src1 is 0.1; sqrt temperature lifts it to 0.25
+    assert(w1 > 0.1)
+    assert(m("src1").getAs[Long]("target_docs") == 250L)
+  }
+
   test("qualityFilter: reasons explain every reject, keep is their conjunction") {
     val d = Seq(
       (1L, "the cat and the dog sat in the sun and it is a good day today ok"),
