@@ -171,6 +171,58 @@ object TextOps {
         col("n_required_hits") >= minRequiredHits)
   }
 
+  /** BPE merge-rule LEARNING (Sennrich et al. '16) — the iterative step
+    * after [[charPairCounts]]'s one-shot census: each round counts
+    * adjacent symbol pairs across the word-frequency table (one explode
+    * + one hash aggregate, weighted by word freq so the corpus text is
+    * touched ONCE up front), takes the argmax as the round's merge rule
+    * (ties break on the pair string), and applies the merge corpus-wide.
+    *
+    * Words are DOUBLE-space-joined symbol strings, so "apply the merge"
+    * is a plain string replace of ` p1␣␣p2 ` with ` p1p2 ` on the
+    * single-space-padded string. The double separator matters: adjacent
+    * matches then share no characters, so one left-to-right
+    * non-overlapping replace pass merges EVERY eligible occurrence
+    * (` a␣␣b␣␣a␣␣b ` → both pairs) while overlapping chains stay
+    * greedy-left (` a␣␣a␣␣a ` → `aa␣␣a`) — exactly BPE merge
+    * semantics, and Spark's `replace` and DuckDB's agree on it. The
+    * rule table is model state (one row per round) — the only
+    * driver-side data, like GD weights. State between rounds is the
+    * word-frequency table (vocab-sized, Heaps' law ≪ corpus),
+    * localCheckpoint'd so lineage stays flat. */
+  def bpeMerges(df: DataFrame, textCol: String = "text", rounds: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(rounds >= 1 && rounds <= 32, s"rounds=$rounds out of sane range")
+    val wf = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    var cur = wf.select(
+      expr("array_join(transform(sequence(1, length(w)), i -> substr(w, i, 1)), '  ')")
+        .as("symstr"), col("freq"))
+      .localCheckpoint(true)
+    val rules = Seq.newBuilder[(Int, String, Long)]
+    for (t <- 1 to rounds) {
+      val top = cur.select(col("freq"), split(col("symstr"), "  ").as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(a) - 1), i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"))
+          .as("p"))
+        .groupBy("p").agg(sum("freq").cast("bigint").as("cnt"))
+        .orderBy(desc("cnt"), col("p")).limit(1).first()
+      val (pair, cnt) = (top.getString(0), top.getLong(1))
+      rules += ((t, pair, cnt))
+      val merged = pair.replace(" ", "")
+      val findPat = " " + pair.replace(" ", "  ") + " "
+      cur = cur.select(
+        trim(replace(concat(lit(" "), col("symstr"), lit(" ")),
+          lit(findPat), lit(s" $merged "))).as("symstr"),
+        col("freq"))
+        .localCheckpoint(true)
+    }
+    rules.result().toDF("round", "merge_rule", "cnt")
+  }
+
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2, maxTopFrac: Double = 0.2, maxDupFrac: Double = 0.5): DataFrame = {
     val grams = Dedup.shingles(df.select(col(idCol), col(textCol)),

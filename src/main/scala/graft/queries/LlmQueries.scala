@@ -1820,6 +1820,38 @@ object LlmQueries {
               |FROM stats s JOIN pl p USING (term)
               |WHERE s.df >= 10 ORDER BY s.term""".stripMargin), bench = true),
 
+    "llm_bpe_learn_merges" -> Q((s, dir) =>
+      // BPE vocabulary induction, the LEARNING loop (TextOps.bpeMerges):
+      // 3 rounds of count-pairs → argmax → corpus-wide merge. The oracle
+      // unrolls the same 3 rounds, including the greedy string-replace
+      // merge application.
+      TextOps.bpeMerges(T(s, dir, "documents").select("text"), rounds = 3)
+        .orderBy("round"),
+      Some({
+        def roundCtes(t: Int) =
+          s"""pc$t AS (SELECT p AS pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+             |    SELECT unnest(list_transform(range(1, len(a) - 1 + 1),
+             |        i -> a[i] || ' ' || a[i + 1])) AS p, freq
+             |    FROM (SELECT string_split(symstr, '  ') AS a, freq FROM w${t - 1})
+             |    WHERE len(a) >= 2)
+             |  GROUP BY p),
+             |top$t AS (SELECT pair, cnt FROM pc$t ORDER BY cnt DESC, pair LIMIT 1),
+             |w$t AS (SELECT trim(replace(' ' || symstr || ' ',
+             |    ' ' || replace((SELECT pair FROM top$t), ' ', '  ') || ' ',
+             |    ' ' || replace((SELECT pair FROM top$t), ' ', '') || ' ')) AS symstr, freq
+             |  FROM w${t - 1})""".stripMargin
+        s"""WITH toks AS (SELECT unnest(string_split(
+           |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w FROM documents),
+           |wf AS (SELECT w, count(*) AS freq FROM toks WHERE length(w) >= 2 GROUP BY w),
+           |w0 AS (SELECT array_to_string(list_transform(range(1, length(w) + 1),
+           |    i -> substr(w, i, 1)), '  ') AS symstr, freq FROM wf),
+           |${Seq(1, 2, 3).map(roundCtes).mkString(",\n")}
+           |SELECT 1 AS round, (SELECT pair FROM top1) AS merge_rule, (SELECT cnt FROM top1) AS cnt
+           |UNION ALL SELECT 2, (SELECT pair FROM top2), (SELECT cnt FROM top2)
+           |UNION ALL SELECT 3, (SELECT pair FROM top3), (SELECT cnt FROM top3)
+           |ORDER BY round""".stripMargin
+      })),
+
     "llm_char_pair_merges" -> Q((s, dir) =>
       // BPE vocabulary induction, step one (TextOps.charPairCounts):
       // the most frequent adjacent character pair is the first merge

@@ -835,6 +835,21 @@ class LlmOpsSpec extends SparkTestBase {
     assert(out === Set((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("bpeMerges: learns ab then abab on a constructed corpus, greedy on overlaps") {
+    val docs = Seq(
+      (0L, "abab abab abab ab ab aaa"),
+      (1L, "abab xy")
+    ).toDF("doc_id", "text")
+    val rules = TextOps.bpeMerges(docs, "text", rounds = 2)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // 'a b' pairs: abab×4 contributes 2 each = 8, ab×2 contributes 1 each = 2 → 10
+    // ('b a' gets 4, 'a a' gets 2 from aaa — greedy counting is positional)
+    assert(rules(0) == ((1, "a b", 10L)), rules.mkString(", "))
+    // after merging to 'ab', the dominant pair is 'ab ab' (4 occurrences)
+    assert(rules(1) == ((2, "ab ab", 4L)), rules.mkString(", "))
+  }
+
   test("gopherRules: each rule rejects its own pathology, clean text keeps") {
     val docs = Seq(
       (0L, "the cat and the dog have to be with all of that food today"), // clean
