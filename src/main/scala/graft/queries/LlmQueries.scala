@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.llm.{Classifier, Dedup, Multimodal, Pq, Similarity, Splits, TextOps}
-import graft.operators.{CountMin, HistQuantile, PageRank}
+import graft.operators.{CountMin, HistQuantile, PageRank, RobustStats}
 import Registry.T
 
 /** Driver-gradable queries for the LLM training-data pipeline operators
@@ -1034,6 +1034,31 @@ object LlmQueries {
          |  CAST(base_alloc + (CASE WHEN rr <= (SELECT k FROM short) THEN 1 ELSE 0 END) AS BIGINT)
          |    AS target_docs
          |FROM ranked ORDER BY source""".stripMargin)),
+
+    "llm_robust_outliers" -> Q((s, dir) => {
+      // Per-source MAD outlier screen over document lengths
+      // (operators/RobustStats): nearest-rank medians, |x-med| > k*mad.
+      RobustStats.madOutliers(T(s, dir, "documents").select("source", "n_chars"),
+        "source", "n_chars")
+        .orderBy("source")
+    }, Some(
+      s"""WITH d AS (SELECT source, CAST(n_chars AS DOUBLE) AS x FROM documents),
+         |ranked AS (SELECT source, x,
+         |    row_number() OVER (PARTITION BY source ORDER BY x) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS n FROM d),
+         |med AS (SELECT source, x AS med FROM ranked
+         |  WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)),
+         |dev AS (SELECT r.source, r.x, r.n, abs(r.x - m.med) AS dev, m.med
+         |  FROM ranked r JOIN med m ON r.source = m.source),
+         |mad AS (SELECT source, dev AS mad FROM (
+         |    SELECT source, dev, n, row_number() OVER (PARTITION BY source ORDER BY dev) AS rn2
+         |    FROM dev)
+         |  WHERE rn2 = CAST(floor((n + 1) / 2.0) AS BIGINT))
+         |SELECT d.source, count(*) AS n, max(d.med) AS med, max(m.mad) AS mad,
+         |  CAST(SUM(CASE WHEN d.dev > 4.4478e0 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_outliers
+         |FROM dev d JOIN mad m ON d.source = m.source
+         |GROUP BY d.source ORDER BY d.source""".stripMargin)),
 
     // ----- multimodal plumbing (stubbed decode) ------------------------
     "llm_multimodal_stub" -> Q((s, dir) => {

@@ -109,4 +109,19 @@ class ChecksSpec extends SparkTestBase {
     val results = Checks.validatePolicies(silver)
     assert(results.values.forall(_.passed), Checks.summarize("policies", results))
   }
+
+  test("madOutliers flags the planted outlier and nothing else") {
+    import spark.implicits._
+    val df = (Seq(10.0, 10.0, 11.0, 11.0, 12.0, 1000.0).map(("g1", _)) ++
+      Seq(5.0, 5.0, 5.0, 5.0).map(("g2", _))).toDF("source", "x")
+    val out = graft.operators.RobustStats.madOutliers(df, "source", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // g1: lower median 11, dev median (mad) 1 → only 1000 exceeds 4.4478*1
+    assert(out("g1").getAs[Double]("med") == 11.0)
+    assert(out("g1").getAs[Double]("mad") == 1.0)
+    assert(out("g1").getAs[Long]("n_outliers") == 1L)
+    // constant group: mad 0, nothing flagged (0 > 0 is false)
+    assert(out("g2").getAs[Double]("mad") == 0.0)
+    assert(out("g2").getAs[Long]("n_outliers") == 0L)
+  }
 }
