@@ -257,4 +257,57 @@ class PlanGuardsSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"),
       s"global top-k must be TakeOrderedAndProject:\n$plan")
   }
+
+  test("PQ ADC scoring broadcasts the LUT — corpus codes never sort-merge") {
+    import graft.llm.Pq
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb = Pq.codebooks(emb, "vec_id", "embedding", 8, 8, 4, 1)
+    val top = Pq.adcTopK(emb, emb.filter(col("vec_id") < 3), cb,
+      "vec_id", "embedding", 8, 8, 3)
+    top.collect()
+    val plan = top.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // The per-query LUT joins the encoded corpus as a broadcast nested
+    // loop (it is a crossJoin of a broadcast 1-row-per-query frame); a
+    // SortMergeJoin would shuffle the corpus per query batch.
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"LUT must broadcast into the scoring cross join:\n$plan")
+    assert(!"SortMergeJoin".r.findFirstIn(plan).isDefined,
+      s"corpus-side sort-merge in ADC scoring:\n$plan")
+  }
+
+  test("classifier gradient aggregate has map-side partials before its exchange") {
+    import graft.llm.Classifier
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("y", (col("label") === 0).cast("int"))
+    val y = col("y").cast("double")
+    val p = Classifier.softsignProb(Classifier.margin(col("embedding"), Vector.fill(65)(0.0)))
+    val grads = emb
+      .select(((p - y)).as("r"), posexplode(Classifier.augment(col("embedding"))).as(Seq("i", "xi")))
+      .groupBy("i")
+      .agg(sum(floor((col("r") * col("xi")) * lit(1.0e12)).cast("decimal(38,0)")).as("g"))
+    val plan = grads.queryExecution.executedPlan.toString
+    // partial_sum under the scan side = the 65n exploded rows combine
+    // map-side to ≤ 65 groups per task before they shuffle.
+    assert(plan.contains("partial_sum") || plan.contains("Partial"),
+      s"gradient aggregate must map-side combine:\n$plan")
+    assert("Exchange".r.findAllIn(plan).length == 1,
+      s"gradient pass must shuffle exactly once:\n$plan")
+  }
+
+  test("gopher rules and mixture-weight source rollup stay scan-speed shapes") {
+    import graft.llm.{Splits, TextOps}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rules = TextOps.gopherRules(docs.select("doc_id", "text"),
+      requiredWords = Seq("join", "hash"))
+    assert(!rules.queryExecution.executedPlan.toString.contains("Exchange"),
+      "gopherRules must be a pure projection")
+    val mix = Splits.temperatureMixtureSqrt(
+      docs.select(col("source"), size(TextOps.tokens(col("text"))).as("t")),
+      "source", col("t"), 100L)
+    val plan = mix.queryExecution.executedPlan.toString
+    // one exchange for the source rollup; everything after operates on
+    // the sources-sized frame (broadcast scalars, sketch-sized window)
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      s"source rollup must map-side combine:\n$plan")
+  }
 }
