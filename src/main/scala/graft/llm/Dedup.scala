@@ -449,4 +449,73 @@ object Dedup {
         (col(idCol) === col("component")).as("is_canonical"),
         col("cluster_size"))
   }
+
+  /** Repeated n-gram span detection — exact-substring dedup at token
+    * granularity (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): every `n`-token window whose text occurs
+    * at least twice ANYWHERE in the corpus (cross-document or repeated
+    * within one document) is flagged, overlapping flagged windows are
+    * merged into maximal spans per document, and each document reports
+    * its duplicated-token mass — the span-level signal whole-document
+    * and segment dedup both miss (a 60-token boilerplate header inside
+    * otherwise-unique documents never trips a doc-level hash).
+    *
+    * Output: one row per document —
+    * (id, n_tokens, n_dup_spans, n_dup_tokens, dup_frac), where
+    * `n_dup_tokens` counts tokens covered by at least one duplicated
+    * window after merging (1-based inclusive span arithmetic, exact
+    * integers; `dup_frac` is the single terminal double division).
+    *
+    * Scale shape (100 TB): the gram stream is a zero-shuffle projection
+    * (tokenize → slide → md5, one row per token position). Shuffle #1 is
+    * the duplicated-gram census — ONE hash aggregate on the 128-bit gram
+    * hash with map-side combine. The flag-back is a LEFT SEMI equi-join
+    * against the duplicated subset only (at realistic dup rates a few
+    * percent of distinct grams), which AQE broadcasts when small and
+    * which reuses the census partitioning otherwise — the corpus gram
+    * stream is never shuffled a second time for the probe. Shuffle #2
+    * keys the surviving (typically sparse) span rows by document for the
+    * interval merge — a window over flagged spans only, NOT over the
+    * corpus. A suffix-array build (the paper's exact algorithm) orders
+    * every corpus position globally; the windowed-hash census reaches
+    * the same ≥n-token duplicated spans with aggregates Spark already
+    * scales, at the cost of missing duplicates shorter than `n`. */
+  def ngramSpanDedup(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 2, "span n-gram length must be at least 2")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
+    val grams = toks
+      .filter(size(col("_toks")) >= n)
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(1, size(_toks) - ${n - 1}),
+           |  i -> md5(array_join(slice(_toks, i, $n), ' ')))""".stripMargin)))
+      .select(col(idCol), (col("pos") + 1).cast("int").as("s"),
+        (col("pos") + n).cast("int").as("e"), col("col").as("gh"))
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("gh")
+    val spans = grams.join(dup, Seq("gh"), "left_semi")
+    val order = Seq(col("s"), col("e"))
+    val wPrev = Window.partitionBy(col(idCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col(idCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val merged = spans
+      .withColumn("_new",
+        when(col("s") > coalesce(max(col("e")).over(wPrev), lit(-1)), 1)
+          .otherwise(0))
+      .withColumn("_gid", sum(col("_new")).over(wRun))
+      .groupBy(col(idCol), col("_gid"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+    val perDoc = merged.groupBy(col(idCol)).agg(
+      count(lit(1)).cast("int").as("n_dup_spans"),
+      sum(col("span_end") - col("span_start") + 1).cast("long").as("n_dup_tokens"))
+    toks.select(col(idCol), size(col("_toks")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0)).as("n_dup_spans"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        (coalesce(col("n_dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("dup_frac"))
+  }
 }

@@ -1877,6 +1877,44 @@ object LlmQueries {
            |ORDER BY round""".stripMargin
       })),
 
+    "llm_ngram_span_dedup" -> Q((s, dir) =>
+      // Exact-substring dedup at token granularity (Lee et al. '22,
+      // Dedup.ngramSpanDedup): 8-token windows occurring ≥2 times
+      // anywhere in the corpus, merged into maximal per-doc spans.
+      // Census shuffle is one hash agg on the gram md5; flag-back is a
+      // left-semi against the duplicated subset only.
+      Dedup.ngramSpanDedup(T(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", n = 8)
+        .orderBy("doc_id"),
+      Some(s"""WITH $toksCte,
+              |g AS (SELECT doc_id, i AS s, i + 7 AS e,
+              |    md5(array_to_string(t[i : i + 7], ' ')) AS gh
+              |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i)
+              |  WHERE len(t) >= 8),
+              |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+              |spans AS (SELECT doc_id, s, e FROM g JOIN dup USING (gh)),
+              |flagged AS (SELECT doc_id, s, e,
+              |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+              |      ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              |      THEN 1 ELSE 0 END AS new_grp
+              |  FROM spans),
+              |grp AS (SELECT doc_id, s, e,
+              |    SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY s, e
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+              |  FROM flagged),
+              |merged AS (SELECT doc_id, gid, min(s) AS span_start, max(e) AS span_end
+              |  FROM grp GROUP BY doc_id, gid),
+              |perdoc AS (SELECT doc_id, CAST(count(*) AS INT) AS n_dup_spans,
+              |    CAST(SUM(span_end - span_start + 1) AS BIGINT) AS n_dup_tokens
+              |  FROM merged GROUP BY doc_id)
+              |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+              |  coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+              |  coalesce(p.n_dup_tokens, 0) AS n_dup_tokens,
+              |  CAST(coalesce(p.n_dup_tokens, 0) AS DOUBLE)
+              |    / CAST(len(t.t) AS DOUBLE) AS dup_frac
+              |FROM toks t LEFT JOIN perdoc p USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
     "llm_char_pair_merges" -> Q((s, dir) =>
       // BPE vocabulary induction, step one (TextOps.charPairCounts):
       // the most frequent adjacent character pair is the first merge

@@ -874,4 +874,41 @@ class LlmOpsSpec extends SparkTestBase {
     assert(numRow.getAs[Double]("alpha_word_ratio") < 0.8)
     assert(!numRow.getAs[Boolean]("keep"))
   }
+
+  test("ngramSpanDedup: cross-doc repeated run merges to one maximal span") {
+    // Docs 1 and 2 share a 5-token run inside otherwise-unique text; with
+    // n=3 that run yields three overlapping flagged windows per doc which
+    // must merge into ONE span of exactly 5 tokens. Doc 3 is clean.
+    val shared = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, s"unique one two $shared tail1 tailx"),
+      (2L, s"other start $shared closing words here"),
+      (3L, "completely different content with no repeats at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramSpanDedup(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(1L, 2L)) {
+      assert(out(id).getAs[Int]("n_dup_spans") === 1, s"doc $id spans")
+      assert(out(id).getAs[Long]("n_dup_tokens") === 5L, s"doc $id tokens")
+    }
+    assert(out(3L).getAs[Int]("n_dup_spans") === 0)
+    assert(out(3L).getAs[Long]("n_dup_tokens") === 0L)
+    assert(out(3L).getAs[Double]("dup_frac") === 0.0)
+  }
+
+  test("ngramSpanDedup: within-doc repetition flags and disjoint spans stay split") {
+    // One doc repeats a 3-token phrase twice with a gap > 0 between the
+    // occurrences: two disjoint spans of 3 tokens each, not one span.
+    val docs = Seq(
+      (1L, "x y z spacer1 spacer2 spacer3 x y z trailer"),
+      (2L, "nothing shared with anything else whatsoever")
+    ).toDF("doc_id", "text")
+    val row = Dedup.ngramSpanDedup(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(row(1L).getAs[Int]("n_dup_spans") === 2)
+    assert(row(1L).getAs[Long]("n_dup_tokens") === 6L)
+    assert(row(1L).getAs[Long]("n_tokens") === 10L)
+    assert(row(1L).getAs[Double]("dup_frac") === 0.6)
+    assert(row(2L).getAs[Int]("n_dup_spans") === 0)
+  }
 }
