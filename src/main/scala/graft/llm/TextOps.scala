@@ -223,6 +223,53 @@ object TextOps {
     rules.result().toDF("round", "merge_rule", "cnt")
   }
 
+  /** BPE ENCODING — apply an ordered list of learned merge rules (from
+    * [[bpeMerges]]) to every token and report per-document tokenizer
+    * statistics: subword counts, fertility (subwords per word — the
+    * standard tokenizer-quality metric; lower is better), compression
+    * (chars per subword), and a deterministic preview of the first
+    * `previewLen` subwords.
+    *
+    * The rule list is model state (≤32 tiny strings), baked into the
+    * projection as literals exactly like broadcast GD weights — so the
+    * whole encode is ONE zero-shuffle projection over the corpus: each
+    * token char-splits into the double-space symbol string and folds
+    * through the ordered `replace` chain (the same greedy-left
+    * all-occurrence merge semantics [[bpeMerges]] learns with — see its
+    * doc for why the DOUBLE separator makes one replace pass = one BPE
+    * merge on both engines). No explode, no shuffle; at 100 TB this
+    * runs at scan speed and the per-doc aggregate is a HOF fold, not a
+    * groupBy. */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      rules: Seq[String], previewLen: Int = 12): DataFrame = {
+    require(rules.nonEmpty && rules.size <= 64, "rule list must be 1..64 merges")
+    require(rules.forall(_.split(" ", -1).count(_.nonEmpty) == 2),
+      s"each merge rule must be 'left right'; got ${rules.find(_.split(" ", -1).count(_.nonEmpty) != 2)}")
+    val charSplit: Column => Column = w => concat(lit(" "),
+      array_join(transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))), "  "),
+      lit(" "))
+    val encode: Column => Column = w => split(trim(
+      rules.foldLeft(charSplit(w))((c, r) =>
+        replace(c, lit(" " + r.replace(" ", "  ") + " "),
+          lit(" " + r.replace(" ", "") + " ")))), "  ")
+    df.select(col(idCol), tokens(col(textCol)).as("_t"))
+      .select(col(idCol), col("_t"), transform(col("_t"), encode).as("_sw"))
+      .select(col(idCol),
+        size(col("_t")).cast("long").as("n_tokens"),
+        aggregate(col("_t"), lit(0L), (a, w) => a + length(w)).as("n_chars"),
+        aggregate(col("_sw"), lit(0L), (a, s) => a + size(s)).as("n_subwords"),
+        col("_sw"))
+      .select(col(idCol), col("n_tokens"), col("n_chars"), col("n_subwords"),
+        when(col("n_tokens") > 0,
+          col("n_subwords").cast("double") / col("n_tokens").cast("double"))
+          .as("fertility"),
+        when(col("n_subwords") > 0,
+          col("n_chars").cast("double") / col("n_subwords").cast("double"))
+          .as("chars_per_subword"),
+        array_join(slice(flatten(col("_sw")), 1, previewLen), " ")
+          .as("subword_preview"))
+  }
+
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2, maxTopFrac: Double = 0.2, maxDupFrac: Double = 0.5): DataFrame = {
     val grams = Dedup.shingles(df.select(col(idCol), col(textCol)),

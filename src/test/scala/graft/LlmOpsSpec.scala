@@ -875,6 +875,40 @@ class LlmOpsSpec extends SparkTestBase {
     assert(!numRow.getAs[Boolean]("keep"))
   }
 
+  test("bpeEncode: ordered merges apply greedy-left with exact fertility math") {
+    // Rules "t h" then "th e": "the" → [the]; "thin" → [th,i,n];
+    // "tot" has no adjacent t-h so stays fully split.
+    val docs = Seq(
+      (1L, "the thin tot"),
+      (2L, "then the")
+    ).toDF("doc_id", "text")
+    val res = graft.llm.TextOps.bpeEncode(docs, "doc_id", "text",
+        Seq("t h", "th e"), previewLen = 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: the→1, thin→3, tot→3 ⇒ 7 subwords over 3 tokens, 10 chars
+    assert(res(1L).getAs[Long]("n_tokens") === 3L)
+    assert(res(1L).getAs[Long]("n_chars") === 10L)
+    assert(res(1L).getAs[Long]("n_subwords") === 7L)
+    assert(res(1L).getAs[Double]("fertility") === 7.0 / 3.0)
+    assert(res(1L).getAs[Double]("chars_per_subword") === 10.0 / 7.0)
+    assert(res(1L).getAs[String]("subword_preview") === "the th i n t")
+    // doc 2: then→[the,n] (th merges, then th+e), the→[the]
+    assert(res(2L).getAs[Long]("n_subwords") === 3L)
+    assert(res(2L).getAs[String]("subword_preview") === "the n the")
+  }
+
+  test("bpeEncode: repeated adjacent merge sites all merge in one pass") {
+    // "ababab" with rule "a b": every a-b pair merges (double-separator
+    // semantics), giving [ab, ab, ab] — not greedy-skip [ab, a, b, ...].
+    val docs = Seq((1L, "ababab aaa")).toDF("doc_id", "text")
+    val r = graft.llm.TextOps.bpeEncode(docs, "doc_id", "text",
+        Seq("a b", "a a"), previewLen = 8)
+      .collect().head
+    // ababab → 3 subwords; aaa → [aa, a] greedy-left ⇒ 2 subwords
+    assert(r.getAs[Long]("n_subwords") === 5L)
+    assert(r.getAs[String]("subword_preview") === "ab ab ab aa a")
+  }
+
   test("ngramSpanDedup: cross-doc repeated run merges to one maximal span") {
     // Docs 1 and 2 share a 5-token run inside otherwise-unique text; with
     // n=3 that run yields three overlapping flagged windows per doc which
