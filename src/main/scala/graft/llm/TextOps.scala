@@ -477,6 +477,60 @@ object TextOps {
           .as("cross_entropy"))
   }
 
+  /** Per-document cross-entropy under an add-one-smoothed corpus BIGRAM
+    * LM (nats/bigram) — the KenLM-shaped upgrade of
+    * [[unigramCrossEntropy]]: fluent text is predictable from local
+    * context, so boilerplate/gibberish that happens to use common WORDS
+    * in uncommon ORDER (which the unigram score cannot see) still scores
+    * high. `ce2 = (1/(n-1)) Σ_i ln((starts(w_{i-1}) + V) /
+    * (c(w_{i-1}, w_i) + 1))` where `starts(w)` counts corpus bigrams
+    * beginning with `w` (so the smoothed model normalizes exactly:
+    * Σ_w2 (c+1)/(starts+V) = 1), `V` is the distinct-unigram count, and
+    * add-ONE smoothing keeps every model quantity an exact integer —
+    * each surprisal is one double division of two exact ints + one `ln`
+    * (portable since round 5), then fixed-point `floor(x·10¹²)` summed
+    * in DECIMAL(38,0) per the round-9 doctrine (`round(x, 12)` is NOT
+    * cross-engine-portable).
+    *
+    * Scale shape: the bigram stream is a zero-shuffle projection; both
+    * count frames are ONE map-side-combinable aggregate each; the
+    * per-bigram joins key on the bigram/start term. Bigram types grow
+    * faster than Heaps' unigram curve but stay ≪ corpus positions —
+    * broadcast here; at extreme scale drop the hint and both joins are
+    * plain key-equi-joins that reuse the count frames' partitioning.
+    * Documents with fewer than 2 tokens report n_bigrams=0, null score. */
+  def bigramCrossEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("_t"))
+    val bgs = toks.filter(size(col("_t")) >= 2)
+      .select(col(idCol), explode(expr(
+        """transform(sequence(1, size(_t) - 1),
+          |  i -> struct(element_at(_t, i) AS w1,
+          |    concat(element_at(_t, i), ' ', element_at(_t, i + 1)) AS bg))"""
+          .stripMargin)).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.bg").as("bg"))
+    val bgCounts = bgs.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+    val startCounts = bgs.groupBy("w1").agg(count(lit(1)).as("c_start"))
+    val vocab = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .agg(count_distinct(col("w")).as("v"))
+    val perDoc = bgs
+      .join(broadcast(bgCounts), "bg")
+      .join(broadcast(startCounts), "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        floor(log((col("c_start") + col("v")).cast("double") /
+            (col("c_bg") + lit(1L)).cast("double")) * lit(1.0e12))
+          .cast("decimal(38,0)").as("_s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"), sum(col("_s")).as("_sum"))
+    toks.select(col(idCol), size(col("_t")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (col("_sum").cast("double") / lit(1.0e12) /
+          col("n_bigrams").cast("double")).as("ce2_nats"))
+  }
+
   /** Document fingerprints: full-content MD5, a min-token hash (1-wide
     * MinHash), and a rolling chained hash over the token stream (order
     * sensitive, so re-ordered documents get distinct prints). All pure

@@ -1565,6 +1565,34 @@ object LlmQueries {
               |  CAST(SUM(s) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS cross_entropy
               |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    "llm_bigram_ppl" -> Q((s, dir) =>
+      // KenLM-shaped quality score: per-doc cross-entropy under the
+      // add-one-smoothed corpus bigram LM (TextOps.bigramCrossEntropy).
+      // Exact-integer model (bigram counts, start counts, vocab size);
+      // fixed-point surprisal sums per the round-9 doctrine.
+      TextOps.bigramCrossEntropy(
+          T(s, dir, "documents").select("doc_id", "text"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH $toksCte,
+              |bg AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i + 1] AS bg
+              |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+              |  WHERE len(t) >= 2),
+              |bc AS (SELECT bg, count(*) AS c_bg FROM bg GROUP BY bg),
+              |sc AS (SELECT w1, count(*) AS c_start FROM bg GROUP BY w1),
+              |voc AS (SELECT count(DISTINCT w) AS v FROM
+              |  (SELECT unnest(t) AS w FROM toks) WHERE w <> ''),
+              |sp AS (SELECT doc_id,
+              |    CAST(floor(ln(CAST(c_start + v AS DOUBLE)
+              |      / CAST(c_bg + 1 AS DOUBLE)) * 1e12) AS DECIMAL(38,0)) AS s
+              |  FROM bg JOIN bc USING (bg) JOIN sc USING (w1) CROSS JOIN voc),
+              |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              |    SUM(s) AS ssum FROM sp GROUP BY doc_id)
+              |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+              |  coalesce(p.n_bigrams, 0) AS n_bigrams,
+              |  CAST(p.ssum AS DOUBLE) / 1e12 / CAST(p.n_bigrams AS DOUBLE) AS ce2_nats
+              |FROM toks t LEFT JOIN pd p USING (doc_id)
+              |ORDER BY t.doc_id""".stripMargin)),
+
     "llm_stratified_sample" -> Q((s, dir) =>
       // Class-balance cap: at most 20 docs per language, drawn by hash
       // order (Splits.stratifiedCap) — deterministic, so both engines

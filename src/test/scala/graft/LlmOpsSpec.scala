@@ -875,6 +875,29 @@ class LlmOpsSpec extends SparkTestBase {
     assert(!numRow.getAs[Boolean]("keep"))
   }
 
+  test("bigramCrossEntropy: add-one bigram LM surprisals match hand math") {
+    // Corpus bigrams: ab×3, ba×1, bc×1; starts: a→3, b→2; V = 4.
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "a b c"),
+      (3L, "z")
+    ).toDF("doc_id", "text")
+    val out = graft.llm.TextOps.bigramCrossEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def fx(x: Double): Double = math.floor(x * 1e12)
+    val sAb = fx(math.log(7.0 / 4.0)); val sBa = fx(math.log(6.0 / 2.0))
+    val sBc = fx(math.log(6.0 / 2.0))
+    assert(out(1L).getAs[Long]("n_bigrams") === 3L)
+    assert(out(1L).getAs[Double]("ce2_nats") === (sAb * 2 + sBa) / 1e12 / 3.0)
+    assert(out(2L).getAs[Long]("n_bigrams") === 2L)
+    assert(out(2L).getAs[Double]("ce2_nats") === (sAb + sBc) / 1e12 / 2.0)
+    assert(out(3L).getAs[Long]("n_bigrams") === 0L)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("ce2_nats")))
+    // Fluency ordering: the doc made of the corpus's dominant bigram
+    // scores lower (more predictable) than the one with a rare tail.
+    assert(out(1L).getAs[Double]("ce2_nats") < out(2L).getAs[Double]("ce2_nats"))
+  }
+
   test("bpeEncode: ordered merges apply greedy-left with exact fertility math") {
     // Rules "t h" then "th e": "the" → [the]; "thin" → [th,i,n];
     // "tot" has no adjacent t-h so stays fully split.
