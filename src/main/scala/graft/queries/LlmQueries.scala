@@ -1960,6 +1960,33 @@ object LlmQueries {
            |FROM enc ORDER BY doc_id""".stripMargin
       })),
 
+    "llm_winnow_pairs" -> Q((s, dir) =>
+      // MOSS winnowing (Dedup.winnowPairs): char-5-gram md5s, window-4
+      // minima as fingerprints (zero-shuffle HOFs), then docs sharing
+      // ≥2 fingerprints after dropping fps seen in >50 docs. One census
+      // shuffle + single-aggregation i<j expansion, never all-pairs.
+      Dedup.winnowPairs(T(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", k = 5, w = 4, minShared = 2, maxDf = 50)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH nrm AS (SELECT doc_id,
+              |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+              |  FROM documents),
+              |g AS (SELECT doc_id, list_transform(
+              |    range(1, greatest(length(nt) - 5 + 1, 0) + 1),
+              |    i -> md5(substr(nt, i, 5))) AS gh FROM nrm),
+              |fps AS (SELECT doc_id, list_distinct(list_transform(
+              |    range(1, len(gh) - 4 + 1 + 1),
+              |    j -> list_min(gh[j:j+3]))) AS f FROM g WHERE len(gh) >= 4),
+              |fl AS (SELECT doc_id, unnest(f) AS fp FROM fps),
+              |keep AS (SELECT fp FROM fl GROUP BY fp
+              |  HAVING count(*) BETWEEN 2 AND 50),
+              |fk AS (SELECT doc_id, fp FROM fl JOIN keep USING (fp))
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |  CAST(count(*) AS BIGINT) AS n_shared
+              |FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              |GROUP BY 1, 2 HAVING count(*) >= 2
+              |ORDER BY 1, 2""".stripMargin)),
+
     "llm_ngram_span_dedup" -> Q((s, dir) =>
       // Exact-substring dedup at token granularity (Lee et al. '22,
       // Dedup.ngramSpanDedup): 8-token windows occurring ≥2 times

@@ -875,6 +875,46 @@ class LlmOpsSpec extends SparkTestBase {
     assert(!numRow.getAs[Boolean]("keep"))
   }
 
+  test("winnowing: shared substring >= w+k-1 chars guarantees a shared fingerprint") {
+    // k=5, w=4 ⇒ guarantee threshold is any shared run of 8+ chars.
+    // Docs 1/2 share a 25-char phrase; doc 3 shares nothing that long.
+    val shared = "identical boilerplate run"
+    val docs = Seq(
+      (1L, s"first document $shared and then some"),
+      (2L, s"completely other heading $shared trailing bits"),
+      (3L, "short unrelated body with zero overlap whatsoever")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text",
+        k = 5, w = 4, minShared = 1, maxDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("winnowing: fingerprint density is ~2/(w+1) and maxDf drops boilerplate fps") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again")
+    ).toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 5, w = 4)
+      .collect().head
+    val nFps = fp.getAs[Seq[String]]("fingerprints").size
+    val nGrams = "the quick brown fox jumps over the lazy dog again and again".length - 4
+    assert(nFps >= nGrams / 8 && nFps <= nGrams,
+      s"density off: $nFps fps over $nGrams grams")
+    // All three docs identical → every fp has df=3; maxDf=2 kills them all.
+    val pruned = Dedup.winnowPairs(docs, "doc_id", "text",
+      k = 5, w = 4, minShared = 1, maxDf = 2)
+    assert(pruned.count() === 0L)
+    // With maxDf large enough, all three pairs appear with equal n_shared.
+    val full = Dedup.winnowPairs(docs, "doc_id", "text",
+        k = 5, w = 4, minShared = 1, maxDf = 50)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(full.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(full.values.toSet.size === 1)
+  }
+
   test("bigramCrossEntropy: add-one bigram LM surprisals match hand math") {
     // Corpus bigrams: ab×3, ba×1, bc×1; starts: a→3, b→2; V = 4.
     val docs = Seq(
