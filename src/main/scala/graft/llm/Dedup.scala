@@ -450,6 +450,69 @@ object Dedup {
         col("cluster_size"))
   }
 
+  /** Source-overlap matrix: exact pairwise shingle-set Jaccard between
+    * every pair of corpus sources, PLUS the mergeable MinHash-sketch
+    * estimate of the same quantity — the "how much do my data sources
+    * lexically overlap" diagnostic that drives mixture design and
+    * cross-source dedup decisions.
+    *
+    * The exact side avoids S² data scans with ONE bitmask pass: each
+    * distinct shingle aggregates the bitmask of sources containing it
+    * (sources indexed 0..S−1, S ≤ 63), masks collapse to a tiny
+    * (mask, count) frame, and every pair's |A∩B| / |A∪B| is a sum over
+    * that frame — the corpus is touched once no matter how many source
+    * pairs exist. The sketch side reuses [[minhashSignatures]] keyed on
+    * the source: per-source component minima are map-side-combinable
+    * MINs (mergeable across shards/days — the production path when the
+    * exact pass is too hot), and the pair estimate is the component
+    * agreement fraction. Emitting both closes the estimator-accuracy
+    * loop per pair (`est_err`), like [[minhashSignatures]]'s per-doc
+    * estimator gate.
+    *
+    * Shuffles: the (source, shingle) distinct + the two aggregates on
+    * the shingle stream; everything after is source-count-sized. The
+    * source-index window runs over the distinct source list (tiny by
+    * definition). */
+  def sourceOverlap(df: DataFrame, srcCol: String, textCol: String,
+      numHashes: Int = 8): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 8, "windowed scheme gives at most 8 hashes")
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingles(df.select(col(srcCol), col(textCol)), srcCol, textCol, 3)
+      .distinct()
+    val srcIdx = df.select(col(srcCol)).distinct()
+      .withColumn("idx", row_number().over(Window.orderBy(col(srcCol))) - 1)
+    val maskCnt = sh.join(broadcast(srcIdx), srcCol)
+      .groupBy("shingle")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), idx)")).as("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("cnt"))
+    val pairs = srcIdx.select(col(srcCol).as("src_a"), col("idx").as("idx_a"))
+      .crossJoin(srcIdx.select(col(srcCol).as("src_b"), col("idx").as("idx_b")))
+      .filter(col("src_a") < col("src_b"))
+    val aBit = expr("shiftright(mask, idx_a) & 1")
+    val bBit = expr("shiftright(mask, idx_b) & 1")
+    val exact = pairs.crossJoin(maskCnt)
+      .groupBy("src_a", "src_b")
+      .agg(sum(when(aBit === 1, col("cnt")).otherwise(0L)).as("n_a"),
+        sum(when(bBit === 1, col("cnt")).otherwise(0L)).as("n_b"),
+        sum(when(aBit === 1 && bBit === 1, col("cnt")).otherwise(0L)).as("n_common"),
+        sum(when(aBit === 1 || bBit === 1, col("cnt")).otherwise(0L)).as("n_union"))
+    val sig = minhashSignatures(sh, srcCol, numHashes)
+    val sa = sig.select(col(srcCol).as("src_a") +:
+      (0 until numHashes).map(j => col(s"h$j").as(s"a$j")): _*)
+    val sb = sig.select(col(srcCol).as("src_b") +:
+      (0 until numHashes).map(j => col(s"h$j").as(s"b$j")): _*)
+    val agree = (0 until numHashes)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    exact.join(sa, "src_a").join(sb, "src_b")
+      .select(col("src_a"), col("src_b"),
+        col("n_a"), col("n_b"), col("n_common"), col("n_union"),
+        (col("n_common").cast("double") / col("n_union").cast("double"))
+          .as("exact_jaccard"),
+        (agree.cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+      .withColumn("est_err", abs(col("est_jaccard") - col("exact_jaccard")))
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
     * algorithm): per-document local fingerprints with the winnowing
     * GUARANTEE — any shared substring of at least `w + k − 1` characters

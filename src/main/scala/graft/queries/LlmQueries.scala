@@ -1960,6 +1960,59 @@ object LlmQueries {
            |FROM enc ORDER BY doc_id""".stripMargin
       })),
 
+    "llm_source_overlap" -> Q((s, dir) =>
+      // Source-pair lexical overlap (Dedup.sourceOverlap): exact
+      // shingle-set Jaccard for all 190 source pairs via ONE bitmask
+      // pass over the corpus, beside the mergeable MinHash-sketch
+      // estimate and its per-pair error.
+      Dedup.sourceOverlap(T(s, dir, "documents").select("source", "text"),
+          "source", "text", numHashes = 8)
+        .orderBy("src_a", "src_b"),
+      Some({
+        val sigCols = (0 until 8).map { j =>
+          val digest = if (j < 4) "md5(shingle)" else "md5('#' || shingle)"
+          s"min(substring($digest, ${(j % 4) * 8 + 1}, 8)) AS h$j"
+        }.mkString(", ")
+        val agreeSql = (0 until 8)
+          .map(j => s"CASE WHEN x.h$j = y.h$j THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH stoks AS (SELECT source, string_split(
+           |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+           |  FROM documents),
+           |ssh AS (SELECT DISTINCT source, shingle FROM (
+           |  SELECT source, unnest(
+           |    CASE WHEN len(t) >= 3
+           |      THEN list_transform(range(1, len(t) - 1),
+           |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+           |      ELSE [array_to_string(t, ' ')] END) AS shingle
+           |  FROM stoks)),
+           |sidx AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS idx
+           |  FROM (SELECT DISTINCT source FROM documents)),
+           |masks AS (SELECT shingle, CAST(SUM(CAST(1 AS BIGINT) << idx) AS BIGINT) AS mask
+           |  FROM ssh JOIN sidx USING (source) GROUP BY shingle),
+           |mc AS (SELECT mask, count(*) AS cnt FROM masks GROUP BY mask),
+           |pr AS (SELECT a.source AS src_a, a.idx AS idx_a,
+           |    b.source AS src_b, b.idx AS idx_b
+           |  FROM sidx a JOIN sidx b ON a.source < b.source),
+           |ex AS (SELECT src_a, src_b,
+           |    CAST(SUM(CASE WHEN (mask >> idx_a) & 1 = 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_a,
+           |    CAST(SUM(CASE WHEN (mask >> idx_b) & 1 = 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_b,
+           |    CAST(SUM(CASE WHEN (mask >> idx_a) & 1 = 1 AND (mask >> idx_b) & 1 = 1
+           |      THEN cnt ELSE 0 END) AS BIGINT) AS n_common,
+           |    CAST(SUM(CASE WHEN (mask >> idx_a) & 1 = 1 OR (mask >> idx_b) & 1 = 1
+           |      THEN cnt ELSE 0 END) AS BIGINT) AS n_union
+           |  FROM pr CROSS JOIN mc GROUP BY src_a, src_b),
+           |sigs AS (SELECT source, $sigCols FROM ssh GROUP BY source)
+           |SELECT e.src_a, e.src_b, e.n_a, e.n_b, e.n_common, e.n_union,
+           |  CAST(e.n_common AS DOUBLE) / CAST(e.n_union AS DOUBLE) AS exact_jaccard,
+           |  CAST($agreeSql AS DOUBLE) / 8e0 AS est_jaccard,
+           |  abs(CAST($agreeSql AS DOUBLE) / 8e0
+           |    - CAST(e.n_common AS DOUBLE) / CAST(e.n_union AS DOUBLE)) AS est_err
+           |FROM ex e JOIN sigs x ON x.source = e.src_a
+           |JOIN sigs y ON y.source = e.src_b
+           |ORDER BY e.src_a, e.src_b""".stripMargin
+      })),
+
     "llm_winnow_pairs" -> Q((s, dir) =>
       // MOSS winnowing (Dedup.winnowPairs): char-5-gram md5s, window-4
       // minima as fingerprints (zero-shuffle HOFs), then docs sharing

@@ -875,6 +875,33 @@ class LlmOpsSpec extends SparkTestBase {
     assert(!numRow.getAs[Boolean]("keep"))
   }
 
+  test("sourceOverlap: bitmask exact Jaccard matches set math; estimator bounded") {
+    val docs = Seq(
+      ("A", "a b c d e f"),
+      ("B", "c d e f g h"),
+      ("C", "x y z w")
+    ).toDF("source", "text")
+    val out = Dedup.sourceOverlap(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.keySet === Set(("A", "B"), ("A", "C"), ("B", "C")))
+    val ab = out(("A", "B"))
+    // A: {abc,bcd,cde,def}, B: {cde,def,efg,fgh} ⇒ ∩=2, ∪=6
+    assert(ab.getAs[Long]("n_a") === 4L)
+    assert(ab.getAs[Long]("n_b") === 4L)
+    assert(ab.getAs[Long]("n_common") === 2L)
+    assert(ab.getAs[Long]("n_union") === 6L)
+    assert(ab.getAs[Double]("exact_jaccard") === 2.0 / 6.0)
+    for (k <- Seq(("A", "C"), ("B", "C"))) {
+      assert(out(k).getAs[Long]("n_common") === 0L)
+      assert(out(k).getAs[Double]("exact_jaccard") === 0.0)
+    }
+    for (r <- out.values) {
+      val est = r.getAs[Double]("est_jaccard")
+      assert(est >= 0.0 && est <= 1.0)
+      assert(r.getAs[Double]("est_err") === math.abs(est - r.getAs[Double]("exact_jaccard")))
+    }
+  }
+
   test("winnowing: shared substring >= w+k-1 chars guarantees a shared fingerprint") {
     // k=5, w=4 ⇒ guarantee threshold is any shared run of 8+ chars.
     // Docs 1/2 share a 25-char phrase; doc 3 shares nothing that long.
