@@ -99,6 +99,38 @@ object Windowed {
       .drop("_new_session")
   }
 
+  /** Session-local first-order Markov transition matrix: for every
+    * ordered pair of event types, how often does `from` immediately
+    * precede `to` INSIDE one session, and what fraction of `from`'s
+    * outgoing transitions does that represent — the behavioral-sequence
+    * model behind next-event prediction and funnel diagnostics.
+    *
+    * Shuffle discipline: the `lead` runs over the SAME
+    * (key, ts, tieBreak) window spec the [[sessionize]] pass uses — NOT
+    * a (key, session_id)-partitioned window, which would hash-partition
+    * on a different key and buy a second exchange. Cross-session pairs
+    * are instead guarded out by comparing `lead(session_id)` with the
+    * row's own: one exchange keyed on the session keys drives
+    * sessionize + both leads. The (from, to) census is a hash agg onto
+    * a |types|² frame — tiny by construction — and row totals broadcast
+    * back (the a21 pattern; never an empty-`over()` window). `p` is the
+    * single terminal double division of two exact counts. */
+  def transitionMatrix(df: DataFrame, keyCols: Seq[String], tsSecCol: String,
+      typeCol: String, gapSec: Long, tieBreak: Seq[String] = Nil): DataFrame = {
+    val order = (col(tsSecCol) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    val trans = sessionize(df, keyCols, tsSecCol, gapSec, tieBreak)
+      .withColumn("_next_type", lead(col(typeCol), 1).over(w))
+      .withColumn("_next_sess", lead(col("session_id"), 1).over(w))
+      .filter(col("_next_sess") === col("session_id"))
+      .groupBy(col(typeCol).as("from_type"), col("_next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val totals = trans.groupBy("from_type").agg(sum("n_trans").as("n_from"))
+    trans.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n_trans"), col("n_from"),
+        (col("n_trans").cast("double") / col("n_from").cast("double")).as("p"))
+  }
+
   /** Rolling z-score anomaly detection over a trailing window of the
     * last `lookback` rows per key — the metric-drift / outlier flag an
     * ingestion pipeline runs over event streams.

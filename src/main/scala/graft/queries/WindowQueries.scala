@@ -422,5 +422,45 @@ object WindowQueries {
              |  quantile_cont(o_totalprice, 0.5) OVER (
              |    PARTITION BY o_custkey ORDER BY o_orderkey
              |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS moving_median
-             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)))
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    "w12_transition_matrix" -> Q((s, dir) =>
+      // Session-local first-order Markov matrix (Windowed.
+      // transitionMatrix): next-event transition counts + row-normalized
+      // probabilities. lead() rides the sessionizer's one user-keyed
+      // exchange (cross-session pairs guarded by lead(session_id));
+      // row totals broadcast back, never an empty-over() window.
+      Windowed.transitionMatrix(
+          T(s, dir, "events").withColumn("ts_sec", tsSec),
+          Seq("user_id"), "ts_sec", "event_type", gapSec = 1800L,
+          tieBreak = Seq("event_id"))
+        .orderBy("from_type", "to_type"),
+      Some(s"""WITH ev AS (SELECT event_id, user_id, event_type,
+              |    $tsSecSql AS ts_sec FROM events),
+              |flagged AS (SELECT event_id, user_id, event_type, ts_sec,
+              |    CASE WHEN ts_sec - lag(ts_sec, 1) OVER w > 1800
+              |          OR lag(ts_sec, 1) OVER w IS NULL
+              |         THEN 1 ELSE 0 END AS new_session
+              |  FROM ev
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+              |sess AS (SELECT event_id, user_id, event_type, ts_sec,
+              |    CAST(SUM(new_session) OVER (PARTITION BY user_id
+              |      ORDER BY ts_sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+              |      AND CURRENT ROW) AS BIGINT) AS session_id
+              |  FROM flagged),
+              |led AS (SELECT event_type, session_id,
+              |    lead(event_type, 1) OVER w AS next_type,
+              |    lead(session_id, 1) OVER w AS next_sess
+              |  FROM sess
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+              |tr AS (SELECT event_type AS from_type, next_type AS to_type,
+              |    CAST(count(*) AS BIGINT) AS n_trans
+              |  FROM led WHERE next_sess = session_id
+              |  GROUP BY 1, 2),
+              |tot AS (SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+              |  FROM tr GROUP BY from_type)
+              |SELECT t.from_type, t.to_type, t.n_trans, o.n_from,
+              |  CAST(t.n_trans AS DOUBLE) / CAST(o.n_from AS DOUBLE) AS p
+              |FROM tr t JOIN tot o USING (from_type)
+              |ORDER BY t.from_type, t.to_type""".stripMargin)))
 }

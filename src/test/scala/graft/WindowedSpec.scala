@@ -105,6 +105,38 @@ class WindowedSpec extends SparkTestBase {
     assert(exchanges === 1, s"expected one shuffle, plan:\n$plan")
   }
 
+  test("transitionMatrix counts within-session pairs only, rows sum to 1") {
+    // u1: a→b→c in one session, then (gap) c alone — the c after the gap
+    // contributes no outgoing transition. u2: a→b twice in one session.
+    val df = Seq(
+      ("u1", 0L, "a"), ("u1", 10L, "b"), ("u1", 20L, "c"),
+      ("u1", 5000L, "c"),
+      ("u2", 0L, "a"), ("u2", 1L, "b"), ("u2", 2L, "a"), ("u2", 3L, "b")
+    ).toDF("user", "sec", "etype")
+    val out = Windowed.transitionMatrix(df, Seq("user"), "sec", "etype",
+        gapSec = 1800L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // transitions: u1 a→b, b→c; u2 a→b ×2, b→a ⇒ a→b:3, b→c:1, b→a:1
+    assert(out(("a", "b")).getAs[Long]("n_trans") === 3L)
+    assert(out(("a", "b")).getAs[Double]("p") === 1.0)
+    assert(out(("b", "c")).getAs[Long]("n_trans") === 1L)
+    assert(out(("b", "a")).getAs[Long]("n_trans") === 1L)
+    assert(out(("b", "c")).getAs[Double]("p") === 0.5)
+    assert(out.keySet === Set(("a", "b"), ("b", "c"), ("b", "a")))
+    // no cross-gap c→c transition
+    assert(!out.contains(("c", "c")))
+  }
+
+  test("transitionMatrix: sessionize + leads share one user-keyed exchange") {
+    val df = Seq(("u1", 0L, "a"), ("u1", 5L, "b")).toDF("user", "sec", "etype")
+    val out = Windowed.transitionMatrix(df, Seq("user"), "sec", "etype", gapSec = 10L)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val userExchanges = "Exchange hashpartitioning\\(user".r.findAllIn(plan).length
+    assert(userExchanges === 1,
+      s"lead must ride the sessionizer's exchange, plan:\n$plan")
+  }
+
   test("rollingZscore flags a spike, matches a Scala reference, nulls before minRows") {
     // 9 steady readings then one spike, per user; values are exact ints.
     val vals = Seq(10L, 12L, 11L, 10L, 12L, 11L, 10L, 12L, 11L, 500L)
