@@ -131,4 +131,42 @@ object Splits {
         (col("base_alloc") + when(col("rr") <= col("k"), lit(1L)).otherwise(lit(0L)))
           .cast("bigint").as("target_docs"))
   }
+
+  /** Token-budget shard planning — assign every document a contiguous
+    * output-shard id so each shard carries ~`targetPerShard` weight
+    * (token count): the write-path planner that turns a filtered corpus
+    * into evenly-sized training files. The order is md5(id) — the same
+    * layout-invariant contract as [[assignSplits]] — and the shard id
+    * is `floor(exclusive-prefix-sum / target)`: pure integer math, so
+    * every engine reproduces the identical plan.
+    *
+    * The prefix sum is DISTRIBUTED, not a global ordered window (which
+    * Spark executes as a ONE-partition sort — the a21 anti-pattern, and
+    * a guaranteed OOM at 100 TB). Two levels: (1) rows group into 256
+    * buckets by their first two md5 hex chars — bucket order IS hash
+    * order's coarse prefix; per-bucket subtotals are one map-side-
+    * combinable aggregate onto a 256-row frame, whose own prefix sum is
+    * a trivially small window; (2) each bucket's exclusive offset
+    * broadcasts back and a bucket-partitioned window (256-way parallel)
+    * adds the within-bucket running sum. Exact global prefix sum, zero
+    * single-partition stages. */
+  def planShards(df: DataFrame, idCol: String, weightCol: Column,
+      targetPerShard: Long): DataFrame = {
+    require(targetPerShard > 0, "targetPerShard must be positive")
+    val keyed = df.select(col(idCol), weightCol.cast("long").as("_w"),
+      md5(col(idCol).cast("string")).as("_h"))
+      .withColumn("_b", substring(col("_h"), 1, 2))
+    val offsets = keyed.groupBy("_b").agg(sum("_w").as("_bw"))
+      .withColumn("_off",
+        coalesce(sum(col("_bw")).over(Window.orderBy("_b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_b", "_off")
+    val wIn = Window.partitionBy("_b").orderBy(col("_h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    keyed.join(broadcast(offsets), "_b")
+      .select(col(idCol), col("_w").as("weight"),
+        (col("_off") + coalesce(sum(col("_w")).over(wIn), lit(0L))).as("cum_before"))
+      .withColumn("shard_id", expr(s"cum_before div ${targetPerShard}"))
+      .drop("cum_before")
+  }
 }

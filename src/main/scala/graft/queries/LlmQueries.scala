@@ -1960,6 +1960,24 @@ object LlmQueries {
            |FROM enc ORDER BY doc_id""".stripMargin
       })),
 
+    "llm_plan_shards" -> Q((s, dir) =>
+      // Token-budget shard planning (Splits.planShards): contiguous
+      // shard ids by exclusive prefix sum over md5 order, target 20000
+      // chars/shard. The prefix sum is two-level (256 md5-prefix
+      // buckets), never a one-partition global window; the oracle's
+      // single-window cumsum must agree exactly.
+      Splits.planShards(T(s, dir, "documents").select("doc_id", "n_chars"),
+          "doc_id", col("n_chars"), targetPerShard = 20000L)
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+             |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+             |c AS (SELECT doc_id, weight,
+             |    coalesce(SUM(weight) OVER (ORDER BY h, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+             |  FROM w)
+             |SELECT doc_id, weight, CAST(cb // 20000 AS BIGINT) AS shard_id
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     "llm_source_overlap" -> Q((s, dir) =>
       // Source-pair lexical overlap (Dedup.sourceOverlap): exact
       // shingle-set Jaccard for all 190 source pairs via ONE bitmask

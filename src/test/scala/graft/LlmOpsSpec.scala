@@ -875,6 +875,36 @@ class LlmOpsSpec extends SparkTestBase {
     assert(!numRow.getAs[Boolean]("keep"))
   }
 
+  test("planShards: two-level prefix sum equals the single-window reference") {
+    val docs = (1L to 400L).map(i => (i, 50L + (i * 37) % 400)).toDF("id", "w")
+    val out = graft.llm.Splits.planShards(docs, "id", col("w"), targetPerShard = 1000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // Reference: brute-force exclusive prefix sum in md5-hash order.
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val ordered = (1L to 400L).map(i => (i, 50L + (i * 37) % 400))
+      .sortBy { case (i, _) => (md5hex(i.toString), i) }
+    var cum = 0L
+    for ((i, w) <- ordered) {
+      assert(out(i) === ((w, cum / 1000L)), s"doc $i")
+      cum += w
+    }
+    // Shards are contiguous in hash order and cover 0..max without holes.
+    val shardSeq: Seq[Long] = ordered.map { case (i, _) => out(i)._2 }
+    val distinctShards = shardSeq.distinct
+    assert(distinctShards.zipWithIndex.forall { case (sh, j) => sh == j.toLong })
+  }
+
+  test("planShards: big-window stage is bucket-partitioned, not single-partition") {
+    val docs = (1L to 50L).map(i => (i, 10L)).toDF("id", "w")
+    val out = graft.llm.Splits.planShards(docs, "id", col("w"), targetPerShard = 100L)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning\\(_b".r.findAllIn(plan).nonEmpty,
+      s"row-level window must partition by bucket, plan:\n$plan")
+  }
+
   test("sourceOverlap: bitmask exact Jaccard matches set math; estimator bounded") {
     val docs = Seq(
       ("A", "a b c d e f"),
