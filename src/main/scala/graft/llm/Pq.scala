@@ -141,7 +141,21 @@ object Pq {
       idCol: String, vecCol: String, m: Int, subDim: Int, kTop: Int): DataFrame = {
     val codes = encode(corpus, cb, idCol, vecCol, m, subDim)
       .withColumnRenamed(idCol, "corpus_id")
-    val lut = subspaces(queries, idCol, vecCol, m, subDim)
+    val lut = queryLuts(queries, cb, idCol, vecCol, m, subDim)
+    val w = Window.partitionBy("query_id").orderBy(col("approx_d2").asc, col("corpus_id"))
+    codes.crossJoin(broadcast(lut))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"), adcScore)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kTop)
+  }
+
+  /** Per-query ADC lookup tables: (query_id, luts) where `luts[s][j]` =
+    * ‖q_s − c_{s,j}‖² — m·k doubles per query, the only query-side state
+    * ADC scoring needs (broadcast by the callers). */
+  private def queryLuts(queries: DataFrame, cb: DataFrame,
+      idCol: String, vecCol: String, m: Int, subDim: Int): DataFrame =
+    subspaces(queries, idCol, vecCol, m, subDim)
       .join(broadcast(cb), "s")
       .select(col("vid").as("query_id"), col("s"), col("cid"), l2sq(col("sv"), col("cv")).as("dd"))
       .groupBy("query_id", "s")
@@ -150,13 +164,42 @@ object Pq {
       .groupBy("query_id")
       .agg(sort_array(collect_list(struct(col("s"), col("l")))).as("sl"))
       .select(col("query_id"), expr("transform(sl, x -> x.l)").as("luts"))
+
+  private def adcScore: Column =
+    aggregate(zip_with(col("codes"), col("luts"),
+        (c, l) => element_at(l, c + 1)),
+      lit(0.0), (acc, x) => acc + x).as("approx_d2")
+
+  /** IVF-PQ search — the composed index (the FAISS `IVFPQ` shape):
+    * a coarse quantizer routes each vector to its max-cosine centroid's
+    * inverted list, the corpus is stored ONLY as (cluster_id, m codes)
+    * — at production dims that is ~32× smaller than the raw vectors —
+    * and a query ADC-scores just its own cluster's codes through the
+    * broadcast LUT. Query-time cost drops by the cluster fan-out ON TOP
+    * of PQ's per-candidate speedup, and the raw corpus vectors are
+    * never read at query time (they exist only inside the offline
+    * encode/assign passes).
+    *
+    * Plan shape: encode + assign are offline builds (broadcast joins +
+    * one groupBy each); at query time the (cluster_id, codes) frame
+    * meets the broadcast (query LUT ⋈ query cluster) frame in an
+    * equi-join on cluster_id — never a cross join — followed by the
+    * per-query top-k window on O(candidates-in-cluster) rows.
+    * Recall trades exactly like [[Similarity.ivfTopK]] (single-probe
+    * here; more probes = widen the query-side cluster list). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      cb: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int, kTop: Int): DataFrame = {
+    val codes = encode(corpus, cb, idCol, vecCol, m, subDim)
+      .join(Similarity.ivfAssign(corpus, centroids, idCol, vecCol), idCol)
+      .select(col(idCol).as("corpus_id"), col("cluster_id"), col("codes"))
+    val qside = queryLuts(queries, cb, idCol, vecCol, m, subDim)
+      .join(Similarity.ivfAssign(queries, centroids, idCol, vecCol)
+        .select(col(idCol).as("query_id"), col("cluster_id")), "query_id")
     val w = Window.partitionBy("query_id").orderBy(col("approx_d2").asc, col("corpus_id"))
-    codes.crossJoin(broadcast(lut))
+    codes.join(broadcast(qside), "cluster_id")
       .filter(col("corpus_id") =!= col("query_id"))
-      .select(col("query_id"), col("corpus_id"),
-        aggregate(zip_with(col("codes"), col("luts"),
-            (c, l) => element_at(l, c + 1)),
-          lit(0.0), (acc, x) => acc + x).as("approx_d2"))
+      .select(col("query_id"), col("corpus_id"), col("cluster_id"), adcScore)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= kTop)
   }

@@ -828,6 +828,82 @@ object LlmQueries {
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
     }), bench = true),
 
+    "llm_ivfpq_topk" -> Q((s, dir) => {
+      // IVF-PQ composed index (Pq.ivfPqTopK — the FAISS IVFPQ shape):
+      // coarse max-cosine routing to fixed centroids (vec_id < 8), PQ
+      // codes (m=8 × k=4, 2 Lloyd iters) ADC-scored ONLY inside the
+      // query's own cluster through the broadcast LUT. The oracle
+      // replays codebook build + encode + assign + LUT + fold.
+      val emb = T(s, dir, "embeddings")
+      val cb = Pq.codebooks(emb, "vec_id", "embedding", m = 8, subDim = 8, k = 4, iters = 2)
+      Pq.ivfPqTopK(emb, emb.filter(col("vec_id").between(10, 14)),
+          emb.filter(col("vec_id") < 8), cb,
+          "vec_id", "embedding", m = 8, subDim = 8, kTop = 3)
+        .orderBy("query_id", "rank")
+    }, Some({
+      def d2(a: String, b: String) =
+        s"list_reduce(list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+      def assignCte(name: String, cents: String) =
+        s"""$name AS (SELECT vec_id, s, sv, cid FROM (
+           |  SELECT b.vec_id, b.s, b.sv, c.cid,
+           |    row_number() OVER (PARTITION BY b.vec_id, b.s
+           |      ORDER BY ${d2("b.sv", "c.cv")} ASC, c.cid) AS rn
+           |  FROM sub b JOIN $cents c ON b.s = c.s) WHERE rn = 1)""".stripMargin
+      def meanCtes(a: String, mm: String, cprev: String, c: String) =
+        s"""$mm AS (SELECT s, cid, i,
+           |    CAST(SUM(CAST(floor(sv[i] * 1073741824.0) AS DECIMAL(38,0))) AS DOUBLE)
+           |      / count(*) / 1073741824.0 AS mu
+           |  FROM $a, LATERAL (SELECT unnest(generate_series(1, len(sv))) AS i) u
+           |  GROUP BY s, cid, i),
+           |$c AS (SELECT p.s, p.cid, coalesce(n.cv, p.cv) AS cv
+           |  FROM $cprev p LEFT JOIN
+           |    (SELECT s, cid, list(mu ORDER BY i) AS cv FROM $mm GROUP BY s, cid) n
+           |  ON p.s = n.s AND p.cid = n.cid)""".stripMargin
+      val sim = simSql("a.vv", "c.cv")
+      s"""WITH v AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings),
+         |sub AS (SELECT vec_id, s, list_slice(vv, s * 8 + 1, s * 8 + 8) AS sv
+         |  FROM v, LATERAL (SELECT unnest(range(0, 8)) AS s) u),
+         |c0 AS (SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS cid,
+         |    sv AS cv FROM sub
+         |  WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 4)),
+         |${assignCte("a1", "c0")},
+         |${meanCtes("a1", "m1", "c0", "c1")},
+         |${assignCte("a2", "c1")},
+         |${meanCtes("a2", "m2", "c1", "c2")},
+         |codes0 AS (SELECT vec_id, s, cid FROM (
+         |  SELECT b.vec_id, b.s, c.cid,
+         |    row_number() OVER (PARTITION BY b.vec_id, b.s
+         |      ORDER BY ${d2("b.sv", "c.cv")} ASC, c.cid) AS rn
+         |  FROM sub b JOIN c2 c ON b.s = c.s) WHERE rn = 1),
+         |codes AS (SELECT vec_id AS corpus_id, list(cid ORDER BY s) AS codes
+         |  FROM codes0 GROUP BY vec_id),
+         |cent AS (SELECT vec_id AS centroid_id, vv AS cv FROM v WHERE vec_id < 8),
+         |assigned AS (SELECT vec_id, centroid_id AS cluster_id FROM (
+         |  SELECT a.vec_id, c.centroid_id,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY $sim DESC, c.centroid_id) AS rn
+         |  FROM v a CROSS JOIN cent c) WHERE rn = 1),
+         |qsub AS (SELECT vec_id AS query_id, s, sv FROM sub WHERE vec_id BETWEEN 10 AND 14),
+         |lut0 AS (SELECT q.query_id, q.s, c.cid, ${d2("q.sv", "c.cv")} AS dd
+         |  FROM qsub q JOIN c2 c ON q.s = c.s),
+         |lut1 AS (SELECT query_id, s, list(dd ORDER BY cid) AS l FROM lut0 GROUP BY query_id, s),
+         |lut AS (SELECT query_id, list(l ORDER BY s) AS luts FROM lut1 GROUP BY query_id),
+         |scored AS (SELECT q.query_id, c.corpus_id, qa.cluster_id,
+         |  list_reduce(list_transform(range(1, 9), s -> q.luts[s][c.codes[s] + 1]),
+         |    (x, y) -> x + y) AS approx_d2
+         |  FROM codes c
+         |  JOIN assigned ca ON ca.vec_id = c.corpus_id
+         |  JOIN lut q ON TRUE
+         |  JOIN assigned qa ON qa.vec_id = q.query_id
+         |    AND qa.cluster_id = ca.cluster_id
+         |  WHERE c.corpus_id <> q.query_id)
+         |SELECT query_id, corpus_id, cluster_id, approx_d2, rank FROM (
+         |  SELECT query_id, corpus_id, cluster_id, approx_d2,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY approx_d2 ASC, corpus_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    }), bench = true),
+
     "llm_lr_train" -> Q((s, dir) => {
       // Distributed quality-classifier training (Classifier.scala):
       // 4 full-batch GD iterations, softsign link, class-weighted

@@ -83,6 +83,33 @@ class PqSpec extends SparkTestBase {
     assert(ds.zip(ds.tail).forall { case (x, y) => x <= y })
   }
 
+  test("ivfPqTopK: candidates stay in the query's cluster, scores match adcTopK") {
+    val cb = Pq.codebooks(vecs, "vec_id", "embedding", m, subDim, k = 3, iters = 2)
+    val centroids = vecs.filter(col("vec_id") < 3)
+    val queries = vecs.filter(col("vec_id") >= 9)
+    val out = Pq.ivfPqTopK(vecs, queries, centroids, cb,
+      "vec_id", "embedding", m, subDim, kTop = 3).collect()
+    assert(out.nonEmpty)
+    // every (query, corpus) pair shares the cluster both sides were routed to
+    val assign = graft.llm.Similarity
+      .ivfAssign(vecs, centroids, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (r <- out) {
+      assert(assign(r.getAs[Long]("query_id")) === r.getAs[Long]("cluster_id"))
+      assert(assign(r.getAs[Long]("corpus_id")) === r.getAs[Long]("cluster_id"))
+    }
+    // ADC scores agree with the cluster-blind adcTopK for shared pairs
+    val adc = Pq.adcTopK(vecs, queries, cb, "vec_id", "embedding", m, subDim, kTop = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (r <- out) {
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))
+      assert(adc(key) === r.getAs[Double]("approx_d2"), s"score drift at $key")
+    }
+    // ranks are contiguous per query starting at 1
+    for ((_, rs) <- out.groupBy(_.getAs[Long]("query_id")))
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to rs.length))
+  }
+
   test("subspaces fails loudly on a wrong-length vector") {
     val bad = Seq((0L, Array.fill(dim + 1)(0.5))).toDF("vec_id", "embedding")
     val ex = intercept[Exception] {
