@@ -572,6 +572,33 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Label propagation across the duplicate graph — semi-supervised
+    * label smoothing: every document in a near-duplicate component gets
+    * the component's MAJORITY label beside its own, with a `flipped`
+    * flag where they disagree. Near-identical documents carrying
+    * different quality/classifier labels are annotation noise; voting
+    * inside components is the standard cheap fix (and `flipped` rows
+    * are exactly the labels worth auditing). Ties (2·pos == n) resolve
+    * to 0 — deterministic on any engine.
+    *
+    * Cost on top of the [[dedupClusters]] build: one hash agg keyed on
+    * the component + one join back on the same key (partitioning
+    * reuses; the per-component tally is components-sized ≪ corpus, so
+    * AQE broadcasts it at scale). */
+  def propagateLabels(docs: DataFrame, idCol: String, labelCol: String,
+      pairs: DataFrame): DataFrame = {
+    val comp = dedupClusters(docs, idCol, pairs)
+      .select(col(idCol), col("component"), col("cluster_size"))
+    val joined = docs.select(col(idCol), col(labelCol).cast("int").as("own_label"))
+      .join(comp, idCol)
+    val tot = joined.groupBy("component")
+      .agg(count(lit(1)).as("_n"), sum("own_label").as("_pos"))
+    joined.join(tot, "component")
+      .select(col(idCol), col("component"), col("cluster_size"), col("own_label"),
+        (col("_pos") * 2 > col("_n")).cast("int").as("majority_label"))
+      .withColumn("flipped", col("own_label") =!= col("majority_label"))
+  }
+
   /** Repeated n-gram span detection — exact-substring dedup at token
     * granularity (Lee et al. 2022, "Deduplicating Training Data Makes
     * Language Models Better"): every `n`-token window whose text occurs

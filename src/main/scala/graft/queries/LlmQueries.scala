@@ -235,6 +235,46 @@ object LlmQueries {
                |FROM assigned a JOIN sizes s USING (component)
                |ORDER BY a.doc_id""".stripMargin), bench = true),
 
+    "llm_label_propagation" -> Q((s, dir) => {
+      // Semi-supervised label smoothing (Dedup.propagateLabels): each
+      // near-dup component votes on its majority label (here a simple
+      // long-doc flag); `flipped` marks docs whose own label loses the
+      // vote — the annotation-noise audit list. One component-keyed agg
+      // + join on top of the cluster build.
+      val docs = T(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism * 2)
+      val sh = Dedup.shingleArray(docs, "doc_id", "text", 3)
+      val sig = Dedup.minhashSignaturesNative(sh, "doc_id", 8)
+      val bands = Dedup.lshBands(sig, "doc_id", 8, 2)
+      val pairs = Dedup.candidatePairs(bands, "doc_id")
+      Dedup.propagateLabels(
+          T(s, dir, "documents").withColumn("is_long", col("n_chars") >= 300),
+          "doc_id", "is_long", pairs)
+        .orderBy("doc_id")
+    }, Some(s"""WITH RECURSIVE $toksCte, $shCte,
+               |$lshPairsCtes,
+               |edges AS (SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+               |          UNION SELECT id_b, id_a FROM lsh_pairs),
+               |reach AS (SELECT src AS id, src AS comp FROM edges
+               |          UNION
+               |          SELECT e.src, r.comp FROM edges e
+               |          JOIN reach r ON e.dst = r.id),
+               |comps AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+               |assigned AS (SELECT d.doc_id,
+               |    coalesce(c.component, d.doc_id) AS component,
+               |    CAST(CASE WHEN d.n_chars >= 300 THEN 1 ELSE 0 END AS INT) AS own_label
+               |  FROM documents d LEFT JOIN comps c ON c.id = d.doc_id),
+               |sizes AS (SELECT component, count(*) AS cluster_size
+               |  FROM assigned GROUP BY component),
+               |tot AS (SELECT component, count(*) AS n, SUM(own_label) AS pos
+               |  FROM assigned GROUP BY component)
+               |SELECT a.doc_id, a.component, s.cluster_size, a.own_label,
+               |  CAST(CASE WHEN t.pos * 2 > t.n THEN 1 ELSE 0 END AS INT) AS majority_label,
+               |  a.own_label <> CASE WHEN t.pos * 2 > t.n THEN 1 ELSE 0 END AS flipped
+               |FROM assigned a JOIN sizes s USING (component)
+               |JOIN tot t USING (component)
+               |ORDER BY a.doc_id""".stripMargin)),
+
     "llm_cluster_split" -> Q((s, dir) => {
       // Leak-free train/val/test: the split is a pure function of the
       // duplicate-CLUSTER id, not the document id, so near-duplicates

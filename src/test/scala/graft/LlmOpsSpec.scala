@@ -875,6 +875,28 @@ class LlmOpsSpec extends SparkTestBase {
     assert(!numRow.getAs[Boolean]("keep"))
   }
 
+  test("propagateLabels: majority vote flips the minority, ties resolve to 0") {
+    // Component {1,2,3} via pairs; labels 1,1,0 → majority 1, doc 3 flips.
+    // Component {4,5} labels 1,0 → tie → majority 0, doc 4 flips.
+    // Singleton 6 label 1 → majority = own.
+    val docs = Seq(
+      (1L, 1), (2L, 1), (3L, 0), (4L, 1), (5L, 0), (6L, 1)
+    ).toDF("doc_id", "y")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.propagateLabels(docs, "doc_id", "y", pairs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("majority_label") === 1)
+    assert(out(3L).getAs[Int]("majority_label") === 1)
+    assert(out(3L).getAs[Boolean]("flipped"))
+    assert(!out(1L).getAs[Boolean]("flipped"))
+    assert(out(4L).getAs[Int]("majority_label") === 0)
+    assert(out(4L).getAs[Boolean]("flipped"))
+    assert(out(5L).getAs[Int]("majority_label") === 0)
+    assert(out(6L).getAs[Int]("majority_label") === 1)
+    assert(!out(6L).getAs[Boolean]("flipped"))
+    assert(out(6L).getAs[Long]("cluster_size") === 1L)
+  }
+
   test("planShards: two-level prefix sum equals the single-window reference") {
     val docs = (1L to 400L).map(i => (i, 50L + (i * 37) % 400)).toDF("id", "w")
     val out = graft.llm.Splits.planShards(docs, "id", col("w"), targetPerShard = 1000L)
