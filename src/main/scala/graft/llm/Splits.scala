@@ -132,6 +132,43 @@ object Splits {
           .cast("bigint").as("target_docs"))
   }
 
+  /** Deterministic curriculum interleave: a global training ORDER that
+    * round-robins across sources — position r of every source comes
+    * before position r+1 of any source, and sources tie-break in name
+    * order — so a training run consumes an even source mixture from
+    * step one instead of draining sources sequentially. Within-source
+    * order is md5 hash order (layout-invariant, like [[assignSplits]]).
+    *
+    * The global position is CLOSED-FORM, not a global row_number (a
+    * one-partition sort at 100 TB): a doc at within-source rank `r` in
+    * the source with index `i` sits after Σ_s min(count_s, r−1) docs of
+    * earlier rounds plus the same-round docs of earlier sources,
+    * #{s : idx_s < i ∧ count_s ≥ r} — both computable per row from the
+    * broadcast (idx, count) array (S structs) with two HOF folds. One
+    * source-partitioned rank window (S-way parallel) + one S-row
+    * aggregate; no stage ever sees more than its partition. */
+  def curriculumInterleave(df: DataFrame, idCol: String,
+      sourceCol: String): DataFrame = {
+    val wSrc = Window.partitionBy(sourceCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("_c"))
+      .withColumn("_i", row_number().over(Window.orderBy(sourceCol)) - 1)
+    val catalog = counts
+      .agg(sort_array(collect_list(struct(col("_i"), col("_c"), col(sourceCol)
+        .as("_s")))).as("cat"))
+    val ranked = df.select(col(idCol), col(sourceCol),
+      row_number().over(wSrc).cast("long").as("within_rank"))
+    ranked.crossJoin(broadcast(catalog))
+      .withColumn("_idx", expr(
+        s"element_at(filter(cat, x -> x._s = $sourceCol), 1)._i"))
+      .withColumn("global_pos",
+        expr("""aggregate(cat, CAST(0 AS BIGINT),
+            |  (acc, x) -> acc + least(x._c, within_rank - 1)
+            |            + CASE WHEN x._i < _idx AND x._c >= within_rank
+            |                   THEN 1 ELSE 0 END)""".stripMargin))
+      .select(col(idCol), col(sourceCol), col("within_rank"), col("global_pos"))
+  }
+
   /** Token-budget shard planning — assign every document a contiguous
     * output-shard id so each shard carries ~`targetPerShard` weight
     * (token count): the write-path planner that turns a filtered corpus

@@ -2076,6 +2076,27 @@ object LlmQueries {
            |FROM enc ORDER BY doc_id""".stripMargin
       })),
 
+    "llm_curriculum_interleave" -> Q((s, dir) =>
+      // Deterministic curriculum order (Splits.curriculumInterleave):
+      // round-robin across sources in md5-hash within-source order. The
+      // Spark side computes the global position CLOSED-FORM from the
+      // broadcast per-source counts (no one-partition window); the
+      // oracle computes it with the naive global row_number — they must
+      // agree exactly.
+      Splits.curriculumInterleave(
+          T(s, dir, "documents").select("doc_id", "source"),
+          "doc_id", "source")
+        .orderBy("doc_id"),
+      Some("""WITH r AS (SELECT doc_id, source,
+             |    CAST(row_number() OVER (PARTITION BY source
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+             |      AS within_rank
+             |  FROM documents)
+             |SELECT doc_id, source, within_rank,
+             |  CAST(row_number() OVER (ORDER BY within_rank, source) - 1 AS BIGINT)
+             |    AS global_pos
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
     "llm_plan_shards" -> Q((s, dir) =>
       // Token-budget shard planning (Splits.planShards): contiguous
       // shard ids by exclusive prefix sum over md5 order, target 20000

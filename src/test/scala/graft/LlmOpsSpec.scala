@@ -875,6 +875,27 @@ class LlmOpsSpec extends SparkTestBase {
     assert(!numRow.getAs[Boolean]("keep"))
   }
 
+  test("curriculumInterleave: closed-form position equals naive global row_number") {
+    // Uneven sources: A has 5 docs, B has 3, C has 1 — exercises source
+    // exhaustion mid-curriculum.
+    val docs = (Seq.tabulate(5)(i => (i + 1L, "A")) ++
+      Seq.tabulate(3)(i => (i + 10L, "B")) ++ Seq((20L, "C")))
+      .toDF("id", "src")
+    val out = graft.llm.Splits.curriculumInterleave(docs, "id", "src")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // Reference: sort by (within_rank, src) and number from 0.
+    val ref = out.values.toSeq
+      .sortBy(r => (r.getAs[Long]("within_rank"), r.getAs[String]("src")))
+      .zipWithIndex
+    for ((r, pos) <- ref)
+      assert(r.getAs[Long]("global_pos") === pos.toLong,
+        s"doc ${r.getLong(0)} expected pos $pos")
+    // Round-robin property: positions 0..2 are one doc from each source.
+    val firstRound = out.values.filter(_.getAs[Long]("global_pos") < 3)
+      .map(_.getAs[String]("src")).toSet
+    assert(firstRound === Set("A", "B", "C"))
+  }
+
   test("propagateLabels: majority vote flips the minority, ties resolve to 0") {
     // Component {1,2,3} via pairs; labels 1,1,0 → majority 1, doc 3 flips.
     // Component {4,5} labels 1,0 → tie → majority 0, doc 4 flips.
