@@ -132,6 +132,56 @@ object Splits {
           .cast("bigint").as("target_docs"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how target-domain-like its hashed n-gram profile is.
+    * Features are unigrams + adjacent bigrams hashed into `buckets`
+    * cells ([[hashBucket]] — deterministic, engine-portable); the
+    * per-bucket log-ratio `ln(p_target(b) / p_raw(b))` uses add-one
+    * smoothing so both distributions are ratios of exact integers, and
+    * a document's `log_weight` is the sum of its feature occurrences'
+    * log-ratios (computed ONCE on the `buckets`-row frame, fixed-point
+    * summed per the round-9 doctrine). `keep = log_weight > 0` selects
+    * docs more target-like than raw-average — the resampling criterion.
+    *
+    * Scale shape: the feature stream is a zero-shuffle projection +
+    * explode; the bucket census is ONE map-side-combinable hash agg
+    * onto a `buckets`-row frame (constant size — this is the entire
+    * model, the point of hashed DSIR); the per-doc pass joins the
+    * BROADCAST log-ratio table and aggregates by doc. The count
+    * products are cast to double BEFORE multiplying — each cast is
+    * exact below 2^53 and the single multiply/divide/ln chain is
+    * correctly rounded identically everywhere. */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      targetCol: Column, buckets: Int = 256): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20), s"buckets=$buckets out of range")
+    val toks = df.select(col(idCol), targetCol.cast("int").as("_t"),
+      graft.llm.TextOps.tokens(col(textCol)).as("_tk"))
+    val feats = toks.select(col(idCol), col("_t"),
+        explode(concat(col("_tk"), expr(
+          """CASE WHEN size(_tk) >= 2
+            |  THEN transform(sequence(1, size(_tk) - 1),
+            |    i -> concat(element_at(_tk, i), ' ', element_at(_tk, i + 1)))
+            |  ELSE array() END""".stripMargin))).as("f"))
+      .select(col(idCol), col("_t"), hashBucket(col("f"), buckets, "dsir").as("b"))
+    val counts = feats.groupBy("b").agg(
+      count(lit(1)).as("c_r"), sum(col("_t")).cast("bigint").as("c_t"))
+    val totals = counts.agg(sum("c_r").cast("bigint").as("t_r"),
+      sum("c_t").cast("bigint").as("t_t"))
+    val lr = counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        log((col("c_t") + 1).cast("double") * (col("t_r") + buckets).cast("double") /
+          ((col("c_r") + 1).cast("double") * (col("t_t") + buckets).cast("double")))
+          .as("lr"))
+    feats.join(broadcast(lr), "b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(floor(col("lr") * lit(1.0e12)).cast("decimal(38,0)")).as("_s"))
+      .select(col(idCol), col("n_feats"),
+        (col("_s").cast("double") / lit(1.0e12)).as("log_weight"))
+      .withColumn("keep", col("log_weight") > 0)
+  }
+
   /** Deterministic curriculum interleave: a global training ORDER that
     * round-robins across sources — position r of every source comes
     * before position r+1 of any source, and sources tie-break in name

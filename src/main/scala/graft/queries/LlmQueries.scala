@@ -2076,6 +2076,42 @@ object LlmQueries {
            |FROM enc ORDER BY doc_id""".stripMargin
       })),
 
+    "llm_dsir_weights" -> Q((s, dir) =>
+      // DSIR importance weights (Splits.dsirWeights): hashed
+      // unigram+bigram profile vs the lang='en' target domain, add-one
+      // smoothed per-bucket log-ratios (256-cell model — the whole
+      // model is one broadcast frame), fixed-point per-doc sums.
+      Splits.dsirWeights(
+          T(s, dir, "documents").select("doc_id", "text", "lang"),
+          "doc_id", "text", col("lang") === "en", buckets = 256)
+        .orderBy("doc_id"),
+      Some(s"""WITH $toksCte,
+              |tgt AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t
+              |  FROM documents),
+              |uni AS (SELECT doc_id, unnest(t) AS f FROM toks),
+              |bi AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS f
+              |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+              |  WHERE len(t) >= 2),
+              |feats AS (SELECT doc_id, f FROM uni UNION ALL SELECT doc_id, f FROM bi),
+              |fb AS (SELECT fe.doc_id, g.is_t,
+              |    ('0x' || substring(md5(fe.f || 'dsir'), 1, 8))::BIGINT % 256 AS b
+              |  FROM feats fe JOIN tgt g USING (doc_id)),
+              |counts AS (SELECT b, CAST(count(*) AS BIGINT) AS c_r,
+              |    CAST(SUM(is_t) AS BIGINT) AS c_t FROM fb GROUP BY b),
+              |tot AS (SELECT CAST(SUM(c_r) AS BIGINT) AS t_r,
+              |    CAST(SUM(c_t) AS BIGINT) AS t_t FROM counts),
+              |lr AS (SELECT b,
+              |    ln(CAST(c_t + 1 AS DOUBLE) * CAST(t_r + 256 AS DOUBLE)
+              |      / (CAST(c_r + 1 AS DOUBLE) * CAST(t_t + 256 AS DOUBLE))) AS lr
+              |  FROM counts CROSS JOIN tot),
+              |sp AS (SELECT doc_id, CAST(floor(lr * 1e12) AS DECIMAL(38,0)) AS s
+              |  FROM fb JOIN lr USING (b)),
+              |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+              |    CAST(SUM(s) AS DOUBLE) / 1e12 AS log_weight
+              |  FROM sp GROUP BY doc_id)
+              |SELECT doc_id, n_feats, log_weight, log_weight > 0e0 AS keep
+              |FROM pd ORDER BY doc_id""".stripMargin)),
+
     "llm_curriculum_interleave" -> Q((s, dir) =>
       // Deterministic curriculum order (Splits.curriculumInterleave):
       // round-robin across sources in md5-hash within-source order. The

@@ -875,6 +875,31 @@ class LlmOpsSpec extends SparkTestBase {
     assert(!numRow.getAs[Boolean]("keep"))
   }
 
+  test("dsirWeights: disjoint-vocabulary domains separate cleanly") {
+    // Target docs use vocabulary {alpha..}, raw-only docs use {zulu..}.
+    // With disjoint vocabularies every target feature has a positive
+    // log-ratio and every non-target feature a negative one.
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta", true),
+      (2L, "beta gamma alpha gamma beta", true),
+      (3L, "zulu yankee xray zulu yankee", false),
+      (4L, "yankee xray zulu xray yankee", false)
+    ).toDF("id", "text", "is_tgt")
+    val out = graft.llm.Splits.dsirWeights(docs, "id", "text",
+        col("is_tgt"), buckets = 64)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(1L, 2L)) {
+      assert(out(id).getAs[Double]("log_weight") > 0, s"target doc $id")
+      assert(out(id).getAs[Boolean]("keep"))
+    }
+    for (id <- Seq(3L, 4L)) {
+      assert(out(id).getAs[Double]("log_weight") < 0, s"raw doc $id")
+      assert(!out(id).getAs[Boolean]("keep"))
+    }
+    // feature count = unigrams + bigrams = 5 + 4
+    assert(out(1L).getAs[Long]("n_feats") === 9L)
+  }
+
   test("curriculumInterleave: closed-form position equals naive global row_number") {
     // Uneven sources: A has 5 docs, B has 3, C has 1 — exercises source
     // exhaustion mid-curriculum.
