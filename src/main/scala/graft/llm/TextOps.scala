@@ -531,6 +531,54 @@ object TextOps {
           col("n_bigrams").cast("double")).as("ce2_nats"))
   }
 
+  /** Zipf rank-frequency fit: least-squares slope of ln(freq) over
+    * ln(rank) for the top-`topK` corpus terms — the classic corpus-
+    * health diagnostic (natural language sits near slope −1; synthetic
+    * or templated corpora bend away; a shifted slope after a pipeline
+    * stage means the stage distorted the distribution).
+    *
+    * Determinism: ranks are exact (row_number over (count desc, term));
+    * each point's x = ln(rank), y = ln(freq) is one `ln` of an exact
+    * integer; all five regression moments (Σx, Σy, Σxy, Σx², n) are
+    * fixed-point `floor(·10¹²)` DECIMAL(38,0) sums of single-multiply
+    * doubles (the a23/PageRank doctrine), and the closed-form slope/
+    * intercept is one fixed-shape double expression over those exact
+    * integers — bit-identical on any engine.
+    *
+    * Scale: the term census is ONE map-side-combinable hash agg; the
+    * rank window runs over the VOCAB-sized frame (Heaps' law ≪ corpus)
+    * and only the top-`topK` rows survive into the 1-row moment
+    * aggregate. */
+  def zipfSlope(df: DataFrame, textCol: String, topK: Int = 1000): DataFrame = {
+    require(topK >= 3, "need at least 3 rank points to fit")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val ranked = counts
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
+      .filter(col("rank") <= topK)
+    def fp(c: Column): Column = floor(c * lit(1.0e12)).cast("decimal(38,0)")
+    val x = log(col("rank").cast("double"))
+    val y = log(col("cnt").cast("double"))
+    val m = ranked.agg(
+      count(lit(1)).as("n_points"),
+      sum(fp(x)).as("sx"), sum(fp(y)).as("sy"),
+      sum(fp(x * y)).as("sxy"), sum(fp(x * x)).as("sxx"))
+    m.select(col("n_points"),
+      ((col("n_points") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double") / lit(1.0e12)) /
+        (col("n_points") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double") / lit(1.0e12)))
+        .as("slope"),
+      col("sx").cast("double").as("_sxd"), col("sy").cast("double").as("_syd"))
+      .withColumn("intercept",
+        (col("_syd") / lit(1.0e12) - col("slope") * col("_sxd") / lit(1.0e12)) /
+          col("n_points"))
+      .select(col("n_points"), col("slope"), col("intercept"))
+  }
+
   /** Document fingerprints: full-content MD5, a min-token hash (1-wide
     * MinHash), and a rolling chained hash over the token stream (order
     * sensitive, so re-ordered documents get distinct prints). All pure

@@ -131,6 +131,29 @@ object Windowed {
         (col("n_trans").cast("double") / col("n_from").cast("double")).as("p"))
   }
 
+  /** Truncated EWMA (α = 1/2) over a trailing window of the last
+    * `lookback` rows per key — the exponentially-weighted smoother for
+    * event metrics. The recursion s = 0.5·s + 0.5·v runs as an explicit
+    * LEFT FOLD over the frame's value list, which pins the accumulation
+    * order — a plain windowed SUM of weighted terms would be partial-
+    * merge-order-dependent in its low bits, and α = 1/2 keeps every
+    * weight an exact power of two. Truncation bounds both the state and
+    * the error (the dropped tail carries weight 2^−lookback ≈ 1e−6 at
+    * 20). One exchange on the key; the fold is partition-local.
+    * Engines that seed their fold from the list head instead of an
+    * initial value reproduce it by prepending the 0 seed. */
+  def ewma(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      valueCol: String, lookback: Int = 20): DataFrame = {
+    require(lookback >= 1 && lookback <= 64, s"lookback=$lookback out of range")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col(_).asc): _*)
+      .rowsBetween(-(lookback - 1), Window.currentRow)
+    df.withColumn("_vals", collect_list(col(valueCol).cast("double")).over(w))
+      .withColumn("ewma",
+        aggregate(col("_vals"), lit(0.0), (acc, x) => acc * 0.5 + x * 0.5))
+      .drop("_vals")
+  }
+
   /** Rolling z-score anomaly detection over a trailing window of the
     * last `lookback` rows per key — the metric-drift / outlier flag an
     * ingestion pipeline runs over event streams.

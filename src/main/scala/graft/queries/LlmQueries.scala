@@ -2076,6 +2076,38 @@ object LlmQueries {
            |FROM enc ORDER BY doc_id""".stripMargin
       })),
 
+    "llm_zipf_slope" -> Q((s, dir) =>
+      // Zipf rank-frequency fit over the top-1000 terms
+      // (TextOps.zipfSlope): exact ranks, fixed-point regression
+      // moments, one fixed-shape closed form — the corpus-health
+      // diagnostic (natural text ≈ slope −1).
+      TextOps.zipfSlope(T(s, dir, "documents").select("text"), "text", topK = 1000),
+      Some(s"""WITH $toksCte,
+              |cnts AS (SELECT term, count(*) AS cnt FROM
+              |  (SELECT doc_id, unnest(t) AS term FROM toks)
+              |  WHERE term <> '' GROUP BY term),
+              |ranked AS (SELECT cnt,
+              |    row_number() OVER (ORDER BY cnt DESC, term) AS rank
+              |  FROM cnts QUALIFY rank <= 1000),
+              |pts AS (SELECT ln(CAST(rank AS DOUBLE)) AS x,
+              |    ln(CAST(cnt AS DOUBLE)) AS y FROM ranked),
+              |m AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+              |    SUM(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS sx,
+              |    SUM(CAST(floor(y * 1e12) AS DECIMAL(38,0))) AS sy,
+              |    SUM(CAST(floor(x * y * 1e12) AS DECIMAL(38,0))) AS sxy,
+              |    SUM(CAST(floor(x * x * 1e12) AS DECIMAL(38,0))) AS sxx
+              |  FROM pts),
+              |sl AS (SELECT n_points,
+              |    (n_points * CAST(sxy AS DOUBLE)
+              |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / 1e12)
+              |    / (n_points * CAST(sxx AS DOUBLE)
+              |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / 1e12) AS slope,
+              |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+              |  FROM m)
+              |SELECT n_points, slope,
+              |  (syd / 1e12 - slope * sxd / 1e12) / n_points AS intercept
+              |FROM sl""".stripMargin)),
+
     "llm_dsir_weights" -> Q((s, dir) =>
       // DSIR importance weights (Splits.dsirWeights): hashed
       // unigram+bigram profile vs the lang='en' target domain, add-one

@@ -424,6 +424,25 @@ object WindowQueries {
              |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS moving_median
              |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    "w13_ewma" -> Q((s, dir) =>
+      // Truncated EWMA (Windowed.ewma, α = 1/2): explicit left fold
+      // over the trailing-20 frame pins the accumulation order; the
+      // oracle prepends the 0 seed because list_reduce seeds from the
+      // list head.
+      Windowed.ewma(
+          T(s, dir, "events").withColumn("ts_sec", tsSec)
+            .select("event_id", "user_id", "ts_sec", "value"),
+          Seq("user_id"), Seq("ts_sec", "event_id"), "value", lookback = 20)
+        .orderBy("user_id", "ts_sec", "event_id"),
+      Some(s"""WITH ev AS (SELECT event_id, user_id, value,
+              |    $tsSecSql AS ts_sec FROM events)
+              |SELECT event_id, user_id, ts_sec, value,
+              |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(value) OVER (
+              |      PARTITION BY user_id ORDER BY ts_sec, event_id
+              |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+              |    (acc, x) -> acc * 0.5 + x * 0.5) AS ewma
+              |FROM ev ORDER BY user_id, ts_sec, event_id""".stripMargin)),
+
     "w12_transition_matrix" -> Q((s, dir) =>
       // Session-local first-order Markov matrix (Windowed.
       // transitionMatrix): next-event transition counts + row-normalized

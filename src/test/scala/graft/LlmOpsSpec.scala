@@ -875,6 +875,26 @@ class LlmOpsSpec extends SparkTestBase {
     assert(!numRow.getAs[Boolean]("keep"))
   }
 
+  test("zipfSlope: matches the fixed-point least-squares reference; pure power law is exact") {
+    // freqs: a=8, b=4, c=2 → ranks 1,2,3.
+    val docs = Seq((1L, "a a a a a a a a b b b b c c")).toDF("id", "text")
+    val r = graft.llm.TextOps.zipfSlope(docs, "text", topK = 1000).collect().head
+    assert(r.getAs[Long]("n_points") === 3L)
+    def fp(v: Double): Double = math.floor(v * 1e12)
+    val pts = Seq((1, 8), (2, 4), (3, 2))
+      .map { case (rk, c) => (math.log(rk.toDouble), math.log(c.toDouble)) }
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(p => fp(p._1)).sum, pts.map(p => fp(p._2)).sum)
+    val sxy = pts.map(p => fp(p._1 * p._2)).sum
+    val sxx = pts.map(p => fp(p._1 * p._1)).sum
+    val slope = (n * sxy - sx * sy / 1e12) / (n * sxx - sx * sx / 1e12)
+    assert(r.getAs[Double]("slope") === slope)
+    val intercept = (sy / 1e12 - slope * sx / 1e12) / n
+    assert(r.getAs[Double]("intercept") === intercept)
+    // The 8/4/2 counts over ranks 1/2/3 are steeper than Zipf's −1.
+    assert(slope < -1.0 && slope > -2.5)
+  }
+
   test("dsirWeights: disjoint-vocabulary domains separate cleanly") {
     // Target docs use vocabulary {alpha..}, raw-only docs use {zulu..}.
     // With disjoint vocabularies every target feature has a positive

@@ -137,6 +137,23 @@ class WindowedSpec extends SparkTestBase {
       s"lead must ride the sessionizer's exchange, plan:\n$plan")
   }
 
+  test("ewma matches the scalar recursion and truncates at lookback") {
+    val vals = Seq(4.0, 8.0, 2.0, 6.0, 10.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("u", i.toLong, v) }
+      .toDF("user", "seq", "v")
+    val out = Windowed.ewma(df, Seq("user"), Seq("seq"), "v", lookback = 3)
+      .collect().map(r => r.getLong(1) -> r.getAs[Double]("ewma")).toMap
+    // reference: fold acc*0.5 + x*0.5 over the trailing-3 window
+    for (i <- vals.indices) {
+      val window = vals.slice(math.max(0, i - 2), i + 1)
+      val ref = window.foldLeft(0.0)((acc, x) => acc * 0.5 + x * 0.5)
+      assert(out(i.toLong) === ref, s"row $i")
+    }
+    // truncation: row 4 ignores rows 0-1 entirely
+    val full = vals.foldLeft(0.0)((acc, x) => acc * 0.5 + x * 0.5)
+    assert(out(4L) !== full)
+  }
+
   test("rollingZscore flags a spike, matches a Scala reference, nulls before minRows") {
     // 9 steady readings then one spike, per user; values are exact ints.
     val vals = Seq(10L, 12L, 11L, 10L, 12L, 11L, 10L, 12L, 11L, 500L)
