@@ -1032,6 +1032,65 @@ object LlmQueries {
          |WHERE rk <= 20 ORDER BY rk""".stripMargin
     }), bench = true),
 
+    "llm_link_triangles" -> Q((s, dir) => {
+      // Triangle census + local clustering coefficient over the SAME
+      // derived citation graph as llm_link_pagerank, taken undirected
+      // (operators/Triangles.scala — degree-ordered compact-forward, so
+      // the wedge join is Σ outdeg², not Σ deg²). Counts are exact
+      // integers; lcc is one correctly-rounded division. The oracle
+      // counts each triangle once via plain id-ordering (a<b<c) — counts
+      // are orientation-invariant, so both forms agree exactly.
+      val docs = T(s, dir, "documents").select("doc_id")
+      val n = docs.count()
+      val linky = docs.filter(col("doc_id") % 11 =!= 0)
+      val edges = linky
+        .select(col("doc_id").as("src"), ((col("doc_id") * 31 + 7) % n).as("dst"))
+        .unionByName(linky.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("src"), ((col("doc_id") * 17 + 3) % n).as("dst")))
+        .unionByName(linky.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id").as("src"), ((col("doc_id") * 13 + 5) % n).as("dst")))
+        .filter(col("src") =!= col("dst"))
+      val pv = graft.operators.Triangles.perVertex(edges)
+      // Global top-25 via orderBy().limit() = TakeOrderedAndProject
+      // (per-partition heaps), then rank the 25-row survivor frame —
+      // never a one-partition window over all |V| rows.
+      import org.apache.spark.sql.expressions.Window
+      pv.orderBy(col("tri").desc, col("v")).limit(25)
+        .withColumn("rk", row_number().over(Window.orderBy(col("tri").desc, col("v"))))
+        .select(col("v").as("doc_id"), col("deg"), col("tri"), col("lcc"), col("rk"))
+        .orderBy("rk")
+    }, Some(
+      s"""WITH docs AS (SELECT doc_id FROM documents),
+         |nn AS (SELECT count(*) AS ni FROM docs),
+         |cand AS (
+         |  SELECT doc_id AS src, (doc_id * 31 + 7) % (SELECT ni FROM nn) AS dst
+         |  FROM docs WHERE doc_id % 11 <> 0
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id * 17 + 3) % (SELECT ni FROM nn)
+         |  FROM docs WHERE doc_id % 11 <> 0 AND doc_id % 2 = 0
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id * 13 + 5) % (SELECT ni FROM nn)
+         |  FROM docs WHERE doc_id % 11 <> 0 AND doc_id % 3 = 0),
+         |canon AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM cand WHERE src <> dst),
+         |deg AS (SELECT v, count(*) AS deg FROM (
+         |  SELECT a AS v FROM canon UNION ALL SELECT b AS v FROM canon) GROUP BY v),
+         |tr AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM canon e1
+         |  JOIN canon e2 ON e2.a = e1.a AND e2.b > e1.b
+         |  JOIN canon e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |pv AS (SELECT v, count(*) AS tri FROM (
+         |  SELECT x AS v FROM tr UNION ALL SELECT y AS v FROM tr
+         |  UNION ALL SELECT z AS v FROM tr) GROUP BY v),
+         |j AS (SELECT d.v, d.deg, coalesce(p.tri, 0) AS tri,
+         |    CASE WHEN d.deg < 2 THEN 0.0e0
+         |      ELSE 2.0e0 * coalesce(p.tri, 0) / CAST(d.deg * (d.deg - 1) AS DOUBLE)
+         |    END AS lcc
+         |  FROM deg d LEFT JOIN pv p ON p.v = d.v)
+         |SELECT v AS doc_id, deg, tri, lcc, rk FROM (
+         |  SELECT *, row_number() OVER (ORDER BY tri DESC, v) AS rk FROM j)
+         |WHERE rk <= 25 ORDER BY rk""".stripMargin), bench = true),
+
     "llm_gopher_rules" -> Q((s, dir) => {
       // Gopher rule bundle (TextOps.gopherRules) with corpus-appropriate
       // required words (the synthetic corpus has no English function
