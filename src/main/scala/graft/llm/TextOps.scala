@@ -666,4 +666,52 @@ object TextOps {
         sort_array(collect_set(col(idCol))).as("postings"))
       .select(col("term"), size(col("postings")).cast("long").as("df"),
         col("cf"), col("postings"))
+
+  /** Pointwise-mutual-information collocations (Church & Hanks '90):
+    * bigrams whose observed frequency beats the unigram-independence
+    * expectation — the statistical phrase detector ("new york" scores,
+    * "of the" doesn't) used to build tokenizer seed vocabularies and
+    * boilerplate lexicons. `pmi = ln(c_xy · N_tok² / (N_bg · c_x ·
+    * c_y))`; `minCount` suppresses the low-frequency PMI bias (a pair
+    * seen once with two rare words maxes the score).
+    *
+    * Shuffle shape: one hash aggregate each for the unigram and bigram
+    * counts (both map-side combinable); the candidate frame is already
+    * min-count-filtered BEFORE the two vocabulary joins, which broadcast
+    * (Heaps' law: vocab ≪ corpus; at extreme scale drop the hint and
+    * they key on the token). Totals are 1-row broadcasts.
+    *
+    * Determinism: counts are exact integers and every factor casts to
+    * DOUBLE before the multiply, so the ln ARGUMENT is bit-identical
+    * across engines — but `ln` itself is only ≤1-ulp-accurate in the
+    * JVM (Math.log is semi-monotonic, not correctly rounded), so raw
+    * scores can differ from another engine's in the last bit. Scores
+    * are therefore reported AND ranked at `roundTo` decimals (tfidf
+    * doctrine since round 5), tie-broken on the bigram text, making the
+    * top-k cut itself portable. */
+  def pmiCollocations(df: DataFrame, textCol: String = "text",
+      minCount: Long = 5L, topK: Int = 30, roundTo: Int = 4): DataFrame = {
+    val toks = df.select(tokens(col(textCol)).as("_toks"))
+    val uni = toks.select(explode(col("_toks")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("cu"))
+    val nTok = uni.agg(sum(col("cu")).cast("double").as("nt"))
+    val bc = toks.filter(size(col("_toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(_toks) - 2),
+          |  i -> struct(element_at(_toks, i + 1) AS l,
+          |              element_at(_toks, i + 2) AS r))""".stripMargin)).as("p"))
+      .select(col("p.l").as("l"), col("p.r").as("r"))
+      .groupBy("l", "r").agg(count(lit(1)).as("cxy"))
+    val nBg = bc.agg(sum(col("cxy")).cast("double").as("nb"))
+    bc.filter(col("cxy") >= minCount)
+      .join(broadcast(uni.select(col("tok").as("l"), col("cu").as("cl"))), "l")
+      .join(broadcast(uni.select(col("tok").as("r"), col("cu").as("cr"))), "r")
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBg))
+      .select(concat(col("l"), lit(" "), col("r")).as("bigram"), col("cxy"),
+        round(log((col("cxy").cast("double") * col("nt") * col("nt")) /
+          (col("nb") * col("cl").cast("double") * col("cr").cast("double"))),
+          roundTo).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram")).limit(topK)
+  }
 }

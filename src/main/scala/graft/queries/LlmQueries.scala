@@ -1423,6 +1423,30 @@ object LlmQueries {
                |SELECT bigram, count(*) AS cnt FROM bg
                |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin)),
 
+    "llm_pmi_collocations" -> Q((s, dir) =>
+      // PMI collocation mining (TextOps.pmiCollocations): bigrams scored
+      // against unigram independence — exact integer counts, each PMI
+      // one ln of a product of DOUBLE-cast factors mirrored verbatim in
+      // the oracle; min-count 5 kills the rare-pair PMI bias.
+      TextOps.pmiCollocations(T(s, dir, "documents").select("text"),
+        minCount = 5L, topK = 30),
+      Some(s"""WITH $toksCte,
+              |uc AS (SELECT tok, count(*) AS cu FROM (
+              |    SELECT unnest(t) AS tok FROM toks) WHERE tok <> '' GROUP BY tok),
+              |nt AS (SELECT CAST(sum(cu) AS DOUBLE) AS nt FROM uc),
+              |bg AS (SELECT t[i] AS l, t[i+1] AS r FROM toks,
+              |    LATERAL (SELECT unnest(range(1, len(t))) AS i) WHERE len(t) >= 2),
+              |bc AS (SELECT l, r, count(*) AS cxy FROM bg GROUP BY l, r),
+              |nb AS (SELECT CAST(sum(cxy) AS DOUBLE) AS nb FROM bc),
+              |j AS (SELECT b.l, b.r, b.cxy,
+              |    round(ln((CAST(b.cxy AS DOUBLE) * nt.nt * nt.nt) /
+              |        (nb.nb * CAST(ul.cu AS DOUBLE) * CAST(ur.cu AS DOUBLE))), 4) AS pmi
+              |  FROM bc b JOIN uc ul ON ul.tok = b.l JOIN uc ur ON ur.tok = b.r
+              |  CROSS JOIN nt CROSS JOIN nb
+              |  WHERE b.cxy >= 5)
+              |SELECT l || ' ' || r AS bigram, cxy, pmi FROM j
+              |ORDER BY pmi DESC, bigram LIMIT 30""".stripMargin)),
+
     // ----- chunking + embedding quantization ----------------------------
     "llm_chunk_documents" -> Q((s, dir) =>
       // Sliding 12-token windows every 8 tokens (overlap 4) — documents

@@ -1153,4 +1153,31 @@ class LlmOpsSpec extends SparkTestBase {
     assert(row(1L).getAs[Double]("dup_frac") === 0.6)
     assert(row(2L).getAs[Int]("n_dup_spans") === 0)
   }
+
+  test("pmiCollocations: hand math, min-count cut, tie order") {
+    // Corpus "x y" ×2 + "x z": N_tok=6, c(x)=3 c(y)=2 c(z)=1; bigrams
+    // (x,y)×2 (x,z)×1, N_bg=3. pmi(x,y) = ln(2·36/(3·3·2)) = ln 4;
+    // pmi(x,z) = ln(1·36/(3·3·1)) = ln 4 — a tie, broken on bigram text.
+    val docs = Seq("x y", "x y", "x z").toDF("text")
+    val all = TextOps.pmiCollocations(docs, minCount = 1L, topK = 10).collect()
+    assert(all.map(_.getString(0)).toSeq == Seq("x y", "x z"))
+    val ln4 = math.rint(math.log(4.0) * 1e4) / 1e4
+    assert(all.forall(_.getDouble(2) == ln4), all.mkString(";"))
+    assert(all.map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("x y" -> 2L, "x z" -> 1L))
+    // min-count 2 drops the singleton pair.
+    val cut = TextOps.pmiCollocations(docs, minCount = 2L, topK = 10).collect()
+    assert(cut.map(_.getString(0)).toSeq == Seq("x y"))
+  }
+
+  test("pmiCollocations: frequent-but-independent pairs score ~0 or below") {
+    // "a b" everywhere vs "a" and "b" also appearing apart: observed
+    // co-occurrence ≈ independence expectation, so PMI must not flag it
+    // above a genuinely bound pair.
+    val docs = (Seq.fill(8)("a b") ++ Seq.fill(8)("a c b d") ++
+      Seq.fill(4)("p q p q p q")).toDF("text")
+    val m = TextOps.pmiCollocations(docs, minCount = 2L, topK = 100)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(m("q p") > m("a b"), m.toString)
+  }
 }
