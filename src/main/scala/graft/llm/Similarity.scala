@@ -272,6 +272,47 @@ object Similarity {
     sig + coalesce(dimGuard.cast("long"), lit(0L))
   }
 
+  /** Deterministic ±1 sign for the random-projection matrix cell
+    * (j, i) — md5 parity over the `rp_` seed family, DISJOINT from
+    * [[hyperplaneSign]]'s `k_i` family so the LSH bits and the reduced
+    * coordinates stay independent. */
+  def rpSign(j: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp_${j}_$i".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 1) == 1) 1.0 else -1.0
+  }
+
+  /** Johnson–Lindenstrauss random projection (Achlioptas '01 dense ±1
+    * variant): dim-d vectors reduce to `k` coordinates `y_j =
+    * (Σ_i s_ji·x_i)/√k` with deterministic md5-derived signs
+    * ([[rpSign]]) — pairwise L2 distances are preserved within (1±ε)
+    * for k = O(ln n / ε²), so downstream ANN / clustering runs on the
+    * reduced vectors at k/d the cost. The workhorse pre-step for
+    * embedding pipelines whose raw dim (768–4096) is 10× what distance
+    * computations need.
+    *
+    * Scale shape: a ZERO-SHUFFLE per-row projection (same class as
+    * [[hyperplaneSig]]); the k×d sign matrix ships as ONE
+    * `typedLit` literal traversed by `transform` + one fold per output
+    * coordinate — O(1) expression nodes at any (dim, k), inside
+    * whole-stage codegen.
+    *
+    * Determinism: each coordinate is a sequential left fold (same order
+    * as any engine's `list_reduce`), then ONE correctly-rounded divide
+    * by √k — bit-identical across engines. `dim` must equal the vector
+    * length; `zip_with`'s silent null-padding is intercepted by a loud
+    * row-level guard (same contract as [[hyperplaneSig]]). */
+  def randomProjection(vecCol: Column, dim: Int, k: Int): Column = {
+    require(k >= 1, "need at least one output coordinate")
+    val planes = typedLit(Seq.tabulate(k)(j => Seq.tabulate(dim)(i => rpSign(j, i))))
+    val scale = lit(math.sqrt(k.toDouble))
+    val dimGuard = assert_true(size(vecCol) === dim,
+      concat(lit(s"randomProjection: dim=$dim but vector has "),
+        size(vecCol).cast("string"), lit(" elements")))
+    when(coalesce(dimGuard.cast("boolean"), lit(true)),
+      transform(planes, p => dot(asDoubleVec(vecCol), p) / scale))
+  }
+
   /** Banded-LSH candidate pairs over hyperplane signatures: the `nBits`
     * signature splits into `nBits/bandBits` bands; vectors meet when any
     * band agrees EXACTLY (the classic OR-of-ANDs amplification), then

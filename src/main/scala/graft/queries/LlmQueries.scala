@@ -1593,6 +1593,64 @@ object LlmQueries {
       Some(s"""WITH $rpsCtes
               |SELECT vec_id, rp_sig FROM rps ORDER BY vec_id""".stripMargin)),
 
+    "llm_random_projection" -> Q((s, dir) => {
+      // JL random projection 64→8 (Similarity.randomProjection) plus
+      // the distortion audit that makes it trustworthy: for derived
+      // probe pairs, squared L2 in the original vs reduced space and
+      // their ratio (E[ratio]=1 under JL). Projection and distances are
+      // left folds + one divide — bit-identical across engines, no
+      // rounding needed anywhere.
+      val emb = T(s, dir, "embeddings")
+      val n = emb.count()
+      def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)
+      val proj = emb.select(col("vec_id"),
+        Similarity.asDoubleVec(col("embedding")).as("vv"),
+        Similarity.randomProjection(col("embedding"), 64, 8).as("y"))
+      val pairs = proj.filter(col("vec_id") < 15)
+        .select(col("vec_id").as("id_a"), col("vv").as("va"), col("y").as("ya"),
+          ((col("vec_id") * 37 + 11) % n).as("id_b"))
+        .filter(col("id_a") =!= col("id_b"))
+      pairs
+        .join(proj.select(col("vec_id").as("id_b"), col("vv").as("vb"),
+          col("y").as("yb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          d2(col("va"), col("vb")).as("d2_orig"),
+          d2(col("ya"), col("yb")).as("d2_proj"))
+        .withColumn("distortion",
+          when(col("d2_orig") === 0, lit(0.0))
+            .otherwise(col("d2_proj") / col("d2_orig")))
+        .orderBy("id_a")
+    }, Some({
+      def d2Sql(a: String, b: String) =
+        s"list_reduce(list_transform(range(1, len($a) + 1), " +
+          s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+      val odd = "('1','3','5','7','9','b','d','f')"
+      s"""WITH v AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings),
+         |nn AS (SELECT count(*) AS n FROM v),
+         |rpp AS (SELECT j, list_transform(range(0, 64), i ->
+         |    CASE WHEN substring(md5('rp_' || CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)
+         |      IN $odd THEN 1.0 ELSE -1.0 END) AS h
+         |  FROM (SELECT unnest(range(0, 8)) AS j)),
+         |proj AS (SELECT v.vec_id, j, ${dotSql("v.vv", "rpp.h")} / sqrt(8.0) AS yj
+         |  FROM v CROSS JOIN rpp),
+         |y AS (SELECT vec_id, list(yj ORDER BY j) AS y FROM proj GROUP BY vec_id),
+         |p2 AS (SELECT vec_id AS id_a, (vec_id * 37 + 11) % (SELECT n FROM nn) AS id_b
+         |  FROM v WHERE vec_id < 15),
+         |f AS (SELECT p.id_a, p.id_b,
+         |    ${d2Sql("va.vv", "vb.vv")} AS d2_orig,
+         |    ${d2Sql("ya.y", "yb.y")} AS d2_proj
+         |  FROM p2 p
+         |  JOIN v va ON va.vec_id = p.id_a JOIN v vb ON vb.vec_id = p.id_b
+         |  JOIN y ya ON ya.vec_id = p.id_a JOIN y yb ON yb.vec_id = p.id_b
+         |  WHERE p.id_a <> p.id_b)
+         |SELECT id_a, id_b, d2_orig, d2_proj,
+         |  CASE WHEN d2_orig = 0 THEN 0.0e0 ELSE d2_proj / d2_orig END AS distortion
+         |FROM f ORDER BY id_a""".stripMargin
+    })),
+
     "llm_hyperplane_pairs" -> Q((s, dir) => {
       // Banded-LSH candidates over the hyperplane signatures (any 4-bit
       // band agrees exactly), verified by full-signature Hamming ≤ 6 —

@@ -649,6 +649,44 @@ class LlmOpsSpec extends SparkTestBase {
       Option(ex.getCause).exists(_.getMessage.contains("hyperplaneSig")))
   }
 
+  test("randomProjection: exact coordinates, linearity, JL distance preservation") {
+    val rnd = new scala.util.Random(11)
+    val x = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val y = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val out = Seq((1L, x), (2L, y), (3L, x.zip(y).map { case (a, b) => a + b }))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        Similarity.randomProjection(col("embedding"), 64, 16).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // Exact per-coordinate check against a direct Scala left fold of the
+    // same md5 signs (pins fold order AND the rp_ seed family).
+    val expected = (0 until 16).map { j =>
+      (0 until 64).foldLeft(0.0)((acc, i) =>
+        acc + x(i).toDouble * Similarity.rpSign(j, i)) / math.sqrt(16.0)
+    }
+    assert(out(1L) == expected, s"${out(1L)} vs $expected")
+    // Linearity: proj(x+y) = proj(x) + proj(y) up to float addition of
+    // the inputs themselves.
+    out(3L).indices.foreach { j =>
+      assert(math.abs(out(3L)(j) - (out(1L)(j) + out(2L)(j))) < 1e-5)
+    }
+    // JL: squared distance preserved within a loose (heavily k-dependent)
+    // band — this is the property the operator exists for.
+    val d2o = x.zip(y).map { case (a, b) => (a - b).toDouble * (a - b) }.sum
+    val d2p = out(1L).zip(out(2L)).map { case (a, b) => (a - b) * (a - b) }.sum
+    assert(d2p / d2o > 0.2 && d2p / d2o < 3.0, s"distortion ${d2p / d2o}")
+  }
+
+  test("randomProjection: wrong dim fails loudly") {
+    val ex = intercept[Exception] {
+      Seq((1L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+        .select(Similarity.randomProjection(col("embedding"), 64, 4).as("p"))
+        .collect()
+    }
+    assert(ex.getMessage.contains("randomProjection") ||
+      Option(ex.getCause).exists(_.getMessage.contains("randomProjection")))
+  }
+
   test("hyperplaneSig at production dims (768 x 32 bits): analyzes, codegens, exact") {
     // r7 advice: the per-bit literal formulation risked an expression
     // blowup at real embedding dims. This pins the single-literal fold:
