@@ -50,6 +50,35 @@ object Sketches {
       hll_sketch_estimate(hll_union_agg(col(sketchCol), lit(true)))
         .as("approx_distinct"))
 
+  /** Pairwise set-intersection estimates via inclusion–exclusion over
+    * mergeable sketches: |A∩B| ≈ est(A) + est(B) − est(A∪B), with the
+    * union estimated from `hll_union` of the two constant-size sketch
+    * binaries — the base table is NEVER re-read. The estimator the
+    * curation playbook uses for "how much do source X and source Y
+    * overlap" across every pair at once (cf. the exact bitmask
+    * source-overlap matrix, whose one pass this replaces when the key
+    * universe is too large to bitmask).
+    *
+    * The pair frame is |groups|² rows of constant-size sketches — a
+    * self-join of an already-tiny aggregate, broadcast by AQE. Error
+    * compounds across the three estimates: ±ε on each of |A|, |B|,
+    * |A∪B| means the intersection is only good to ~3ε·|A∪B| — fine for
+    * "is the overlap 1% or 40%", useless for near-disjoint pairs (the
+    * estimate is clamped at 0). Callers needing tight overlap numbers
+    * on small universes should use the exact bitmask matrix instead. */
+  def intersectEstimates(sketches: DataFrame, groupCol: String,
+      sketchCol: String = "hll_sketch"): DataFrame = {
+    val a = sketches.select(col(groupCol).as("group_a"), col(sketchCol).as("_sa"))
+    val b = sketches.select(col(groupCol).as("group_b"), col(sketchCol).as("_sb"))
+    a.join(b, col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"),
+        hll_sketch_estimate(col("_sa")).as("est_a"),
+        hll_sketch_estimate(col("_sb")).as("est_b"),
+        hll_sketch_estimate(hll_union(col("_sa"), col("_sb"))).as("est_union"))
+      .withColumn("est_intersect",
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
+  }
+
   /** Sliding-window distinct keys per day via daily sketch merge.
     *
     * Stage 1 (the only pass over the raw events, map-side combinable):

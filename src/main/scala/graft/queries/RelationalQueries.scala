@@ -894,6 +894,55 @@ object RelationalQueries {
               |  TRUE AS builtin_agrees
               |FROM m ORDER BY l_returnflag""".stripMargin)),
 
+    "a24_hll_intersect" -> Q((s, dir) => {
+      // Pairwise audience-overlap estimates via sketch inclusion-
+      // exclusion (Sketches.intersectEstimates): every event-type pair's
+      // shared user count from three constant-size sketch reads — the
+      // base table is scanned ONCE (for the per-type sketches). The
+      // sketch binary is engine-specific, so the gate emits the exact
+      // intersection plus an estimate-within-bound verdict (a22
+      // pattern); the bound is 3ε·|A∪B| because inclusion-exclusion
+      // compounds the three estimates' errors.
+      import graft.operators.Sketches
+      val ev = T(s, dir, "events")
+      val perType = Sketches.groupSketches(ev, "event_type", "user_id")
+      val est = Sketches.intersectEstimates(perType, "event_type")
+        .select(col("group_a").as("type_a"), col("group_b").as("type_b"),
+          col("est_intersect"))
+      val u = ev.select("event_type", "user_id").distinct()
+      val exact = u.select(col("event_type").as("type_a"), col("user_id"))
+        .join(u.select(col("event_type").as("type_b"), col("user_id")), "user_id")
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("exact_intersect"))
+      val ex = perType.select(col("event_type").as("type_a"),
+        col("exact_distinct").as("_ea"))
+      val exB = perType.select(col("event_type").as("type_b"),
+        col("exact_distinct").as("_eb"))
+      val bound = Sketches.hllBound(12)
+      est.join(exact, Seq("type_a", "type_b"), "left")
+        .join(ex, "type_a").join(exB, "type_b")
+        .select(col("type_a"), col("type_b"),
+          coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"),
+          (abs(col("est_intersect") - coalesce(col("exact_intersect"), lit(0L))) <=
+            lit(3 * bound) * (col("_ea") + col("_eb") -
+              coalesce(col("exact_intersect"), lit(0L))).cast("double"))
+            .as("approx_within_bound"))
+        .orderBy("type_a", "type_b")
+    }, Some("""WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+              |t AS (SELECT DISTINCT event_type FROM events),
+              |p AS (SELECT x.event_type AS type_a, y.event_type AS type_b
+              |  FROM t x JOIN t y ON x.event_type < y.event_type),
+              |i AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+              |    count(*) AS exact_intersect
+              |  FROM u a JOIN u b
+              |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+              |  GROUP BY 1, 2)
+              |SELECT p.type_a, p.type_b,
+              |  coalesce(i.exact_intersect, 0) AS exact_intersect,
+              |  TRUE AS approx_within_bound
+              |FROM p LEFT JOIN i ON i.type_a = p.type_a AND i.type_b = p.type_b
+              |ORDER BY p.type_a, p.type_b""".stripMargin)),
+
     "a22_hll_union_check" -> Q((s, dir) => {
       // Mergeable-sketch distinct counting (Sketches.groupSketches /
       // unionEstimate): per-type HLL sketches of the user universe roll

@@ -127,4 +127,21 @@ class SketchesSpec extends SparkTestBase {
     assert(bins.head._1 == 0 && bins.head._2 == 2L) // -50 clamps down, 0 lands in bin 0
     assert(bins.last._1 == 9 && bins.last._2 == 2L) // 9.9 in bin 9, 200 clamps up
   }
+
+  test("intersection estimates recover known overlaps, clamp disjoint pairs at 0") {
+    import spark.implicits._
+    // A = 0..99, B = 50..149 (|A∩B| = 50), C = 1000..1049 (disjoint from
+    // both). HLL is effectively exact at these cardinalities, so the
+    // inclusion-exclusion estimates must land on the true overlaps.
+    val rows = ((0 until 100).map(("A", _)) ++ (50 until 150).map(("B", _)) ++
+      (1000 until 1050).map(("C", _))).toDF("grp", "k")
+    val sk = Sketches.groupSketches(rows, "grp", "k")
+    val est = Sketches.intersectEstimates(sk, "grp")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(5)).toMap
+    assert(est.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    assert(est(("A", "B")) == 50L, s"A∩B ${est(("A", "B"))}")
+    assert(est(("A", "C")) == 0L)
+    assert(est(("B", "C")) == 0L)
+  }
 }
