@@ -60,6 +60,42 @@ object AccessControls {
     (retained, erasedTally)
   }
 
+  /** k-anonymity equivalence classes: one row per distinct
+    * quasi-identifier combination with its population and a
+    * below-`k` violation flag — the audit behind "can any row be
+    * re-identified by joining these columns to an external dataset"
+    * (Sweeney '02). ONE map-side-combinable hash aggregate; null quasi
+    * values form their own class (groupBy semantics), matching the
+    * null-safe join in [[suppressBelowK]]. */
+  def kAnonymityClasses(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("violates_k", col("class_size") < k)
+  }
+
+  /** Suppression repair for k-anonymity: rows in below-`k` equivalence
+    * classes get their quasi-identifier columns nulled (cell
+    * suppression), everything else passes through — after this, every
+    * non-null quasi combination has ≥ k rows. The violating-class list
+    * is the ONLY state: typically a tiny fraction of classes, it
+    * broadcasts, so the repair is one aggregate + one broadcast join —
+    * no second shuffle of the data. Joins null-safely (`<=>`), so
+    * classes keyed by null quasi values are suppressed too, not
+    * silently skipped. */
+  def suppressBelowK(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    val bad = kAnonymityClasses(df, quasiCols, k)
+      .filter(col("violates_k"))
+      .select(quasiCols.map(c => col(c).as(s"_q_$c")) :+ lit(true).as("_viol"): _*)
+    val cond = quasiCols.map(c => col(c) <=> col(s"_q_$c")).reduce(_ && _)
+    df.join(broadcast(bad), cond, "left")
+      .select(df.columns.map { c =>
+        if (quasiCols.contains(c))
+          when(coalesce(col("_viol"), lit(false)), lit(null)).otherwise(col(c)).as(c)
+        else col(c)
+      }: _*)
+  }
+
   /** Create the masked secure view over a dim_policy table (BI analysts
     * query the view, never the base table). */
   def createMaskedPolicyView(spark: SparkSession, dimPolicyTable: String,

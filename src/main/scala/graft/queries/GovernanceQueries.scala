@@ -96,6 +96,57 @@ object GovernanceQueries {
               |  AS t(table_schema, table_name, column_name, data_type)
               |ORDER BY table_schema, table_name, column_name""".stripMargin)),
 
+    "gov_k_anonymity" -> Q((s, dir) => {
+      // k-anonymity audit (AccessControls.kAnonymityClasses): customer
+      // re-identification risk over (nation, segment, balance-bucket)
+      // quasi-identifiers — the 40 smallest equivalence classes with
+      // their below-k=5 flags. bal_bucket = floor(acctbal/500): a 2-dp
+      // value over a double divide lands ≥2e-5 from any integer, so the
+      // floor cannot straddle engines.
+      val c = T(s, dir, "customer").withColumn("bal_bucket",
+        floor(col("c_acctbal") / lit(500.0)).cast("long"))
+      graft.governance.AccessControls
+        .kAnonymityClasses(c, Seq("c_nationkey", "c_mktsegment", "bal_bucket"), 5)
+        .orderBy(col("class_size"), col("c_nationkey"), col("c_mktsegment"),
+          col("bal_bucket"))
+        .limit(40)
+    }, Some("""WITH cls AS (SELECT c_nationkey, c_mktsegment,
+              |    CAST(floor(CAST(c_acctbal AS DOUBLE) / 500.0e0) AS BIGINT) AS bal_bucket,
+              |    count(*) AS class_size
+              |  FROM customer GROUP BY 1, 2, 3)
+              |SELECT c_nationkey, c_mktsegment, bal_bucket, class_size,
+              |  class_size < 5 AS violates_k
+              |FROM cls
+              |ORDER BY class_size, c_nationkey, c_mktsegment, bal_bucket
+              |LIMIT 40""".stripMargin)),
+
+    "gov_k_suppression" -> Q((s, dir) => {
+      // Cell-suppression repair (AccessControls.suppressBelowK): rows in
+      // below-k classes get quasi columns nulled. The gate pins the
+      // partition arithmetic: input count, suppressed-row count (= the
+      // summed population of violating classes), and that the repaired
+      // frame's surviving classes all clear k.
+      val quasi = Seq("c_nationkey", "c_mktsegment", "bal_bucket")
+      val c = T(s, dir, "customer").withColumn("bal_bucket",
+        floor(col("c_acctbal") / lit(500.0)).cast("long"))
+      val repaired = graft.governance.AccessControls.suppressBelowK(c, quasi, 5)
+      val survivorsBelowK = repaired.filter(col("c_mktsegment").isNotNull)
+        .groupBy(quasi.map(col): _*).agg(count(lit(1)).as("cs"))
+        .filter(col("cs") < 5)
+      repaired.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("c_mktsegment").isNull, 1L).otherwise(0L)).as("n_suppressed"))
+        .crossJoin(survivorsBelowK.agg(count(lit(1)).as("surviving_below_k")))
+    }, Some("""WITH cls AS (SELECT c_nationkey, c_mktsegment,
+              |    CAST(floor(CAST(c_acctbal AS DOUBLE) / 500.0e0) AS BIGINT) AS bal_bucket,
+              |    count(*) AS class_size
+              |  FROM customer GROUP BY 1, 2, 3)
+              |SELECT (SELECT count(*) FROM customer) AS n_rows,
+              |  CAST(coalesce(sum(CASE WHEN class_size < 5 THEN class_size END), 0)
+              |    AS BIGINT) AS n_suppressed,
+              |  CAST(0 AS BIGINT) AS surviving_below_k
+              |FROM cls""".stripMargin)),
+
     "gov_right_to_erasure" -> Q((s, dir) => {
       import s.implicits._
       // GDPR erasure (AccessControls.eraseSubjects): subjects' rows

@@ -236,6 +236,39 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(retained.count() + t.values.sum === df.count())
   }
 
+  test("k-anonymity: classes flag below-k; suppression nulls exactly those rows") {
+    import graft.governance.AccessControls
+    // Classes under (g, x): (A,1)×5 ok, (A,2)×2, (B,1)×1, (C,null)×2 —
+    // the null quasi value is its OWN class and must be suppressed via
+    // the null-safe join, not silently skipped.
+    val rows = (
+      (1 to 5).map(i => (i.toLong, Some("A"), Some(1), s"p$i")) ++
+        Seq((6L, Some("A"), Some(2), "p6"), (7L, Some("A"), Some(2), "p7"),
+          (8L, Some("B"), Some(1), "p8"),
+          (9L, Some("C"), None, "p9"), (10L, Some("C"), None, "p10"))
+      ).toDF("id", "g", "x", "payload")
+    val cls = AccessControls.kAnonymityClasses(rows, Seq("g", "x"), 3)
+      .collect()
+      .map(r => (r.getAs[String]("g"), Option(r.getAs[Any]("x"))) ->
+        ((r.getAs[Long]("class_size"), r.getAs[Boolean]("violates_k")))).toMap
+    assert(cls.size === 4)
+    assert(cls(("A", Some(1))) === ((5L, false)))
+    assert(cls(("A", Some(2))) === ((2L, true)))
+    assert(cls(("B", Some(1))) === ((1L, true)))
+    assert(cls(("C", None)) === ((2L, true)))
+
+    val rep = AccessControls.suppressBelowK(rows, Seq("g", "x"), 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((Option(r.getAs[String]("g")), Option(r.getAs[Any]("x")),
+          r.getAs[String]("payload")))).toMap
+    assert(rep.size === 10, "row count preserved")
+    (1L to 5L).foreach(i => assert(rep(i) === ((Some("A"), Some(1), s"p$i"))))
+    (6L to 10L).foreach { i =>
+      assert(rep(i)._1.isEmpty && rep(i)._2.isEmpty, s"id $i not suppressed")
+      assert(rep(i)._3 === s"p$i", "non-quasi column must pass through")
+    }
+  }
+
   test("access controls: masked frame and secure view gate PII by role") {
     import graft.governance.AccessControls
     val dim = graft.operators.GoldDims.buildDimPolicy(
