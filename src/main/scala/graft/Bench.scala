@@ -101,12 +101,16 @@ object Bench {
       n -> (if (ts.exists(_ < 0)) -1.0 else median(ts))
     }.toMap
 
-    // Headline per-query number: best defensible reading. The first pass
-    // already had its own warm-up, so a large first-vs-reprobe gap is
-    // contention, not cache effects — take the lower median.
+    // Headline per-query number: for reprobed queries take the reprobe
+    // median UNCONDITIONALLY — it is the isolated, end-of-run measurement.
+    // (r8 advice: min(firstpass, reprobe) is a one-sided estimator; any
+    // favorable noise in either pass lowers the headline, so the total
+    // drifts optimistic. Both uncorrected series stay in the artifact —
+    // queries_firstpass/raw/reprobe — and stall_suspect tells a consumer
+    // which to trust when they disagree.)
     val finalPass: Seq[(String, Double)] = firstPass.map { case (name, m) =>
       val r = reprobeMed.getOrElse(name, m)
-      name -> (if (m < 0 || r < 0) -1.0 else math.min(m, r))
+      name -> (if (m < 0 || r < 0) -1.0 else r)
     }
 
     val spreadSuspect = raw.exists { case (_, ts) =>

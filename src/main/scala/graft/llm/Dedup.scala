@@ -282,21 +282,26 @@ object Dedup {
       // ceil(t*n - eps), not ceil(t*n): when t*n is exactly integral the
       // double product can land a hair ABOVE the integer, shortening the
       // prefix by one token — a false negative in an operator documented
-      // EXACT. The epsilon absorbs representation error without ever
-      // changing the mathematical ceiling (r7 advice).
+      // EXACT. The slack is RELATIVE (n·1e-12) plus an absolute floor
+      // (1e-9): rounding error of t·n scales with ulp(t·n) ≈ 2.2e-16·t·n,
+      // so a fixed 1e-9 stops covering it once t·n ≳ 1e7 (documents with
+      // tens of millions of shingles); n·1e-12 tracks the product's
+      // magnitude with ~4 orders of headroom while staying far below any
+      // true non-integral fractional part (r7+r8 advice).
       .withColumn("pref_len",
-        (col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1).cast("int"))
+        (col("n") - ceil(lit(threshold) * col("n")
+          - col("n") * lit(1e-12) - lit(1e-9)) + 1).cast("int"))
     val pref = ordered.select(col(idCol), col("n"),
       explode(expr("slice(ordered_sh, 1, pref_len)")).as("tok"))
     val cands = pref.select(col(idCol).as("id_a"), col("n").as("n_a"), col("tok"))
       .join(pref.select(col(idCol).as("id_b"), col("n").as("n_b"), col("tok")),
         Seq("tok"))
-      // Same epsilon on the length filter: J >= t implies t*|B| <= |A|
-      // in exact arithmetic; the fp product must not round above the
-      // integer boundary and drop a true pair.
+      // Same relative-plus-absolute slack on the length filter: J >= t
+      // implies t*|B| <= |A| in exact arithmetic; the fp product must not
+      // round above the integer boundary and drop a true pair, at any n.
       .where(col("id_a") < col("id_b") &&
-        col("n_b") * lit(threshold) - lit(1e-9) <= col("n_a") &&
-        col("n_a") * lit(threshold) - lit(1e-9) <= col("n_b"))
+        col("n_b") * lit(threshold) - col("n_b") * lit(1e-12) - lit(1e-9) <= col("n_a") &&
+        col("n_a") * lit(threshold) - col("n_a") * lit(1e-12) - lit(1e-9) <= col("n_b"))
       .select("id_a", "id_b").distinct()
     jaccardPairsFromArrays(shingleArrayDf, idCol, cands)
       .where(col("jaccard") >= threshold)
@@ -481,6 +486,14 @@ object Dedup {
       .distinct()
     val srcIdx = df.select(col(srcCol)).distinct()
       .withColumn("idx", row_number().over(Window.orderBy(col(srcCol))) - 1)
+      // Loud guard (r8 advice): the exact pass packs one bit per source
+      // into a 64-bit long, and shiftleft wraps its shift amount mod 64 —
+      // a 64th source would silently alias masks and corrupt every pair.
+      // raise_error rides the idx column itself so no Catalyst pruning
+      // can drop it; it fires when srcIdx materializes for broadcast.
+      .withColumn("idx", when(col("idx") < 63, col("idx")).otherwise(expr(
+        "CAST(raise_error('sourceOverlap: at most 63 distinct sources " +
+          "supported by the bitmask pass') AS INT)")))
     val maskCnt = sh.join(broadcast(srcIdx), srcCol)
       .groupBy("shingle")
       .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), idx)")).as("mask"))

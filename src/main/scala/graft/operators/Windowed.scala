@@ -141,14 +141,25 @@ object Windowed {
     * the error (the dropped tail carries weight 2^−lookback ≈ 1e−6 at
     * 20). One exchange on the key; the fold is partition-local.
     * Engines that seed their fold from the list head instead of an
-    * initial value reproduce it by prepending the 0 seed. */
+    * initial value reproduce it by prepending the 0 seed.
+    *
+    * Null policy (r8 advice): `valueCol` must be NON-NULL. collect_list
+    * silently drops nulls, which would shrink the frame and silently pull
+    * older rows' weights up — so instead of inheriting that surprise, a
+    * null measurement raises in-plan (`raise_error` rides the collected
+    * value, un-prunable). Callers with legitimately-null measurements
+    * must coalesce/filter to an explicit policy BEFORE calling; the w13
+    * oracle mirrors this contract by running over a non-null measure. */
   def ewma(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
       valueCol: String, lookback: Int = 20): DataFrame = {
     require(lookback >= 1 && lookback <= 64, s"lookback=$lookback out of range")
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(orderCols.map(col(_).asc): _*)
       .rowsBetween(-(lookback - 1), Window.currentRow)
-    df.withColumn("_vals", collect_list(col(valueCol).cast("double")).over(w))
+    val guarded = when(col(valueCol).isNotNull, col(valueCol).cast("double"))
+      .otherwise(expr("CAST(raise_error('ewma: null value in \\'" + valueCol +
+        "\\' — coalesce or filter nulls to an explicit policy first') AS DOUBLE)"))
+    df.withColumn("_vals", collect_list(guarded).over(w))
       .withColumn("ewma",
         aggregate(col("_vals"), lit(0.0), (acc, x) => acc * 0.5 + x * 0.5))
       .drop("_vals")

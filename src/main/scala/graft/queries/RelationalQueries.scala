@@ -37,6 +37,56 @@ object RelationalQueries {
       s.read.table("graft_s2.region_copy").orderBy("r_regionkey")
     }, Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
 
+    "s4_jdbc_scan" -> Q((s, dir) => {
+      // S4 (JDBC scan of the legacy warehouse): seed embedded Derby with
+      // the customer extract via plain JDBC inserts — standing in for data
+      // that already lives in the legacy system — then read it back with a
+      // RANGE-PARTITIONED spark.read.jdbc (partitionColumn/lower/upper/
+      // numPartitions: 4 parallel bounded remote queries, the cluster-
+      // scale extract shape) and aggregate. Matching the parquet oracle
+      // proves full round-trip fidelity of the JDBC path.
+      val db = tmpDir("graft_s4") + "/legacy_db"
+      val cust = T(s, dir, "customer")
+      graft.sources.Jdbc.loadTable(db, "legacy_customer", cust)
+      val bounds = cust.agg(min("c_custkey"), max("c_custkey")).head()
+      val legacy = graft.sources.Jdbc.readPartitioned(s, db, "legacy_customer",
+        "c_custkey", bounds.getLong(0), bounds.getLong(1) + 1L, numPartitions = 4)
+      legacy.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+        .orderBy("c_mktsegment")
+    }, Some("""SELECT c_mktsegment, count(*) AS cnt,
+              |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+              |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    "recon_jdbc_legacy" -> Q((s, dir) => {
+      // The reconciliation.py:189 exemplar made real: legacy mart (Derby,
+      // via JDBC) vs lakehouse twin (parquet), compared with the full
+      // Reconciler surface — row counts, per-column aggregate sums,
+      // categorical distribution, schema. The gate row carries the counts
+      // AND the verdicts, so a silent JDBC corruption flips a boolean.
+      import graft.sources.Jdbc
+      import graft.validation.Reconciler
+      val db = tmpDir("graft_s4r") + "/legacy_db"
+      val modern = T(s, dir, "nation")
+      Jdbc.loadTable(db, "legacy_nation", modern)
+      val legacy = Jdbc.read(s, db, "legacy_nation")
+      val rc = Reconciler.compareRowCounts(legacy, modern)
+      val aggs = Reconciler.compareAggregates(legacy, modern,
+        Seq("n_nationkey", "n_regionkey"))
+      val dist = Reconciler.compareDistributions(legacy, modern, "n_regionkey")
+      val schema = Reconciler.compareSchemas(legacy, modern)
+      import s.implicits._
+      Seq((rc.sourceCount, rc.targetCount, rc.matched,
+        aggs.forall(_.withinTolerance), dist.matched, schema.matched))
+        .toDF("src_rows", "tgt_rows", "rows_match", "aggs_match",
+          "dist_match", "schema_match")
+    }, Some("""SELECT CAST(count(*) AS BIGINT) AS src_rows,
+              |  CAST(count(*) AS BIGINT) AS tgt_rows,
+              |  true AS rows_match, true AS aggs_match,
+              |  true AS dist_match, true AS schema_match
+              |FROM nation""".stripMargin)),
+
     "s5_inmemory_rows" -> Q((s, dir) => {
       import s.implicits._
       val fixture = Seq((0, "ALPHA"), (1, "BETA"), (2, "GAMMA"), (3, "DELTA"), (4, "EPSILON"))

@@ -1058,6 +1058,16 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("sourceOverlap: 64th distinct source raises instead of aliasing bitmasks") {
+    // shiftleft wraps its shift amount mod 64 — source index 63 would
+    // silently collide with index -1/0 arithmetic; the guard must fire.
+    val docs = (0 until 64).map(i => (f"src$i%02d", "a b c d e")).toDF("source", "text")
+    val e = intercept[Exception] { Dedup.sourceOverlap(docs, "source", "text").collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("at most 63 distinct sources")), s"got: $e")
+  }
+
   test("winnowing: shared substring >= w+k-1 chars guarantees a shared fingerprint") {
     // k=5, w=4 ⇒ guarantee threshold is any shared run of 8+ chars.
     // Docs 1/2 share a 25-char phrase; doc 3 shares nothing that long.

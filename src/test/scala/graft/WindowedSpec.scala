@@ -154,6 +154,17 @@ class WindowedSpec extends SparkTestBase {
     assert(out(4L) !== full)
   }
 
+  test("ewma raises loudly on a null measurement instead of shrinking the frame") {
+    val df = Seq(("u", 0L, Some(4.0)), ("u", 1L, None), ("u", 2L, Some(2.0)))
+      .toDF("user", "seq", "v")
+    val e = intercept[Exception] {
+      Windowed.ewma(df, Seq("user"), Seq("seq"), "v", lookback = 3).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("ewma: null value")), s"got: $e")
+  }
+
   test("rollingZscore flags a spike, matches a Scala reference, nulls before minRows") {
     // 9 steady readings then one spike, per user; values are exact ints.
     val vals = Seq(10L, 12L, 11L, 10L, 12L, 11L, 10L, 12L, 11L, 500L)
