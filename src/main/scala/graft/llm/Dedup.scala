@@ -158,6 +158,59 @@ object Dedup {
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
 
+  /** [[candidatePairs]] with a HOT-BUCKET CAP — the 100 TB skew defense.
+    *
+    * Pair volume in banded LSH is Σ bucket²; one boilerplate template
+    * repeated 10⁶ times puts 10¹² pairs in a single bucket, and no
+    * exact-dedup pre-pass bounds NEAR-identical variants. This variant
+    * bounds every bucket's emission to O(n·reps): buckets at or under
+    * `maxBucket` expand fully (identical to [[candidatePairs]]); an
+    * oversized bucket instead elects `reps` representative documents and
+    * emits only member↔representative pairs — a `reps`-fold star that
+    * keeps every member connected to the bucket (so downstream
+    * [[connectedComponents]]/[[dedupClusters]] still merge it) while
+    * giving each member `reps` independent chances at Jaccard
+    * verification. Representatives are chosen deterministically but
+    * uniformly: the first `reps` ids in md5(id) order (hash order, so the
+    * choice is independent of id-assignment order; ties fall back to the
+    * id). The pair is flagged back: `capped = true` only when EVERY
+    * bucket that produced the pair was oversized — a pair also found in
+    * any normal bucket is a fully-supported candidate.
+    *
+    * Same single-aggregation shape as [[candidatePairs]] (one shuffle of
+    * the bands frame, partition-local expansion); the cap additionally
+    * bounds the per-bucket array expansion memory. Worst case emission
+    * per bucket drops from n(n−1)/2 to n·reps.
+    * Returns (id_a, id_b, capped) with id_a < id_b, distinct. */
+  def candidatePairsCapped(bandDf: DataFrame, idCol: String,
+      maxBucket: Int = 64, reps: Int = 8): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket=$maxBucket must be >= 2")
+    require(reps >= 1 && reps <= maxBucket,
+      s"reps=$reps must be in [1, maxBucket=$maxBucket]")
+    val fullExpr = expr(
+      """flatten(transform(ids,
+        |  (a, i) -> transform(slice(ids, i + 2, size(ids)),
+        |            b -> struct(a AS id_a, b AS id_b))))""".stripMargin)
+    val repsExpr = expr(
+      s"""transform(slice(array_sort(transform(ids,
+         |  x -> struct(md5(CAST(x AS STRING)) AS h, x AS id))), 1, $reps),
+         |  s -> s.id)""".stripMargin)
+    val starExpr = expr(
+      """filter(flatten(transform(ids,
+        |  m -> transform(_reps,
+        |       r -> struct(least(m, r) AS id_a, greatest(m, r) AS id_b)))),
+        |  p -> p.id_a != p.id_b)""".stripMargin)
+    bandDf.groupBy("band", "band_hash")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .withColumn("_oversized", size(col("ids")) > maxBucket)
+      .withColumn("_reps", repsExpr)
+      .withColumn("_pairs", when(col("_oversized"), starExpr).otherwise(fullExpr))
+      .select(explode(col("_pairs")).as("p"), col("_oversized"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(bool_and(col("_oversized")).as("capped"))
+  }
+
   /** SimHash over whitespace tokens: bit `i` of the signature is set when
     * the sum of (+1/-1) votes from bit `i` of each token's MD5 is
     * positive. `bits` ≤ 32; bit i is taken as the low bit of hex nibble i,

@@ -201,6 +201,62 @@ object LlmQueries {
          |ORDER BY id_a, id_b""".stripMargin
     }), bench = true),
 
+    "llm_lsh_skew_cap" -> Q((s, dir) => {
+      // Hot-bucket skew cap (Dedup.candidatePairsCapped): pathological
+      // corpus DERIVED identically in both engines — the documents table
+      // plus 40 clones of its min-doc_id document (ids 1000000+i), which
+      // collide in every LSH band and form one hot bucket well over the
+      // maxBucket=16 cap. Oversized buckets emit only member↔rep star
+      // pairs (reps=4, md5-order election), so the 41-doc bucket yields
+      // O(n·reps) pairs instead of n(n−1)/2, each flagged capped=true;
+      // ordinary buckets keep the exact candidatePairs expansion with
+      // capped=false. The oracle replicates election and star expansion.
+      val base = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val boiler = base.orderBy("doc_id").limit(1)
+      val clones = s.range(1, 41).crossJoin(boiler)
+        .select((col("id") + lit(1000000L)).as("doc_id"), col("text"))
+      val corpus = base.unionByName(clones)
+        .repartition(s.sparkContext.defaultParallelism * 2)
+      val sh = Dedup.shingleArray(corpus, "doc_id", "text", 3)
+      val sig = Dedup.minhashSignaturesNative(sh, "doc_id", 8)
+      val bands = Dedup.lshBands(sig, "doc_id", 8, 2)
+      Dedup.candidatePairsCapped(bands, "doc_id", maxBucket = 16, reps = 4)
+        .orderBy("id_a", "id_b")
+    }, Some({
+      val corpusCte =
+        """corpus AS (SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT CAST(1000000 + r.i AS BIGINT) AS doc_id, b.text
+          |  FROM range(1, 41) r(i) CROSS JOIN
+          |    (SELECT text FROM documents ORDER BY doc_id LIMIT 1) b)""".stripMargin
+      val toksCorpus =
+        s"toks AS (SELECT doc_id, string_split($normSql, ' ') AS t FROM corpus)"
+      s"""WITH $corpusCte,
+         |$toksCorpus, $shCte,
+         |$lshPairsCtes,
+         |bsize AS (SELECT band, band_hash, count(*) AS n
+         |  FROM bands GROUP BY band, band_hash),
+         |bx AS (SELECT b.doc_id, b.band, b.band_hash, s.n > 16 AS oversized
+         |  FROM bands b JOIN bsize s USING (band, band_hash) WHERE s.n > 1),
+         |rp AS (SELECT band, band_hash, doc_id AS rep FROM (
+         |    SELECT band, band_hash, doc_id,
+         |      row_number() OVER (PARTITION BY band, band_hash
+         |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |    FROM bx WHERE oversized) z WHERE rk <= 4),
+         |small_pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, false AS c
+         |  FROM bx x JOIN bx y ON x.band = y.band AND x.band_hash = y.band_hash
+         |    AND x.doc_id < y.doc_id
+         |  WHERE NOT x.oversized),
+         |big_pairs AS (SELECT least(m.doc_id, r.rep) AS id_a,
+         |    greatest(m.doc_id, r.rep) AS id_b, true AS c
+         |  FROM bx m JOIN rp r ON m.band = r.band AND m.band_hash = r.band_hash
+         |  WHERE m.oversized AND m.doc_id <> r.rep),
+         |cp AS (SELECT id_a, id_b, bool_and(c) AS capped
+         |  FROM (SELECT * FROM small_pairs UNION ALL SELECT * FROM big_pairs) u
+         |  GROUP BY id_a, id_b)
+         |SELECT id_a, id_b, capped FROM cp ORDER BY id_a, id_b""".stripMargin
+    })),
+
     // ----- dedup: clusters + canonical pick ----------------------------
     "llm_dedup_clusters" -> Q((s, dir) => {
       // LSH candidate pairs → connected components (iterative min-label

@@ -1058,6 +1058,45 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("candidatePairsCapped bounds a pathological bucket to n*reps and keeps it connected") {
+    // 200 identical docs → identical signatures → ONE bucket per band.
+    // Uncapped expansion would emit 200*199/2 = 19900 pairs.
+    val n = 200
+    val docs = (1L to n.toLong).map(i => (i, "the same boilerplate template text"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleArray(docs, "doc_id", "text", 3)
+    val bands = Dedup.lshBands(Dedup.minhashSignaturesNative(sh, "doc_id", 8), "doc_id", 8, 2)
+    val reps = 4
+    val capped = Dedup.candidatePairsCapped(bands, "doc_id", maxBucket = 16, reps = reps)
+    val rows = capped.collect()
+    assert(rows.length <= n * reps,
+      s"cap must bound pair volume to n*reps, got ${rows.length}")
+    assert(rows.length >= n - 1, "star must keep every member reachable")
+    assert(rows.forall(_.getAs[Boolean]("capped")),
+      "every pair from an oversized-only bucket must flag capped=true")
+    // Connectivity survives the cap: components still merge all 200 docs.
+    val clusters = Dedup.dedupClusters(docs, "doc_id", capped.select("id_a", "id_b"))
+    assert(clusters.select("component").distinct().count() === 1L)
+    assert(clusters.agg(max("cluster_size")).head().getLong(0) === n.toLong)
+  }
+
+  test("candidatePairsCapped matches candidatePairs exactly when no bucket is oversized") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "one two three four five six"),
+      (4L, "one two three four five six"),
+      (5L, "totally unrelated content here")).toDF("doc_id", "text")
+    val sh = Dedup.shingleArray(docs, "doc_id", "text", 3)
+    val bands = Dedup.lshBands(Dedup.minhashSignaturesNative(sh, "doc_id", 8), "doc_id", 8, 2)
+    val plain = Dedup.candidatePairs(bands, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.candidatePairsCapped(bands, "doc_id", maxBucket = 16, reps = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Boolean]("capped"))).toSet
+    assert(capped.map(t => (t._1, t._2)) === plain)
+    assert(capped.forall(!_._3), "no oversized bucket → no capped flags")
+  }
+
   test("sourceOverlap: 64th distinct source raises instead of aliasing bitmasks") {
     // shiftleft wraps its shift amount mod 64 — source index 63 would
     // silently collide with index -1/0 arithmetic; the guard must fire.
