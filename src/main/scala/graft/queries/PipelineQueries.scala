@@ -19,7 +19,7 @@ import Registry.T
 object PipelineQueries {
 
   private val clock = to_timestamp(lit("2026-01-01 00:00:00"))
-  private val asOf = lit("2026-06-01").cast("date")
+  private[queries] val asOf = lit("2026-06-01").cast("date")
 
   // ----- TPC-H → insurance shaping (Spark side) -------------------------
 
@@ -346,13 +346,13 @@ object PipelineQueries {
        |FROM ($silverPremiumsSql) sp GROUP BY policy_id""".stripMargin
 
   // Spark pipeline stages (the real library code under test)
-  private def silverPolicies(s: SparkSession, dir: String) =
+  private[queries] def silverPolicies(s: SparkSession, dir: String) =
     SilverTransforms.transformPolicies(rawPolicies(s, dir), clock)
-  private def silverClaims(s: SparkSession, dir: String) =
+  private[queries] def silverClaims(s: SparkSession, dir: String) =
     SilverTransforms.transformClaims(rawClaims(s, dir), clock)
-  private def silverPremiums(s: SparkSession, dir: String) =
+  private[queries] def silverPremiums(s: SparkSession, dir: String) =
     SilverTransforms.transformPremiums(rawPremiums(s, dir), clock)
-  private def silverProperties(s: SparkSession, dir: String) =
+  private[queries] def silverProperties(s: SparkSession, dir: String) =
     SilverTransforms.transformProperties(rawProperties(s, dir), clock)
 
   /** Exposed for SparkEntry.entry (driver smoke check at sf0.001). */
@@ -364,6 +364,141 @@ object PipelineQueries {
   // Registry.decimalsToDouble scaladoc); the library builders under test
   // keep their DECIMAL schemas untouched.
   private def dbl(df: DataFrame): DataFrame = Registry.decimalsToDouble(df)
+
+  // Mart oracles shared with SqlMartQueries: the SQL-text twins are
+  // gated against the SAME oracle text as the DataFrame builders.
+  private[queries] val dimPolicyOracle: String =
+    s"""WITH sp AS ($silverPoliciesSql), ps AS ($premiumSummarySql)
+              |SELECT p.policy_id, p.policyholder_first_name, p.policyholder_last_name,
+              |  p.policyholder_full_name, p.policyholder_email, p.property_id,
+              |  p.coverage_type_code, p.effective_date, p.expiration_date, p.status,
+              |  CAST(p.annual_premium AS DOUBLE) AS annual_premium,
+              |  CAST(p.deductible AS DOUBLE) AS deductible,
+              |  CAST(p.coverage_limit AS DOUBLE) AS coverage_limit,
+              |  p.agent_id, p.channel,
+              |  COALESCE(ps.total_premium_payments, 0) AS total_premium_payments,
+              |  CAST(COALESCE(ps.total_premium_collected, CAST(0 AS DECIMAL(12,2)))
+              |    AS DOUBLE) AS total_premium_collected,
+              |  COALESCE(ps.late_premium_payments, 0) AS late_premium_payments,
+              |  date_diff('day', p.effective_date, p.expiration_date) AS policy_term_days,
+              |  CASE WHEN p.status = 'ACTIVE' AND p.expiration_date >= DATE '2026-06-01'
+              |         THEN 'IN FORCE'
+              |       WHEN p.status = 'ACTIVE' AND p.expiration_date < DATE '2026-06-01'
+              |         THEN 'EXPIRED'
+              |       WHEN p.status = 'CANCELLED' THEN 'CANCELLED'
+              |       WHEN p.status = 'PENDING' THEN 'PENDING'
+              |       ELSE 'UNKNOWN' END AS policy_status_category,
+              |  p.updated_at AS effective_start_date,
+              |  CAST(NULL AS TIMESTAMP) AS effective_end_date,
+              |  TRUE AS is_current,
+              |  p.created_at, p.updated_at,
+              |  md5(concat_ws('|', COALESCE(CAST(p.policy_id AS VARCHAR), '_null_'),
+              |      COALESCE(CAST(p.updated_at AS VARCHAR), '_null_'))) AS policy_sk
+              |FROM sp p LEFT JOIN ps ON p.policy_id = ps.policy_id
+              |ORDER BY p.policy_id""".stripMargin
+
+  private[queries] val dimPropertyOracle: String =
+    s"""WITH sp AS ($silverPropertiesSql)
+              |SELECT
+              |  md5(concat_ws('|', COALESCE(CAST(property_id AS VARCHAR), '_null_'),
+              |      COALESCE(CAST(updated_at AS VARCHAR), '_null_'))) AS property_sk,
+              |  property_id, street_address, city, state, zip_code, county,
+              |  CAST(latitude AS DOUBLE) AS latitude,
+              |  CAST(longitude AS DOUBLE) AS longitude,
+              |  year_built, square_footage, construction_type,
+              |  roof_type, stories, occupancy_type, flood_zone, wind_zone,
+              |  CAST(property_value AS DOUBLE) AS property_value,
+              |  2026 - year_built AS property_age_years,
+              |  CASE WHEN construction_type IN ('MASONRY', 'CONCRETE') THEN 'LOW'
+              |       WHEN construction_type IN ('FRAME', 'WOOD') THEN 'HIGH'
+              |       ELSE 'MEDIUM' END AS construction_risk_tier,
+              |  CASE WHEN flood_zone IN ('A', 'AE', 'V', 'VE') THEN 'HIGH'
+              |       WHEN flood_zone IN ('B', 'X500') THEN 'MODERATE'
+              |       ELSE 'LOW' END AS flood_risk_tier,
+              |  CASE WHEN wind_zone IN ('4', '5') THEN 'HIGH'
+              |       WHEN wind_zone = '3' THEN 'MODERATE'
+              |       ELSE 'LOW' END AS wind_risk_tier,
+              |  updated_at AS effective_start_date,
+              |  CAST(NULL AS TIMESTAMP) AS effective_end_date,
+              |  TRUE AS is_current,
+              |  created_at, updated_at
+              |FROM sp ORDER BY property_id""".stripMargin
+
+  private[queries] val dimCoverageOracle: String =
+    s"""WITH sp AS ($silverPoliciesSql),
+              |codes AS (SELECT DISTINCT coverage_type_code FROM sp)
+              |SELECT
+              |  md5(concat_ws('|', COALESCE(coverage_type_code, '_null_'))) AS coverage_sk,
+              |  coverage_type_code,
+              |  CASE coverage_type_code
+              |    WHEN 'HO3' THEN 'Special Form Homeowners'
+              |    WHEN 'HO5' THEN 'Comprehensive Form Homeowners'
+              |    WHEN 'HO6' THEN 'Condo Unit Owners'
+              |    WHEN 'DP1' THEN 'Basic Dwelling Fire'
+              |    WHEN 'DP3' THEN 'Special Dwelling Fire'
+              |    WHEN 'HO4' THEN 'Renters Insurance'
+              |    WHEN 'FLOOD' THEN 'Flood Insurance'
+              |    WHEN 'WIND' THEN 'Wind/Hurricane Coverage'
+              |    ELSE 'Other' END AS coverage_type_name,
+              |  CASE WHEN coverage_type_code IN ('HO3', 'HO5', 'HO6') THEN 'Homeowners'
+              |       WHEN coverage_type_code IN ('DP1', 'DP3') THEN 'Dwelling'
+              |       WHEN coverage_type_code = 'HO4' THEN 'Renters'
+              |       WHEN coverage_type_code IN ('FLOOD', 'WIND') THEN 'Specialty'
+              |       ELSE 'Other' END AS coverage_category,
+              |  TRUE AS is_current
+              |FROM codes ORDER BY coverage_type_code""".stripMargin
+
+  private[queries] val factClaimsOracle: String =
+    s"""WITH sc AS ($silverClaimsSql), sp AS ($silverPoliciesSql),
+              |spr AS ($silverPropertiesSql)
+              |SELECT c.claim_id, c.policy_id, p.property_id, p.coverage_type_code,
+              |  c.claim_date AS claim_date_key,
+              |  c.reported_date AS reported_date_key,
+              |  c.closed_date AS closed_date_key,
+              |  c.claim_type, c.claim_status, c.cause_of_loss, c.adjuster_id,
+              |  CAST(c.claim_amount AS DOUBLE) AS claim_amount,
+              |  CAST(c.approved_amount AS DOUBLE) AS approved_amount,
+              |  CAST(c.deductible_applied AS DOUBLE) AS deductible_applied,
+              |  CAST(LEAST(c.claim_amount, p.coverage_limit) AS DOUBLE) AS capped_claim_amount,
+              |  CAST(c.approved_amount - c.deductible_applied AS DOUBLE) AS net_claim_payout,
+              |  CAST(p.annual_premium AS DOUBLE) AS annual_premium,
+              |  CAST(p.deductible AS DOUBLE) AS policy_deductible,
+              |  CAST(p.coverage_limit AS DOUBLE) AS coverage_limit,
+              |  CAST(c.claim_amount AS DOUBLE) /
+              |    NULLIF(CAST(p.annual_premium AS DOUBLE), 0) AS claim_to_premium_ratio,
+              |  date_diff('day', c.claim_date, c.reported_date) AS days_to_report,
+              |  date_diff('day', c.reported_date, c.closed_date) AS days_to_close,
+              |  pr.state AS property_state,
+              |  pr.flood_zone, pr.wind_zone,
+              |  c.claim_amount > p.coverage_limit AS exceeds_coverage_limit,
+              |  date_diff('day', c.claim_date, c.reported_date) > 30 AS late_reported,
+              |  c.claim_status = 'CLOSED' AS is_closed,
+              |  c.approved_amount > 0 AS is_paid
+              |FROM sc c
+              |JOIN sp p ON c.policy_id = p.policy_id
+              |LEFT JOIN spr pr ON p.property_id = pr.property_id
+              |ORDER BY c.claim_id""".stripMargin
+
+  private[queries] val factPremiumsOracle: String =
+    s"""WITH spr AS ($silverPremiumsSql), sp AS ($silverPoliciesSql)
+              |SELECT pr.premium_id, pr.policy_id, p.property_id, p.coverage_type_code,
+              |  pr.payment_date AS payment_date_key,
+              |  pr.due_date AS due_date_key,
+              |  pr.period_start_date, pr.period_end_date,
+              |  pr.payment_method, pr.payment_status, pr.billing_period,
+              |  p.agent_id, p.channel,
+              |  CAST(pr.amount AS DOUBLE) AS premium_amount,
+              |  CAST(CASE WHEN pr.payment_status = 'COMPLETED' THEN pr.amount
+              |       ELSE 0 END AS DOUBLE) AS collected_amount,
+              |  CAST(CASE WHEN pr.payment_status = 'FAILED' THEN pr.amount
+              |       ELSE 0 END AS DOUBLE) AS failed_amount,
+              |  date_diff('day', pr.due_date, pr.payment_date) AS days_from_due,
+              |  pr.payment_date > pr.due_date AS is_late_payment,
+              |  pr.payment_status = 'COMPLETED' AS is_collected,
+              |  pr.payment_status = 'FAILED' AS is_failed
+              |FROM spr pr
+              |LEFT JOIN sp p ON pr.policy_id = p.policy_id
+              |ORDER BY pr.premium_id""".stripMargin
 
   val defs: Seq[(String, Q)] = Seq(
 
@@ -411,141 +546,23 @@ object PipelineQueries {
       dbl(GoldDims.buildDimPolicy(silverPolicies(s, dir),
         GoldDims.buildPremiumSummary(silverPremiums(s, dir)), asOf))
         .orderBy("policy_id"),
-      Some(s"""WITH sp AS ($silverPoliciesSql), ps AS ($premiumSummarySql)
-              |SELECT p.policy_id, p.policyholder_first_name, p.policyholder_last_name,
-              |  p.policyholder_full_name, p.policyholder_email, p.property_id,
-              |  p.coverage_type_code, p.effective_date, p.expiration_date, p.status,
-              |  CAST(p.annual_premium AS DOUBLE) AS annual_premium,
-              |  CAST(p.deductible AS DOUBLE) AS deductible,
-              |  CAST(p.coverage_limit AS DOUBLE) AS coverage_limit,
-              |  p.agent_id, p.channel,
-              |  COALESCE(ps.total_premium_payments, 0) AS total_premium_payments,
-              |  CAST(COALESCE(ps.total_premium_collected, CAST(0 AS DECIMAL(12,2)))
-              |    AS DOUBLE) AS total_premium_collected,
-              |  COALESCE(ps.late_premium_payments, 0) AS late_premium_payments,
-              |  date_diff('day', p.effective_date, p.expiration_date) AS policy_term_days,
-              |  CASE WHEN p.status = 'ACTIVE' AND p.expiration_date >= DATE '2026-06-01'
-              |         THEN 'IN FORCE'
-              |       WHEN p.status = 'ACTIVE' AND p.expiration_date < DATE '2026-06-01'
-              |         THEN 'EXPIRED'
-              |       WHEN p.status = 'CANCELLED' THEN 'CANCELLED'
-              |       WHEN p.status = 'PENDING' THEN 'PENDING'
-              |       ELSE 'UNKNOWN' END AS policy_status_category,
-              |  p.updated_at AS effective_start_date,
-              |  CAST(NULL AS TIMESTAMP) AS effective_end_date,
-              |  TRUE AS is_current,
-              |  p.created_at, p.updated_at,
-              |  md5(concat_ws('|', COALESCE(CAST(p.policy_id AS VARCHAR), '_null_'),
-              |      COALESCE(CAST(p.updated_at AS VARCHAR), '_null_'))) AS policy_sk
-              |FROM sp p LEFT JOIN ps ON p.policy_id = ps.policy_id
-              |ORDER BY p.policy_id""".stripMargin), bench = true),
+      Some(dimPolicyOracle), bench = true),
 
     "g_dim_property" -> Q((s, dir) =>
       dbl(GoldDims.buildDimProperty(silverProperties(s, dir), asOf)).orderBy("property_id"),
-      Some(s"""WITH sp AS ($silverPropertiesSql)
-              |SELECT
-              |  md5(concat_ws('|', COALESCE(CAST(property_id AS VARCHAR), '_null_'),
-              |      COALESCE(CAST(updated_at AS VARCHAR), '_null_'))) AS property_sk,
-              |  property_id, street_address, city, state, zip_code, county,
-              |  CAST(latitude AS DOUBLE) AS latitude,
-              |  CAST(longitude AS DOUBLE) AS longitude,
-              |  year_built, square_footage, construction_type,
-              |  roof_type, stories, occupancy_type, flood_zone, wind_zone,
-              |  CAST(property_value AS DOUBLE) AS property_value,
-              |  2026 - year_built AS property_age_years,
-              |  CASE WHEN construction_type IN ('MASONRY', 'CONCRETE') THEN 'LOW'
-              |       WHEN construction_type IN ('FRAME', 'WOOD') THEN 'HIGH'
-              |       ELSE 'MEDIUM' END AS construction_risk_tier,
-              |  CASE WHEN flood_zone IN ('A', 'AE', 'V', 'VE') THEN 'HIGH'
-              |       WHEN flood_zone IN ('B', 'X500') THEN 'MODERATE'
-              |       ELSE 'LOW' END AS flood_risk_tier,
-              |  CASE WHEN wind_zone IN ('4', '5') THEN 'HIGH'
-              |       WHEN wind_zone = '3' THEN 'MODERATE'
-              |       ELSE 'LOW' END AS wind_risk_tier,
-              |  updated_at AS effective_start_date,
-              |  CAST(NULL AS TIMESTAMP) AS effective_end_date,
-              |  TRUE AS is_current,
-              |  created_at, updated_at
-              |FROM sp ORDER BY property_id""".stripMargin)),
+      Some(dimPropertyOracle)),
 
     "g_dim_coverage" -> Q((s, dir) =>
       GoldDims.buildDimCoverage(silverPolicies(s, dir)).orderBy("coverage_type_code"),
-      Some(s"""WITH sp AS ($silverPoliciesSql),
-              |codes AS (SELECT DISTINCT coverage_type_code FROM sp)
-              |SELECT
-              |  md5(concat_ws('|', COALESCE(coverage_type_code, '_null_'))) AS coverage_sk,
-              |  coverage_type_code,
-              |  CASE coverage_type_code
-              |    WHEN 'HO3' THEN 'Special Form Homeowners'
-              |    WHEN 'HO5' THEN 'Comprehensive Form Homeowners'
-              |    WHEN 'HO6' THEN 'Condo Unit Owners'
-              |    WHEN 'DP1' THEN 'Basic Dwelling Fire'
-              |    WHEN 'DP3' THEN 'Special Dwelling Fire'
-              |    WHEN 'HO4' THEN 'Renters Insurance'
-              |    WHEN 'FLOOD' THEN 'Flood Insurance'
-              |    WHEN 'WIND' THEN 'Wind/Hurricane Coverage'
-              |    ELSE 'Other' END AS coverage_type_name,
-              |  CASE WHEN coverage_type_code IN ('HO3', 'HO5', 'HO6') THEN 'Homeowners'
-              |       WHEN coverage_type_code IN ('DP1', 'DP3') THEN 'Dwelling'
-              |       WHEN coverage_type_code = 'HO4' THEN 'Renters'
-              |       WHEN coverage_type_code IN ('FLOOD', 'WIND') THEN 'Specialty'
-              |       ELSE 'Other' END AS coverage_category,
-              |  TRUE AS is_current
-              |FROM codes ORDER BY coverage_type_code""".stripMargin)),
+      Some(dimCoverageOracle)),
 
     "g_fact_claims" -> Q((s, dir) => dbl(factClaimsQuery(s, dir)),
-      Some(s"""WITH sc AS ($silverClaimsSql), sp AS ($silverPoliciesSql),
-              |spr AS ($silverPropertiesSql)
-              |SELECT c.claim_id, c.policy_id, p.property_id, p.coverage_type_code,
-              |  c.claim_date AS claim_date_key,
-              |  c.reported_date AS reported_date_key,
-              |  c.closed_date AS closed_date_key,
-              |  c.claim_type, c.claim_status, c.cause_of_loss, c.adjuster_id,
-              |  CAST(c.claim_amount AS DOUBLE) AS claim_amount,
-              |  CAST(c.approved_amount AS DOUBLE) AS approved_amount,
-              |  CAST(c.deductible_applied AS DOUBLE) AS deductible_applied,
-              |  CAST(LEAST(c.claim_amount, p.coverage_limit) AS DOUBLE) AS capped_claim_amount,
-              |  CAST(c.approved_amount - c.deductible_applied AS DOUBLE) AS net_claim_payout,
-              |  CAST(p.annual_premium AS DOUBLE) AS annual_premium,
-              |  CAST(p.deductible AS DOUBLE) AS policy_deductible,
-              |  CAST(p.coverage_limit AS DOUBLE) AS coverage_limit,
-              |  CAST(c.claim_amount AS DOUBLE) /
-              |    NULLIF(CAST(p.annual_premium AS DOUBLE), 0) AS claim_to_premium_ratio,
-              |  date_diff('day', c.claim_date, c.reported_date) AS days_to_report,
-              |  date_diff('day', c.reported_date, c.closed_date) AS days_to_close,
-              |  pr.state AS property_state,
-              |  pr.flood_zone, pr.wind_zone,
-              |  c.claim_amount > p.coverage_limit AS exceeds_coverage_limit,
-              |  date_diff('day', c.claim_date, c.reported_date) > 30 AS late_reported,
-              |  c.claim_status = 'CLOSED' AS is_closed,
-              |  c.approved_amount > 0 AS is_paid
-              |FROM sc c
-              |JOIN sp p ON c.policy_id = p.policy_id
-              |LEFT JOIN spr pr ON p.property_id = pr.property_id
-              |ORDER BY c.claim_id""".stripMargin), bench = true),
+      Some(factClaimsOracle), bench = true),
 
     "g_fact_premiums" -> Q((s, dir) =>
       dbl(GoldFacts.buildFactPremiums(silverPremiums(s, dir), silverPolicies(s, dir)))
         .orderBy("premium_id"),
-      Some(s"""WITH spr AS ($silverPremiumsSql), sp AS ($silverPoliciesSql)
-              |SELECT pr.premium_id, pr.policy_id, p.property_id, p.coverage_type_code,
-              |  pr.payment_date AS payment_date_key,
-              |  pr.due_date AS due_date_key,
-              |  pr.period_start_date, pr.period_end_date,
-              |  pr.payment_method, pr.payment_status, pr.billing_period,
-              |  p.agent_id, p.channel,
-              |  CAST(pr.amount AS DOUBLE) AS premium_amount,
-              |  CAST(CASE WHEN pr.payment_status = 'COMPLETED' THEN pr.amount
-              |       ELSE 0 END AS DOUBLE) AS collected_amount,
-              |  CAST(CASE WHEN pr.payment_status = 'FAILED' THEN pr.amount
-              |       ELSE 0 END AS DOUBLE) AS failed_amount,
-              |  date_diff('day', pr.due_date, pr.payment_date) AS days_from_due,
-              |  pr.payment_date > pr.due_date AS is_late_payment,
-              |  pr.payment_status = 'COMPLETED' AS is_collected,
-              |  pr.payment_status = 'FAILED' AS is_failed
-              |FROM spr pr
-              |LEFT JOIN sp p ON pr.policy_id = p.policy_id
-              |ORDER BY pr.premium_id""".stripMargin)),
+      Some(factPremiumsOracle)),
 
     // ----- SCD2 merge (S10, §7.4) --------------------------------------
     "scd2_merge" -> Q((s, dir) => {

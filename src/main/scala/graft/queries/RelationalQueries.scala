@@ -17,6 +17,26 @@ object RelationalQueries {
   private def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  // Shared with SqlMartQueries (sql_dim_date twin).
+  private[queries] val dimDateOracle: String =
+    """SELECT CAST(d AS DATE) AS date_key,
+             |  CAST(EXTRACT(year FROM d) AS INT) AS year,
+             |  CAST(quarter(CAST(d AS DATE)) AS INT) AS quarter,
+             |  CAST(EXTRACT(month FROM d) AS INT) AS month,
+             |  CAST(EXTRACT(day FROM d) AS INT) AS day_of_month,
+             |  CAST(date_part('dow', d) AS INT) AS day_of_week,
+             |  CAST(date_part('doy', d) AS INT) AS day_of_year,
+             |  strftime(d, '%Y-%m') AS year_month,
+             |  strftime(d, '%Y') || '-Q' || CAST(quarter(CAST(d AS DATE)) AS VARCHAR) AS year_quarter,
+             |  monthname(CAST(d AS DATE)) AS month_name,
+             |  dayname(CAST(d AS DATE)) AS day_name,
+             |  date_part('dow', d) IN (0, 6) AS is_weekend,
+             |  EXTRACT(month FROM d) BETWEEN 6 AND 11 AS is_hurricane_season,
+             |  EXTRACT(month FROM d) BETWEEN 3 AND 5 AS is_tornado_season,
+             |  EXTRACT(month FROM d) IN (12, 1, 2) AS is_winter_storm_season
+             |FROM generate_series(DATE '2020-01-01', DATE '2021-12-31', INTERVAL 1 DAY) t(d)
+             |ORDER BY date_key""".stripMargin
+
   val defs: Seq[(String, Q)] = Seq(
 
     // ----- §2.1 scans / sources / sinks ---------------------------------
@@ -1027,23 +1047,7 @@ object RelationalQueries {
     "w1_dim_date_spine" -> Q((s, _) =>
       graft.operators.GoldDims.buildDimDate(s, "2020-01-01", "2022-01-01")
         .orderBy("date_key"),
-      Some("""SELECT CAST(d AS DATE) AS date_key,
-             |  CAST(EXTRACT(year FROM d) AS INT) AS year,
-             |  CAST(quarter(CAST(d AS DATE)) AS INT) AS quarter,
-             |  CAST(EXTRACT(month FROM d) AS INT) AS month,
-             |  CAST(EXTRACT(day FROM d) AS INT) AS day_of_month,
-             |  CAST(date_part('dow', d) AS INT) AS day_of_week,
-             |  CAST(date_part('doy', d) AS INT) AS day_of_year,
-             |  strftime(d, '%Y-%m') AS year_month,
-             |  strftime(d, '%Y') || '-Q' || CAST(quarter(CAST(d AS DATE)) AS VARCHAR) AS year_quarter,
-             |  monthname(CAST(d AS DATE)) AS month_name,
-             |  dayname(CAST(d AS DATE)) AS day_name,
-             |  date_part('dow', d) IN (0, 6) AS is_weekend,
-             |  EXTRACT(month FROM d) BETWEEN 6 AND 11 AS is_hurricane_season,
-             |  EXTRACT(month FROM d) BETWEEN 3 AND 5 AS is_tornado_season,
-             |  EXTRACT(month FROM d) IN (12, 1, 2) AS is_winter_storm_season
-             |FROM generate_series(DATE '2020-01-01', DATE '2021-12-31', INTERVAL 1 DAY) t(d)
-             |ORDER BY date_key""".stripMargin)),
+      Some(RelationalQueries.dimDateOracle)),
 
     // ----- §2.6 sorts / limits -----------------------------------------
     "o1_orderby_sort" -> Q((s, dir) =>
