@@ -185,16 +185,22 @@ object Pq {
     * meets the broadcast (query LUT ⋈ query cluster) frame in an
     * equi-join on cluster_id — never a cross join — followed by the
     * per-query top-k window on O(candidates-in-cluster) rows.
-    * Recall trades exactly like [[Similarity.ivfTopK]] (single-probe
-    * here; more probes = widen the query-side cluster list). */
+    *
+    * `nprobe` is the recall knob ([[Similarity.ivfAssignMulti]]): the
+    * query side carries its `nprobe` nearest clusters, widening the
+    * equi-join's candidate volume linearly while the corpus side — each
+    * vector stored in exactly ONE inverted list — stays untouched, so
+    * no candidate can appear twice and no distinct is needed. Routing
+    * loss (the true neighbor across a Voronoi boundary) is what extra
+    * probes buy back; quantization loss needs more codebook bits. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       cb: DataFrame, idCol: String, vecCol: String,
-      m: Int, subDim: Int, kTop: Int): DataFrame = {
+      m: Int, subDim: Int, kTop: Int, nprobe: Int = 1): DataFrame = {
     val codes = encode(corpus, cb, idCol, vecCol, m, subDim)
       .join(Similarity.ivfAssign(corpus, centroids, idCol, vecCol), idCol)
       .select(col(idCol).as("corpus_id"), col("cluster_id"), col("codes"))
     val qside = queryLuts(queries, cb, idCol, vecCol, m, subDim)
-      .join(Similarity.ivfAssign(queries, centroids, idCol, vecCol)
+      .join(Similarity.ivfAssignMulti(queries, centroids, idCol, vecCol, nprobe)
         .select(col(idCol).as("query_id"), col("cluster_id")), "query_id")
     val w = Window.partitionBy("query_id").orderBy(col("approx_d2").asc, col("corpus_id"))
     codes.join(broadcast(qside), "cluster_id")

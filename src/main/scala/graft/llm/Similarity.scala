@@ -69,6 +69,28 @@ object Similarity {
       .select(col("vec_id_").as(idCol), col("centroid_id").as("cluster_id"))
   }
 
+  /** Multi-probe assignment: each vector's `nprobe` NEAREST centroids in
+    * max-cosine order (probe_rank 1 = the [[ivfAssign]] cluster). The
+    * query-side half of multi-probe IVF search: routing loss — the true
+    * neighbor living just across a Voronoi boundary — is recovered by
+    * widening the probed cluster list, at a linear cost multiplier of
+    * `nprobe` on the candidate volume (the classic FAISS recall knob).
+    * Same narrow map + per-vector window as [[ivfAssign]]. */
+  def ivfAssignMulti(vectors: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1, s"nprobe=$nprobe must be >= 1")
+    val v = vectors.select(col(idCol).as("vec_id_"), asDoubleVec(col(vecCol)).as("vv"))
+    val cent = centroids.select(col(idCol).as("centroid_id"), asDoubleVec(col(vecCol)).as("cv"))
+    val w = Window.partitionBy("vec_id_").orderBy(col("csim").desc, col("centroid_id"))
+    v.crossJoin(broadcast(cent))
+      .select(col("vec_id_"), col("centroid_id"), cosine(col("vv"), col("cv")).as("csim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id_").as(idCol), col("centroid_id").as("cluster_id"),
+        col("rn").as("probe_rank"))
+  }
+
   /** IVF top-k: probe only the query's own cluster. Returns
     * (query_id, corpus_id, cluster_id, sim, rank). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,

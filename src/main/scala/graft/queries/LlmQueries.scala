@@ -1000,6 +1000,122 @@ object LlmQueries {
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
     }), bench = true),
 
+    "llm_ivfpq_recall" -> Q((s, dir) => {
+      // Multi-probe recall gate: IVFPQ recall@3 against EXACT-L2 ground
+      // truth at nprobe=1 vs nprobe=3 (Pq.ivfPqTopK's recall knob via
+      // Similarity.ivfAssignMulti). Probing the 3 nearest clusters
+      // recovers routing loss — neighbors across a Voronoi boundary —
+      // which single-probe structurally cannot see; the two-row output
+      // carries the uplift. The oracle replays the full PQ chain plus
+      // the probed routing and both recall computations.
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id").between(10, 14))
+      val cents = emb.filter(col("vec_id") < 8)
+      val cb = Pq.codebooks(emb, "vec_id", "embedding", m = 8, subDim = 8, k = 4, iters = 2)
+      val v = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vv"))
+      val q = v.filter(col("vec_id").between(10, 14))
+        .select(col("vec_id").as("query_id"), col("vv").as("qv"))
+      val wexact = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("d2").asc, col("corpus_id"))
+      val exact = v.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("corpus_id"),
+          Pq.l2sq(col("vv"), col("qv")).as("d2"))
+        .withColumn("rank", row_number().over(wexact))
+        .filter(col("rank") <= 3)
+        .select("query_id", "corpus_id")
+      val runs = Seq(1, 3).map { p =>
+        val approx = Pq.ivfPqTopK(emb, queries, cents, cb,
+            "vec_id", "embedding", m = 8, subDim = 8, kTop = 3, nprobe = p)
+          .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+        exact.join(approx, Seq("query_id", "corpus_id"), "left")
+          .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("n_hits"))
+          .select(lit(p).as("nprobe"), col("n_hits"),
+            (col("n_hits") / lit(15.0)).as("recall_at_3"))
+      }
+      runs.reduce(_ unionByName _).orderBy("nprobe")
+    }, Some({
+      def d2(a: String, b: String) =
+        s"list_reduce(list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+      def assignCte(name: String, cents: String) =
+        s"""$name AS (SELECT vec_id, s, sv, cid FROM (
+           |  SELECT b.vec_id, b.s, b.sv, c.cid,
+           |    row_number() OVER (PARTITION BY b.vec_id, b.s
+           |      ORDER BY ${d2("b.sv", "c.cv")} ASC, c.cid) AS rn
+           |  FROM sub b JOIN $cents c ON b.s = c.s) WHERE rn = 1)""".stripMargin
+      def meanCtes(a: String, mm: String, cprev: String, c: String) =
+        s"""$mm AS (SELECT s, cid, i,
+           |    CAST(SUM(CAST(floor(sv[i] * 1073741824.0) AS DECIMAL(38,0))) AS DOUBLE)
+           |      / count(*) / 1073741824.0 AS mu
+           |  FROM $a, LATERAL (SELECT unnest(generate_series(1, len(sv))) AS i) u
+           |  GROUP BY s, cid, i),
+           |$c AS (SELECT p.s, p.cid, coalesce(n.cv, p.cv) AS cv
+           |  FROM $cprev p LEFT JOIN
+           |    (SELECT s, cid, list(mu ORDER BY i) AS cv FROM $mm GROUP BY s, cid) n
+           |  ON p.s = n.s AND p.cid = n.cid)""".stripMargin
+      val sim = simSql("a.vv", "c.cv")
+      def probeCtes(p: Int) =
+        s"""scored$p AS (SELECT q.query_id, c.corpus_id,
+           |  list_reduce(list_transform(range(1, 9), s -> q.luts[s][c.codes[s] + 1]),
+           |    (x, y) -> x + y) AS approx_d2
+           |  FROM codes c
+           |  JOIN assigned ca ON ca.vec_id = c.corpus_id
+           |  JOIN qassign qa ON qa.cluster_id = ca.cluster_id AND qa.rn <= $p
+           |  JOIN lut q ON q.query_id = qa.query_id
+           |  WHERE c.corpus_id <> q.query_id),
+           |top$p AS (SELECT query_id, corpus_id FROM (
+           |  SELECT query_id, corpus_id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY approx_d2 ASC, corpus_id) AS rank
+           |  FROM scored$p) WHERE rank <= 3),
+           |rec$p AS (SELECT $p AS nprobe, CAST(count(t.corpus_id) AS INT) AS n_hits,
+           |  CAST(count(t.corpus_id) AS INT) / 15.0 AS recall_at_3
+           |  FROM exactl2 e LEFT JOIN top$p t
+           |    ON t.query_id = e.query_id AND t.corpus_id = e.corpus_id)""".stripMargin
+      s"""WITH v AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings),
+         |sub AS (SELECT vec_id, s, list_slice(vv, s * 8 + 1, s * 8 + 8) AS sv
+         |  FROM v, LATERAL (SELECT unnest(range(0, 8)) AS s) u),
+         |c0 AS (SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS cid,
+         |    sv AS cv FROM sub
+         |  WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 4)),
+         |${assignCte("a1", "c0")},
+         |${meanCtes("a1", "m1", "c0", "c1")},
+         |${assignCte("a2", "c1")},
+         |${meanCtes("a2", "m2", "c1", "c2")},
+         |codes0 AS (SELECT vec_id, s, cid FROM (
+         |  SELECT b.vec_id, b.s, c.cid,
+         |    row_number() OVER (PARTITION BY b.vec_id, b.s
+         |      ORDER BY ${d2("b.sv", "c.cv")} ASC, c.cid) AS rn
+         |  FROM sub b JOIN c2 c ON b.s = c.s) WHERE rn = 1),
+         |codes AS (SELECT vec_id AS corpus_id, list(cid ORDER BY s) AS codes
+         |  FROM codes0 GROUP BY vec_id),
+         |cent AS (SELECT vec_id AS centroid_id, vv AS cv FROM v WHERE vec_id < 8),
+         |assigned AS (SELECT vec_id, centroid_id AS cluster_id FROM (
+         |  SELECT a.vec_id, c.centroid_id,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY $sim DESC, c.centroid_id) AS rn
+         |  FROM v a CROSS JOIN cent c) WHERE rn = 1),
+         |qassign AS (SELECT query_id, cluster_id, rn FROM (
+         |  SELECT a.vec_id AS query_id, c.centroid_id AS cluster_id,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY $sim DESC, c.centroid_id) AS rn
+         |  FROM v a CROSS JOIN cent c WHERE a.vec_id BETWEEN 10 AND 14) WHERE rn <= 3),
+         |qv AS (SELECT vec_id AS query_id, vv AS qv FROM v WHERE vec_id BETWEEN 10 AND 14),
+         |exactl2 AS (SELECT query_id, corpus_id FROM (
+         |  SELECT q.query_id, c.vec_id AS corpus_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${d2("q.qv", "c.vv")} ASC, c.vec_id) AS rank
+         |  FROM v c CROSS JOIN qv q WHERE c.vec_id <> q.query_id) WHERE rank <= 3),
+         |qsub AS (SELECT vec_id AS query_id, s, sv FROM sub WHERE vec_id BETWEEN 10 AND 14),
+         |lut0 AS (SELECT q.query_id, q.s, c.cid, ${d2("q.sv", "c.cv")} AS dd
+         |  FROM qsub q JOIN c2 c ON q.s = c.s),
+         |lut1 AS (SELECT query_id, s, list(dd ORDER BY cid) AS l FROM lut0 GROUP BY query_id, s),
+         |lut AS (SELECT query_id, list(l ORDER BY s) AS luts FROM lut1 GROUP BY query_id),
+         |${probeCtes(1)},
+         |${probeCtes(3)}
+         |SELECT * FROM rec1 UNION ALL SELECT * FROM rec3 ORDER BY nprobe""".stripMargin
+    })),
+
     "llm_lr_train" -> Q((s, dir) => {
       // Distributed quality-classifier training (Classifier.scala):
       // 4 full-batch GD iterations, softsign link, class-weighted

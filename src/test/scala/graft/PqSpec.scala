@@ -110,6 +110,38 @@ class PqSpec extends SparkTestBase {
       assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to rs.length))
   }
 
+  test("multi-probe recovers a neighbor across the Voronoi boundary; nprobe=1 unchanged") {
+    // Two well-separated centroid directions c0/c1; query q sits near c0's
+    // side of the boundary, but its TRUE nearest neighbor n leans just
+    // over into c1's cell. Single-probe (q routes to c0) structurally
+    // cannot return n; nprobe=2 probes c1 too and finds it.
+    def unit(theta: Double) = Array.tabulate(dim)(j =>
+      if (j == 0) math.cos(theta) else if (j == 1) math.sin(theta) else 0.0)
+    val c0 = unit(0.0); val c1 = unit(math.Pi / 2)
+    val q = unit(math.Pi / 4 - 0.1)      // cos-closer to c0
+    val n = unit(math.Pi / 4 + 0.1)      // q's nearest corpus vec, in c1's cell
+    val far = unit(-0.7)                 // c0-cell decoy, farther from q
+    val corpus = Seq(0L -> c0, 1L -> c1, 2L -> n, 3L -> far, 10L -> q)
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 10L)
+    val centroids = corpus.filter(col("vec_id") < 2)
+    val cb = Pq.codebooks(corpus, "vec_id", "embedding", m, subDim, k = 4, iters = 2)
+    def ids(nprobe: Int): Seq[Long] =
+      Pq.ivfPqTopK(corpus, queries, centroids, cb, "vec_id", "embedding",
+        m, subDim, kTop = 1, nprobe = nprobe).collect().map(_.getAs[Long]("corpus_id")).toSeq
+    assert(ids(1) !== Seq(2L), "single probe must miss the cross-boundary neighbor")
+    assert(ids(2) === Seq(2L), "nprobe=2 must recover the true neighbor")
+    // default nprobe=1 path is byte-identical to the pre-knob behavior
+    val out1 = Pq.ivfPqTopK(vecs, vecs.filter(col("vec_id") >= 9),
+      vecs.filter(col("vec_id") < 3), Pq.codebooks(vecs, "vec_id", "embedding", m, subDim, 3, 2),
+      "vec_id", "embedding", m, subDim, kTop = 3).collect()
+    val assign = graft.llm.Similarity
+      .ivfAssign(vecs, vecs.filter(col("vec_id") < 3), "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (r <- out1)
+      assert(assign(r.getAs[Long]("query_id")) === r.getAs[Long]("cluster_id"))
+  }
+
   test("subspaces fails loudly on a wrong-length vector") {
     val bad = Seq((0L, Array.fill(dim + 1)(0.5))).toDF("vec_id", "embedding")
     val ex = intercept[Exception] {
