@@ -41,26 +41,33 @@ object PageRank {
       .localCheckpoint(true)
     var ranks = nodes.select(col(idCol).as("nid"), (lit(1.0) / lit(nD)).as("pr"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val inflow = e.join(ranks, col("src") === col("nid"))
-        .join(outdeg, "src")
-        .select(col("dst"),
-          floor((col("pr") / col("deg")) * lit(1.0e12)).cast("decimal(38,0)").as("c"))
-        .groupBy("dst")
-        .agg((sum(col("c")).cast("double") / lit(1.0e12)).as("inflow"))
-      val dm = ranks.join(outdeg, ranks("nid") === outdeg("src"), "left_anti")
-        .agg(coalesce(
-          sum(floor(col("pr") * lit(1.0e12)).cast("decimal(38,0)")).cast("double") /
-            lit(1.0e12),
-          lit(0.0)))
-        .first().getDouble(0)
-      ranks = nodes.select(col(idCol).as("nid"))
-        .join(inflow, col("nid") === col("dst"), "left")
-        .select(col("nid"),
-          (lit(1.0 - damping) / lit(nD) + lit(damping) *
-            (coalesce(col("inflow"), lit(0.0)) + lit(dm) / lit(nD))).as("pr"))
-        .localCheckpoint(true)
-    }
+    for (_ <- 1 to iters)
+      ranks = round(nodes, e, outdeg, ranks, idCol, nD, damping).localCheckpoint(true)
     ranks.select(col("nid").as(idCol), col("pr"))
+  }
+
+  /** ONE damped round, pre-checkpoint — exposed so PlanGuardsSpec can pin
+    * the per-iteration plan shape (two rank/degree attach joins, exactly
+    * one dst-keyed aggregate exchange, no cartesian fallback) against the
+    * REAL iteration body rather than a re-derived twin. */
+  private[graft] def round(nodes: DataFrame, e: DataFrame, outdeg: DataFrame,
+      ranks: DataFrame, idCol: String, nD: Double, damping: Double): DataFrame = {
+    val inflow = e.join(ranks, col("src") === col("nid"))
+      .join(outdeg, "src")
+      .select(col("dst"),
+        floor((col("pr") / col("deg")) * lit(1.0e12)).cast("decimal(38,0)").as("c"))
+      .groupBy("dst")
+      .agg((sum(col("c")).cast("double") / lit(1.0e12)).as("inflow"))
+    val dm = ranks.join(outdeg, ranks("nid") === outdeg("src"), "left_anti")
+      .agg(coalesce(
+        sum(floor(col("pr") * lit(1.0e12)).cast("decimal(38,0)")).cast("double") /
+          lit(1.0e12),
+        lit(0.0)))
+      .first().getDouble(0)
+    nodes.select(col(idCol).as("nid"))
+      .join(inflow, col("nid") === col("dst"), "left")
+      .select(col("nid"),
+        (lit(1.0 - damping) / lit(nD) + lit(damping) *
+          (coalesce(col("inflow"), lit(0.0)) + lit(dm) / lit(nD))).as("pr"))
   }
 }

@@ -42,13 +42,12 @@ object Triangles {
     * `deg` counts distinct neighbors; `tri` counts triangles through v;
     * `lcc` = 2·tri / (deg·(deg−1)), 0.0 when deg < 2. Covers every
     * vertex that appears in an edge (isolated vertices have no row). */
-  def perVertex(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
-    val canon = canonical(edges, srcCol, dstCol).localCheckpoint(true)
-    val deg = canon.select(col("a").as("v"))
-      .unionByName(canon.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
-
+  /** Degree-ordered orientation of the canonical edges: (u, h, hd) with
+    * u the (deg, id)-smaller endpoint — out-degree O(√m) on any graph,
+    * the property that makes the wedge self-join Σ outdeg² instead of
+    * Σ deg². Exposed so PlanGuardsSpec can pin the orientation invariant
+    * (a hub never becomes a wedge pivot) against the real builder. */
+  private[graft] def orientedEdges(canon: DataFrame, deg: DataFrame): DataFrame = {
     // Orient a—b from the (deg, id)-smaller endpoint to the larger.
     // Struct comparison gives the lexicographic (deg, id) order on both
     // sides without packing into a single key (ids and degrees keep
@@ -57,11 +56,22 @@ object Triangles {
       .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
     val aFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
-    val oriented = withDeg.select(
+    withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("u"),
       when(aFirst, col("b")).otherwise(col("a")).as("h"),
       when(aFirst, col("db")).otherwise(col("da")).as("hd"))
-      .localCheckpoint(true)
+  }
+
+  /** Degrees over the canonical simple graph (one row per vertex). */
+  private[graft] def degrees(canon: DataFrame): DataFrame =
+    canon.select(col("a").as("v"))
+      .unionByName(canon.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+
+  def perVertex(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val canon = canonical(edges, srcCol, dstCol).localCheckpoint(true)
+    val deg = degrees(canon).localCheckpoint(true)
+    val oriented = orientedEdges(canon, deg).localCheckpoint(true)
 
     // Wedges at pivot u: unordered out-neighbor pairs, canonicalized by
     // the same (deg, id) order — so the closing edge, if present, is

@@ -310,4 +310,69 @@ class PlanGuardsSpec extends SparkTestBase {
     assert(plan.contains("partial_count") || plan.contains("Partial"),
       s"source rollup must map-side combine:\n$plan")
   }
+
+  test("PageRank round: two attach joins, exactly one dst-keyed agg exchange, no cartesian") {
+    import graft.operators.PageRank
+    val nodes = (1L to 200L).toDF("nid_src").select(col("nid_src").as("page"))
+    val edges = (1L to 600L).map(i => (i % 200 + 1, (i * 7) % 200 + 1))
+      .toDF("src", "dst").filter(col("src") =!= col("dst"))
+    val e = edges.localCheckpoint(true)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
+      .localCheckpoint(true)
+    val ranks = nodes.select(col("page").as("nid"), lit(1.0 / 200).as("pr"))
+      .localCheckpoint(true)
+    val next = PageRank.round(nodes, e, outdeg, ranks, "page", 200.0, 0.85)
+    next.collect()
+    val plan = next.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
+    // PageRank's irreducible communication: ONE exchange keyed on dst for
+    // the inflow reduce. A second dst exchange means the contribution
+    // stream shuffles twice per iteration — fatal at a 100 TB edge list.
+    val dstEx = "Exchange hashpartitioning\\(dst".r.findAllIn(plan).length
+    assert(dstEx === 1, s"inflow must reduce in one dst exchange, got $dstEx:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"inflow aggregate must map-side combine before the shuffle:\n$plan")
+  }
+
+  test("Triangles orientation: a hub never pivots a wedge (sum outdeg^2 stays linear)") {
+    import graft.operators.Triangles
+    // Star K(1,60): hub 0 joined to 60 leaves. A naive neighbor self-join
+    // pivots at the hub and enumerates 60*59/2 = 1770 wedge candidates;
+    // degree-ordered orientation points every edge leaf->hub, so the hub
+    // has out-degree ZERO and the wedge join input is empty.
+    val star = (1L to 60L).map(l => (0L, l)).toDF("src", "dst")
+    val canon = Triangles.canonical(star)
+    val oriented = Triangles.orientedEdges(canon, Triangles.degrees(canon))
+    val outdeg = oriented.groupBy("u").agg(count(lit(1)).as("od")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!outdeg.contains(0L) || outdeg(0L) === 0L,
+      s"hub must not own oriented out-edges, got ${outdeg.get(0L)}")
+    assert(outdeg.values.forall(_ <= 1L),
+      s"star leaves orient exactly one edge each: $outdeg")
+    // and the full operator stays equi-join shaped on the same fixture
+    val pv = Triangles.perVertex(star)
+    pv.collect()
+    val plan = pv.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"wedge/closing joins must stay equi-joins:\n$plan")
+    assert(pv.filter(col("tri") =!= 0L).count() === 0L, "a star has no triangles")
+  }
+
+  test("CountMin build: one hash-agg pair, one exchange, map-side combine") {
+    import graft.operators.CountMin
+    val df = (1L to 5000L).map(i => s"k${i % 97}").toDF("k")
+    val sketch = CountMin.build(df, "k", depth = 4, width = 64)
+    sketch.collect()
+    val plan = sketch.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // depth×n exploded rows must combine to ≤ depth×width cells per task
+    // BEFORE the shuffle: partial_count under the generate, one exchange
+    // on (cm_row, cm_bucket), final count above it. A second exchange (or
+    // a missing partial) ships the whole exploded stream — the exact
+    // failure mode sketches exist to avoid.
+    assert(plan.contains("partial_count"),
+      s"sketch build must map-side combine:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"sketch build must shuffle once, got $exchanges:\n$plan")
+    assert(plan.contains("Generate"), s"rowBuckets explode missing:\n$plan")
+  }
 }
