@@ -437,5 +437,88 @@ object StreamingQueries {
               |    // 21600) * 21600 AS window_start,
               |  count(DISTINCT user_id) AS exact_users,
               |  TRUE AS approx_within_bound
-              |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin)))
+              |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin)),
+
+    "st11_stream_scd2" -> Q((s, dir) => {
+      // Streaming SCD2 — the reference's two flagship patterns composed
+      // in ONE pipeline: Auto Loader-style incremental file pickup
+      // (st1's shape) feeding MERGE-maintained dimension history
+      // (Scd2.merge in foreachBatch, the OSS mapping of dim_policy.py's
+      // streaming MERGE INTO). Batch A loads every order as a current
+      // dimension row; batch B re-emits keys divisible by 3 with status
+      // 'X' and a start date 10 days later — the merge must close each
+      // old version (is_current=false, end = new start) AND insert the
+      // new one, under the same checkpoint (B processes only B's file).
+      import graft.operators.Scd2
+      val base = tmp("graft_st11")
+      val src = s"$base/in"; val chk = s"$base/chk"
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_st11")
+      s.sql("DROP TABLE IF EXISTS graft_st11.dim_order")
+      val dimA = T(s, dir, "orders").select(
+        col("o_orderkey").cast("string").as("order_id"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").cast("decimal(12,2)").as("total"),
+        col("o_orderdate").cast("date").cast("timestamp").as("effective_start_date"))
+      def runOnce(): Unit = {
+        val q = s.readStream
+          .schema("order_id STRING, status STRING, total DECIMAL(12,2), " +
+            "effective_start_date TIMESTAMP")
+          .parquet(src)
+          .writeStream
+          .option("checkpointLocation", chk)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              val sp = batch.sparkSession
+              val dim = batch
+                .withColumn("effective_end_date", lit(null).cast("timestamp"))
+                .withColumn("is_current", lit(true))
+              val merged =
+                if (sp.catalog.tableExists("graft_st11.dim_order"))
+                  Scd2.merge(sp.read.table("graft_st11.dim_order"), dim,
+                    keyCols = Seq("order_id"), trackedCols = Seq("status"))
+                    .localCheckpoint(true) // materialize BEFORE the overwrite
+                else dim
+              merged.write.mode("overwrite").saveAsTable("graft_st11.dim_order")
+            }
+          }
+          .start()
+        q.awaitTermination()
+      }
+      dimA.write.mode("append").parquet(src) // batch A: first load
+      runOnce()
+      dimA.filter(col("order_id").cast("long") % 3 === 0) // batch B: changes
+        .select(col("order_id"), lit("X").as("status"), col("total"),
+          (col("effective_start_date") + expr("INTERVAL 10 DAY"))
+            .as("effective_start_date"))
+        .write.mode("append").parquet(src)
+      runOnce()
+      s.read.table("graft_st11.dim_order")
+        .select(col("order_id"), col("status"),
+          col("total").cast("double").as("total"),
+          col("effective_start_date"), col("effective_end_date"),
+          col("is_current"))
+        .orderBy("order_id", "is_current")
+    }, Some("""WITH base AS (SELECT CAST(o_orderkey AS VARCHAR) AS order_id,
+              |    o_orderstatus AS status,
+              |    CAST(o_totalprice AS DECIMAL(12,2)) AS total,
+              |    CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS esd,
+              |    o_orderkey AS k FROM orders),
+              |upd AS (SELECT order_id, 'X' AS status, total,
+              |    esd + INTERVAL 10 DAY AS esd FROM base WHERE k % 3 = 0),
+              |kept AS (SELECT order_id, status, total, esd,
+              |    CAST(NULL AS TIMESTAMP) AS eed, true AS cur
+              |  FROM base WHERE k % 3 <> 0),
+              |closed AS (SELECT b.order_id, b.status, b.total, b.esd,
+              |    u.esd AS eed, false AS cur
+              |  FROM base b JOIN upd u USING (order_id)),
+              |newv AS (SELECT order_id, status, total, esd,
+              |    CAST(NULL AS TIMESTAMP) AS eed, true AS cur FROM upd)
+              |SELECT order_id, status, CAST(total AS DOUBLE) AS total,
+              |  esd AS effective_start_date, eed AS effective_end_date,
+              |  cur AS is_current
+              |FROM (SELECT * FROM kept UNION ALL SELECT * FROM closed
+              |      UNION ALL SELECT * FROM newv) u
+              |ORDER BY order_id, is_current""".stripMargin)))
 }
