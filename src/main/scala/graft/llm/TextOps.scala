@@ -375,11 +375,12 @@ object TextOps {
           (col("tf") + lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * col("dl") / col("avgdl"))))
     scored.groupBy(col(idCol))
       .agg(count(lit(1)).cast("int").as("n_terms_hit"),
-        sum(round(col("tscore"), 12).cast("decimal(28,14)")).as("_score_dec"))
+        sum(floor(col("tscore") * lit(1.0e12)).cast("decimal(38,0)"))
+          .as("_score_dec"))
       .orderBy(col("_score_dec").desc, col(idCol))
       .limit(k)
       .select(col(idCol), col("n_terms_hit"),
-        col("_score_dec").cast("double").as("bm25_score"))
+        (col("_score_dec").cast("double") / lit(1.0e12)).as("bm25_score"))
   }
 
   /** Per-document unigram token entropy (nats) — the information-density
@@ -389,9 +390,10 @@ object TextOps {
     * key (per-(doc, token) counts, then the per-doc rollup; the window
     * supplying `n` shares the second's partitioning). Each term is a
     * double derived from two exact integers via identical operations in
-    * both engines, rounded to 12 dp and SUMMED IN DECIMAL — exact
-    * order-independent addition (a double Σ would vary with aggregation
-    * order). */
+    * both engines, accumulated FIXED-POINT (`floor(x·10¹²)` in
+    * DECIMAL(38,0); `round(x, 12)` diverges at rounding boundaries —
+    * r9 stress finding) — exact order-independent addition (a double Σ
+    * would vary with aggregation order). */
   def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df
@@ -403,10 +405,10 @@ object TextOps {
       .groupBy(col(idCol))
       .agg(max(col("n")).as("n_tokens"),
         count(lit(1)).as("n_distinct"),
-        sum(round((col("c") / col("n")) * log(col("n") / col("c")), 12)
-          .cast("decimal(28,14)")).as("_ent_dec"))
+        sum(floor((col("c") / col("n")) * log(col("n") / col("c")) * lit(1.0e12))
+          .cast("decimal(38,0)")).as("_ent_dec"))
       .select(col(idCol), col("n_tokens"), col("n_distinct"),
-        col("_ent_dec").cast("double").as("entropy"))
+        (col("_ent_dec").cast("double") / lit(1.0e12)).as("entropy"))
   }
 
   /** Segment-level dedup (the line/paragraph dedup of RefinedWeb/CCNet,
@@ -454,10 +456,11 @@ object TextOps {
     * the per-token join is keyed on the term — the vocabulary is tiny
     * relative to the corpus (Heaps' law), so at scale the count frame
     * broadcasts and the token stream never shuffles (hinted here). The
-    * 2-value totals frame broadcasts. Surprisals round to 12 dp and SUM
-    * IN DECIMAL (order-independent); the mean divides the exact sum by
-    * the exact count in double — one correctly-rounded op, engine-
-    * identical. */
+    * 2-value totals frame broadcasts. Surprisals accumulate FIXED-POINT
+    * (`floor(x·10¹²)` in DECIMAL(38,0) — `round(x, 12)` is NOT portable
+    * across engines; a 10× stress corpus flipped 68/500 docs by one
+    * ulp, r9); the mean divides the exact sum by the exact count in
+    * double — one correctly-rounded op, engine-identical. */
   def unigramCrossEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
@@ -468,12 +471,12 @@ object TextOps {
       .join(broadcast(counts), "term")
       .crossJoin(broadcast(totals))
       .select(col(idCol),
-        round(log(col("t_total").cast("double") / col("cnt").cast("double")), 12)
-          .cast("decimal(28,14)").as("_surprisal"))
+        floor(log(col("t_total").cast("double") / col("cnt").cast("double"))
+          * lit(1.0e12)).cast("decimal(38,0)").as("_surprisal"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum(col("_surprisal")).as("_sum"))
       .select(col(idCol), col("n_tokens"),
-        (col("_sum").cast("double") / col("n_tokens").cast("double"))
+        (col("_sum").cast("double") / lit(1.0e12) / col("n_tokens").cast("double"))
           .as("cross_entropy"))
   }
 

@@ -1852,8 +1852,9 @@ object LlmQueries {
       // BM25 top-20 for a fixed query term set (TextOps.bm25TopDocs):
       // lexical retrieval with corpus stats broadcast and top-k via
       // TakeOrderedAndProject, never a single-partition window. Scores
-      // sum 12-dp-rounded term scores in DECIMAL (order-independent);
-      // the oracle mirrors the exact expression shape.
+      // accumulate fixed-point (floor(x*1e12) in DECIMAL(38,0), the
+      // portable form — r9 stress finding); the oracle mirrors the
+      // exact expression shape.
       TextOps.bm25TopDocs(T(s, dir, "documents").select("doc_id", "text"),
           "doc_id", "text", Seq("hash", "join", "vector", "stream"), 20)
         .orderBy(col("bm25_score").desc, col("doc_id")),
@@ -1875,9 +1876,10 @@ object LlmQueries {
               |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS tscore
               |  FROM wdf CROSS JOIN stats),
               |agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_terms_hit,
-              |    SUM(CAST(round(tscore, 12) AS DECIMAL(28,14))) AS sd
+              |    SUM(CAST(floor(tscore * 1000000000000.0) AS DECIMAL(38,0))) AS sd
               |  FROM scored GROUP BY doc_id)
-              |SELECT doc_id, n_terms_hit, CAST(sd AS DOUBLE) AS bm25_score
+              |SELECT doc_id, n_terms_hit,
+              |  CAST(sd AS DOUBLE) / 1000000000000.0 AS bm25_score
               |FROM agg ORDER BY sd DESC, doc_id LIMIT 20""".stripMargin),
       bench = true),
 
@@ -1934,8 +1936,8 @@ object LlmQueries {
     // ----- token entropy (information-density quality signal) ------------
     "llm_token_entropy" -> Q((s, dir) =>
       // Per-doc unigram entropy in nats (TextOps.tokenEntropy): each
-      // (c/n)·ln(n/c) term is an engine-identical double, rounded to
-      // 12 dp and summed in DECIMAL — exact, order-independent.
+      // (c/n)·ln(n/c) term is an engine-identical double, accumulated
+      // fixed-point (floor(x*1e12)) — exact, order-independent.
       TextOps.tokenEntropy(T(s, dir, "documents").select("doc_id", "text"),
           "doc_id", "text")
         .orderBy("doc_id"),
@@ -1946,8 +1948,8 @@ object LlmQueries {
               |wn AS (SELECT *, SUM(c) OVER (PARTITION BY doc_id) AS n FROM tc)
               |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
               |  count(*) AS n_distinct,
-              |  CAST(SUM(CAST(round((c / n) * ln(n / c), 12) AS DECIMAL(28,14)))
-              |    AS DOUBLE) AS entropy
+              |  CAST(SUM(CAST(floor((c / n) * ln(n / c) * 1000000000000.0)
+              |    AS DECIMAL(38,0))) AS DOUBLE) / 1000000000000.0 AS entropy
               |FROM wn GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ----- sub-document dedup + statistical quality ----------------------
@@ -1977,7 +1979,8 @@ object LlmQueries {
     "llm_unigram_ppl" -> Q((s, dir) =>
       // CCNet-style statistical quality: per-doc cross-entropy under the
       // corpus unigram LM (TextOps.unigramCrossEntropy). Counts frame
-      // broadcasts (vocab ≪ corpus); surprisals sum in DECIMAL.
+      // broadcasts (vocab ≪ corpus); surprisals sum fixed-point
+      // (round(x,12) flipped 68/500 docs on the r9 stress corpus).
       TextOps.unigramCrossEntropy(
           T(s, dir, "documents").select("doc_id", "text"), "doc_id", "text")
         .orderBy("doc_id"),
@@ -1987,11 +1990,12 @@ object LlmQueries {
               |cnts AS (SELECT term, count(*) AS cnt FROM tkf GROUP BY term),
               |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t_total FROM cnts),
               |sp AS (SELECT doc_id,
-              |    CAST(round(ln(CAST(t_total AS DOUBLE) / CAST(cnt AS DOUBLE)), 12)
-              |      AS DECIMAL(28,14)) AS s
+              |    CAST(floor(ln(CAST(t_total AS DOUBLE) / CAST(cnt AS DOUBLE))
+              |      * 1000000000000.0) AS DECIMAL(38,0)) AS s
               |  FROM tkf JOIN cnts USING (term) CROSS JOIN tot)
               |SELECT doc_id, count(*) AS n_tokens,
-              |  CAST(SUM(s) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS cross_entropy
+              |  CAST(SUM(s) AS DOUBLE) / 1000000000000.0
+              |    / CAST(count(*) AS DOUBLE) AS cross_entropy
               |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     "llm_bigram_ppl" -> Q((s, dir) =>

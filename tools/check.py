@@ -123,8 +123,26 @@ def main() -> None:
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
-        if p.exists():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        if not p.exists():
+            continue
+        if p.is_dir():
+            # Spark-written table (stress corpus): a directory of parts.
+            p = f"{p}/*.parquet"
+        if t == "events":
+            # The stress corpus (tools/StressDataGen) writes ts as
+            # micros-aligned NANOS BIGINT — the same shape Spark sees via
+            # nanosAsLong — so rebuild the timestamp for the oracle side.
+            # Driver testdata keeps its TIMESTAMP(NANOS) column untouched.
+            (ts_type,) = con.execute(
+                "SELECT column_type FROM (DESCRIBE SELECT ts FROM "
+                f"read_parquet('{p}'))").fetchone()
+            if ts_type == "BIGINT":
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * EXCLUDE (ts), "
+                    "CAST(make_timestamp(ts // 1000) AS TIMESTAMP_NS) AS ts "
+                    f"FROM read_parquet('{p}')")
+                continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     n_pass = n_fail = n_skip = 0
     only = set(sys.argv[3:])
