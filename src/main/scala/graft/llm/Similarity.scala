@@ -346,10 +346,23 @@ object Similarity {
     * the `sigs` lineage (and the 16×dim dot-product projection feeding
     * it) is evaluated exactly ONCE, with one shuffle of the tiny
     * (id, sig, band, value) frame and Σ bucket² pair output — never
-    * all-pairs, no re-join, no persist. */
+    * all-pairs, no re-join, no persist.
+    *
+    * SCALE WARNING (r9 stress finding): `bandBits` fixes the bucket
+    * count at 2^bandBits per band, so Σ bucket² grows QUADRATICALLY in
+    * the corpus once buckets saturate — the default 4-bit bands (16
+    * buckets) took 45 s at a 20k-vector corpus vs 1.9 s at 2k (≈24× for
+    * 10×). At scale either raise `bandBits` with a wider signature, or
+    * set `maxBucket`/`reps` to bound oversized buckets with the same
+    * member↔representative star expansion as
+    * [[Dedup.candidatePairsCapped]] (md5-order election, connectivity
+    * preserved, O(n·reps) emission; star pairs still Hamming-verified).
+    * The default (`maxBucket = Int.MaxValue`) keeps the exact expansion. */
   def hyperplanePairs(sigs: DataFrame, idCol: String, sigCol: String,
-      nBits: Int = 16, bandBits: Int = 4, maxHamming: Int = 4): DataFrame = {
+      nBits: Int = 16, bandBits: Int = 4, maxHamming: Int = 4,
+      maxBucket: Int = Int.MaxValue, reps: Int = 8): DataFrame = {
     require(nBits % bandBits == 0, "bandBits must divide nBits")
+    require(reps >= 1, s"reps=$reps must be >= 1")
     val nBands = nBits / bandBits
     val mask = (1L << bandBits) - 1
     val bandStructs = (0 until nBands).map { b =>
@@ -363,16 +376,32 @@ object Similarity {
         col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
     // sort_array on struct(id, sig) orders by id first → id_a < id_b,
     // matching Dedup.candidatePairs' pair canonicalization.
-    bands.groupBy("band", "band_hash")
+    val fullExpr = expr(
+      """flatten(transform(ms,
+        |  (a, i) -> transform(slice(ms, i + 2, size(ms)),
+        |            b -> struct(a.id AS id_a, b.id AS id_b,
+        |                        a.sig AS sig_a, b.sig AS sig_b))))""".stripMargin)
+    val pairsCol =
+      if (maxBucket == Int.MaxValue) fullExpr
+      else when(size(col("ms")) > maxBucket, expr(
+        """filter(flatten(transform(ms,
+          |  m -> transform(_reps,
+          |       r -> struct(least(m.id, r.id) AS id_a,
+          |                   greatest(m.id, r.id) AS id_b,
+          |                   m.sig AS sig_a, r.sig AS sig_b)))),
+          |  p -> p.id_a != p.id_b)""".stripMargin)).otherwise(fullExpr)
+    val buckets = bands.groupBy("band", "band_hash")
       .agg(sort_array(collect_list(struct(col(idCol).as("id"), col(sigCol).as("sig"))))
         .as("ms"))
       .filter(size(col("ms")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ms,
-          |  (a, i) -> transform(slice(ms, i + 2, size(ms)),
-          |            b -> struct(a.id AS id_a, b.id AS id_b,
-          |                        a.sig AS sig_a, b.sig AS sig_b))))""".stripMargin))
-        .as("p"))
+    val withReps =
+      if (maxBucket == Int.MaxValue) buckets
+      else buckets.withColumn("_reps", expr(
+        s"""transform(slice(array_sort(transform(ms,
+           |  x -> struct(md5(CAST(x.id AS STRING)) AS h, x AS m))), 1, $reps),
+           |  s -> s.m)""".stripMargin))
+    withReps
+      .select(explode(pairsCol).as("p"))
       .select(col("p.id_a"), col("p.id_b"),
         bit_count(col("p.sig_a").bitwiseXOR(col("p.sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)

@@ -722,6 +722,35 @@ class LlmOpsSpec extends SparkTestBase {
     assert(pairs.forall { case (a, b, _) => a < b })
   }
 
+  test("hyperplanePairs cap bounds identical-signature buckets and keeps Hamming-0 pairs") {
+    // 150 identical vectors: every band collides into ONE bucket per
+    // band. Uncapped expansion emits 150*149/2 = 11175 pairs; the star
+    // cap bounds emission to n*reps while all pairs stay Hamming 0.
+    val n = 150
+    val base = Array.tabulate(8)(i => 0.1f * (i + 1))
+    val vecs = (1L to n.toLong).map(i => (i, base)).toDF("vec_id", "embedding")
+    val sigs = vecs.select(col("vec_id"),
+      Similarity.hyperplaneSig(col("embedding"), 8, 16).as("rp_sig"))
+    val reps = 4
+    val capped = Similarity.hyperplanePairs(sigs, "vec_id", "rp_sig", 16, 4, 16,
+      maxBucket = 16, reps = reps).collect()
+    assert(capped.length <= n * reps, s"cap must bound pairs, got ${capped.length}")
+    assert(capped.length >= n - 1, "star must keep every member reachable")
+    assert(capped.forall(_.getInt(2) === 0), "identical sigs pair at Hamming 0")
+    // default (uncapped) behavior unchanged on a small mixed corpus
+    val rnd = new scala.util.Random(13)
+    val mixed = ((1L to 2L).map(i => (i, base)) ++
+      (3L to 20L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))))
+      .toDF("vec_id", "embedding")
+    val msigs = mixed.select(col("vec_id"),
+      Similarity.hyperplaneSig(col("embedding"), 8, 16).as("rp_sig"))
+    val full = Similarity.hyperplanePairs(msigs, "vec_id", "rp_sig", 16, 4, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cappedBig = Similarity.hyperplanePairs(msigs, "vec_id", "rp_sig", 16, 4, 16,
+      maxBucket = 64, reps = 8).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedBig === full, "no oversized bucket -> identical output")
+  }
+
   test("bm25: query-term docs rank by saturated tf, absent docs drop out") {
     val corpus = Seq(
       (1L, "spark spark spark query engine"), // tf(spark)=3
