@@ -25,9 +25,30 @@ final case class Q(
     bench: Boolean = false)
 
 object Registry {
-  /** Load a driver testdata table. */
-  def T(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Load a driver testdata table.
+    *
+    * `events.ts` is normalized to the library's canonical shape —
+    * nanos-since-epoch BIGINT — whatever flavor the file carries:
+    *   - TIMESTAMP(NANOS) parquet (driver data through r8) already
+    *     arrives as a nanos long via `nanosAsLong=true`;
+    *   - plain BIGINT (the stress corpus) passes through;
+    *   - TIMESTAMP(MICROS) (driver data from r9 on, read as
+    *     TIMESTAMP_NTZ) is converted exactly: sessions run in UTC, so
+    *     the NTZ→LTZ cast is the identity and `unix_micros * 1000` is
+    *     integer arithmetic — no float rounding at any magnitude.
+    * Every gate and oracle then reduces ts identically on both engines
+    * (`ts div 1e9` here, `date_part('epoch', ts)` in DuckDB).
+    */
+  def T(s: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema.fieldNames.contains("ts") &&
+        df.schema("ts").dataType != LongType)
+      df.withColumn("ts",
+        (unix_micros(col("ts").cast(TimestampType)) * lit(1000L)).as("ts"))
+    else df
+  }
 
   /** Cast every DECIMAL column of a terminal gate projection to DOUBLE.
     *

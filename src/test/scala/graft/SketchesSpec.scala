@@ -8,8 +8,10 @@ import graft.operators.Sketches
   * constant-size mergeable state is the 100 TB distinct-count form). */
 class SketchesSpec extends SparkTestBase {
 
-  private lazy val events = spark.read
-    .parquet("/root/testdata/sf0.001/events.parquet")
+  // Registry.T normalizes events.ts to nanos BIGINT whatever precision
+  // the driver parquet carries (NANOS through r8, MICROS from r9).
+  private lazy val events = graft.queries.Registry
+    .T(spark, "/root/testdata/sf0.001", "events")
     .select(expr("(ts div 1000000000) div 86400").cast("long").as("day"),
       col("user_id"), col("event_type"))
 
