@@ -32,4 +32,32 @@ class RegistrySpec extends SparkTestBase {
     // Non-decimal columns pass through untouched.
     assert(out.schema("id").dataType === IntegerType)
   }
+
+  test("T normalizes events.ts to nanos BIGINT for all on-disk flavors") {
+    // The driver's events.ts flavor has changed across testdata
+    // generations (TIMESTAMP(NANOS) → TIMESTAMP(MICROS)); the stress
+    // corpus writes raw BIGINT. Gates do integer nanos arithmetic, so T
+    // must hand back the identical long whatever the file carries.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ts_norm").toString
+    val micros = 1704067200123456L // 2024-01-01 00:00:00.123456 UTC
+    // Micros-timestamp flavor (what the r9 driver data carries).
+    Seq((1L, micros)).toDF("event_id", "us")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"))
+      .write.parquet(s"$dir/tsdir/events.parquet")
+    val fromTs = Registry.T(spark, s"$dir/tsdir", "events")
+    assert(fromTs.schema("ts").dataType === LongType)
+    assert(fromTs.select("ts").head().getLong(0) === micros * 1000L)
+    // Raw BIGINT flavor (stress corpus) passes through untouched.
+    Seq((1L, micros * 1000L)).toDF("event_id", "ts")
+      .write.parquet(s"$dir/longdir/events.parquet")
+    val fromLong = Registry.T(spark, s"$dir/longdir", "events")
+    assert(fromLong.schema("ts").dataType === LongType)
+    assert(fromLong.select("ts").head().getLong(0) === micros * 1000L)
+    // Non-events tables are never rewritten even with a ts column.
+    Seq((1L, micros)).toDF("id", "ts")
+      .select(col("id"), timestamp_micros(col("ts")).as("ts"))
+      .write.parquet(s"$dir/longdir/other.parquet")
+    assert(Registry.T(spark, s"$dir/longdir", "other")
+      .schema("ts").dataType !== LongType)
+  }
 }
