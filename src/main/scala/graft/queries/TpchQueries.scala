@@ -102,11 +102,22 @@ object TpchQueries {
         .agg(
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(disc4))
-            .cast("double").as("sum_disc_price"),
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
-            (lit(1.0) + col("l_tax"))).cast("decimal(18,6)"))
-            .cast("double").as("sum_charge"),
+          // Scale-0 routing (r9 stress find): a fractional-decimal SUM
+          // whose integer rep crosses 2^53 (sum_charge: 2.8e10 × 1e6 at
+          // sf1) hits DuckDB's two-step DECIMAL(38,s)→DOUBLE cast
+          // ((double)int128 / (double)10^s — each step rounds) and lands
+          // 1 ulp off Java BigDecimal. Shift to integer units per ROW
+          // (exact: decimal×10^s), sum in DECIMAL(38,0) — integer→double
+          // is correctly rounded in both engines — then ONE shared IEEE
+          // divide. Grouped revenue sums elsewhere stay fractional: they
+          // sit ≥4 orders below the boundary at any reachable sf.
+          (sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(disc4).multiply(lit(10000L)).cast("decimal(38,0)"))
+            .cast("double") / lit(1.0e4)).as("sum_disc_price"),
+          (sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax"))).cast("decimal(18,6)")
+            .multiply(lit(1000000L)).cast("decimal(38,0)"))
+            .cast("double") / lit(1.0e6)).as("sum_charge"),
           (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
             count(lit(1))).as("avg_qty"),
           (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
@@ -118,10 +129,11 @@ object TpchQueries {
       Some("""SELECT l_returnflag, l_linestatus,
              |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
              |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
-             |    AS sum_disc_price,
-             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-             |    AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+             |  CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+             |    * 10000 AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+             |  CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+             |    AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0
+             |    AS sum_charge,
              |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
              |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
              |  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
