@@ -133,11 +133,13 @@ object LlmQueries {
   // the ±1 hyperplanes come from the same md5 parity as
   // Similarity.hyperplaneSign, so the oracle verifies the full
   // derivation, not Scala-precomputed constants. Ends in
-  // rps(vec_id, rp_sig).
-  private val rpsCtes: String = {
+  // rps(vec_id, rp_sig). Parameterized on the source relation so the
+  // capped gate can run the same derivation over a skew-injected corpus.
+  private val rpsCtes: String = rpsCtesFor("embeddings")
+  private def rpsCtesFor(table: String): String = {
     val odd = "('1','3','5','7','9','b','d','f')"
     s"""v AS (SELECT vec_id,
-       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings),
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM $table),
        |hp AS (SELECT k, list_transform(range(0, 64), i ->
        |    CASE WHEN substring(md5(CAST(k AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)
        |      IN $odd THEN 1.0 ELSE -1.0 END) AS h
@@ -1847,6 +1849,67 @@ object LlmQueries {
                |WHERE bit_count(xor(a.rp_sig, b.rp_sig)) <= 6
                |ORDER BY id_a, id_b""".stripMargin), bench = true),
 
+    "llm_hyperplane_capped" -> Q((s, dir) => {
+      // The CAPPED hyperplane-LSH path oracle-gated (r9 verdict item 1):
+      // the production variant for 100 TB, where a saturated 4-bit-band
+      // bucket (Σ bucket² quadratic — the r9 stress finding) is bounded
+      // by the member↔representative star expansion. The corpus is
+      // embeddings plus 40 clones of the min-vec_id vector (ids
+      // 1000000+i) — identical vectors share every band value, so the
+      // clone bucket is oversized in all 4 bands and MUST take the
+      // star path (maxBucket=16, reps=4, md5-order election); ordinary
+      // buckets keep the exact expansion. Star pairs still verify by
+      // full-signature Hamming ≤ 6. The oracle re-derives signatures,
+      // bucket sizes, the md5 rep election, and both expansions
+      // independently.
+      val emb = T(s, dir, "embeddings")
+      val boiler = emb.orderBy("vec_id").limit(1)
+      val clones = s.range(1, 41).crossJoin(boiler)
+        .select((col("id") + lit(1000000L)).as("vec_id"), col("embedding"))
+      val corpus = emb.select("vec_id", "embedding").unionByName(clones)
+      val sigs = corpus.select(col("vec_id"),
+        Similarity.hyperplaneSig(col("embedding"), 64, 16).as("rp_sig"))
+      Similarity.hyperplanePairs(sigs, "vec_id", "rp_sig", 16, 4, 6,
+          maxBucket = 16, reps = 4)
+        .orderBy("id_a", "id_b")
+    }, Some({
+      val corpusCte =
+        """corpus AS (SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL
+          |  SELECT CAST(1000000 + r.i AS BIGINT) AS vec_id, b.embedding
+          |  FROM range(1, 41) r(i) CROSS JOIN
+          |    (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1) b)""".stripMargin
+      s"""WITH $corpusCte,
+         |${rpsCtesFor("corpus")},
+         |bands AS (SELECT vec_id, b, (rp_sig >> (b * 4)) & 15 AS bv
+         |  FROM rps, (SELECT unnest(range(0, 4)) AS b)),
+         |bsize AS (SELECT b, bv, count(*) AS n FROM bands GROUP BY b, bv),
+         |bx AS (SELECT x.vec_id, x.b, x.bv, s.n > 16 AS oversized
+         |  FROM bands x JOIN bsize s USING (b, bv) WHERE s.n > 1),
+         |rp AS (SELECT b, bv, vec_id AS rep FROM (
+         |    SELECT b, bv, vec_id,
+         |      row_number() OVER (PARTITION BY b, bv
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+         |    FROM bx WHERE oversized) z WHERE rk <= 4),
+         |small_pairs AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM bx x JOIN bx y ON x.b = y.b AND x.bv = y.bv
+         |    AND x.vec_id < y.vec_id
+         |  WHERE NOT x.oversized),
+         |big_pairs AS (SELECT least(m.vec_id, r.rep) AS id_a,
+         |    greatest(m.vec_id, r.rep) AS id_b
+         |  FROM bx m JOIN rp r ON m.b = r.b AND m.bv = r.bv
+         |  WHERE m.oversized AND m.vec_id <> r.rep),
+         |cand AS (SELECT DISTINCT id_a, id_b FROM
+         |  (SELECT * FROM small_pairs UNION ALL SELECT * FROM big_pairs))
+         |SELECT c.id_a, c.id_b,
+         |  CAST(bit_count(xor(a.rp_sig, b.rp_sig)) AS INT) AS hamming
+         |FROM cand c
+         |JOIN rps a ON a.vec_id = c.id_a
+         |JOIN rps b ON b.vec_id = c.id_b
+         |WHERE bit_count(xor(a.rp_sig, b.rp_sig)) <= 6
+         |ORDER BY id_a, id_b""".stripMargin
+    })),
+
     // ----- hybrid retrieval: BM25 + reciprocal-rank fusion ---------------
     "llm_bm25_topk" -> Q((s, dir) =>
       // BM25 top-20 for a fixed query term set (TextOps.bm25TopDocs):
@@ -2216,6 +2279,108 @@ object LlmQueries {
                |  count(DISTINCT CASE WHEN s.cluster_size > 1
                |    THEN l.component END) AS n_multi_clusters
                |FROM lbl l JOIN csizes s USING (component)""".stripMargin)),
+
+    "llm_dedup_pipeline_capped" -> Q((s, dir) => {
+      // llm_dedup_pipeline routed through the SKEW-CAPPED candidate
+      // stage (r9 verdict item 1: at 100 TB the capped path IS the
+      // pipeline, so it is what the e2e oracle grades). The corpus is
+      // documents plus 40 clones of the min-doc_id document (ids
+      // 1000000+i) — a boilerplate template that collides in every LSH
+      // band and forces the hot-bucket star expansion
+      // (Dedup.candidatePairsCapped, maxBucket=16, reps=4) — then the
+      // full chain: exact-Jaccard verify (≥ 0.8) → connected
+      // components → corpus accounting. The star keeps every member
+      // connected to its bucket, and star pairs between identical
+      // clones verify at jaccard 1, so the clusters CONVERGE to the
+      // uncapped pipeline's (asserted on real data in LlmOpsSpec) while
+      // pair volume stays O(n·reps). The oracle independently replays
+      // election, star expansion, verification, and the component
+      // fixpoint.
+      val base = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val boiler = base.orderBy("doc_id").limit(1)
+      val clones = s.range(1, 41).crossJoin(boiler)
+        .select((col("id") + lit(1000000L)).as("doc_id"), col("text"))
+      val docs = base.unionByName(clones)
+        .repartition(s.sparkContext.defaultParallelism * 2)
+      val sh = Dedup.shingleArray(docs, "doc_id", "text", 3)
+      val sig = Dedup.minhashSignaturesNative(sh, "doc_id", 8)
+      val cands = Dedup.candidatePairsCapped(
+          Dedup.lshBands(sig, "doc_id", 8, 2), "doc_id",
+          maxBucket = 16, reps = 4)
+        .select("id_a", "id_b")
+      val verified = Dedup.jaccardPairsFromArrays(sh, "doc_id", cands)
+        .where(col("jaccard") >= 0.8)
+      val clustered = Dedup.dedupClusters(docs.select("doc_id"), "doc_id",
+        verified.select("id_a", "id_b"))
+      clustered.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("is_canonical"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("cluster_size") > 1, 1L).otherwise(0L)).as("n_clustered_docs"),
+        count_distinct(when(col("cluster_size") > 1, col("component")))
+          .as("n_multi_clusters"))
+    }, Some({
+      val corpusCte =
+        """corpus AS (SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT CAST(1000000 + r.i AS BIGINT) AS doc_id, b.text
+          |  FROM range(1, 41) r(i) CROSS JOIN
+          |    (SELECT text FROM documents ORDER BY doc_id LIMIT 1) b)""".stripMargin
+      val toksCorpus =
+        s"toks AS (SELECT doc_id, string_split($normSql, ' ') AS t FROM corpus)"
+      s"""WITH RECURSIVE $corpusCte,
+         |$toksCorpus, $shCte,
+         |$lshPairsCtes,
+         |bsize AS (SELECT band, band_hash, count(*) AS n
+         |  FROM bands GROUP BY band, band_hash),
+         |bx AS (SELECT b.doc_id, b.band, b.band_hash, s.n > 16 AS oversized
+         |  FROM bands b JOIN bsize s USING (band, band_hash) WHERE s.n > 1),
+         |rp AS (SELECT band, band_hash, doc_id AS rep FROM (
+         |    SELECT band, band_hash, doc_id,
+         |      row_number() OVER (PARTITION BY band, band_hash
+         |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |    FROM bx WHERE oversized) z WHERE rk <= 4),
+         |small_pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bx x JOIN bx y ON x.band = y.band AND x.band_hash = y.band_hash
+         |    AND x.doc_id < y.doc_id
+         |  WHERE NOT x.oversized),
+         |big_pairs AS (SELECT least(m.doc_id, r.rep) AS id_a,
+         |    greatest(m.doc_id, r.rep) AS id_b
+         |  FROM bx m JOIN rp r ON m.band = r.band AND m.band_hash = r.band_hash
+         |  WHERE m.oversized AND m.doc_id <> r.rep),
+         |cp AS (SELECT DISTINCT id_a, id_b FROM
+         |  (SELECT * FROM small_pairs UNION ALL SELECT * FROM big_pairs)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT p.id_a, p.id_b, count(*) AS n_inter
+         |  FROM cp p
+         |  JOIN sh x ON x.doc_id = p.id_a
+         |  JOIN sh y ON y.doc_id = p.id_b AND y.shingle = x.shingle
+         |  GROUP BY p.id_a, p.id_b),
+         |verified AS (SELECT i.id_a, i.id_b FROM inter i
+         |  JOIN sizes sa ON sa.doc_id = i.id_a
+         |  JOIN sizes sb ON sb.doc_id = i.id_b
+         |  WHERE CAST(i.n_inter AS DOUBLE) /
+         |    CAST(sa.n + sb.n - i.n_inter AS DOUBLE) >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+         |          UNION SELECT id_b, id_a FROM verified),
+         |reach AS (SELECT src AS id, src AS comp FROM edges
+         |          UNION
+         |          SELECT e.src, r.comp FROM edges e
+         |          JOIN reach r ON e.dst = r.id),
+         |comps AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+         |lbl AS (SELECT d.doc_id,
+         |    coalesce(c.component, d.doc_id) AS component
+         |  FROM corpus d LEFT JOIN comps c ON c.id = d.doc_id),
+         |csizes AS (SELECT component, count(*) AS cluster_size
+         |  FROM lbl GROUP BY component)
+         |SELECT count(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN l.doc_id = l.component THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN s.cluster_size > 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_clustered_docs,
+         |  count(DISTINCT CASE WHEN s.cluster_size > 1
+         |    THEN l.component END) AS n_multi_clusters
+         |FROM lbl l JOIN csizes s USING (component)""".stripMargin
+    })),
 
     "llm_quality_ntile" -> Q((s, dir) => {
       // Within-language quality quartile (Splits.quantileBuckets):

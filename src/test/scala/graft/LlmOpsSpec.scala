@@ -1109,6 +1109,33 @@ class LlmOpsSpec extends SparkTestBase {
     assert(clusters.agg(max("cluster_size")).head().getLong(0) === n.toLong)
   }
 
+  test("capped e2e dedup pipeline converges to the uncapped clusters") {
+    // The production-shaped chain (candidates → jaccard ≥ 0.8 verify →
+    // connected components) must land on the SAME clusters whether the
+    // candidate stage is exact or star-capped: the star keeps every
+    // member of an oversized bucket connected through its
+    // representatives, and star pairs between true duplicates pass
+    // verification, so capping changes pair VOLUME, never membership.
+    val hot = (1L to 50L).map(i => (i, "the same boilerplate template text again"))
+    val nearA = Seq((100L, "alpha beta gamma delta epsilon zeta eta"),
+      (101L, "alpha beta gamma delta epsilon zeta theta"))
+    val distinct_ = (200L until 210L).map(i => (i, s"unique document number $i with its own words"))
+    val docs = (hot ++ nearA ++ distinct_).toDF("doc_id", "text")
+    val sh = Dedup.shingleArray(docs, "doc_id", "text", 3)
+    val bands = Dedup.lshBands(Dedup.minhashSignaturesNative(sh, "doc_id", 8), "doc_id", 8, 2)
+    def clustersFrom(cands: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Dedup.dedupClusters(docs.select("doc_id"), "doc_id",
+          Dedup.jaccardPairsFromArrays(sh, "doc_id", cands.select("id_a", "id_b"))
+            .where(col("jaccard") >= 0.8).select("id_a", "id_b"))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    val uncapped = clustersFrom(Dedup.candidatePairs(bands, "doc_id"))
+    val capped = clustersFrom(
+      Dedup.candidatePairsCapped(bands, "doc_id", maxBucket = 16, reps = 4))
+    assert(capped === uncapped)
+    assert(uncapped.filter(_._1 <= 50L).values.toSet.size === 1,
+      "hot cluster must still merge to one component")
+  }
+
   test("candidatePairsCapped matches candidatePairs exactly when no bucket is oversized") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),
