@@ -520,5 +520,47 @@ object StreamingQueries {
               |  cur AS is_current
               |FROM (SELECT * FROM kept UNION ALL SELECT * FROM closed
               |      UNION ALL SELECT * FROM newv) u
-              |ORDER BY order_id, is_current""".stripMargin)))
+              |ORDER BY order_id, is_current""".stripMargin)),
+
+    "st12_schema_evolution_restart" -> Q((s, dir) => {
+      // ST5: schema evolution on restart — the OSS translation of
+      // cloudFiles schemaEvolutionMode=addNewColumns
+      // (ingest_policies.py:115). cloudFiles' own contract IS
+      // evolve-on-restart (a new column fails the stream; the restart
+      // picks up the widened schema); Ingest.ingestStreamingEvolving
+      // performs that pickup explicitly: header discovery → ALTER TABLE
+      // ADD COLUMNS (metadata-only widen; historical files read NULL) →
+      // resume under the SAME checkpoint. Batch 1 lands 3-column CSVs;
+      // batch 2 lands files carrying a new trailing n_parity column.
+      // The restarted stream must ingest ONLY batch 2's files, typed
+      // with the evolved schema, while batch 1's rows read NULL for the
+      // new column.
+      import org.apache.spark.sql.types._
+      val base = tmp("graft_st12")
+      val src = s"$base/in"; val chk = s"$base/chk"
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_st12")
+      s.sql("DROP TABLE IF EXISTS graft_st12.bronze_nation")
+      val nation = T(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+      val baseSchema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      nation.write.option("header", "true").mode("append").csv(src)
+      graft.sources.Ingest.ingestStreamingEvolving(s, src, baseSchema,
+        "graft_st12.bronze_nation", chk, batchId = Some(1L))
+      nation
+        .withColumn("n_parity",
+          when(col("n_nationkey") % 2 === 0, "even").otherwise("odd"))
+        .write.option("header", "true").mode("append").csv(src)
+      graft.sources.Ingest.ingestStreamingEvolving(s, src, baseSchema,
+        "graft_st12.bronze_nation", chk, batchId = Some(2L))
+      s.read.table("graft_st12.bronze_nation")
+        .select(col("n_nationkey"), col("_batch_id").as("batch"), col("n_parity"))
+        .orderBy("n_nationkey", "batch")
+    }, Some("""SELECT n_nationkey, CAST(1 AS BIGINT) AS batch,
+              |  CAST(NULL AS VARCHAR) AS n_parity FROM nation
+              |UNION ALL
+              |SELECT n_nationkey, CAST(2 AS BIGINT) AS batch,
+              |  CASE WHEN n_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END FROM nation
+              |ORDER BY n_nationkey, batch""".stripMargin)))
 }

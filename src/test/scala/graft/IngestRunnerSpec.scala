@@ -65,6 +65,40 @@ class IngestRunnerSpec extends SparkTestBase {
     assert(after.filter(col("id") === 4L).select("score").head().isNullAt(0))
   }
 
+  test("ingestStreamingEvolving: restart picks up new CSV columns; old rows read NULL (ST5)") {
+    import org.apache.spark.sql.types._
+    val base = Files.createTempDirectory("graft_evolve").toString
+    val landing = s"$base/landing"; val chk = s"$base/chk"
+    Files.createDirectories(java.nio.file.Paths.get(landing))
+    Files.writeString(java.nio.file.Paths.get(s"$landing/b1.csv"),
+      "id,name\n1,alice\n2,bob")
+    Tables.ensureDatabase(spark, "graft_test")
+    Tables.dropTable(spark, "graft_test.evolve_stream")
+    val schema1 = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val s1 = Ingest.ingestStreamingEvolving(spark, landing, schema1,
+      "graft_test.evolve_stream", chk, batchId = Some(1L))
+    assert(s1.fieldNames.toSeq === Seq("id", "name"))
+    assert(spark.read.table("graft_test.evolve_stream").count() === 2)
+    // Evolution: a new file lands with a trailing `tier` column.
+    Files.writeString(java.nio.file.Paths.get(s"$landing/b2.csv"),
+      "id,name,tier\n3,carol,gold\n4,dave,silver")
+    val s2 = Ingest.ingestStreamingEvolving(spark, landing, schema1,
+      "graft_test.evolve_stream", chk, batchId = Some(2L))
+    assert(s2.fieldNames.toSeq === Seq("id", "name", "tier"))
+    val t = spark.read.table("graft_test.evolve_stream")
+    // Exactly-once held across the evolution: 2 old + 2 new rows.
+    assert(t.count() === 4)
+    // Pre-evolution rows carry NULL in the evolved column.
+    assert(t.filter(col("_batch_id") === 1L).filter(col("tier").isNull).count() === 2)
+    assert(t.filter(col("_batch_id") === 2L).filter(col("tier").isNotNull).count() === 2)
+    assert(t.filter(col("id") === 3L).select("tier").head().getString(0) === "gold")
+    // A third restart with NO new files reprocesses nothing.
+    Ingest.ingestStreamingEvolving(spark, landing, schema1,
+      "graft_test.evolve_stream", chk, batchId = Some(3L))
+    assert(spark.read.table("graft_test.evolve_stream").count() === 4)
+  }
+
   test("ingestStreaming: AvailableNow processes backlog exactly once per checkpoint") {
     val base = Files.createTempDirectory("graft_stream").toString
     val landing = s"$base/landing"; val chk = s"$base/chk"
