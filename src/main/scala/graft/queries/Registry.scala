@@ -44,10 +44,19 @@ object Registry {
     import org.apache.spark.sql.types._
     val df = s.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema.fieldNames.contains("ts") &&
-        df.schema("ts").dataType != LongType)
+        df.schema("ts").dataType != LongType) {
+      // The NTZ→LTZ leg of this cast reads the session time zone: a
+      // non-UTC session would silently shift every event by the zone
+      // offset (r9 advice). All shipped entry points pin UTC; fail
+      // loudly for any future caller that doesn't.
+      val tz = s.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC",
+        s"Registry.T(events): timestamp normalization requires " +
+          s"spark.sql.session.timeZone=UTC (got '$tz') — a non-UTC session " +
+          "would shift TIMESTAMP_NTZ micros by the zone offset")
       df.withColumn("ts",
         (unix_micros(col("ts").cast(TimestampType)) * lit(1000L)).as("ts"))
-    else df
+    } else df
   }
 
   /** Cast every DECIMAL column of a terminal gate projection to DOUBLE.

@@ -108,7 +108,13 @@ object TpchQueries {
           // ((double)int128 / (double)10^s — each step rounds) and lands
           // 1 ulp off Java BigDecimal. Shift to integer units per ROW
           // (exact: decimal×10^s), sum in DECIMAL(38,0) — integer→double
-          // is correctly rounded in both engines — then ONE shared IEEE
+          // is correctly rounded in both engines WHILE the scaled sum
+          // stays below 2^64 (DuckDB's hugeint→double is one rounded
+          // conversion only with the upper word zero; above 2^64 it
+          // composes per-word conversions and the divergence can
+          // return — sum_charge in micros units crosses 2^64 around
+          // sf≈600, far past any reachable corpus but a real bound; r9
+          // advice) — then ONE shared IEEE
           // divide. Grouped revenue sums elsewhere stay fractional: they
           // sit ≥4 orders below the boundary at any reachable sf.
           (sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))

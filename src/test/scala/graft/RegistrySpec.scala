@@ -47,6 +47,22 @@ class RegistrySpec extends SparkTestBase {
     val fromTs = Registry.T(spark, s"$dir/tsdir", "events")
     assert(fromTs.schema("ts").dataType === LongType)
     assert(fromTs.select("ts").head().getLong(0) === micros * 1000L)
+    // TIMESTAMP_NTZ flavor (isAdjustedToUTC=false — the EXACT parquet
+    // shape the r9+ driver writes via pyarrow timestamp[us]; a Spark
+    // LTZ round-trip reads back as TIMESTAMP, so without this fixture
+    // the NTZ branch — the one sensitive to session timezone — would be
+    // the only flavor untested; r9 advice).
+    Seq((1L, micros)).toDF("event_id", "us")
+      .select(col("event_id"),
+        timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"))
+      .write.parquet(s"$dir/ntzdir/events.parquet")
+    val ntzOnDisk = spark.read.parquet(s"$dir/ntzdir/events.parquet")
+    assert(ntzOnDisk.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType,
+      "fixture must actually land as TIMESTAMP_NTZ on disk")
+    val fromNtz = Registry.T(spark, s"$dir/ntzdir", "events")
+    assert(fromNtz.schema("ts").dataType === LongType)
+    assert(fromNtz.select("ts").head().getLong(0) === micros * 1000L)
     // Raw BIGINT flavor (stress corpus) passes through untouched.
     Seq((1L, micros * 1000L)).toDF("event_id", "ts")
       .write.parquet(s"$dir/longdir/events.parquet")
