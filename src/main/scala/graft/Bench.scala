@@ -123,8 +123,9 @@ object Bench {
     }
     val stallSuspect = spreadSuspect || reprobeSuspect
 
-    def fmtMap(m: Seq[(String, Double)]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    def fmtMap(m: Seq[(String, Double)], dp: Int = 3): String =
+      m.map { case (k, v) => "\"" + k + "\":" + s"%.${dp}f".format(v) }
+        .mkString("{", ",", "}")
     def fmtRaw(m: Seq[(String, Seq[Double])]): String =
       m.map { case (k, ts) => "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]") }
         .mkString("{", ",", "}")
@@ -140,7 +141,26 @@ object Bench {
       f""""queries_firstpass":${fmtMap(firstPass)},""" +
       f""""raw":${fmtRaw(raw)},"reprobe":${fmtRaw(reprobe)},""" +
       s""""stall_suspect":$stallSuspect}"""
-    println(line)
+    // The driver's round artifact keeps only the LAST 2000 chars of the
+    // sbt log and parses the JSON line out of that window — the full
+    // line (raw/reprobe/firstpass series for ~58 queries) is ~6x over
+    // budget, which is why BENCH_r{8,9}.json carried "parsed": null (r8
+    // verdict item 7, r9 verdict item 1). Stdout therefore gets a
+    // COMPACT line (headline totals + per-query finals + stall flag)
+    // sized to survive the tail window with room for sbt's trailing
+    // [success] line; the complete series stay in BENCH_LATEST.json and
+    // BENCH_HISTORY.jsonl, committed in-repo.
+    val compact3 =
+      f"""{"metric":"total","value":${total(finalPass)}%.3f,"unit":"sec",""" +
+      f""""queries":${fmtMap(finalPass)},"sf":"$sfDir",""" +
+      f""""value_firstpass":${total(firstPass)}%.3f,""" +
+      s""""stall_suspect":$stallSuspect}"""
+    val compact = if (compact3.length <= 1800) compact3 else
+      f"""{"metric":"total","value":${total(finalPass)}%.3f,"unit":"sec",""" +
+      f""""queries":${fmtMap(finalPass, dp = 2)},"sf":"$sfDir",""" +
+      f""""value_firstpass":${total(firstPass)}%.3f,""" +
+      s""""stall_suspect":$stallSuspect}"""
+    println(compact)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LATEST.json"),
         line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
