@@ -16,7 +16,7 @@ object SparkEntry {
   private def registry: Seq[(String, Q)] =
     RelationalQueries.defs ++ WindowQueries.defs ++ PipelineQueries.defs ++
       SqlMartQueries.defs ++ LlmQueries.defs ++ StreamingQueries.defs ++
-      GovernanceQueries.defs ++ TpchQueries.defs
+      GovernanceQueries.defs ++ TpchQueries.defs ++ TpcdsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
