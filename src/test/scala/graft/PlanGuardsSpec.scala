@@ -358,6 +358,48 @@ class PlanGuardsSpec extends SparkTestBase {
     assert(pv.filter(col("tri") =!= 0L).count() === 0L, "a star has no triangles")
   }
 
+  test("SQL mart twins plan the same heavy-operator shape as the DataFrame builders") {
+    // SqlMartQueries claims the spark.sql texts parse to the same plans
+    // as the GoldDims/GoldFacts builders, so the builders' scale posture
+    // (join strategy, aggregate count, no surprise cross joins) carries
+    // over. Pin it: for each mart pair, the optimized logical plan must
+    // contain the SAME multiset of heavy operators — joins WITH their
+    // join types, aggregates, windows, generates, unions, distincts —
+    // and the physical plan must stay free of cartesian products.
+    // Projects/Filters/Sorts are excluded: alias blocks and terminal
+    // ordering differ textually without changing the scale shape.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val dir = "/root/testdata/sf0.001"
+    def heavyShape(df: org.apache.spark.sql.DataFrame): Map[String, Int] =
+      df.queryExecution.optimizedPlan.collect {
+        case j: Join => s"Join(${j.joinType})"
+        case _: Aggregate => "Aggregate"
+        case _: Window => "Window"
+        case _: Generate => "Generate"
+        case _: Union => "Union"
+        case _: Deduplicate => "Deduplicate"
+        case _: Distinct => "Distinct"
+      }.groupBy(identity).view.mapValues(_.size).toMap
+    val pairs = Seq(
+      "sql_dim_policy" -> "g_dim_policy",
+      "sql_dim_property" -> "g_dim_property",
+      "sql_dim_coverage" -> "g_dim_coverage",
+      "sql_dim_date" -> "w1_dim_date_spine",
+      "sql_fact_claims" -> "g_fact_claims",
+      "sql_fact_premiums" -> "g_fact_premiums")
+    for ((sqlName, builderName) <- pairs) {
+      val sqlDf = graft.SparkEntry.queries(sqlName)(spark, dir)
+      val builderDf = graft.SparkEntry.queries(builderName)(spark, dir)
+      val (ss, bs) = (heavyShape(sqlDf), heavyShape(builderDf))
+      assert(ss === bs,
+        s"$sqlName heavy-op shape $ss diverged from $builderName $bs")
+      val phys = sqlDf.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!phys.contains("CartesianProduct"),
+        s"$sqlName physical plan grew a cartesian product:\n$phys")
+    }
+  }
+
   test("CountMin build: one hash-agg pair, one exchange, map-side combine") {
     import graft.operators.CountMin
     val df = (1L to 5000L).map(i => s"k${i % 97}").toDF("k")
