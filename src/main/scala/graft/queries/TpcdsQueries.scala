@@ -52,6 +52,13 @@ object TpcdsQueries {
     // q36 shape: gross-margin ratio over the category→brand hierarchy
     // with a rank WITHIN each grouping level (lochierarchy = how many
     // hierarchy columns are aggregated away).
+    //
+    // The discounted-revenue sum goes through scale-0 integer units
+    // (the tpch_q1 routing): the rollup's top cells sum the WHOLE fact
+    // table, so the scaled integer rep crosses 2^53 around sf≈5 and
+    // DuckDB's two-step DECIMAL(38,6)→DOUBLE cast double-rounds 1 ulp
+    // off Java BigDecimal (caught by the r10 sf10 stress run). base_d
+    // is scale-2 and stays ~3 orders below the boundary.
     "tpcds_q36_margin_rank" -> Q((s, dir) => {
       T(s, dir, "lineitem")
         .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
@@ -60,14 +67,16 @@ object TpcdsQueries {
               |  SELECT element_at(split(p_type, ' '), 1) AS category, p_brand,
               |    CAST(grouping(element_at(split(p_type, ' '), 1)) AS INT) +
               |      CAST(grouping(p_brand) AS INT) AS lochierarchy,
-              |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS disc_d,
+              |    SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+              |      * 1000000 AS DECIMAL(38,0))) AS disc_u,
               |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS base_d
               |  FROM tpcds36_sales
               |  GROUP BY ROLLUP (element_at(split(p_type, ' '), 1), p_brand))
               |SELECT category, p_brand, lochierarchy,
-              |  CAST(disc_d AS DOUBLE) / CAST(base_d AS DOUBLE) AS margin_ratio,
+              |  CAST(disc_u AS DOUBLE) / 1000000.0 / CAST(base_d AS DOUBLE)
+              |    AS margin_ratio,
               |  CAST(rank() OVER (PARTITION BY lochierarchy
-              |    ORDER BY disc_d DESC, category ASC NULLS FIRST,
+              |    ORDER BY disc_u DESC, category ASC NULLS FIRST,
               |      p_brand ASC NULLS FIRST) AS INT) AS rank_within_level
               |FROM r
               |ORDER BY lochierarchy DESC, rank_within_level,
@@ -76,14 +85,16 @@ object TpcdsQueries {
               |  SELECT string_split(p_type, ' ')[1] AS category, p_brand,
               |    CAST(grouping(string_split(p_type, ' ')[1]) AS INT) +
               |      CAST(grouping(p_brand) AS INT) AS lochierarchy,
-              |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS disc_d,
+              |    SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+              |      * 1000000 AS DECIMAL(38,0))) AS disc_u,
               |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS base_d
               |  FROM lineitem JOIN part ON l_partkey = p_partkey
               |  GROUP BY ROLLUP (string_split(p_type, ' ')[1], p_brand))
               |SELECT category, p_brand, lochierarchy,
-              |  CAST(disc_d AS DOUBLE) / CAST(base_d AS DOUBLE) AS margin_ratio,
+              |  CAST(disc_u AS DOUBLE) / 1000000.0 / CAST(base_d AS DOUBLE)
+              |    AS margin_ratio,
               |  CAST(rank() OVER (PARTITION BY lochierarchy
-              |    ORDER BY disc_d DESC, category ASC NULLS FIRST,
+              |    ORDER BY disc_u DESC, category ASC NULLS FIRST,
               |      p_brand ASC NULLS FIRST) AS INT) AS rank_within_level
               |FROM r
               |ORDER BY lochierarchy DESC, rank_within_level,
@@ -101,15 +112,15 @@ object TpcdsQueries {
       s.sql("""WITH r AS (
               |  SELECT n_name, element_at(split(p_type, ' '), 1) AS category,
               |    p_brand,
-              |    SUM(CAST(l_extendedprice * (1.0 - l_discount)
-              |      AS DECIMAL(18,6))) AS sales_d
+              |    SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount)
+              |      AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0))) AS sales_u
               |  FROM tpcds67_sales
               |  GROUP BY ROLLUP (n_name, element_at(split(p_type, ' '), 1), p_brand)),
               |rk AS (
               |  SELECT n_name, category, p_brand,
-              |    CAST(sales_d AS DOUBLE) AS sales,
+              |    CAST(sales_u AS DOUBLE) / 1000000.0 AS sales,
               |    CAST(rank() OVER (PARTITION BY n_name
-              |      ORDER BY sales_d DESC, category ASC NULLS FIRST,
+              |      ORDER BY sales_u DESC, category ASC NULLS FIRST,
               |        p_brand ASC NULLS FIRST) AS INT) AS rk
               |  FROM r)
               |SELECT n_name, category, p_brand, sales, rk
@@ -119,8 +130,8 @@ object TpcdsQueries {
     }, Some("""WITH r AS (
               |  SELECT n_name, string_split(p_type, ' ')[1] AS category,
               |    p_brand,
-              |    SUM(CAST(l_extendedprice * (1.0 - l_discount)
-              |      AS DECIMAL(18,6))) AS sales_d
+              |    SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount)
+              |      AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0))) AS sales_u
               |  FROM lineitem
               |  JOIN orders ON l_orderkey = o_orderkey
               |  JOIN customer ON o_custkey = c_custkey
@@ -129,9 +140,9 @@ object TpcdsQueries {
               |  GROUP BY ROLLUP (n_name, string_split(p_type, ' ')[1], p_brand)),
               |rk AS (
               |  SELECT n_name, category, p_brand,
-              |    CAST(sales_d AS DOUBLE) AS sales,
+              |    CAST(sales_u AS DOUBLE) / 1000000.0 AS sales,
               |    CAST(rank() OVER (PARTITION BY n_name
-              |      ORDER BY sales_d DESC, category ASC NULLS FIRST,
+              |      ORDER BY sales_u DESC, category ASC NULLS FIRST,
               |        p_brand ASC NULLS FIRST) AS INT) AS rk
               |  FROM r)
               |SELECT n_name, category, p_brand, sales, rk
@@ -229,35 +240,37 @@ object TpcdsQueries {
         .createOrReplaceTempView("tpcds89_sales")
       s.sql("""WITH m AS (
               |  SELECT p_brand, CAST(month(l_shipdate) AS INT) AS mon,
-              |    SUM(CAST(l_extendedprice * (1.0 - l_discount)
-              |      AS DECIMAL(18,6))) AS sales_d
+              |    SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount)
+              |      AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0))) AS sales_u
               |  FROM tpcds89_sales GROUP BY p_brand, month(l_shipdate)),
               |w AS (
-              |  SELECT p_brand, mon, sales_d,
-              |    SUM(sales_d) OVER (PARTITION BY p_brand) AS tot_d,
+              |  SELECT p_brand, mon, sales_u,
+              |    SUM(sales_u) OVER (PARTITION BY p_brand) AS tot_u,
               |    count(*) OVER (PARTITION BY p_brand) AS nm
               |  FROM m)
-              |SELECT p_brand, mon, CAST(sales_d AS DOUBLE) AS sales,
-              |  CAST(tot_d AS DOUBLE) / nm AS avg_monthly,
-              |  CAST(sales_d AS DOUBLE) /
-              |    (CAST(tot_d AS DOUBLE) / nm) > 1.1 AS above_110pct
+              |SELECT p_brand, mon,
+              |  CAST(sales_u AS DOUBLE) / 1000000.0 AS sales,
+              |  CAST(tot_u AS DOUBLE) / 1000000.0 / nm AS avg_monthly,
+              |  (CAST(sales_u AS DOUBLE) / 1000000.0) /
+              |    (CAST(tot_u AS DOUBLE) / 1000000.0 / nm) > 1.1 AS above_110pct
               |FROM w
               |ORDER BY p_brand, mon""".stripMargin)
     }, Some("""WITH m AS (
               |  SELECT p_brand, CAST(month(l_shipdate) AS INT) AS mon,
-              |    SUM(CAST(l_extendedprice * (1.0 - l_discount)
-              |      AS DECIMAL(18,6))) AS sales_d
+              |    SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount)
+              |      AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0))) AS sales_u
               |  FROM lineitem JOIN part ON l_partkey = p_partkey
               |  GROUP BY p_brand, month(l_shipdate)),
               |w AS (
-              |  SELECT p_brand, mon, sales_d,
-              |    SUM(sales_d) OVER (PARTITION BY p_brand) AS tot_d,
+              |  SELECT p_brand, mon, sales_u,
+              |    SUM(sales_u) OVER (PARTITION BY p_brand) AS tot_u,
               |    count(*) OVER (PARTITION BY p_brand) AS nm
               |  FROM m)
-              |SELECT p_brand, mon, CAST(sales_d AS DOUBLE) AS sales,
-              |  CAST(tot_d AS DOUBLE) / nm AS avg_monthly,
-              |  CAST(sales_d AS DOUBLE) /
-              |    (CAST(tot_d AS DOUBLE) / nm) > 1.1 AS above_110pct
+              |SELECT p_brand, mon,
+              |  CAST(sales_u AS DOUBLE) / 1000000.0 AS sales,
+              |  CAST(tot_u AS DOUBLE) / 1000000.0 / nm AS avg_monthly,
+              |  (CAST(sales_u AS DOUBLE) / 1000000.0) /
+              |    (CAST(tot_u AS DOUBLE) / 1000000.0 / nm) > 1.1 AS above_110pct
               |FROM w
               |ORDER BY p_brand, mon""".stripMargin)))
 }

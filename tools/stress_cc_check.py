@@ -1,0 +1,197 @@
+#!/usr/bin/env python3
+"""Stress-scale oracle check for the connected-component gates.
+
+The shipped oracle SQL for the dedup/component gates computes connected
+components with a recursive transitive-closure CTE (`reach AS (... JOIN
+reach ...)`), which materializes O(sum comp^2) rows. That is fine at the
+driver's sf0.01 gate scale, but at stress scale (500k docs, where the
+vocab-limited corpus produces giant near-dup components) DuckDB spills
+>70 GB of temp and dies — the ORACLE formulation is the quadratic part,
+not the engine (Spark's pointer-jumping label propagation is
+O(E log diameter) and completes in seconds on the same corpus).
+
+This checker keeps every cross-engine-sensitive step of the oracle SQL
+(tokenize -> shingle -> md5 minhash -> bands -> candidate pairs ->
+jaccard/cosine verify) EXACTLY as written, and swaps ONLY the
+transitive-closure CTE for an exact union-find over the oracle-computed
+edge list:
+
+  1. run `WITH <oracle prefix> SELECT src, dst FROM edges` in DuckDB;
+  2. union-find in Python (exact, min-id labels like the CTE's
+     min(comp) — both compute THE connected components, a unique object);
+  3. register the labels as a `comps` table and run the oracle's
+     remaining SQL with `reach`/`comps` replaced by that table.
+
+Usage: python3 tools/stress_cc_check.py SF_DIR OUT_DIR NAME [NAME...]
+Requires OUT_DIR/oracle_sql.json and OUT_DIR/<name>/ parquet written by
+graft.Verify. Exit 0 iff every named gate matches exactly.
+"""
+import json
+import re
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def balanced_span(sql, start):
+    """Index just past the ')' closing the '(' at/after `start`."""
+    i = sql.index("(", start)
+    depth = 0
+    for j in range(i, len(sql)):
+        if sql[j] == "(":
+            depth += 1
+        elif sql[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return j + 1
+    raise ValueError("unbalanced parens")
+
+
+def split_oracle(sql):
+    """(prefix_cte_list, tail_after_comps) around the reach/comps CTEs."""
+    m = re.search(r",\s*reach\s+AS\s*\(", sql)
+    if not m:
+        raise ValueError("no reach CTE")
+    prefix = sql[: m.start()]  # ends with ...edges AS (...)
+    c = re.search(r"comps\s+AS\s*\(", sql[m.end():])
+    comps_end = balanced_span(sql, m.end() + c.start())
+    # keep the text after comps' closing paren verbatim (it begins either
+    # with ", <next-cte> AS (" or with the final SELECT)
+    return prefix, sql[comps_end:]
+
+
+class UF:
+    def __init__(self):
+        self.p = {}
+
+    def find(self, x):
+        p = self.p
+        r = x
+        while p.setdefault(r, r) != r:
+            r = p[r]
+        while p[x] != r:
+            p[x], x = r, p[x]
+        return r
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # min-id root so labels match the CTE's min(comp) fixpoint
+            if rb < ra:
+                ra, rb = rb, ra
+            self.p[rb] = ra
+
+
+def fetch_edges(con, prefix, chunks):
+    """Edge list from the oracle's own CTEs.
+
+    With chunks > 1, the candidate-pair -> shingle-intersection join (the
+    one sum-of-pairs x shingles intermediate that can outgrow temp disk at
+    stress scale) is evaluated in `chunks` slices of the pair set
+    (partitioned by id_a % chunks — a partition of the pairs, so the
+    union of slices is exactly the full edge set). Formulas are untouched;
+    only the evaluation is sliced.
+    """
+    if chunks <= 1:
+        return con.execute(prefix + " SELECT * FROM edges").fetch_df()
+    m = re.search(r"FROM\s+(\w+)\s+p\s+JOIN\s+sh\s+x", prefix)
+    if not m:
+        raise ValueError("no pair-join to chunk")
+    parts = []
+    for i in range(chunks):
+        sliced = (prefix[: m.start()] +
+                  f"FROM (SELECT * FROM {m.group(1)} WHERE id_a % {chunks} = {i}) p "
+                  "JOIN sh x" + prefix[m.end():])
+        parts.append(con.execute(sliced + " SELECT * FROM edges").fetch_df())
+    return pd.concat(parts, ignore_index=True)
+
+
+def check(con, name, sql, out_dir, chunks=1):
+    prefix, tail = split_oracle(sql)
+    edges = fetch_edges(con, prefix, chunks)
+    a, b = edges.columns[0], edges.columns[1]
+    uf = UF()
+    for s, d in zip(edges[a].to_numpy(), edges[b].to_numpy()):
+        uf.union(int(s), int(d))
+    ids = list(uf.p.keys())
+    comp = pd.DataFrame({"id": ids, "component": [uf.find(i) for i in ids]})
+    con.register("uf_comps", comp)
+    full = (prefix + ", comps AS (SELECT id, component FROM uf_comps)" + tail)
+    oracle = con.execute(full).fetch_df()
+    got = con.execute(
+        f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetch_df()
+    # same compare discipline as tools/check.py: sort columns by name,
+    # sort rows, positional equality
+    oracle = oracle.reindex(sorted(oracle.columns), axis=1)
+    got = got.reindex(sorted(got.columns), axis=1)
+    if list(oracle.columns) != list(got.columns):
+        print(f"FAIL {name}: columns {list(got.columns)} vs {list(oracle.columns)}")
+        return False
+    oracle = oracle.sort_values(list(oracle.columns)).reset_index(drop=True)
+    got = got.sort_values(list(got.columns)).reset_index(drop=True)
+    if len(oracle) != len(got):
+        print(f"FAIL {name}: rows {len(got)} vs {len(oracle)}")
+        return False
+    for cname in oracle.columns:
+        o, g = oracle[cname], got[cname]
+        if o.dtype.kind == "f" or g.dtype.kind == "f":
+            ok = ((o.isna() & g.isna()) | (o == g)).all()
+        else:
+            ok = o.astype(str).equals(g.astype(str))
+        if not ok:
+            bad = (o.astype(str) != g.astype(str)).idxmax()
+            print(f"FAIL {name}: col {cname} differs at row {bad}: "
+                  f"{g.iloc[bad]} vs {o.iloc[bad]}")
+            return False
+    print(f"PASS {name} ({len(got)} rows, {len(edges)} edges)")
+    return True
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--chunks")]
+    chunks = 1
+    for a in sys.argv[1:]:
+        if a.startswith("--chunks="):
+            chunks = int(a.split("=", 1)[1])
+    sf_dir, out_dir = args[0], args[1]
+    names = args[2:]
+    sqls = json.load(open(f"{out_dir}/oracle_sql.json"))
+    con = duckdb.connect()
+    for t in TABLES:
+        # driver testdata is single files; stress corpora are directories
+        for pat in (f"{sf_dir}/{t}.parquet", f"{sf_dir}/{t}.parquet/*.parquet"):
+            try:
+                con.execute(
+                    f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
+                break
+            except duckdb.Error:
+                continue
+    # events.ts arrives as BIGINT nanos in the stress corpora; oracles
+    # expect a timestamp — mirror tools/check.py's view rewrite.
+    try:
+        cols = [r[0] for r in con.execute("DESCRIBE events").fetchall()]
+        ts_type = dict((r[0], r[1]) for r in con.execute("DESCRIBE events").fetchall())
+        if ts_type.get("ts", "").startswith("BIGINT"):
+            rest = ", ".join(c for c in cols if c != "ts")
+            con.execute(
+                "CREATE OR REPLACE VIEW events AS SELECT "
+                "make_timestamp(ts // 1000) AS ts, " + rest +
+                " FROM read_parquet('" + sf_dir + "/events.parquet/*.parquet')")
+    except duckdb.Error:
+        pass
+    ok = True
+    for n in names:
+        try:
+            ok &= check(con, n, sqls[n], out_dir, chunks)
+        except Exception as e:  # noqa: BLE001 — report and continue
+            print(f"FAIL {n}: {type(e).__name__}: {e}")
+            ok = False
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
