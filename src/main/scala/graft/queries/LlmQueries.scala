@@ -54,7 +54,13 @@ object LlmQueries {
        |bands AS ($bandsSql),
        |lsh_pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
        |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id)""".stripMargin
+       |    ON x.band = y.band AND x.band_hash = y.band_hash
+       |  WHERE x.doc_id < y.doc_id)""".stripMargin
+    // doc_id < doc_id lives in WHERE, not ON: with the inequality in the
+    // ON clause DuckDB can pick its inequality (IE) join over the band
+    // hash join and go |bands|^2-quadratic — at the 500k-doc stress
+    // corpus that spilled >77 GB of temp (r10 stress find); the WHERE
+    // form always hash-joins the equi keys with the inequality residual.
   }
 
   // 16-bit SimHash as chained CTEs ending in sims(doc_id, simhash) —
@@ -247,8 +253,7 @@ object LlmQueries {
          |    FROM bx WHERE oversized) z WHERE rk <= 4),
          |small_pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, false AS c
          |  FROM bx x JOIN bx y ON x.band = y.band AND x.band_hash = y.band_hash
-         |    AND x.doc_id < y.doc_id
-         |  WHERE NOT x.oversized),
+         |  WHERE NOT x.oversized AND x.doc_id < y.doc_id),
          |big_pairs AS (SELECT least(m.doc_id, r.rep) AS id_a,
          |    greatest(m.doc_id, r.rep) AS id_b, true AS c
          |  FROM bx m JOIN rp r ON m.band = r.band AND m.band_hash = r.band_hash
@@ -856,8 +861,8 @@ object LlmQueries {
          |    a.cluster_id
          |  FROM v JOIN assigned a ON v.vec_id = a.vec_id)
          |SELECT x.id_ AS id_a, y.id_ AS id_b, x.cluster_id
-         |FROM cv x JOIN cv y ON x.cluster_id = y.cluster_id AND x.id_ < y.id_
-         |WHERE ${dotSql("x.uv", "y.uv")} >= 0.35
+         |FROM cv x JOIN cv y ON x.cluster_id = y.cluster_id
+         |WHERE x.id_ < y.id_ AND ${dotSql("x.uv", "y.uv")} >= 0.35
          |ORDER BY id_a, id_b""".stripMargin
     })),
 
@@ -1840,7 +1845,8 @@ object LlmQueries {
                |  FROM rps, (SELECT unnest(range(0, 4)) AS b)),
                |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
                |  FROM bands x JOIN bands y
-               |    ON x.b = y.b AND x.bv = y.bv AND x.vec_id < y.vec_id)
+               |    ON x.b = y.b AND x.bv = y.bv
+               |  WHERE x.vec_id < y.vec_id)
                |SELECT c.id_a, c.id_b,
                |  CAST(bit_count(xor(a.rp_sig, b.rp_sig)) AS INT) AS hamming
                |FROM cand c
@@ -2341,8 +2347,7 @@ object LlmQueries {
          |    FROM bx WHERE oversized) z WHERE rk <= 4),
          |small_pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b
          |  FROM bx x JOIN bx y ON x.band = y.band AND x.band_hash = y.band_hash
-         |    AND x.doc_id < y.doc_id
-         |  WHERE NOT x.oversized),
+         |  WHERE NOT x.oversized AND x.doc_id < y.doc_id),
          |big_pairs AS (SELECT least(m.doc_id, r.rep) AS id_a,
          |    greatest(m.doc_id, r.rep) AS id_b
          |  FROM bx m JOIN rp r ON m.band = r.band AND m.band_hash = r.band_hash
@@ -2427,8 +2432,8 @@ object LlmQueries {
          |    a.cluster_id
          |  FROM v JOIN assigned a ON v.vec_id = a.vec_id),
          |nd AS (SELECT x.id_ AS id_a, y.id_ AS id_b
-         |  FROM cv x JOIN cv y ON x.cluster_id = y.cluster_id AND x.id_ < y.id_
-         |  WHERE ${dotSql("x.uv", "y.uv")} >= 0.35),
+         |  FROM cv x JOIN cv y ON x.cluster_id = y.cluster_id
+         |  WHERE x.id_ < y.id_ AND ${dotSql("x.uv", "y.uv")} >= 0.35),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM nd
          |          UNION SELECT id_b, id_a FROM nd),
          |reach AS (SELECT src AS id, src AS comp FROM edges
@@ -2741,7 +2746,8 @@ object LlmQueries {
               |fk AS (SELECT doc_id, fp FROM fl JOIN keep USING (fp))
               |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
               |  CAST(count(*) AS BIGINT) AS n_shared
-              |FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              |FROM fk a JOIN fk b ON a.fp = b.fp
+              |WHERE a.doc_id < b.doc_id
               |GROUP BY 1, 2 HAVING count(*) >= 2
               |ORDER BY 1, 2""".stripMargin)),
 

@@ -1005,7 +1005,8 @@ object RelationalQueries {
               |i AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
               |    count(*) AS exact_intersect
               |  FROM u a JOIN u b
-              |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+              |    ON a.user_id = b.user_id
+              |  WHERE a.event_type < b.event_type
               |  GROUP BY 1, 2)
               |SELECT p.type_a, p.type_b,
               |  coalesce(i.exact_intersect, 0) AS exact_intersect,

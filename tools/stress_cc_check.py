@@ -99,8 +99,8 @@ def fetch_edges(con, prefix, chunks):
     if chunks <= 1:
         return con.execute(prefix + " SELECT * FROM edges").fetch_df()
     m = re.search(r"FROM\s+(\w+)\s+p\s+JOIN\s+sh\s+x", prefix)
-    if not m:
-        raise ValueError("no pair-join to chunk")
+    if not m:  # no pair-verify join in this oracle — nothing to slice
+        return con.execute(prefix + " SELECT * FROM edges").fetch_df()
     parts = []
     for i in range(chunks):
         sliced = (prefix[: m.start()] +
