@@ -18,8 +18,16 @@ object LlmQueries {
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   private val toksCte =
     s"toks AS (SELECT doc_id, string_split($normSql, ' ') AS t FROM documents)"
+  // sh/sh5/sigs are MATERIALIZED: DuckDB inlines CTEs per reference,
+  // so a gate that touches the shingle census from several CTEs
+  // (pair join sides, sizes, jaccard verify) re-runs the whole
+  // 40M-row census once PER REFERENCE — at the 500k-doc stress corpus
+  // the concurrent copies blew a 40 GB memory limit and spilled to
+  // disk-full (r10 stress find). One materialization is a few GB and
+  // semantically identical; at the sf0.01 driver scale the hint is
+  // noise.
   private val shCte =
-    """sh AS (SELECT DISTINCT doc_id, shingle FROM (
+    """sh AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM (
       |  SELECT doc_id, unnest(
       |    CASE WHEN len(t) >= 3
       |      THEN list_transform(range(1, len(t) - 1),
@@ -31,7 +39,7 @@ object LlmQueries {
   // n=3 dedup chain: short shingles flag common phrases, not leakage).
   private val sh5Cte = {
     val parts = (0 until 5).map(j => s"t[i+$j]").mkString(" || ' ' || ")
-    s"""sh5 AS (SELECT DISTINCT doc_id, shingle FROM (
+    s"""sh5 AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM (
        |  SELECT doc_id, unnest(
        |    CASE WHEN len(t) >= 5
        |      THEN list_transform(range(1, len(t) - 3), i -> $parts)
@@ -50,7 +58,7 @@ object LlmQueries {
     val bandsSql = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, md5(h${2 * b} || '|' || h${2 * b + 1}) AS band_hash FROM sigs")
       .mkString(" UNION ALL ")
-    s"""sigs AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+    s"""sigs AS MATERIALIZED (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
        |bands AS ($bandsSql),
        |lsh_pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
        |  FROM bands x JOIN bands y
@@ -841,9 +849,19 @@ object LlmQueries {
          |ORDER BY cluster_id""".stripMargin
     })),
 
+    // Centroid count SCALES with the corpus (r10 sf10 stress find): a
+    // fixed k makes cluster size — and so in-cluster pair work, n²/k —
+    // grow quadratically; at 200k vectors the fixed-8 form ran 26× the
+    // sf1 wall for 10× data. `vec_id < 8 OR vec_id % 2500 == 0` keeps
+    // the floor of 8 (driver gate corpora ≤2000 vectors are unchanged)
+    // and adds one centroid per 2500 vectors — fixed ~2.5k target
+    // cluster size, so pair volume stays LINEAR in the corpus.
+    // Count-free and layout-invariant, so the oracle mirrors it
+    // verbatim.
     "llm_embedding_neardup" -> Q((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      Similarity.nearDupPairs(emb, emb.filter(col("vec_id") < 8),
+      Similarity.nearDupPairs(emb,
+        emb.filter(col("vec_id") < 8 || col("vec_id") % 2500 === 0),
         "vec_id", "embedding", threshold = 0.35)
         .select(col("id_a"), col("id_b"), col("cluster_id"))
         .orderBy("id_a", "id_b")
@@ -851,7 +869,8 @@ object LlmQueries {
       val sim = simSql("a.vv", "c.cv")
       s"""WITH v AS (SELECT vec_id,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings),
-         |cent AS (SELECT vec_id AS centroid_id, vv AS cv FROM v WHERE vec_id < 8),
+         |cent AS (SELECT vec_id AS centroid_id, vv AS cv FROM v
+         |  WHERE vec_id < 8 OR vec_id % 2500 = 0),
          |assigned AS (SELECT vec_id, centroid_id AS cluster_id FROM (
          |  SELECT a.vec_id, c.centroid_id,
          |    row_number() OVER (PARTITION BY a.vec_id ORDER BY $sim DESC, c.centroid_id) AS rn
@@ -2413,7 +2432,9 @@ object LlmQueries {
       // recomputes the full chain independently: cosine assignment,
       // pair threshold, then a recursive-CTE component fixpoint.
       val emb = T(s, dir, "embeddings")
-      val pairs = Similarity.nearDupPairs(emb, emb.filter(col("vec_id") < 8),
+      // scaled centroid count — see llm_embedding_neardup (r10 find)
+      val pairs = Similarity.nearDupPairs(emb,
+        emb.filter(col("vec_id") < 8 || col("vec_id") % 2500 === 0),
         "vec_id", "embedding", threshold = 0.35)
       Dedup.dedupClusters(emb.select("vec_id"), "vec_id",
           pairs.select("id_a", "id_b"))
@@ -2422,7 +2443,8 @@ object LlmQueries {
       val sim = simSql("a.vv", "c.cv")
       s"""WITH RECURSIVE v AS (SELECT vec_id,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings),
-         |cent AS (SELECT vec_id AS centroid_id, vv AS cv FROM v WHERE vec_id < 8),
+         |cent AS (SELECT vec_id AS centroid_id, vv AS cv FROM v
+         |  WHERE vec_id < 8 OR vec_id % 2500 = 0),
          |assigned AS (SELECT vec_id, centroid_id AS cluster_id FROM (
          |  SELECT a.vec_id, c.centroid_id,
          |    row_number() OVER (PARTITION BY a.vec_id ORDER BY $sim DESC, c.centroid_id) AS rn

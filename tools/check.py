@@ -10,6 +10,7 @@ name, and compares shape + values exactly. Reports per-query PASS/FAIL.
 """
 import json
 import math
+import os
 import sys
 from pathlib import Path
 
@@ -121,6 +122,15 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
 def main() -> None:
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # Stress-scale knobs: DuckDB's default 80%-of-RAM memory limit can
+    # paradoxically trigger enormous temp spills on the big pair-verify
+    # hash joins (observed at the 500k-doc corpus: >70 GB of temp for a
+    # join whose output is <2 M rows, while the same query under a 50 GB
+    # limit completes without spilling). Bound it explicitly when asked.
+    if "GRAFT_DUCKDB_MEM" in os.environ:
+        con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
+    if "GRAFT_DUCKDB_THREADS" in os.environ:
+        con.execute(f"SET threads TO {int(os.environ['GRAFT_DUCKDB_THREADS'])}")
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if not p.exists():

@@ -27,6 +27,7 @@ Requires OUT_DIR/oracle_sql.json and OUT_DIR/<name>/ parquet written by
 graft.Verify. Exit 0 iff every named gate matches exactly.
 """
 import json
+import os
 import re
 import sys
 
@@ -161,6 +162,13 @@ def main():
     names = args[2:]
     sqls = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
+    # same stress knobs as tools/check.py: a bounded memory limit avoids
+    # the default 80%-of-RAM limit's pathological temp spills on the big
+    # pair-verify joins
+    if "GRAFT_DUCKDB_MEM" in os.environ:
+        con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
+    if "GRAFT_DUCKDB_THREADS" in os.environ:
+        con.execute(f"SET threads TO {int(os.environ['GRAFT_DUCKDB_THREADS'])}")
     for t in TABLES:
         # driver testdata is single files; stress corpora are directories
         for pat in (f"{sf_dir}/{t}.parquet", f"{sf_dir}/{t}.parquet/*.parquet"):
