@@ -549,8 +549,9 @@ object TextOps {
     * integers — bit-identical on any engine.
     *
     * Scale: the term census is ONE map-side-combinable hash agg; the
-    * rank window runs over the VOCAB-sized frame (Heaps' law ≪ corpus)
-    * and only the top-`topK` rows survive into the 1-row moment
+    * global top-`topK` is TakeOrderedAndProject (per-partition heaps +
+    * a topK-row driver merge), the rank window runs only over the
+    * topK-row survivor frame, and the survivors feed a 1-row moment
     * aggregate. */
   def zipfSlope(df: DataFrame, textCol: String, topK: Int = 1000): DataFrame = {
     require(topK >= 3, "need at least 3 rank points to fit")
@@ -558,10 +559,16 @@ object TextOps {
     val counts = df.select(explode(tokens(col(textCol))).as("term"))
       .filter(col("term") =!= "")
       .groupBy("term").agg(count(lit(1)).as("cnt"))
-    val ranked = counts
+    // Top-topK via orderBy().limit() = TakeOrderedAndProject, then rank
+    // only the topK survivors. The vocab frame is Heaps-law smaller
+    // than the corpus but still corpus-SCALED (tens of millions of
+    // terms at 100 TB) — a partition-less rank window over it would
+    // single-partition the whole census to keep 1000 rows.
+    // (cnt desc, term) is a total order, so limit-then-rank is
+    // bit-identical to rank-then-filter.
+    val ranked = counts.orderBy(col("cnt").desc, col("term")).limit(topK)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
-      .filter(col("rank") <= topK)
     def fp(c: Column): Column = floor(c * lit(1.0e12)).cast("decimal(38,0)")
     val x = log(col("rank").cast("double"))
     val y = log(col("cnt").cast("double"))

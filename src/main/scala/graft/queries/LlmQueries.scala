@@ -14,6 +14,21 @@ import Registry.T
   */
 object LlmQueries {
 
+  // Corpus-scaled centroid seed rule, shared by llm_embedding_neardup
+  // and llm_semantic_dedup (r10 sf10 stress find): a FIXED centroid
+  // count makes cluster size — and so in-cluster pair work, n²/k —
+  // grow quadratically with the corpus (at 200k vectors the fixed-8
+  // form ran 26× the sf1 wall for 10× data). `vec_id < 8` keeps a
+  // floor of 8 (driver gate corpora ≤2000 vectors are unchanged) and
+  // `% 2500 == 0` adds one centroid per 2500 vectors — a fixed ~2.5k
+  // target cluster size, so pair volume stays LINEAR in the corpus.
+  // Count-free and layout-invariant. `scaledCentroidSql` is the
+  // verbatim oracle mirror — any scaling change edits BOTH here.
+  private def scaledCentroids(
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    emb.filter(col("vec_id") < 8 || col("vec_id") % 2500 === 0)
+  private val scaledCentroidSql = "vec_id < 8 OR vec_id % 2500 = 0"
+
   // -- shared DuckDB fragments ------------------------------------------
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   private val toksCte =
@@ -849,19 +864,9 @@ object LlmQueries {
          |ORDER BY cluster_id""".stripMargin
     })),
 
-    // Centroid count SCALES with the corpus (r10 sf10 stress find): a
-    // fixed k makes cluster size — and so in-cluster pair work, n²/k —
-    // grow quadratically; at 200k vectors the fixed-8 form ran 26× the
-    // sf1 wall for 10× data. `vec_id < 8 OR vec_id % 2500 == 0` keeps
-    // the floor of 8 (driver gate corpora ≤2000 vectors are unchanged)
-    // and adds one centroid per 2500 vectors — fixed ~2.5k target
-    // cluster size, so pair volume stays LINEAR in the corpus.
-    // Count-free and layout-invariant, so the oracle mirrors it
-    // verbatim.
     "llm_embedding_neardup" -> Q((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      Similarity.nearDupPairs(emb,
-        emb.filter(col("vec_id") < 8 || col("vec_id") % 2500 === 0),
+      Similarity.nearDupPairs(emb, scaledCentroids(emb),
         "vec_id", "embedding", threshold = 0.35)
         .select(col("id_a"), col("id_b"), col("cluster_id"))
         .orderBy("id_a", "id_b")
@@ -870,7 +875,7 @@ object LlmQueries {
       s"""WITH v AS (SELECT vec_id,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings),
          |cent AS (SELECT vec_id AS centroid_id, vv AS cv FROM v
-         |  WHERE vec_id < 8 OR vec_id % 2500 = 0),
+         |  WHERE $scaledCentroidSql),
          |assigned AS (SELECT vec_id, centroid_id AS cluster_id FROM (
          |  SELECT a.vec_id, c.centroid_id,
          |    row_number() OVER (PARTITION BY a.vec_id ORDER BY $sim DESC, c.centroid_id) AS rn
@@ -1188,9 +1193,15 @@ object LlmQueries {
           .select(col("doc_id").as("src"), ((col("doc_id") * 13 + 5) % n).as("dst")))
         .filter(col("src") =!= col("dst")).distinct()
       val pr = PageRank.run(docs, edges, "doc_id", iters = 3, damping = 0.85)
+      // Global top-20 via orderBy().limit() = TakeOrderedAndProject
+      // (per-partition heaps + a 20-row driver merge), then rank the
+      // 20-row survivor frame — never a one-partition window over ALL
+      // docs (at 100 TB that single-partitions the whole corpus to
+      // pick 20 rows). (pr desc, doc_id) is a total order, so the
+      // limit is deterministic and the ranks are unchanged.
       import org.apache.spark.sql.expressions.Window
-      pr.withColumn("rk", row_number().over(Window.orderBy(col("pr").desc, col("doc_id"))))
-        .filter(col("rk") <= 20)
+      pr.orderBy(col("pr").desc, col("doc_id")).limit(20)
+        .withColumn("rk", row_number().over(Window.orderBy(col("pr").desc, col("doc_id"))))
         .orderBy("rk")
     }, Some({
       // Fixed-point accumulation (floor(x·1e12) in DECIMAL(38,0)) — the
@@ -1333,8 +1344,8 @@ object LlmQueries {
       // Histogram quantile sketch (operators/HistQuantile) over document
       // lengths: exact min/max bounds, 32 bins, P50/P90/P99 estimates
       // with the nearest-rank exact quantile and the ≤-one-bin-width
-      // error bound as checked columns. The exact side windows over the
-      // data — eval ground truth, not the operator's scale path.
+      // error bound as checked columns. The exact side uses the
+      // distributed two-level rank (below) — no one-partition window.
       import s.implicits._
       val src = T(s, dir, "documents").select(col("n_chars").cast("double").as("x"))
       val b = src.agg(min("x"), max("x")).first()
@@ -1343,8 +1354,24 @@ object LlmQueries {
       val hist = HistQuantile.build(src, "x", lo, hi, nBins)
       val est = HistQuantile.estimate(hist, lo, hi, nBins, Seq(0.5, 0.9, 0.99))
       val n = src.count().toDouble
-      val ranked = src.withColumn("rk",
-        row_number().over(org.apache.spark.sql.expressions.Window.orderBy("x")))
+      // Exact nearest-rank WITHOUT a global one-partition window (the
+      // planShards two-level doctrine): range-bucket by the SAME 32-bin
+      // rule as the sketch (bin is monotone in x, so (bin, x) order IS
+      // x order), per-bin counts prefix-sum on the ≤32-row bin frame,
+      // then a bin-partitioned (32-way parallel) within-bin rank;
+      // global rank = bin offset + within rank. Ties share an x value,
+      // so the picked exact_q is rank-tie invariant.
+      import org.apache.spark.sql.expressions.Window
+      val binned = src.withColumn("_b", least(greatest(
+          floor(((col("x") - lo) / (hi - lo)) * nBins), lit(0.0)),
+          lit(nBins - 1.0)).cast("int"))
+      val offs = binned.groupBy("_b").agg(count(lit(1)).as("_c"))
+        .withColumn("_off", coalesce(sum(col("_c")).over(
+          Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("_b", "_off")
+      val ranked = binned.join(broadcast(offs), "_b")
+        .withColumn("rk",
+          col("_off") + row_number().over(Window.partitionBy("_b").orderBy("x")))
       val exact = ranked.crossJoin(broadcast(Seq(0.5, 0.9, 0.99).toDF("q")))
         .filter(col("rk") === greatest(ceil(col("q") * n), lit(1.0)).cast("bigint"))
         .select(col("q"), col("x").as("exact_q"))
@@ -2432,9 +2459,7 @@ object LlmQueries {
       // recomputes the full chain independently: cosine assignment,
       // pair threshold, then a recursive-CTE component fixpoint.
       val emb = T(s, dir, "embeddings")
-      // scaled centroid count — see llm_embedding_neardup (r10 find)
-      val pairs = Similarity.nearDupPairs(emb,
-        emb.filter(col("vec_id") < 8 || col("vec_id") % 2500 === 0),
+      val pairs = Similarity.nearDupPairs(emb, scaledCentroids(emb),
         "vec_id", "embedding", threshold = 0.35)
       Dedup.dedupClusters(emb.select("vec_id"), "vec_id",
           pairs.select("id_a", "id_b"))
@@ -2444,7 +2469,7 @@ object LlmQueries {
       s"""WITH RECURSIVE v AS (SELECT vec_id,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings),
          |cent AS (SELECT vec_id AS centroid_id, vv AS cv FROM v
-         |  WHERE vec_id < 8 OR vec_id % 2500 = 0),
+         |  WHERE $scaledCentroidSql),
          |assigned AS (SELECT vec_id, centroid_id AS cluster_id FROM (
          |  SELECT a.vec_id, c.centroid_id,
          |    row_number() OVER (PARTITION BY a.vec_id ORDER BY $sim DESC, c.centroid_id) AS rn

@@ -400,6 +400,66 @@ class PlanGuardsSpec extends SparkTestBase {
     }
   }
 
+  test("registry sweep: no gate plans a partition-less window over an unbounded frame") {
+    // The r10 scale finding: a partition-less WindowExec moves ALL rows
+    // to one partition — fine for a provably tiny frame, fatal when the
+    // frame is corpus-sized (the PageRank/Zipf top-k rank shape, fixed
+    // r11). This sweep pins the whole registry: every partition-less
+    // WindowExec in every gate's physical plan must be bounded by a
+    // limit below it (TakeOrderedAndProject / GlobalLimit / WindowGroup-
+    // Limit — the k-survivor rank shape) or appear in the allowlist of
+    // documented tiny frames. A new gate that ranks an unbounded frame
+    // without partitioning fails here until consciously justified.
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    // Gates whose partition-less window frames are aggregate rollups
+    // bounded by a LOW-cardinality key, each with the bound spelled out:
+    val tinyFrameAllowlist: Map[String, String] = Map(
+      // frame = one row per source (groupBy(source) rollup; a corpus has
+      // tens of sources, not corpus-scaled cardinality)
+      "llm_mixture_weights" -> "per-source remainder rank, ≤|sources| rows",
+      "llm_curriculum_interleave" -> "per-source catalog index, ≤|sources| rows",
+      "llm_source_overlap" -> "per-source index windows (Dedup source census), ≤|sources| rows",
+      // frame = one row per md5-prefix bucket — fixed 256 (planShards)
+      "llm_plan_shards" -> "bucket-offset prefix sum, exactly 256 rows",
+      // frame = one row per histogram bin — fixed 32 (sketch cum + the
+      // exact side's two-level bin offsets; data rows rank INSIDE bins)
+      "llm_hist_quantiles" -> "bin prefix sums, exactly 32 rows each",
+      // frame = one row per day in the sketch rollup
+      "w10_sliding_distinct_hll" -> "daily HLL sketch frame, ≤|days| rows")
+    def offenders(plan: SparkPlan): Seq[String] = {
+      val p = plan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      p.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty &&
+            w.child.collectFirst {
+              case _: TakeOrderedAndProjectExec => ()
+              case _: GlobalLimitExec => ()
+              case _: CollectLimitExec => ()
+              case _: LocalLimitExec => ()
+              case _: WindowGroupLimitExec => ()
+            }.isEmpty =>
+          w.simpleString(5)
+      }
+    }
+    val dir = "/root/testdata/sf0.001"
+    // st* (streaming) gates excluded: their returned frame is a batch
+    // read of the sink output (the per-microbatch plans are not visible
+    // to a static sweep) and building them runs real streams.
+    val names = graft.SparkEntry.queries.keys.filterNot(_.startsWith("st")).toSeq.sorted
+    val bad = names.flatMap { name =>
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val offs = offenders(df.queryExecution.executedPlan)
+      if (offs.isEmpty || tinyFrameAllowlist.contains(name)) Nil
+      else Seq(s"$name:\n  ${offs.mkString("\n  ")}")
+    }
+    assert(bad.isEmpty,
+      s"unbounded partition-less windows (add a limit or justify in the allowlist):\n${bad.mkString("\n")}")
+  }
+
   test("CountMin build: one hash-agg pair, one exchange, map-side combine") {
     import graft.operators.CountMin
     val df = (1L to 5000L).map(i => s"k${i % 97}").toDF("k")

@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Stress-scale oracle check for the connected-component gates.
+"""Stress-scale oracle check for the heavy dedup gates.
 
 The shipped oracle SQL for the dedup/component gates computes connected
 components with a recursive transitive-closure CTE (`reach AS (... JOIN
@@ -22,10 +22,18 @@ edge list:
   3. register the labels as a `comps` table and run the oracle's
      remaining SQL with `reach`/`comps` replaced by that table.
 
+Gates WITHOUT a component fixpoint but WITH the candidate-pair ->
+shingle-intersection join (llm_containment_dedup's `inter` CTE) get the
+same chunked treatment: the join's own CTE is evaluated in slices of the
+pair set, the slices union into a registered table, and the rest of the
+oracle runs verbatim against it.
+
 Usage: python3 tools/stress_cc_check.py SF_DIR OUT_DIR NAME [NAME...]
+                [--chunks N]
 Requires OUT_DIR/oracle_sql.json and OUT_DIR/<name>/ parquet written by
 graft.Verify. Exit 0 iff every named gate matches exactly.
 """
+import argparse
 import json
 import os
 import re
@@ -36,6 +44,16 @@ import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# The heavy pair-verify join every chunked path slices: candidate pairs
+# `p` joined back to the shingle census. DuckDB's % takes the dividend's
+# sign, so the slice predicate must normalize — a negative id_a under a
+# plain `id_a % C = i` (i >= 0) would silently vanish from every slice.
+PAIR_JOIN = re.compile(r"FROM\s+(\w+)\s+p\s+JOIN\s+sh\s+x")
+
+
+def slice_pred(chunks, i):
+    return f"(id_a % {chunks} + {chunks}) % {chunks} = {i}"
 
 
 def balanced_span(sql, start):
@@ -53,10 +71,11 @@ def balanced_span(sql, start):
 
 
 def split_oracle(sql):
-    """(prefix_cte_list, tail_after_comps) around the reach/comps CTEs."""
+    """(prefix_cte_list, tail_after_comps) around the reach/comps CTEs,
+    or None if the oracle has no component fixpoint."""
     m = re.search(r",\s*reach\s+AS\s*\(", sql)
     if not m:
-        raise ValueError("no reach CTE")
+        return None
     prefix = sql[: m.start()]  # ends with ...edges AS (...)
     c = re.search(r"comps\s+AS\s*\(", sql[m.end():])
     comps_end = balanced_span(sql, m.end() + c.start())
@@ -87,42 +106,36 @@ class UF:
             self.p[rb] = ra
 
 
+def sliced_pair_join(text, m, chunks, i):
+    """`text` with its pair-verify join's pair side restricted to slice i
+    (a partition of the pairs, so the union of slices is the full set)."""
+    return (text[: m.start()] +
+            f"FROM (SELECT * FROM {m.group(1)} WHERE "
+            f"{slice_pred(chunks, i)}) p JOIN sh x" + text[m.end():])
+
+
 def fetch_edges(con, prefix, chunks):
     """Edge list from the oracle's own CTEs.
 
     With chunks > 1, the candidate-pair -> shingle-intersection join (the
     one sum-of-pairs x shingles intermediate that can outgrow temp disk at
-    stress scale) is evaluated in `chunks` slices of the pair set
-    (partitioned by id_a % chunks — a partition of the pairs, so the
-    union of slices is exactly the full edge set). Formulas are untouched;
-    only the evaluation is sliced.
+    stress scale) is evaluated in `chunks` slices of the pair set.
+    Formulas are untouched; only the evaluation is sliced.
     """
     if chunks <= 1:
         return con.execute(prefix + " SELECT * FROM edges").fetch_df()
-    m = re.search(r"FROM\s+(\w+)\s+p\s+JOIN\s+sh\s+x", prefix)
+    m = PAIR_JOIN.search(prefix)
     if not m:  # no pair-verify join in this oracle — nothing to slice
         return con.execute(prefix + " SELECT * FROM edges").fetch_df()
     parts = []
     for i in range(chunks):
-        sliced = (prefix[: m.start()] +
-                  f"FROM (SELECT * FROM {m.group(1)} WHERE id_a % {chunks} = {i}) p "
-                  "JOIN sh x" + prefix[m.end():])
+        sliced = sliced_pair_join(prefix, m, chunks, i)
         parts.append(con.execute(sliced + " SELECT * FROM edges").fetch_df())
     return pd.concat(parts, ignore_index=True)
 
 
-def check(con, name, sql, out_dir, chunks=1):
-    prefix, tail = split_oracle(sql)
-    edges = fetch_edges(con, prefix, chunks)
-    a, b = edges.columns[0], edges.columns[1]
-    uf = UF()
-    for s, d in zip(edges[a].to_numpy(), edges[b].to_numpy()):
-        uf.union(int(s), int(d))
-    ids = list(uf.p.keys())
-    comp = pd.DataFrame({"id": ids, "component": [uf.find(i) for i in ids]})
-    con.register("uf_comps", comp)
-    full = (prefix + ", comps AS (SELECT id, component FROM uf_comps)" + tail)
-    oracle = con.execute(full).fetch_df()
+def compare(con, name, full_sql, out_dir, n_extra=""):
+    oracle = con.execute(full_sql).fetch_df()
     got = con.execute(
         f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetch_df()
     # same compare discipline as tools/check.py: sort columns by name,
@@ -148,19 +161,75 @@ def check(con, name, sql, out_dir, chunks=1):
             print(f"FAIL {name}: col {cname} differs at row {bad}: "
                   f"{g.iloc[bad]} vs {o.iloc[bad]}")
             return False
-    print(f"PASS {name} ({len(got)} rows, {len(edges)} edges)")
+    print(f"PASS {name} ({len(got)} rows{n_extra})")
     return True
 
 
+def check_components(con, name, sql, parts, out_dir, chunks):
+    prefix, tail = parts
+    edges = fetch_edges(con, prefix, chunks)
+    a, b = edges.columns[0], edges.columns[1]
+    uf = UF()
+    for s, d in zip(edges[a].to_numpy(), edges[b].to_numpy()):
+        uf.union(int(s), int(d))
+    ids = list(uf.p.keys())
+    comp = pd.DataFrame({"id": ids, "component": [uf.find(i) for i in ids]})
+    con.register("uf_comps", comp)
+    full = (prefix + ", comps AS (SELECT id, component FROM uf_comps)" + tail)
+    return compare(con, name, full, out_dir, f", {len(edges)} edges")
+
+
+def check_pair_tail(con, name, sql, out_dir, chunks):
+    """Non-component oracle whose weight is the pair-verify join
+    (llm_containment_dedup's `inter`): evaluate THAT CTE in pair-set
+    slices, register the union, and run the rest verbatim against it."""
+    pj = PAIR_JOIN.search(sql)
+    if not pj:
+        raise ValueError("no reach CTE and no pair-verify join to slice")
+    # Enclosing CTE of the pair join: the innermost `name AS (...)` whose
+    # balanced body spans the join.
+    cte = None
+    for m in re.finditer(r",\s*(\w+)\s+AS\s+(?:MATERIALIZED\s+)?\(", sql):
+        end = balanced_span(sql, m.end() - 1)
+        if m.end() <= pj.start() and pj.end() <= end and \
+                (cte is None or end - m.start() < cte[2] - cte[1]):
+            cte = (m.group(1), m.start(), end, sql.index("(", m.end() - 1))
+    if cte is None:
+        raise ValueError("pair-verify join is not inside a CTE")
+    cte_name, cte_start, cte_end, body_open = cte
+    prefix = sql[:cte_start]  # WITH-list up to (excluding) the CTE
+    body = sql[body_open + 1: cte_end - 1]
+    tail = sql[cte_end:]
+    bm = PAIR_JOIN.search(body)
+    parts = []
+    for i in range(max(chunks, 1)):
+        sliced = sliced_pair_join(body, bm, max(chunks, 1), i)
+        parts.append(con.execute(
+            f"{prefix}, {cte_name} AS ({sliced}) SELECT * FROM {cte_name}"
+        ).fetch_df())
+    union = pd.concat(parts, ignore_index=True)
+    con.register("uf_pairtail", union)
+    full = f"{prefix}, {cte_name} AS (SELECT * FROM uf_pairtail)" + tail
+    return compare(con, name, full, out_dir, f", {len(union)} {cte_name} rows")
+
+
+def check(con, name, sql, out_dir, chunks=1):
+    parts = split_oracle(sql)
+    if parts is not None:
+        return check_components(con, name, sql, parts, out_dir, chunks)
+    return check_pair_tail(con, name, sql, out_dir, chunks)
+
+
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--chunks")]
-    chunks = 1
-    for a in sys.argv[1:]:
-        if a.startswith("--chunks="):
-            chunks = int(a.split("=", 1)[1])
-    sf_dir, out_dir = args[0], args[1]
-    names = args[2:]
-    sqls = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ap = argparse.ArgumentParser(description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("sf_dir")
+    ap.add_argument("out_dir")
+    ap.add_argument("names", nargs="+")
+    ap.add_argument("--chunks", type=int, default=1,
+                    help="evaluate the pair-verify join in N pair-set slices")
+    opts = ap.parse_args()
+    sqls = json.load(open(f"{opts.out_dir}/oracle_sql.json"))
     con = duckdb.connect()
     # same stress knobs as tools/check.py: a bounded memory limit avoids
     # the default 80%-of-RAM limit's pathological temp spills on the big
@@ -169,32 +238,38 @@ def main():
         con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
     if "GRAFT_DUCKDB_THREADS" in os.environ:
         con.execute(f"SET threads TO {int(os.environ['GRAFT_DUCKDB_THREADS'])}")
+    table_pat = {}
     for t in TABLES:
         # driver testdata is single files; stress corpora are directories
-        for pat in (f"{sf_dir}/{t}.parquet", f"{sf_dir}/{t}.parquet/*.parquet"):
+        for pat in (f"{opts.sf_dir}/{t}.parquet",
+                    f"{opts.sf_dir}/{t}.parquet/*.parquet"):
             try:
                 con.execute(
                     f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
+                table_pat[t] = pat
                 break
             except duckdb.Error:
                 continue
     # events.ts arrives as BIGINT nanos in the stress corpora; oracles
-    # expect a timestamp — mirror tools/check.py's view rewrite.
-    try:
-        cols = [r[0] for r in con.execute("DESCRIBE events").fetchall()]
-        ts_type = dict((r[0], r[1]) for r in con.execute("DESCRIBE events").fetchall())
-        if ts_type.get("ts", "").startswith("BIGINT"):
-            rest = ", ".join(c for c in cols if c != "ts")
-            con.execute(
-                "CREATE OR REPLACE VIEW events AS SELECT "
-                "make_timestamp(ts // 1000) AS ts, " + rest +
-                " FROM read_parquet('" + sf_dir + "/events.parquet/*.parquet')")
-    except duckdb.Error:
-        pass
-    ok = True
-    for n in names:
+    # expect a timestamp — mirror tools/check.py's view rewrite, reusing
+    # whichever read_parquet pattern the view loop established.
+    if "events" in table_pat:
         try:
-            ok &= check(con, n, sqls[n], out_dir, chunks)
+            ts_type = dict((r[0], r[1])
+                           for r in con.execute("DESCRIBE events").fetchall())
+            if ts_type.get("ts", "").startswith("BIGINT"):
+                rest = ", ".join(c for c in ts_type if c != "ts")
+                con.execute(
+                    "CREATE OR REPLACE VIEW events AS SELECT "
+                    "make_timestamp(ts // 1000) AS ts, " + rest +
+                    f" FROM read_parquet('{table_pat['events']}')")
+        except duckdb.Error as e:
+            print(f"WARN events ts-normalization skipped ({e}); "
+                  "timestamp-based gates may mismatch", file=sys.stderr)
+    ok = True
+    for n in opts.names:
+        try:
+            ok &= check(con, n, sqls[n], opts.out_dir, opts.chunks)
         except Exception as e:  # noqa: BLE001 — report and continue
             print(f"FAIL {n}: {type(e).__name__}: {e}")
             ok = False
