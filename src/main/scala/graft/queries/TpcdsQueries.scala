@@ -47,7 +47,7 @@ object TpcdsQueries {
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |GROUP BY ROLLUP (p_brand, p_type, p_size)
              |ORDER BY p_brand NULLS FIRST, p_type NULLS FIRST,
-             |  p_size NULLS FIRST""".stripMargin)),
+             |  p_size NULLS FIRST""".stripMargin), bench = true),
 
     // q36 shape: gross-margin ratio over the category→brand hierarchy
     // with a rank WITHIN each grouping level (lochierarchy = how many
@@ -98,7 +98,7 @@ object TpcdsQueries {
               |      p_brand ASC NULLS FIRST) AS INT) AS rank_within_level
               |FROM r
               |ORDER BY lochierarchy DESC, rank_within_level,
-              |  category NULLS FIRST, p_brand NULLS FIRST""".stripMargin)),
+              |  category NULLS FIRST, p_brand NULLS FIRST""".stripMargin), bench = true),
 
     // q67 shape: state×category×brand ROLLUP of sales, then top-10 per
     // state by ranked sales — the windowed-sales-rollup composite.
@@ -148,7 +148,7 @@ object TpcdsQueries {
               |SELECT n_name, category, p_brand, sales, rk
               |FROM rk WHERE rk <= 10
               |ORDER BY n_name NULLS FIRST, rk,
-              |  category NULLS FIRST, p_brand NULLS FIRST""".stripMargin)),
+              |  category NULLS FIRST, p_brand NULLS FIRST""".stripMargin), bench = true),
 
     // q86 shape: two-level rollup share-of-hierarchy rank (the compact
     // q36 variant TPC-DS uses for web sales).
@@ -191,7 +191,7 @@ object TpcdsQueries {
               |ORDER BY lochierarchy DESC,
               |  CASE WHEN lochierarchy = 0 THEN category END NULLS FIRST,
               |  rank_within_parent, category NULLS FIRST,
-              |  p_brand NULLS FIRST""".stripMargin)),
+              |  p_brand NULLS FIRST""".stripMargin), bench = true),
 
     // q18 shape: multi-way star into a (nation, year) ROLLUP of several
     // averages — the catalog-sales demographic-average query.
@@ -228,7 +228,7 @@ object TpcdsQueries {
              |JOIN customer ON o_custkey = c_custkey
              |JOIN nation ON c_nationkey = n_nationkey
              |GROUP BY ROLLUP (n_name, CAST(EXTRACT(year FROM o_orderdate) AS INT))
-             |ORDER BY n_name NULLS FIRST, o_year NULLS FIRST""".stripMargin)),
+             |ORDER BY n_name NULLS FIRST, o_year NULLS FIRST""".stripMargin), bench = true),
 
     // q89 shape: within-brand monthly deviation from the brand's mean
     // month — monthly sums windowed per brand, flagging months that
@@ -272,5 +272,319 @@ object TpcdsQueries {
               |  (CAST(sales_u AS DOUBLE) / 1000000.0) /
               |    (CAST(tot_u AS DOUBLE) / 1000000.0 / nm) > 1.1 AS above_110pct
               |FROM w
-              |ORDER BY p_brand, mon""".stripMargin)))
+              |ORDER BY p_brand, mon""".stripMargin), bench = true),
+
+    // q98 shape: revenue share WITHIN category (revenueratio) — the
+    // windowed market-share query: one hash agg, then a category-
+    // partitioned window sum ratio. Numerator and denominator are both
+    // DECIMAL(38,0) integer units cast to DOUBLE once (the single-step
+    // cast that stays exact past 2^53), and the ratio is one fixed-shape
+    // double expression on both engines.
+    "tpcds_q98_category_share" -> Q((s, dir) => {
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .createOrReplaceTempView("tpcds98_sales")
+      s.sql("""WITH r AS (
+              |  SELECT element_at(split(p_type, ' '), 1) AS category, p_brand,
+              |    SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount)
+              |      AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0))) AS rev_u
+              |  FROM tpcds98_sales
+              |  GROUP BY element_at(split(p_type, ' '), 1), p_brand)
+              |SELECT category, p_brand,
+              |  CAST(rev_u AS DOUBLE) / 1000000.0 AS revenue,
+              |  CAST(rev_u AS DOUBLE) * 100.0 /
+              |    CAST(SUM(rev_u) OVER (PARTITION BY category) AS DOUBLE)
+              |    AS revenueratio
+              |FROM r
+              |ORDER BY category, p_brand""".stripMargin)
+    }, Some("""WITH r AS (
+              |  SELECT string_split(p_type, ' ')[1] AS category, p_brand,
+              |    SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount)
+              |      AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0))) AS rev_u
+              |  FROM lineitem JOIN part ON l_partkey = p_partkey
+              |  GROUP BY string_split(p_type, ' ')[1], p_brand)
+              |SELECT category, p_brand,
+              |  CAST(rev_u AS DOUBLE) / 1000000.0 AS revenue,
+              |  CAST(rev_u AS DOUBLE) * 100.0 /
+              |    CAST(SUM(rev_u) OVER (PARTITION BY category) AS DOUBLE)
+              |    AS revenueratio
+              |FROM r
+              |ORDER BY category, p_brand""".stripMargin), bench = true),
+
+    // q33 shape: cross-channel union — three per-channel aggregates
+    // UNION ALL'd and re-aggregated by category. The driver corpus has
+    // one sales table, so the channel is DERIVED (l_linenumber % 3 —
+    // the same integer formula on both engines), exactly like the
+    // derived partsupp/shipmode columns in TpchQueries.
+    "tpcds_q33_channel_union" -> Q((s, dir) => {
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .createOrReplaceTempView("tpcds33_sales")
+      s.sql("""WITH base AS (
+              |  SELECT element_at(split(p_type, ' '), 1) AS category,
+              |    CASE CAST(l_linenumber % 3 AS INT) WHEN 0 THEN 'web'
+              |      WHEN 1 THEN 'store' ELSE 'catalog' END AS channel,
+              |    CAST(CAST(l_extendedprice * (1.0 - l_discount)
+              |      AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0)) AS rev_u
+              |  FROM tpcds33_sales),
+              |ws AS (SELECT category, SUM(rev_u) AS rev_u FROM base
+              |  WHERE channel = 'web' GROUP BY category),
+              |ss AS (SELECT category, SUM(rev_u) AS rev_u FROM base
+              |  WHERE channel = 'store' GROUP BY category),
+              |cs AS (SELECT category, SUM(rev_u) AS rev_u FROM base
+              |  WHERE channel = 'catalog' GROUP BY category),
+              |u AS (SELECT * FROM ws UNION ALL SELECT * FROM ss
+              |  UNION ALL SELECT * FROM cs)
+              |SELECT category, CAST(SUM(rev_u) AS DOUBLE) / 1000000.0
+              |    AS total_sales,
+              |  count(*) AS n_channels
+              |FROM u GROUP BY category
+              |ORDER BY category""".stripMargin)
+    }, Some("""WITH base AS (
+              |  SELECT string_split(p_type, ' ')[1] AS category,
+              |    CASE CAST(l_linenumber % 3 AS INT) WHEN 0 THEN 'web'
+              |      WHEN 1 THEN 'store' ELSE 'catalog' END AS channel,
+              |    CAST(CAST(l_extendedprice * (1.0 - l_discount)
+              |      AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0)) AS rev_u
+              |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+              |ws AS (SELECT category, SUM(rev_u) AS rev_u FROM base
+              |  WHERE channel = 'web' GROUP BY category),
+              |ss AS (SELECT category, SUM(rev_u) AS rev_u FROM base
+              |  WHERE channel = 'store' GROUP BY category),
+              |cs AS (SELECT category, SUM(rev_u) AS rev_u FROM base
+              |  WHERE channel = 'catalog' GROUP BY category),
+              |u AS (SELECT * FROM ws UNION ALL SELECT * FROM ss
+              |  UNION ALL SELECT * FROM cs)
+              |SELECT category, CAST(SUM(rev_u) AS DOUBLE) / 1000000.0
+              |    AS total_sales,
+              |  count(*) AS n_channels
+              |FROM u GROUP BY category
+              |ORDER BY category""".stripMargin), bench = true),
+
+    // q74 shape: year-over-year customer growth — yearly totals
+    // self-joined on consecutive years, keeping customers whose sales
+    // grew >10%. Totals stay DECIMAL(18,2)-exact; the ONE growth divide
+    // happens on identically-rounded doubles in both engines.
+    "tpcds_q74_yoy_growth" -> Q((s, dir) => {
+      T(s, dir, "orders")
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"),
+          year(to_date(col("o_orderdate"))).as("o_year"),
+          col("o_totalprice"))
+        .createOrReplaceTempView("tpcds74_sales")
+      s.sql("""WITH yt AS (
+              |  SELECT c_custkey, c_name, o_year,
+              |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot_d
+              |  FROM tpcds74_sales GROUP BY c_custkey, c_name, o_year)
+              |SELECT t1.c_custkey, t1.c_name, t1.o_year AS year1,
+              |  CAST(t1.tot_d AS DOUBLE) AS sales1,
+              |  CAST(t2.tot_d AS DOUBLE) AS sales2,
+              |  CAST(t2.tot_d AS DOUBLE) / CAST(t1.tot_d AS DOUBLE) AS growth
+              |FROM yt t1 JOIN yt t2
+              |  ON t1.c_custkey = t2.c_custkey AND t2.o_year = t1.o_year + 1
+              |WHERE CAST(t2.tot_d AS DOUBLE) / CAST(t1.tot_d AS DOUBLE) > 1.1
+              |ORDER BY t1.c_custkey, t1.o_year""".stripMargin)
+    }, Some("""WITH yt AS (
+              |  SELECT c_custkey, c_name,
+              |    CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+              |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot_d
+              |  FROM orders JOIN customer ON o_custkey = c_custkey
+              |  GROUP BY c_custkey, c_name, EXTRACT(year FROM o_orderdate))
+              |SELECT t1.c_custkey, t1.c_name, t1.o_year AS year1,
+              |  CAST(t1.tot_d AS DOUBLE) AS sales1,
+              |  CAST(t2.tot_d AS DOUBLE) AS sales2,
+              |  CAST(t2.tot_d AS DOUBLE) / CAST(t1.tot_d AS DOUBLE) AS growth
+              |FROM yt t1 JOIN yt t2
+              |  ON t1.c_custkey = t2.c_custkey AND t2.o_year = t1.o_year + 1
+              |WHERE CAST(t2.tot_d AS DOUBLE) / CAST(t1.tot_d AS DOUBLE) > 1.1
+              |ORDER BY t1.c_custkey, t1.o_year""".stripMargin), bench = true),
+
+    // q59 shape: same-month sales compared across consecutive years per
+    // nation — monthly rollup self-joined on (nation, month, year+1).
+    "tpcds_q59_weekly_compare" -> Q((s, dir) => {
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(T(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"),
+          year(to_date(col("o_orderdate"))).as("o_year"),
+          month(to_date(col("o_orderdate"))).as("mon"),
+          col("l_extendedprice"), col("l_discount"))
+        .createOrReplaceTempView("tpcds59_sales")
+      s.sql("""WITH ms AS (
+              |  SELECT n_name, o_year, mon,
+              |    SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount)
+              |      AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0))) AS sales_u
+              |  FROM tpcds59_sales GROUP BY n_name, o_year, mon)
+              |SELECT a.n_name, a.o_year, a.mon,
+              |  CAST(a.sales_u AS DOUBLE) / 1000000.0 AS sales_this,
+              |  CAST(b.sales_u AS DOUBLE) / 1000000.0 AS sales_next,
+              |  CAST(b.sales_u AS DOUBLE) / CAST(a.sales_u AS DOUBLE) AS ratio
+              |FROM ms a JOIN ms b
+              |  ON a.n_name = b.n_name AND a.mon = b.mon
+              |    AND b.o_year = a.o_year + 1
+              |ORDER BY a.n_name, a.o_year, a.mon""".stripMargin)
+    }, Some("""WITH ms AS (
+              |  SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+              |    CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mon,
+              |    SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount)
+              |      AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0))) AS sales_u
+              |  FROM lineitem
+              |  JOIN orders ON l_orderkey = o_orderkey
+              |  JOIN customer ON o_custkey = c_custkey
+              |  JOIN nation ON c_nationkey = n_nationkey
+              |  GROUP BY n_name, EXTRACT(year FROM o_orderdate),
+              |    EXTRACT(month FROM o_orderdate))
+              |SELECT a.n_name, a.o_year, a.mon,
+              |  CAST(a.sales_u AS DOUBLE) / 1000000.0 AS sales_this,
+              |  CAST(b.sales_u AS DOUBLE) / 1000000.0 AS sales_next,
+              |  CAST(b.sales_u AS DOUBLE) / CAST(a.sales_u AS DOUBLE) AS ratio
+              |FROM ms a JOIN ms b
+              |  ON a.n_name = b.n_name AND a.mon = b.mon
+              |    AND b.o_year = a.o_year + 1
+              |ORDER BY a.n_name, a.o_year, a.mon""".stripMargin), bench = true),
+
+    // q51 shape: per-brand cumulative monthly sales for two derived
+    // channels, FULL OUTER joined month-by-month, flagging months where
+    // the web cumulative overtakes the store cumulative. The cumulative
+    // window is brand-partitioned with an explicit ROWS frame (the
+    // RANGE-vs-ROWS default differs in spirit between engines; months
+    // are unique per brand per channel here, but the frame is pinned
+    // anyway). Cumulative sums stay DECIMAL(38,0) integer units.
+    "tpcds_q51_cumulative" -> Q((s, dir) => {
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .createOrReplaceTempView("tpcds51_sales")
+      s.sql("""WITH base AS (
+              |  SELECT p_brand, CAST(month(l_shipdate) AS INT) AS mon,
+              |    CASE CAST(l_linenumber % 2 AS INT) WHEN 0 THEN 'web'
+              |      ELSE 'store' END AS channel,
+              |    CAST(CAST(l_extendedprice * (1.0 - l_discount)
+              |      AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0)) AS rev_u
+              |  FROM tpcds51_sales),
+              |w AS (SELECT p_brand, mon, SUM(rev_u) AS rev_u FROM base
+              |  WHERE channel = 'web' GROUP BY p_brand, mon),
+              |st AS (SELECT p_brand, mon, SUM(rev_u) AS rev_u FROM base
+              |  WHERE channel = 'store' GROUP BY p_brand, mon),
+              |wc AS (SELECT p_brand, mon,
+              |  SUM(rev_u) OVER (PARTITION BY p_brand ORDER BY mon
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_u
+              |  FROM w),
+              |sc AS (SELECT p_brand, mon,
+              |  SUM(rev_u) OVER (PARTITION BY p_brand ORDER BY mon
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_u
+              |  FROM st)
+              |SELECT coalesce(wc.p_brand, sc.p_brand) AS p_brand,
+              |  coalesce(wc.mon, sc.mon) AS mon,
+              |  CAST(wc.cum_u AS DOUBLE) / 1000000.0 AS web_cum,
+              |  CAST(sc.cum_u AS DOUBLE) / 1000000.0 AS store_cum,
+              |  coalesce(wc.cum_u, 0) > coalesce(sc.cum_u, 0) AS web_ahead
+              |FROM wc FULL OUTER JOIN sc
+              |  ON wc.p_brand = sc.p_brand AND wc.mon = sc.mon
+              |ORDER BY p_brand, mon""".stripMargin)
+    }, Some("""WITH base AS (
+              |  SELECT p_brand, CAST(month(l_shipdate) AS INT) AS mon,
+              |    CASE CAST(l_linenumber % 2 AS INT) WHEN 0 THEN 'web'
+              |      ELSE 'store' END AS channel,
+              |    CAST(CAST(l_extendedprice * (1.0 - l_discount)
+              |      AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0)) AS rev_u
+              |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+              |w AS (SELECT p_brand, mon, SUM(rev_u) AS rev_u FROM base
+              |  WHERE channel = 'web' GROUP BY p_brand, mon),
+              |st AS (SELECT p_brand, mon, SUM(rev_u) AS rev_u FROM base
+              |  WHERE channel = 'store' GROUP BY p_brand, mon),
+              |wc AS (SELECT p_brand, mon,
+              |  SUM(rev_u) OVER (PARTITION BY p_brand ORDER BY mon
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_u
+              |  FROM w),
+              |sc AS (SELECT p_brand, mon,
+              |  SUM(rev_u) OVER (PARTITION BY p_brand ORDER BY mon
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_u
+              |  FROM st)
+              |SELECT coalesce(wc.p_brand, sc.p_brand) AS p_brand,
+              |  coalesce(wc.mon, sc.mon) AS mon,
+              |  CAST(wc.cum_u AS DOUBLE) / 1000000.0 AS web_cum,
+              |  CAST(sc.cum_u AS DOUBLE) / 1000000.0 AS store_cum,
+              |  coalesce(wc.cum_u, 0) > coalesce(sc.cum_u, 0) AS web_ahead
+              |FROM wc FULL OUTER JOIN sc
+              |  ON wc.p_brand = sc.p_brand AND wc.mon = sc.mon
+              |ORDER BY p_brand, mon""".stripMargin), bench = true),
+
+    // q70 shape: hierarchy rollup restricted to the top-5 nations by
+    // total sales. The top-5 selection is ORDER BY + LIMIT (TakeOrdered;
+    // q70's rank()-subquery spelling would be a partition-less window —
+    // the r11 anti-pattern) feeding an IN-subquery semi-join, then the
+    // (nation, category) rollup with a rank within each grouping level.
+    "tpcds_q70_top_states" -> Q((s, dir) => {
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(T(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("n_name"),
+          element_at(split(col("p_type"), " "), 1).as("category"),
+          col("l_extendedprice"), col("l_discount"))
+        .createOrReplaceTempView("tpcds70_sales")
+      s.sql("""WITH top5 AS (
+              |  SELECT n_name FROM (
+              |    SELECT n_name,
+              |      SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount)
+              |        AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0))) AS tot_u
+              |    FROM tpcds70_sales GROUP BY n_name)
+              |  ORDER BY tot_u DESC, n_name LIMIT 5),
+              |r AS (
+              |  SELECT n_name, category,
+              |    CAST(grouping(n_name) AS INT) +
+              |      CAST(grouping(category) AS INT) AS lochierarchy,
+              |    SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount)
+              |      AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0))) AS sales_u
+              |  FROM tpcds70_sales
+              |  WHERE n_name IN (SELECT n_name FROM top5)
+              |  GROUP BY ROLLUP (n_name, category))
+              |SELECT CAST(sales_u AS DOUBLE) / 1000000.0 AS total_sales,
+              |  n_name, category, lochierarchy,
+              |  CAST(rank() OVER (PARTITION BY lochierarchy,
+              |      CASE WHEN lochierarchy = 0 THEN n_name END
+              |    ORDER BY sales_u DESC, n_name ASC NULLS FIRST,
+              |      category ASC NULLS FIRST) AS INT) AS rank_within_parent
+              |FROM r
+              |ORDER BY lochierarchy DESC,
+              |  CASE WHEN lochierarchy = 0 THEN n_name END NULLS FIRST,
+              |  rank_within_parent, n_name NULLS FIRST,
+              |  category NULLS FIRST""".stripMargin)
+    }, Some("""WITH base AS (
+              |  SELECT n_name, string_split(p_type, ' ')[1] AS category,
+              |    l_extendedprice, l_discount
+              |  FROM lineitem
+              |  JOIN orders ON l_orderkey = o_orderkey
+              |  JOIN customer ON o_custkey = c_custkey
+              |  JOIN nation ON c_nationkey = n_nationkey
+              |  JOIN part ON l_partkey = p_partkey),
+              |top5 AS (
+              |  SELECT n_name FROM (
+              |    SELECT n_name,
+              |      SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount)
+              |        AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0))) AS tot_u
+              |    FROM base GROUP BY n_name)
+              |  ORDER BY tot_u DESC, n_name LIMIT 5),
+              |r AS (
+              |  SELECT n_name, category,
+              |    CAST(grouping(n_name) AS INT) +
+              |      CAST(grouping(category) AS INT) AS lochierarchy,
+              |    SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount)
+              |      AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0))) AS sales_u
+              |  FROM base
+              |  WHERE n_name IN (SELECT n_name FROM top5)
+              |  GROUP BY ROLLUP (n_name, category))
+              |SELECT CAST(sales_u AS DOUBLE) / 1000000.0 AS total_sales,
+              |  n_name, category, lochierarchy,
+              |  CAST(rank() OVER (PARTITION BY lochierarchy,
+              |      CASE WHEN lochierarchy = 0 THEN n_name END
+              |    ORDER BY sales_u DESC, n_name ASC NULLS FIRST,
+              |      category ASC NULLS FIRST) AS INT) AS rank_within_parent
+              |FROM r
+              |ORDER BY lochierarchy DESC,
+              |  CASE WHEN lochierarchy = 0 THEN n_name END NULLS FIRST,
+              |  rank_within_parent, n_name NULLS FIRST,
+              |  category NULLS FIRST""".stripMargin), bench = true))
 }
