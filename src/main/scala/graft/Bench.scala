@@ -69,7 +69,11 @@ object Bench {
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
       .filter(n => only.forall(_.contains(n)))
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    val reprobeK = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPROBE_K", "5").toInt
+    // Reprobe budget scales with the headline list (fixed 5 was sized
+    // for 56 queries; the r11 TPC-DS widening to 68 pushed the dedup
+    // family out of the isolated re-timing slots).
+    val reprobeK = sys.env.get("SPARK_GRAFT_BENCH_REPROBE_K").map(_.toInt)
+      .getOrElse(math.max(5, math.ceil(names.size / 8.0).toInt))
     // One tiny warm-up action so JIT/classloading doesn't land on the
     // first measured query.
     try spark.range(1000).count() catch { case _: Throwable => }

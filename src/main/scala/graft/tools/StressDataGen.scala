@@ -32,6 +32,30 @@ object StressDataGen {
     "group", "stream", "vector", "order", "shuffle", "broadcast", "cache",
     "plan", "stage", "task", "executor", "driver", "codegen", "parquet")
 
+  /** Corpus-scaled vocabulary size, Heaps-ish (~sqrt of the corpus).
+    *
+    * The r10 stress round found the FIXED 40-word vocab degenerate at
+    * sf10: every winnow fingerprint had document frequency > 50, the
+    * df-cap dropped all of them, and `llm_winnow_pairs` proved nothing
+    * at stress scale (r10 verdict gap #2) — and every other df-capped
+    * path was understressed the same way. Real corpora grow vocabulary
+    * ~N^0.5 (Heaps' law), so the generator now does too: the 40 core
+    * words stay (cross-document overlap for the dedup/jaccard ops) and
+    * a Zipf-tailed synthetic vocabulary scales with sf.
+    */
+  private def vocabSize(sf: Double): Int =
+    vocab.size + math.ceil(2000.0 * math.sqrt(sf)).toInt
+
+  /** Zipf-ish (freq ∝ 1/rank) word index in [1, v]: floor(v^u) of a
+    * uniform u — the log-uniform trick, pure hash math on both sides. */
+  private def zipfIdx(u: org.apache.spark.sql.Column, v: Int) =
+    least(floor(pow(lit(v.toDouble), u)) , lit((v - 1).toDouble)).cast("int")
+
+  /** Word at 1-based index: the 40 core words, then synthetic tails. */
+  private def wordAt(idx: org.apache.spark.sql.Column) =
+    when(idx <= vocab.size, element_at(array(vocab.map(lit): _*), idx))
+      .otherwise(concat(lit("w"), idx))
+
   private def h(cols: org.apache.spark.sql.Column*) = abs(hash(cols: _*))
 
   def main(args: Array[String]): Unit = {
@@ -164,14 +188,17 @@ object StressDataGen {
       concat(lit("{\"k\": "), h(col("id"), lit(30)) % 100, lit("}")).as("props")),
       "events")
 
-    // documents: 30-130 words from the shared vocab; ~5% near-copies
-    // (doc_id % 20 == 7 clones doc_id-7's text + one appended word).
-    val vocabArr = array(vocab.map(lit): _*)
+    // documents: 30-130 words, Zipf-drawn from the sf-scaled vocabulary
+    // (see vocabSize — the 40 core words absorb ~40% of tokens at sf10,
+    // keeping near-dup overlap, while the tail gives winnow/df-capped
+    // paths rare fingerprints to keep); ~5% near-copies (doc_id % 20 ==
+    // 7 clones doc_id-7's text + one appended word).
+    val v = vocabSize(sf)
     val base = spark.range(nDocs).select(
       col("id").as("doc_id"),
       array_join(transform(
         sequence(lit(1), (h(col("id"), lit(31)) % 101 + 30).cast("int")),
-        i => element_at(vocabArr, (h(col("id"), i, lit(32)) % vocab.size + 1).cast("int"))),
+        i => wordAt(zipfIdx((h(col("id"), i, lit(32)) % 1000000) / lit(1000000.0), v))),
         " ").as("text0"),
       element_at(array(Seq("de", "en", "es", "fr", "zh").map(lit): _*),
         (h(col("id"), lit(33)) % 5 + 1).cast("int")).as("lang"),
