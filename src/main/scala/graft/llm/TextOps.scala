@@ -457,10 +457,21 @@ object TextOps {
     * relative to the corpus (Heaps' law), so at scale the count frame
     * broadcasts and the token stream never shuffles (hinted here). The
     * 2-value totals frame broadcasts. Surprisals accumulate FIXED-POINT
-    * (`floor(x·10¹²)` in DECIMAL(38,0) — `round(x, 12)` is NOT portable
+    * (`floor(x·10⁶)` in DECIMAL(38,0) — `round(x, 12)` is NOT portable
     * across engines; a 10× stress corpus flipped 68/500 docs by one
     * ulp, r9); the mean divides the exact sum by the exact count in
-    * double — one correctly-rounded op, engine-identical. */
+    * double — one correctly-rounded op, engine-identical.
+    *
+    * Grid choice (r11 stress find): the surprisal passes through `ln`,
+    * and libm `ln` is NOT correctly rounded — JVM and DuckDB disagree
+    * by one ulp on a few percent of arguments, so `floor(ln(x)·g)`
+    * flips when the result lands within an ulp of a 1/g boundary:
+    * P(flip) ≈ ulp·g·r per DISTINCT ratio (r = libm disagreement
+    * rate). At the r11 sf10 corpus's ~4M distinct bigram ratios the
+    * old 10¹² grid flipped ~300 of them (2572/500k docs off by one
+    * unit); at 10⁶ the expectation is ~3·10⁻³ flips at that scale and
+    * stays ≪ 1 far beyond it. 10⁻⁶ nats is orders below any decision
+    * threshold a quality score feeds. */
   def unigramCrossEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
@@ -472,11 +483,11 @@ object TextOps {
       .crossJoin(broadcast(totals))
       .select(col(idCol),
         floor(log(col("t_total").cast("double") / col("cnt").cast("double"))
-          * lit(1.0e12)).cast("decimal(38,0)").as("_surprisal"))
+          * lit(1.0e6)).cast("decimal(38,0)").as("_surprisal"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum(col("_surprisal")).as("_sum"))
       .select(col(idCol), col("n_tokens"),
-        (col("_sum").cast("double") / lit(1.0e12) / col("n_tokens").cast("double"))
+        (col("_sum").cast("double") / lit(1.0e6) / col("n_tokens").cast("double"))
           .as("cross_entropy"))
   }
 
@@ -490,10 +501,13 @@ object TextOps {
     * beginning with `w` (so the smoothed model normalizes exactly:
     * Σ_w2 (c+1)/(starts+V) = 1), `V` is the distinct-unigram count, and
     * add-ONE smoothing keeps every model quantity an exact integer —
-    * each surprisal is one double division of two exact ints + one `ln`
-    * (portable since round 5), then fixed-point `floor(x·10¹²)` summed
-    * in DECIMAL(38,0) per the round-9 doctrine (`round(x, 12)` is NOT
-    * cross-engine-portable).
+    * each surprisal is one double division of two exact ints + one `ln`,
+    * then fixed-point `floor(x·10⁶)` summed in DECIMAL(38,0)
+    * (`round(x, 12)` is NOT cross-engine-portable, and the grid is 10⁶
+    * not 10¹² because `ln` itself is only ulp-portable — see the
+    * [[unigramCrossEntropy]] grid-choice note; the bigram model's
+    * millions of distinct ratios are exactly where the fine grid
+    * flipped at the r11 sf10 stress corpus).
     *
     * Scale shape: the bigram stream is a zero-shuffle projection; both
     * count frames are ONE map-side-combinable aggregate each; the
@@ -522,7 +536,7 @@ object TextOps {
       .crossJoin(broadcast(vocab))
       .select(col(idCol),
         floor(log((col("c_start") + col("v")).cast("double") /
-            (col("c_bg") + lit(1L)).cast("double")) * lit(1.0e12))
+            (col("c_bg") + lit(1L)).cast("double")) * lit(1.0e6))
           .cast("decimal(38,0)").as("_s"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_bigrams"), sum(col("_s")).as("_sum"))
@@ -530,7 +544,7 @@ object TextOps {
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        (col("_sum").cast("double") / lit(1.0e12) /
+        (col("_sum").cast("double") / lit(1.0e6) /
           col("n_bigrams").cast("double")).as("ce2_nats"))
   }
 

@@ -45,7 +45,14 @@ object BloomPrune {
 
   /** Keep the fact rows whose key MIGHT be in the sketch (plus nothing
     * with a NULL key — an equi-join never matches NULL). No false
-    * negatives: every true join partner survives. */
+    * negatives: every true join partner survives.
+    *
+    * The probe is a Scala UDF by necessity, not oversight: no public
+    * built-in expression takes a broadcast BloomFilter (Spark's own
+    * runtime-filter rewrite uses the internal `BloomFilterMightContain`,
+    * which isn't constructible from the public API). The UDF breaks the
+    * codegen span at exactly one filter on the pruned side; the sketch
+    * probe itself is O(1) per row, so the scan stays scan-speed. */
   def prune(fact: DataFrame, keyCol: String, bf: BloomFilter): DataFrame = {
     val bc = fact.sparkSession.sparkContext.broadcast(bf)
     val probe = fact.schema(keyCol).dataType match {

@@ -2094,8 +2094,11 @@ object LlmQueries {
     "llm_unigram_ppl" -> Q((s, dir) =>
       // CCNet-style statistical quality: per-doc cross-entropy under the
       // corpus unigram LM (TextOps.unigramCrossEntropy). Counts frame
-      // broadcasts (vocab ≪ corpus); surprisals sum fixed-point
-      // (round(x,12) flipped 68/500 docs on the r9 stress corpus).
+      // broadcasts (vocab ≪ corpus); surprisals sum fixed-point on the
+      // 1e6 grid (round(x,12) flipped 68/500 docs on the r9 stress
+      // corpus, and the 1e12 grid itself flips on libm ln ulp
+      // disagreements once the vocab is realistic — r11 find, see
+      // TextOps.unigramCrossEntropy).
       TextOps.unigramCrossEntropy(
           T(s, dir, "documents").select("doc_id", "text"), "doc_id", "text")
         .orderBy("doc_id"),
@@ -2106,10 +2109,10 @@ object LlmQueries {
               |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t_total FROM cnts),
               |sp AS (SELECT doc_id,
               |    CAST(floor(ln(CAST(t_total AS DOUBLE) / CAST(cnt AS DOUBLE))
-              |      * 1000000000000.0) AS DECIMAL(38,0)) AS s
+              |      * 1000000.0) AS DECIMAL(38,0)) AS s
               |  FROM tkf JOIN cnts USING (term) CROSS JOIN tot)
               |SELECT doc_id, count(*) AS n_tokens,
-              |  CAST(SUM(s) AS DOUBLE) / 1000000000000.0
+              |  CAST(SUM(s) AS DOUBLE) / 1000000.0
               |    / CAST(count(*) AS DOUBLE) AS cross_entropy
               |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
@@ -2121,8 +2124,15 @@ object LlmQueries {
       TextOps.bigramCrossEntropy(
           T(s, dir, "documents").select("doc_id", "text"), "doc_id", "text")
         .orderBy("doc_id"),
+      // bg is MATERIALIZED for the same reason as the shingle census
+      // (shCte): three references (bc, sc, sp) re-run the 40M-row
+      // string-bigram pipeline concurrently when inlined — with the
+      // r11 Zipfian vocabulary the bigram model is millions of rows
+      // (vs 1600 under the 40-word vocab) and the concurrent copies
+      // spilled the sf10 oracle to disk-full. One materialization is
+      // semantically identical; noise at the sf0.01 driver scale.
       Some(s"""WITH $toksCte,
-              |bg AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i + 1] AS bg
+              |bg AS MATERIALIZED (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i + 1] AS bg
               |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
               |  WHERE len(t) >= 2),
               |bc AS (SELECT bg, count(*) AS c_bg FROM bg GROUP BY bg),
@@ -2131,13 +2141,13 @@ object LlmQueries {
               |  (SELECT unnest(t) AS w FROM toks) WHERE w <> ''),
               |sp AS (SELECT doc_id,
               |    CAST(floor(ln(CAST(c_start + v AS DOUBLE)
-              |      / CAST(c_bg + 1 AS DOUBLE)) * 1e12) AS DECIMAL(38,0)) AS s
+              |      / CAST(c_bg + 1 AS DOUBLE)) * 1e6) AS DECIMAL(38,0)) AS s
               |  FROM bg JOIN bc USING (bg) JOIN sc USING (w1) CROSS JOIN voc),
               |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
               |    SUM(s) AS ssum FROM sp GROUP BY doc_id)
               |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
               |  coalesce(p.n_bigrams, 0) AS n_bigrams,
-              |  CAST(p.ssum AS DOUBLE) / 1e12 / CAST(p.n_bigrams AS DOUBLE) AS ce2_nats
+              |  CAST(p.ssum AS DOUBLE) / 1e6 / CAST(p.n_bigrams AS DOUBLE) AS ce2_nats
               |FROM toks t LEFT JOIN pd p USING (doc_id)
               |ORDER BY t.doc_id""".stripMargin)),
 

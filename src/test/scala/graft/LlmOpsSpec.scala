@@ -795,8 +795,10 @@ class LlmOpsSpec extends SparkTestBase {
     // T=6; cnt(a)=3, cnt(b)=cnt(c)=cnt(d)=1.
     val ce = TextOps.unigramCrossEntropy(d, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
-    assert(math.abs(ce(1L) - math.log(2)) < 1e-9)
-    assert(math.abs(ce(2L) - math.log(6)) < 1e-9)
+    // tolerance = one 1e6 fixed-point grid cell (see the grid-choice
+    // note on unigramCrossEntropy), not double epsilon
+    assert(math.abs(ce(1L) - math.log(2)) < 2e-6)
+    assert(math.abs(ce(2L) - math.log(6)) < 2e-6)
     assert(ce(1L) < ce(2L))
   }
 
@@ -1212,13 +1214,13 @@ class LlmOpsSpec extends SparkTestBase {
     ).toDF("doc_id", "text")
     val out = graft.llm.TextOps.bigramCrossEntropy(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r).toMap
-    def fx(x: Double): Double = math.floor(x * 1e12)
+    def fx(x: Double): Double = math.floor(x * 1e6)
     val sAb = fx(math.log(7.0 / 4.0)); val sBa = fx(math.log(6.0 / 2.0))
     val sBc = fx(math.log(6.0 / 2.0))
     assert(out(1L).getAs[Long]("n_bigrams") === 3L)
-    assert(out(1L).getAs[Double]("ce2_nats") === (sAb * 2 + sBa) / 1e12 / 3.0)
+    assert(out(1L).getAs[Double]("ce2_nats") === (sAb * 2 + sBa) / 1e6 / 3.0)
     assert(out(2L).getAs[Long]("n_bigrams") === 2L)
-    assert(out(2L).getAs[Double]("ce2_nats") === (sAb + sBc) / 1e12 / 2.0)
+    assert(out(2L).getAs[Double]("ce2_nats") === (sAb + sBc) / 1e6 / 2.0)
     assert(out(3L).getAs[Long]("n_bigrams") === 0L)
     assert(out(3L).isNullAt(out(3L).fieldIndex("ce2_nats")))
     // Fluency ordering: the doc made of the corpus's dominant bigram
