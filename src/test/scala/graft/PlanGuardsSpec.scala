@@ -460,6 +460,30 @@ class PlanGuardsSpec extends SparkTestBase {
       s"unbounded partition-less windows (add a limit or justify in the allowlist):\n${bad.mkString("\n")}")
   }
 
+  test("TPC-DS gates: no cartesian products; q70 top-5 is TakeOrdered into a semi-join") {
+    // The 12-query rollup/window family joins a 5-way star repeatedly;
+    // a dropped join key anywhere degenerates to a cartesian of two
+    // corpus-scale sides. And q70's top-5-nations selection is written
+    // ORDER BY + LIMIT precisely so it plans TakeOrderedAndProject
+    // feeding an IN semi-join (the rank()-subquery spelling of real
+    // q70 is a partition-less window — the r11 anti-pattern).
+    val dir = "/root/testdata/sf0.001"
+    val names = graft.SparkEntry.queries.keys.filter(_.startsWith("tpcds")).toSeq.sorted
+    assert(names.size == 12)
+    for (n <- names) {
+      val df = graft.SparkEntry.queries(n)(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(!plan.contains("CartesianProduct"), s"$n grew a cartesian:\n$plan")
+    }
+    val q70 = graft.SparkEntry.queries("tpcds_q70_top_states")(spark, dir)
+    q70.collect()
+    val p70 = q70.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p70.contains("TakeOrderedAndProject"),
+      s"q70 top-5 must be TakeOrderedAndProject:\n$p70")
+    assert(p70.contains("LeftSemi"),
+      s"q70 top-5 filter must plan a semi-join:\n$p70")
+  }
+
   test("CountMin build: one hash-agg pair, one exchange, map-side combine") {
     import graft.operators.CountMin
     val df = (1L to 5000L).map(i => s"k${i % 97}").toDF("k")
