@@ -27,6 +27,16 @@ import org.apache.spark.sql.SparkSession
   * The JSON line is also written to `BENCH_LATEST.json` in the working
   * directory, because sbt appends its own `[success]` line after stdout
   * and tail-based line extraction has misparsed the artifact before.
+  *
+  * A note on residual `WindowExec: No Partition Defined` warnings in
+  * the log: WindowExec logs that line whenever a window spec has no
+  * partition columns, REGARDLESS of input size. Every remaining site is
+  * a limit-bounded survivor frame (rank over ≤25 rows after a
+  * TakeOrderedAndProject) or a documented tiny aggregate frame (≤32
+  * histogram bins, ≤256 shard buckets, per-source rollups) — enforced
+  * registry-wide by PlanGuardsSpec's partition-less-window sweep, which
+  * is the actual guard; the warning text alone is not evidence of a
+  * corpus-sized single-partition sort.
   */
 object Bench {
   private def median(xs: Seq[Double]): Double = {
