@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("jaccard_sorted"),
       new ExpressionInfo(classOf[SortedJaccard].getName, "jaccard_sorted"),
       (exprs: Seq[Expression]) => SortedJaccard(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo(classOf[KmvDistinct].getName, "kmv_distinct"),
+      (exprs: Seq[Expression]) => KmvDistinct.build(exprs)))
     // No-op until spark.graft.rangeJoin.bucketSize is set > 0.
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
   }

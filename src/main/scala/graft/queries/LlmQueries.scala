@@ -1805,6 +1805,38 @@ object LlmQueries {
                |FROM ex JOIN est ON ex.token = est.token
                |ORDER BY ex.token""".stripMargin)),
 
+    "llm_kmv_distinct" -> Q((s, dir) => {
+      // KMV bottom-k distinct sketch as a native TypedImperativeAggregate
+      // (plans/KmvDistinct, also SQL-registered via GraftExtensions):
+      // partial aggregation reduces each map task to a <=k-entry sorted
+      // set, so the shuffle carries 8k-byte sketches, never token hashes.
+      // Integer-only estimator over md5 hashes — the exactly-replayable
+      // member of the sketch family (HLL's registers are engine-private;
+      // this oracle replays the ESTIMATE bit-for-bit). exact_distinct
+      // rides along to exhibit the ~1/sqrt(k) accuracy on real data.
+      val hv = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+      T(s, dir, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .select(col("source"), hv.as("hv"))
+        .groupBy("source")
+        .agg(graft.plans.KmvDistinct.kmv(col("hv"), 64).as("kmv_est"),
+          countDistinct(col("hv")).as("exact_distinct"))
+        .orderBy("source")
+    }, Some(s"""WITH $toksCte,
+               |tok AS (SELECT d.source, unnest(t.t) AS tok
+               |  FROM documents d JOIN toks t ON d.doc_id = t.doc_id),
+               |h AS (SELECT DISTINCT source,
+               |    ('0x' || substring(md5(tok), 1, 8))::BIGINT AS hv FROM tok),
+               |r AS (SELECT source, hv,
+               |    row_number() OVER (PARTITION BY source ORDER BY hv) AS rn,
+               |    count(*) OVER (PARTITION BY source) AS cnt FROM h)
+               |SELECT source,
+               |  CASE WHEN max(cnt) < 64 THEN max(cnt)
+               |    ELSE 63 * 4294967296 // (max(CASE WHEN rn = 64 THEN hv END) + 1)
+               |    END AS kmv_est,
+               |  max(cnt) AS exact_distinct
+               |FROM r GROUP BY source ORDER BY source""".stripMargin)),
+
     // ----- sign-random-projection LSH (hyperplane / SimHash-for-vectors) -
     "llm_hyperplane_sig" -> Q((s, dir) =>
       // 16-bit sign-of-projection signature per embedding
