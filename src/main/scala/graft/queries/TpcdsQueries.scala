@@ -586,5 +586,137 @@ object TpcdsQueries {
               |ORDER BY lochierarchy DESC,
               |  CASE WHEN lochierarchy = 0 THEN n_name END NULLS FIRST,
               |  rank_within_parent, n_name NULLS FIRST,
-              |  category NULLS FIRST""".stripMargin), bench = true))
+              |  category NULLS FIRST""".stripMargin), bench = true),
+
+    // q97 shape: store-vs-catalog buyer overlap via FULL OUTER JOIN of
+    // two de-duplicated (customer, item) channel sets — the one join
+    // type no other gate exercises. Both sides are large at scale, so
+    // the right plan is a shuffled SMJ on the composite key; the
+    // aggregate is three conditional counts over the joined null
+    // pattern (no post-join shuffle: AQE folds it into a single-stage
+    // partial+final count).
+    "tpcds_q97_channel_overlap" -> Q((s, dir) => {
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .createOrReplaceTempView("tpcds97_sales")
+      s.sql("""WITH ssci AS (
+              |  SELECT DISTINCT o_custkey AS cust, l_partkey AS item
+              |  FROM tpcds97_sales WHERE CAST(l_linenumber % 3 AS INT) = 1),
+              |csci AS (
+              |  SELECT DISTINCT o_custkey AS cust, l_partkey AS item
+              |  FROM tpcds97_sales WHERE CAST(l_linenumber % 3 AS INT) = 2)
+              |SELECT
+              |  COUNT(CASE WHEN ssci.cust IS NOT NULL AND csci.cust IS NULL
+              |    THEN 1 END) AS store_only,
+              |  COUNT(CASE WHEN ssci.cust IS NULL AND csci.cust IS NOT NULL
+              |    THEN 1 END) AS catalog_only,
+              |  COUNT(CASE WHEN ssci.cust IS NOT NULL AND csci.cust IS NOT NULL
+              |    THEN 1 END) AS both_channels
+              |FROM ssci FULL OUTER JOIN csci
+              |  ON ssci.cust = csci.cust AND ssci.item = csci.item""".stripMargin)
+    }, Some("""WITH sales AS (
+             |  SELECT o_custkey, l_partkey, l_linenumber
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |ssci AS (
+             |  SELECT DISTINCT o_custkey AS cust, l_partkey AS item
+             |  FROM sales WHERE CAST(l_linenumber % 3 AS INT) = 1),
+             |csci AS (
+             |  SELECT DISTINCT o_custkey AS cust, l_partkey AS item
+             |  FROM sales WHERE CAST(l_linenumber % 3 AS INT) = 2)
+             |SELECT
+             |  COUNT(CASE WHEN ssci.cust IS NOT NULL AND csci.cust IS NULL
+             |    THEN 1 END) AS store_only,
+             |  COUNT(CASE WHEN ssci.cust IS NULL AND csci.cust IS NOT NULL
+             |    THEN 1 END) AS catalog_only,
+             |  COUNT(CASE WHEN ssci.cust IS NOT NULL AND csci.cust IS NOT NULL
+             |    THEN 1 END) AS both_channels
+             |FROM ssci FULL OUTER JOIN csci
+             |  ON ssci.cust = csci.cust AND ssci.item = csci.item""".stripMargin)),
+
+    // q38 shape: customers active in ALL THREE channels in the window —
+    // a 3-way INTERSECT of (customer, order-month) sets. Spark plans
+    // INTERSECT as left-semi joins over distincts; all three sides
+    // shuffle on the same composite key, so the two joins co-locate
+    // under one exchange per side (no replan between them).
+    "tpcds_q38_triple_intersect" -> Q((s, dir) => {
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .createOrReplaceTempView("tpcds38_sales")
+      s.sql("""WITH hot AS (
+              |  SELECT o_custkey, CAST(month(o_orderdate) AS INT) AS mon
+              |  FROM tpcds38_sales WHERE CAST(l_linenumber % 3 AS INT) = 0
+              |  INTERSECT
+              |  SELECT o_custkey, CAST(month(o_orderdate) AS INT) AS mon
+              |  FROM tpcds38_sales WHERE CAST(l_linenumber % 3 AS INT) = 1
+              |  INTERSECT
+              |  SELECT o_custkey, CAST(month(o_orderdate) AS INT) AS mon
+              |  FROM tpcds38_sales WHERE CAST(l_linenumber % 3 AS INT) = 2)
+              |SELECT count(*) AS n_omni_channel FROM hot""".stripMargin)
+    }, Some("""WITH sales AS (
+             |  SELECT o_custkey, o_orderdate, l_linenumber
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |hot AS (
+             |  SELECT o_custkey, CAST(month(o_orderdate) AS INT) AS mon
+             |  FROM sales WHERE CAST(l_linenumber % 3 AS INT) = 0
+             |  INTERSECT
+             |  SELECT o_custkey, CAST(month(o_orderdate) AS INT) AS mon
+             |  FROM sales WHERE CAST(l_linenumber % 3 AS INT) = 1
+             |  INTERSECT
+             |  SELECT o_custkey, CAST(month(o_orderdate) AS INT) AS mon
+             |  FROM sales WHERE CAST(l_linenumber % 3 AS INT) = 2)
+             |SELECT count(*) AS n_omni_channel FROM hot""".stripMargin)),
+
+    // q47 shape: monthly brand sales with the brand's average plus the
+    // LAG/LEAD neighbor months — the only gate emitting both offset
+    // window functions. All four window columns share ONE partition
+    // spec (p_brand), so Catalyst plans a single WindowExec over one
+    // exchange; month edges yield NULL lag/lead, surfaced as-is (ORDER
+    // BY is on the non-null grouping keys, so null placement is moot).
+    "tpcds_q47_lag_lead" -> Q((s, dir) => {
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .createOrReplaceTempView("tpcds47_sales")
+      s.sql("""WITH m AS (
+              |  SELECT p_brand, CAST(month(l_shipdate) AS INT) AS mon,
+              |    SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount)
+              |      AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0))) AS sales_u
+              |  FROM tpcds47_sales GROUP BY p_brand, month(l_shipdate)),
+              |w AS (
+              |  SELECT p_brand, mon, sales_u,
+              |    SUM(sales_u) OVER (PARTITION BY p_brand) AS tot_u,
+              |    count(*) OVER (PARTITION BY p_brand) AS nm,
+              |    LAG(sales_u) OVER (PARTITION BY p_brand ORDER BY mon)
+              |      AS prev_u,
+              |    LEAD(sales_u) OVER (PARTITION BY p_brand ORDER BY mon)
+              |      AS next_u
+              |  FROM m)
+              |SELECT p_brand, mon,
+              |  CAST(sales_u AS DOUBLE) / 1000000.0 AS sales,
+              |  CAST(tot_u AS DOUBLE) / 1000000.0 / nm AS avg_monthly,
+              |  CAST(prev_u AS DOUBLE) / 1000000.0 AS prev_sales,
+              |  CAST(next_u AS DOUBLE) / 1000000.0 AS next_sales
+              |FROM w
+              |ORDER BY p_brand, mon""".stripMargin)
+    }, Some("""WITH m AS (
+             |  SELECT p_brand, CAST(month(l_shipdate) AS INT) AS mon,
+             |    SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount)
+             |      AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0))) AS sales_u
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  GROUP BY p_brand, month(l_shipdate)),
+             |w AS (
+             |  SELECT p_brand, mon, sales_u,
+             |    SUM(sales_u) OVER (PARTITION BY p_brand) AS tot_u,
+             |    count(*) OVER (PARTITION BY p_brand) AS nm,
+             |    LAG(sales_u) OVER (PARTITION BY p_brand ORDER BY mon)
+             |      AS prev_u,
+             |    LEAD(sales_u) OVER (PARTITION BY p_brand ORDER BY mon)
+             |      AS next_u
+             |  FROM m)
+             |SELECT p_brand, mon,
+             |  CAST(sales_u AS DOUBLE) / 1000000.0 AS sales,
+             |  CAST(tot_u AS DOUBLE) / 1000000.0 / nm AS avg_monthly,
+             |  CAST(prev_u AS DOUBLE) / 1000000.0 AS prev_sales,
+             |  CAST(next_u AS DOUBLE) / 1000000.0 AS next_sales
+             |FROM w
+             |ORDER BY p_brand, mon""".stripMargin)))
 }

@@ -469,7 +469,7 @@ class PlanGuardsSpec extends SparkTestBase {
     // q70 is a partition-less window — the r11 anti-pattern).
     val dir = "/root/testdata/sf0.001"
     val names = graft.SparkEntry.queries.keys.filter(_.startsWith("tpcds")).toSeq.sorted
-    assert(names.size == 12)
+    assert(names.size == 15)
     for (n <- names) {
       val df = graft.SparkEntry.queries(n)(spark, dir)
       val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
@@ -482,6 +482,38 @@ class PlanGuardsSpec extends SparkTestBase {
       s"q70 top-5 must be TakeOrderedAndProject:\n$p70")
     assert(p70.contains("LeftSemi"),
       s"q70 top-5 filter must plan a semi-join:\n$p70")
+
+    // q97: both channel sets are corpus-sized at scale, so the overlap
+    // must be a shuffled FullOuter SMJ on the composite key — a
+    // broadcast (or nested-loop) full-outer would pin one whole side
+    // in every task's memory.
+    val q97 = graft.SparkEntry.queries("tpcds_q97_channel_overlap")(spark, dir)
+    q97.collect()
+    val p97 = q97.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p97.contains("SortMergeJoin") && p97.contains("FullOuter"),
+      s"q97 overlap must be a FullOuter SMJ:\n$p97")
+
+    // q38: the 3-way INTERSECT must lower to LeftSemi joins over
+    // distinct aggregates (set semantics via hash-dedup), never a
+    // row-comparing cartesian.
+    val q38 = graft.SparkEntry.queries("tpcds_q38_triple_intersect")(spark, dir)
+    q38.collect()
+    val p38 = q38.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("LeftSemi".r.findAllIn(p38).length >= 2,
+      s"q38 triple intersect must plan two semi-joins:\n$p38")
+
+    // q47: sum/count/lag/lead all share the p_brand partition spec, so
+    // however many WindowExec nodes Catalyst splits them into, ONE
+    // exchange must feed them all (the monthly frame is brand-sized).
+    val q47 = graft.SparkEntry.queries("tpcds_q47_lag_lead")(spark, dir)
+    q47.collect()
+    val p47 = q47.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // p_brand-ONLY key list — the (p_brand, month) groupBy exchange
+    // below it is a different (pre-window) stage.
+    val winExchanges =
+      "Exchange hashpartitioning\\(p_brand#\\d+, \\d+\\)".r.findAllIn(p47).length
+    assert(winExchanges == 1,
+      s"q47 window family must share one p_brand exchange, got $winExchanges:\n$p47")
   }
 
   test("CountMin build: one hash-agg pair, one exchange, map-side combine") {
