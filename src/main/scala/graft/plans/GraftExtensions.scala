@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("kmv_distinct"),
       new ExpressionInfo(classOf[KmvDistinct].getName, "kmv_distinct"),
       (exprs: Seq[Expression]) => KmvDistinct.build(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("topk_by_score"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
+      (exprs: Seq[Expression]) => TopKByScore.build(exprs)))
     // No-op until spark.graft.rangeJoin.bucketSize is set > 0.
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
   }

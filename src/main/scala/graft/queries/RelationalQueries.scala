@@ -1105,6 +1105,27 @@ object RelationalQueries {
               |        ORDER BY o_totalprice DESC, o_orderkey) AS rnk FROM orders)
               |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin)),
 
+    "o8_topk_heap_agg" -> Q((s, dir) => {
+      // The SAME top-3-per-customer as o5, but through the bounded-heap
+      // aggregate (plans/TopKByScore) instead of a window rank: map
+      // tasks reduce to <=k entries per group BEFORE the shuffle, so
+      // the exchange carries heaps, not the fact table — the per-key
+      // TakeOrdered shape. Shares o5's oracle verbatim: both spellings
+      // must agree row-for-row (and the plan guard pins that this one
+      // plans no WindowExec and exactly one exchange).
+      val top = T(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(graft.plans.TopKByScore.topK(
+          col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      top.select(col("o_custkey"), posexplode(col("top")))
+        .select(col("o_custkey"), (col("pos") + 1).cast("int").as("rnk"),
+          col("col.id").as("o_orderkey"), col("col.score").as("o_totalprice"))
+        .orderBy("o_custkey", "rnk")
+    }, Some("""SELECT o_custkey, CAST(rnk AS INT) AS rnk, o_orderkey, o_totalprice
+              |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+              |        ORDER BY o_totalprice DESC, o_orderkey) AS rnk FROM orders)
+              |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin)),
+
     "o6_zorder_morton" -> Q((s, dir) => {
       // Z-order clustering key (operators/ZOrder): bit-interleave two
       // dimensions into one sort key so range-partitioned output files
