@@ -61,36 +61,55 @@ object Classifier {
   /** Margin z = w·[1,x] as one left fold against the broadcast weight
     * literal. */
   def margin(xCol: Column, w: Seq[Double]): Column =
-    aggregate(zip_with(augment(xCol), typedLit(w), (xi, wi) => xi * wi),
+    marginAug(augment(xCol), w)
+
+  /** Margin over an ALREADY-augmented vector column (the training loop
+    * materializes [1,x] once and reuses it every iteration). */
+  private def marginAug(xaCol: Column, w: Seq[Double]): Column =
+    aggregate(zip_with(xaCol, typedLit(w), (xi, wi) => xi * wi),
       lit(0.0), (acc, t) => acc + t)
 
   /** Train by full-batch GD: `iters` rounds of
     * w_j ← w_j − eta·(Σ_i ⌊r_i·x_ij·10¹²⌋/10¹² / n), r = (p−y)·classWeight.
-    * Returns dim+1 weights, index 0 = intercept. `yCol` must be 0/1. */
+    * Returns dim+1 weights, index 0 = intercept. `yCol` must be 0/1.
+    *
+    * Iterative-workload shape: the augmented feature frame is projected
+    * ONCE to (xa, y) and persisted MEMORY_AND_DISK for the counts pass
+    * plus all `iters` gradient passes — re-reading the source and
+    * re-deriving [1,x] per iteration pays the scan+decode `iters`+1
+    * times for identical bits (values are unchanged by the cache; only
+    * where they're read from). At cluster scale the projected frame is
+    * 8·(dim+1) bytes/row and spills to local disk when it outgrows
+    * executor memory, which still beats a cold columnar re-scan. */
   def trainSoftsignGD(df: DataFrame, xCol: String, yCol: String, dim: Int,
       iters: Int, eta: Double, posWeight: Option[Double] = None): Seq[Double] = {
-    val y = col(yCol).cast("double")
-    val counts = df.agg(
-      sum(when(y === 1.0, lit(1L)).otherwise(lit(0L))).as("npos"),
-      count(lit(1)).as("n")).first()
-    val (npos, n) = (counts.getLong(0), counts.getLong(1))
-    require(npos > 0 && npos < n, s"need both classes present, got $npos of $n positive")
-    val cw = posWeight.getOrElse((n - npos).toDouble / npos.toDouble)
-    var w: Seq[Double] = Vector.fill(dim + 1)(0.0)
-    for (_ <- 1 to iters) {
-      val p = softsignProb(margin(col(xCol), w))
-      val r = (p - y) * when(y === 1.0, lit(cw)).otherwise(lit(1.0))
-      val grads = df
-        .select(r.as("r"), posexplode(augment(col(xCol))).as(Seq("i", "xi")))
-        .groupBy("i")
-        .agg((sum(floor((col("r") * col("xi")) * lit(1.0e12)).cast("decimal(38,0)"))
-          .cast("double") / lit(1.0e12)).as("g"))
-        .orderBy("i").collect()
-      require(grads.length == dim + 1, s"gradient rows ${grads.length} != ${dim + 1}")
-      val g = grads.map(_.getDouble(1))
-      w = w.indices.map(j => w(j) - eta * (g(j) / n.toDouble)).toVector
-    }
-    w
+    val prepped = df
+      .select(augment(col(xCol)).as("xa"), col(yCol).cast("double").as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val y = col("y")
+      val counts = prepped.agg(
+        sum(when(y === 1.0, lit(1L)).otherwise(lit(0L))).as("npos"),
+        count(lit(1)).as("n")).first()
+      val (npos, n) = (counts.getLong(0), counts.getLong(1))
+      require(npos > 0 && npos < n, s"need both classes present, got $npos of $n positive")
+      val cw = posWeight.getOrElse((n - npos).toDouble / npos.toDouble)
+      var w: Seq[Double] = Vector.fill(dim + 1)(0.0)
+      for (_ <- 1 to iters) {
+        val p = softsignProb(marginAug(col("xa"), w))
+        val r = (p - y) * when(y === 1.0, lit(cw)).otherwise(lit(1.0))
+        val grads = prepped
+          .select(r.as("r"), posexplode(col("xa")).as(Seq("i", "xi")))
+          .groupBy("i")
+          .agg((sum(floor((col("r") * col("xi")) * lit(1.0e12)).cast("decimal(38,0)"))
+            .cast("double") / lit(1.0e12)).as("g"))
+          .orderBy("i").collect()
+        require(grads.length == dim + 1, s"gradient rows ${grads.length} != ${dim + 1}")
+        val g = grads.map(_.getDouble(1))
+        w = w.indices.map(j => w(j) - eta * (g(j) / n.toDouble)).toVector
+      }
+      w
+    } finally prepped.unpersist(blocking = false)
   }
 
   /** Score a frame with trained weights: adds `p` (softsign probability)
