@@ -31,7 +31,7 @@ object LlmQueries {
 
   // -- shared DuckDB fragments ------------------------------------------
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-  private val toksCte =
+  private[queries] val toksCte =
     s"toks AS (SELECT doc_id, string_split($normSql, ' ') AS t FROM documents)"
   // sh/sh5/sigs are MATERIALIZED: DuckDB inlines CTEs per reference,
   // so a gate that touches the shingle census from several CTEs
@@ -41,7 +41,7 @@ object LlmQueries {
   // disk-full (r10 stress find). One materialization is a few GB and
   // semantically identical; at the sf0.01 driver scale the hint is
   // noise.
-  private val shCte =
+  private[queries] val shCte =
     """sh AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM (
       |  SELECT doc_id, unnest(
       |    CASE WHEN len(t) >= 3
@@ -65,7 +65,9 @@ object LlmQueries {
   // sigs → bands → lsh_pairs CTE chain shared by the LSH-pair gate and
   // the cluster gate. Mirrors Dedup.windowHash: 8-hex-char (32-bit)
   // windows of two digests give all 8 MinHash functions.
-  private val lshPairsCtes: String = {
+  // sigs → bands fragment, shared with the streaming LSH-dedup gate
+  // (StreamingQueries st13) so the two oracles can never fork.
+  private[queries] val lshSigBandsCtes: String = {
     val sigCols = (0 until 8).map { j =>
       val digest = if (j < 4) "md5(shingle)" else "md5('#' || shingle)"
       s"min(substring($digest, ${(j % 4) * 8 + 1}, 8)) AS h$j"
@@ -74,7 +76,11 @@ object LlmQueries {
       s"SELECT doc_id, $b AS band, md5(h${2 * b} || '|' || h${2 * b + 1}) AS band_hash FROM sigs")
       .mkString(" UNION ALL ")
     s"""sigs AS MATERIALIZED (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
-       |bands AS ($bandsSql),
+       |bands AS ($bandsSql)""".stripMargin
+  }
+
+  private val lshPairsCtes: String = {
+    s"""$lshSigBandsCtes,
        |lsh_pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
        |  FROM bands x JOIN bands y
        |    ON x.band = y.band AND x.band_hash = y.band_hash

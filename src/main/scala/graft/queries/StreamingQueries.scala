@@ -562,5 +562,80 @@ object StreamingQueries {
               |UNION ALL
               |SELECT n_nationkey, CAST(2 AS BIGINT) AS batch,
               |  CASE WHEN n_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END FROM nation
-              |ORDER BY n_nationkey, batch""".stripMargin)))
+              |ORDER BY n_nationkey, batch""".stripMargin)),
+
+    "st13_stream_lsh_dedup" -> Q((s, dir) => {
+      // Streaming FUZZY-dedup ingest — the incremental twin of the batch
+      // MinHash-LSH chain (Dedup.shingleArray → minhashSignaturesNative
+      // → lshBands → the candidatePairsAcross bucket probe): each
+      // AvailableNow increment is banded, a doc is DROPPED when any of
+      // its 4 LSH band buckets collides with an already-ACCEPTED doc,
+      // and survivors append both their rows and their bands to the
+      // accepted state tables. The standing corpus never re-shingles —
+      // state is the band table (4 rows × ~40 bytes per accepted doc,
+      // the same sub-quadratic index the batch path joins on), so each
+      // increment costs shingle(increment) + one equi-join against
+      // accepted bands. Intra-increment near-dups are deliberately NOT
+      // judged (both land; ranking which of two simultaneous arrivals
+      // survives is the nightly batch job's call) — the contract is "no
+      // increment doc fuzzy-duplicates the standing corpus", which is
+      // the autoloader-ingest guarantee a curation pipeline needs.
+      import graft.llm.Dedup
+      val base = tmp("graft_st13")
+      val src = s"$base/in"; val chk = s"$base/chk"
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_st13")
+      s.sql("DROP TABLE IF EXISTS graft_st13.accepted_docs")
+      s.sql("DROP TABLE IF EXISTS graft_st13.accepted_bands")
+      def bandsOf(df: org.apache.spark.sql.DataFrame) =
+        Dedup.lshBands(Dedup.minhashSignaturesNative(
+          Dedup.shingleArray(df, "doc_id", "text", 3), "doc_id", 8), "doc_id", 8, 2)
+      def runOnce(): Unit = {
+        val q = s.readStream
+          .schema("doc_id BIGINT, text STRING")
+          .parquet(src)
+          .writeStream
+          .option("checkpointLocation", chk)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              val sp = batch.sparkSession
+              val nb = bandsOf(batch).localCheckpoint(true)
+              val collided =
+                if (sp.catalog.tableExists("graft_st13.accepted_bands"))
+                  nb.join(sp.read.table("graft_st13.accepted_bands"),
+                    Seq("band", "band_hash"), "left_semi")
+                    .select("doc_id").distinct()
+                else nb.select("doc_id").limit(0)
+              // Materialize survivors BEFORE appending to the band table
+              // the same plan reads.
+              val kept = batch.join(collided, Seq("doc_id"), "left_anti")
+                .localCheckpoint(true)
+              val keptBands = nb.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+                .localCheckpoint(true)
+              kept.select("doc_id").write.mode("append")
+                .saveAsTable("graft_st13.accepted_docs")
+              keptBands.write.mode("append")
+                .saveAsTable("graft_st13.accepted_bands")
+            }
+          }
+          .start()
+        q.awaitTermination()
+      }
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(src)
+      runOnce() // increment 1: evens seed the corpus — all accepted
+      docs.filter(col("doc_id") % 2 =!= 0).write.mode("append").parquet(src)
+      runOnce() // increment 2: odds filtered against the evens' bands
+      s.read.table("graft_st13.accepted_docs").orderBy("doc_id")
+    }, Some(s"""WITH ${LlmQueries.toksCte}, ${LlmQueries.shCte},
+               |${LlmQueries.lshSigBandsCtes},
+               |coll AS (SELECT DISTINCT n.doc_id
+               |  FROM bands n JOIN bands a
+               |    ON n.band = a.band AND n.band_hash = a.band_hash
+               |  WHERE n.doc_id % 2 <> 0 AND a.doc_id % 2 = 0)
+               |SELECT doc_id FROM documents
+               |WHERE doc_id % 2 = 0
+               |   OR doc_id NOT IN (SELECT doc_id FROM coll)
+               |ORDER BY doc_id""".stripMargin)))
 }
