@@ -718,5 +718,95 @@ object TpcdsQueries {
              |  CAST(prev_u AS DOUBLE) / 1000000.0 AS prev_sales,
              |  CAST(next_u AS DOUBLE) / 1000000.0 AS next_sales
              |FROM w
-             |ORDER BY p_brand, mon""".stripMargin)))
+             |ORDER BY p_brand, mon""".stripMargin)),
+
+    // q88 shape: eight independently-filtered counts of the same fact
+    // assembled into ONE row. TPC-DS spells it as eight scalar
+    // subqueries cross-joined — EIGHT full scans of store_sales. The
+    // engine side deliberately fuses them into one conditional
+    // aggregation (count(CASE …) × 8): one scan, one partial-agg
+    // reduction, zero joins — the only spelling that survives 100 TB.
+    // The ORACLE keeps TPC-DS's eight-subquery form, so the gate also
+    // proves the two spellings equivalent.
+    "tpcds_q88_bucket_counts" -> Q((s, dir) => {
+      T(s, dir, "lineitem").createOrReplaceTempView("tpcds88_sales")
+      val buckets = (0 until 8).map { b =>
+        val (lo, hi) = (b * 6 + 1, b * 6 + 6)
+        s"COUNT(CASE WHEN l_quantity BETWEEN $lo AND $hi THEN 1 END) AS cnt_b${b + 1}"
+      }.mkString(",\n              |  ")
+      s.sql(s"""SELECT
+              |  $buckets
+              |FROM tpcds88_sales
+              |WHERE l_discount BETWEEN 0.02 AND 0.08""".stripMargin)
+    }, Some {
+      val subs = (0 until 8).map { b =>
+        val (lo, hi) = (b * 6 + 1, b * 6 + 6)
+        s"""(SELECT count(*) AS cnt_b${b + 1} FROM lineitem
+           |  WHERE l_discount BETWEEN 0.02 AND 0.08
+           |    AND l_quantity BETWEEN $lo AND $hi) s${b + 1}""".stripMargin
+      }.mkString(" CROSS JOIN\n")
+      val cols = (1 to 8).map(b => s"cnt_b$b").mkString(", ")
+      s"""SELECT $cols FROM
+         |$subs""".stripMargin
+    }),
+
+    // q34 shape: ticket-size buckets — orders whose item count lands in
+    // a band (HAVING on a grouped count), joined BACK to the customer
+    // dimension. The group-by runs on (o_orderkey, o_custkey) so the
+    // having-filtered result is already tiny before the dim join;
+    // filters reach the fact scan.
+    "tpcds_q34_ticket_buckets" -> Q((s, dir) => {
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .createOrReplaceTempView("tpcds34_sales")
+      T(s, dir, "customer").createOrReplaceTempView("tpcds34_customer")
+      s.sql("""WITH t AS (
+              |  SELECT o_orderkey, o_custkey, count(*) AS cnt
+              |  FROM tpcds34_sales
+              |  WHERE o_orderpriority <> '1-URGENT'
+              |  GROUP BY o_orderkey, o_custkey
+              |  HAVING count(*) BETWEEN 5 AND 7)
+              |SELECT c_custkey, c_name, o_orderkey, cnt
+              |FROM t JOIN tpcds34_customer ON o_custkey = c_custkey
+              |ORDER BY c_custkey, o_orderkey""".stripMargin)
+    }, Some("""WITH t AS (
+             |  SELECT o_orderkey, o_custkey, count(*) AS cnt
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE o_orderpriority <> '1-URGENT'
+             |  GROUP BY o_orderkey, o_custkey
+             |  HAVING count(*) BETWEEN 5 AND 7)
+             |SELECT c_custkey, c_name, o_orderkey, cnt
+             |FROM t JOIN customer ON o_custkey = c_custkey
+             |ORDER BY c_custkey, o_orderkey""".stripMargin)),
+
+    // q87 shape: chained EXCEPT count — customers seen in channel 0 but
+    // in NEITHER of the other two (channels derived from l_linenumber
+    // like q97/q38). Spark plans EXCEPT as left-anti joins over
+    // distincts on one composite key, so both anti-joins co-locate on
+    // the same exchange — the set-difference twin of q38's INTERSECT.
+    "tpcds_q87_channel_except" -> Q((s, dir) => {
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .createOrReplaceTempView("tpcds87_sales")
+      s.sql("""SELECT count(*) AS store_only_custmons FROM (
+              |  SELECT DISTINCT o_custkey, CAST(month(o_orderdate) AS INT) AS mon
+              |  FROM tpcds87_sales WHERE CAST(l_linenumber % 3 AS INT) = 0
+              |  EXCEPT
+              |  SELECT DISTINCT o_custkey, CAST(month(o_orderdate) AS INT) AS mon
+              |  FROM tpcds87_sales WHERE CAST(l_linenumber % 3 AS INT) = 1
+              |  EXCEPT
+              |  SELECT DISTINCT o_custkey, CAST(month(o_orderdate) AS INT) AS mon
+              |  FROM tpcds87_sales WHERE CAST(l_linenumber % 3 AS INT) = 2)""".stripMargin)
+    }, Some("""WITH sales AS (
+             |  SELECT o_custkey, o_orderdate, l_linenumber
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+             |SELECT count(*) AS store_only_custmons FROM (
+             |  SELECT DISTINCT o_custkey, CAST(month(o_orderdate) AS INT) AS mon
+             |  FROM sales WHERE CAST(l_linenumber % 3 AS INT) = 0
+             |  EXCEPT
+             |  SELECT DISTINCT o_custkey, CAST(month(o_orderdate) AS INT) AS mon
+             |  FROM sales WHERE CAST(l_linenumber % 3 AS INT) = 1
+             |  EXCEPT
+             |  SELECT DISTINCT o_custkey, CAST(month(o_orderdate) AS INT) AS mon
+             |  FROM sales WHERE CAST(l_linenumber % 3 AS INT) = 2)""".stripMargin)))
 }

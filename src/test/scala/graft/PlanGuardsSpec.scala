@@ -469,7 +469,7 @@ class PlanGuardsSpec extends SparkTestBase {
     // q70 is a partition-less window — the r11 anti-pattern).
     val dir = "/root/testdata/sf0.001"
     val names = graft.SparkEntry.queries.keys.filter(_.startsWith("tpcds")).toSeq.sorted
-    assert(names.size == 15)
+    assert(names.size == 18)
     for (n <- names) {
       val df = graft.SparkEntry.queries(n)(spark, dir)
       val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
