@@ -36,5 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => TopKByScore.build(exprs)))
     // No-op until spark.graft.rangeJoin.bucketSize is set > 0.
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
+    // Plans graft.plans.AsOfJoinPlan (custom whole-operator node) into
+    // the partition-wise merge exec; AsOfJoin.asof also self-registers
+    // via experimental.extraStrategies for extension-less sessions.
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

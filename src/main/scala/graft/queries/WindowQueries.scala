@@ -111,6 +111,42 @@ object WindowQueries {
                |  ON c.user_id = v.user_id AND v.ts_sec <= c.ts_sec
                |ORDER BY c.event_id""".stripMargin), bench = true),
 
+    "j14_asof_merge_exec" -> Q((s, dir) => {
+      // The SAME as-of scenario as j8, but through the CUSTOM physical
+      // operator (plans/AsOfJoin: logical node → planner strategy →
+      // partition-wise merge exec) instead of the composed union+window
+      // spelling. Three independent formulations of one semantics now
+      // gate against each other: the window composition (j8), this
+      // merge exec, and DuckDB's native ASOF JOIN (the shared oracle).
+      // Plan: both sides hash-cluster + sort on (user, ts); ONE forward
+      // merge pass, no window machinery (pinned in AsOfMergeJoinSpec).
+      val ev = T(s, dir, "events").withColumn("ts_sec", tsSec)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_sec")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts_sec")
+        .agg(max(col("event_id")).as("view_event_id"))
+        .select(col("user_id").as("v_user_id"), col("ts_sec").as("v_ts_sec"),
+          col("view_event_id"))
+      graft.plans.AsOfJoin.asof(clicks, views,
+          Seq("user_id"), Seq("v_user_id"), "ts_sec", "v_ts_sec")
+        .select(col("event_id"), col("user_id"),
+          col("ts_sec").as("click_sec"),
+          col("view_event_id"), col("v_ts_sec").as("view_sec"))
+        .orderBy("event_id")
+    }, Some(s"""WITH ev AS (SELECT event_id, user_id, event_type,
+               |    $tsSecSql AS ts_sec FROM events),
+               |clicks AS (SELECT event_id, user_id, ts_sec FROM ev
+               |  WHERE event_type = 'click'),
+               |views AS (SELECT user_id, ts_sec,
+               |    MAX(event_id) AS view_event_id FROM ev
+               |  WHERE event_type = 'view' GROUP BY user_id, ts_sec)
+               |SELECT c.event_id, c.user_id, c.ts_sec AS click_sec,
+               |  v.view_event_id, v.ts_sec AS view_sec
+               |FROM clicks c ASOF LEFT JOIN views v
+               |  ON c.user_id = v.user_id AND v.ts_sec <= c.ts_sec
+               |ORDER BY c.event_id""".stripMargin)),
+
     "w4_sessionize" -> Q((s, dir) => {
       // Gap-based sessionization (30-min gap) + per-session rollup: the
       // canonical event-stream operator for behavioral training data.

@@ -15,4 +15,14 @@ object GraftSqlBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+  /** Wrap a (resolved) logical plan as a DataFrame — the entry point a
+    * custom whole-operator node (e.g. graft.plans.AsOfJoinPlan) needs
+    * to surface through the public Dataset API. */
+  def dataFrame(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+  /** The analyzed logical plan of a DataFrame (attribute references from
+    * it are resolved, so custom nodes built on them pass analysis). */
+  def analyzedPlan(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
 }

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Windowed
+import graft.plans.AsOfJoin
+
+/** The custom as-of merge join ([[graft.plans.AsOfJoin]]): row-for-row
+  * agreement with the composed union+window spelling
+  * ([[graft.operators.Windowed.asofJoin]]), left-outer null fill,
+  * robustness to adversarial input partitioning (EnsureRequirements
+  * must re-cluster both sides), and the pinned plan shape (the custom
+  * exec node, no WindowExec, sorted merge inputs).
+  */
+class AsOfMergeJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Quotes: several keys, repeated ts advances, one key absent from
+  // trades, one trade key absent from quotes, a trade before any quote.
+  private def quotes = Seq(
+    (1L, 10L, 100.0), (1L, 20L, 101.0), (1L, 30L, 99.5),
+    (2L, 5L, 50.0), (2L, 25L, 51.0),
+    (4L, 7L, 75.0)
+  ).toDF("sym", "q_ts", "px")
+
+  private def trades = Seq(
+    (1L, 9L, "t1"),  // before any quote for sym 1 -> nulls
+    (1L, 10L, "t2"), // inclusive: matches q_ts=10
+    (1L, 29L, "t3"), // matches q_ts=20
+    (1L, 35L, "t4"), // matches q_ts=30
+    (2L, 26L, "t5"), // matches q_ts=25
+    (3L, 15L, "t6")  // no quotes for sym 3 -> nulls
+  ).toDF("sym", "t_ts", "tag")
+
+  test("agrees row-for-row with the composed union+window spelling") {
+    val exec = AsOfJoin.asof(trades, quotes, Seq("sym"), "t_ts", "q_ts")
+      .select(col("tag"), col("q_ts"), col("px"))
+    val composed = Windowed.asofJoin(trades, quotes, Seq("sym"),
+        leftTs = "t_ts", rightTs = "q_ts", rightPayload = Seq("q_ts", "px"))
+      .select(col("tag"), col("asof_q_ts").as("q_ts"), col("asof_px").as("px"))
+    val a = exec.orderBy("tag").collect().map(_.toSeq)
+    val b = composed.orderBy("tag").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+    // And the exact expected matches:
+    val byTag = exec.collect().map(r => r.getString(0) ->
+      (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(byTag("t1") === (None, None))            // before any quote
+    assert(byTag("t2") === (Some(10L), Some(100.0))) // inclusive
+    assert(byTag("t3") === (Some(20L), Some(101.0)))
+    assert(byTag("t4") === (Some(30L), Some(99.5)))
+    assert(byTag("t5") === (Some(25L), Some(51.0)))
+    assert(byTag("t6") === (None, None))            // key absent on right
+  }
+
+  test("survives adversarial pre-partitioning (re-clustered by the planner)") {
+    val badLeft = trades.repartition(7, col("t_ts"))   // wrong key, odd count
+    val badRight = quotes.repartition(3, col("px"))
+    val out = AsOfJoin.asof(badLeft, badRight, Seq("sym"), "t_ts", "q_ts")
+      .select(col("tag"), col("px"))
+    val byTag = out.collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(byTag("t4") === Some(99.5) && byTag("t6") === None)
+    assert(out.count() === 6) // exactly one output row per left row
+  }
+
+  test("plans the custom exec: no WindowExec, sorted+clustered children") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val out = AsOfJoin.asof(trades, quotes, Seq("sym"), "t_ts", "q_ts")
+    out.collect()
+    // AQE wraps the exec inside ResultQueryStage (a leaf to collect()),
+    // so pin the shape on the final plan STRING.
+    val plan = out.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val s = plan.toString
+    assert("AsOfMergeJoin".r.findAllIn(s).size === 1,
+      s"expected exactly the custom exec:\n$s")
+    assert(!s.contains("WindowExec"), s"window machinery crept in:\n$s")
+    assert("Exchange hashpartitioning".r.findAllIn(s).size === 2,
+      s"both sides hash-cluster on the key:\n$s")
+    assert(s.contains("Sort ["), s"merge inputs must be sorted:\n$s")
+  }
+
+  test("left-outer cardinality: every left row survives exactly once") {
+    // 200 trades across 5 symbols, quotes only for 3 of them.
+    val t = spark.range(200).select(
+      (col("id") % 5).as("sym"), (col("id") * 3 % 97).as("t_ts"),
+      col("id").as("trade_id"))
+    val q = spark.range(40).select(
+      (col("id") % 3).as("sym"), (col("id") * 7 % 89).as("q_ts"),
+      (col("id") * 1.5).as("px"))
+    val out = AsOfJoin.asof(t, q, Seq("sym"), "t_ts", "q_ts")
+    assert(out.count() === 200)
+    // Cross-check the full frame against the composed spelling.
+    val composed = Windowed.asofJoin(t, q, Seq("sym"),
+        leftTs = "t_ts", rightTs = "q_ts", rightPayload = Seq("q_ts", "px"),
+        tieBreak = Seq("px"))
+      .select(col("trade_id"), col("asof_q_ts"), col("asof_px"))
+    // Collapse right-side (sym, ts) ties the same way for the exec: the
+    // merge keeps the LAST tied row in sort order, which is engine-
+    // dependent — pre-collapse to max px per (sym, q_ts) on both sides.
+    val qq = q.groupBy("sym", "q_ts").agg(max("px").as("px"))
+    val exec2 = AsOfJoin.asof(t, qq, Seq("sym"), "t_ts", "q_ts")
+      .select(col("trade_id"), col("q_ts"), col("px"))
+    val composed2 = Windowed.asofJoin(t, qq, Seq("sym"),
+        leftTs = "t_ts", rightTs = "q_ts", rightPayload = Seq("q_ts", "px"))
+      .select(col("trade_id"), col("asof_q_ts").as("q_ts"),
+        col("asof_px").as("px"))
+    assert(exec2.orderBy("trade_id").collect().map(_.toSeq).toSeq ===
+      composed2.orderBy("trade_id").collect().map(_.toSeq).toSeq)
+  }
+}
