@@ -101,18 +101,25 @@ case class AsOfMergeJoinExec(
     copy(left = newLeft, right = newRight)
 
   override protected def doExecute(): RDD[InternalRow] = {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
     val keyTypes = leftKeys.map(_.dataType)
     val tsType = leftTs.dataType
     val leftOut = left.output
     val rightOut = right.output
     val allOut = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lKeyProj = UnsafeProjection.create(leftKeys, leftOut)
-      val rKeyProj = UnsafeProjection.create(rightKeys, rightOut)
-      val lTsProj = UnsafeProjection.create(Seq(leftTs), leftOut)
-      val rTsProj = UnsafeProjection.create(Seq(rightTs), rightOut)
-      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
-      val tsOrd = RowOrdering.createNaturalAscendingOrdering(Seq(tsType))
+      // ONE (keys…, ts) extraction per row per side; the two orderings
+      // compare disjoint bound slices of that combined row (key prefix /
+      // ts suffix), so the hot loop costs one projection + compares.
+      val lPosProj = UnsafeProjection.create(leftKeys :+ leftTs, leftOut)
+      val rPosProj = UnsafeProjection.create(rightKeys :+ rightTs, rightOut)
+      val keyOrd = RowOrdering.create(
+        keyTypes.zipWithIndex.map { case (dt, i) =>
+          SortOrder(BoundReference(i, dt, nullable = true), Ascending) },
+        Seq.empty)
+      val tsOrd = RowOrdering.create(
+        Seq(SortOrder(BoundReference(keyTypes.size, tsType, nullable = true),
+          Ascending)), Seq.empty)
       val nullRight = new GenericInternalRow(rightOut.size)
       val joined = new JoinedRow
       // The input schema must carry the right side NULLABLE: binding the
@@ -123,19 +130,19 @@ case class AsOfMergeJoinExec(
 
       new Iterator[InternalRow] {
         private var rRow: InternalRow = _
-        private var rKey: UnsafeRow = _
-        private var rTs: UnsafeRow = _
+        private var rPos: UnsafeRow = _
         private var candRow: InternalRow = _
-        private var candKey: UnsafeRow = _
+        private var candPos: UnsafeRow = _
 
         private def advanceRight(): Unit = {
           if (rIter.hasNext) {
             rRow = rIter.next()
-            // Copies: the projections reuse their buffers and the key
-            // outlives this advance when it becomes the candidate key.
-            rKey = rKeyProj(rRow).copy()
-            rTs = rTsProj(rRow).copy()
-          } else { rRow = null; rKey = null; rTs = null }
+            // NO copy: the projection buffer stays valid until the next
+            // advance and the sorter's row buffer until the next
+            // rIter.next() — exactly the lifetime needed. Copies happen
+            // only on candidate capture.
+            rPos = rPosProj(rRow)
+          } else { rRow = null; rPos = null }
         }
         advanceRight()
 
@@ -143,22 +150,22 @@ case class AsOfMergeJoinExec(
 
         override def next(): InternalRow = {
           val lRow = lIter.next()
-          val lKey = lKeyProj(lRow)
-          val lTs = lTsProj(lRow)
+          val lPos = lPosProj(lRow)
           var scanning = rRow != null
           while (scanning) {
-            val kc = keyOrd.compare(rKey, lKey)
+            val kc = keyOrd.compare(rPos, lPos)
             if (kc < 0) {
               // Right is on an earlier key: its candidate can never
               // match a current-or-later left key.
-              candRow = null; candKey = null
+              candRow = null; candPos = null
               advanceRight(); scanning = rRow != null
-            } else if (kc == 0 && tsOrd.compare(rTs, lTs) <= 0) {
-              candRow = rRow.copy(); candKey = rKey
+            } else if (kc == 0 && tsOrd.compare(rPos, lPos) <= 0) {
+              // Capture: these outlive the buffers, so copy both.
+              candRow = rRow.copy(); candPos = rPos.copy()
               advanceRight(); scanning = rRow != null
             } else scanning = false
           }
-          val matched = candRow != null && keyOrd.compare(candKey, lKey) == 0
+          val matched = candRow != null && keyOrd.compare(candPos, lPos) == 0
           outProj(joined(lRow, if (matched) candRow else nullRight))
         }
       }
