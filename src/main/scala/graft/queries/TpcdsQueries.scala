@@ -32,6 +32,12 @@ object TpcdsQueries {
       T(s, dir, "lineitem")
         .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .createOrReplaceTempView("tpcds22_sales")
+      // NO pre-agg-before-rollup here (unlike q67/q36/q86/q18): q22's
+      // rollup key (brand, type, size) is essentially the ITEM key, so
+      // the pre-aggregate's group space grows with the corpus (~|part|)
+      // and its exchange costs more than Expand saves — measured 8%
+      // slower at the sf10 stress corpus. The doctrine: pre-aggregate
+      // before ROLLUP exactly when the group space is corpus-invariant.
       s.sql("""SELECT p_brand, p_type, p_size,
               |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
               |    AS avg_qty,
@@ -63,15 +69,24 @@ object TpcdsQueries {
       T(s, dir, "lineitem")
         .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .createOrReplaceTempView("tpcds36_sales")
-      s.sql("""WITH r AS (
+      // Pre-aggregate by the full (category, brand) key before the
+      // rollup (see q67): Expand then replicates the group space, not
+      // the fact table; decimal sums of exact sums are bit-identical.
+      s.sql("""WITH pre AS (
               |  SELECT element_at(split(p_type, ' '), 1) AS category, p_brand,
-              |    CAST(grouping(element_at(split(p_type, ' '), 1)) AS INT) +
-              |      CAST(grouping(p_brand) AS INT) AS lochierarchy,
               |    SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
-              |      * 1000000 AS DECIMAL(38,0))) AS disc_u,
-              |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS base_d
+              |      * 1000000 AS DECIMAL(38,0))) AS d_u,
+              |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS b_d
               |  FROM tpcds36_sales
-              |  GROUP BY ROLLUP (element_at(split(p_type, ' '), 1), p_brand))
+              |  GROUP BY element_at(split(p_type, ' '), 1), p_brand),
+              |r AS (
+              |  SELECT category, p_brand,
+              |    CAST(grouping(category) AS INT) +
+              |      CAST(grouping(p_brand) AS INT) AS lochierarchy,
+              |    SUM(d_u) AS disc_u,
+              |    SUM(b_d) AS base_d
+              |  FROM pre
+              |  GROUP BY ROLLUP (category, p_brand))
               |SELECT category, p_brand, lochierarchy,
               |  CAST(disc_u AS DOUBLE) / 1000000.0 / CAST(base_d AS DOUBLE)
               |    AS margin_ratio,
@@ -109,13 +124,24 @@ object TpcdsQueries {
         .join(T(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
         .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
       sales.createOrReplaceTempView("tpcds67_sales")
-      s.sql("""WITH r AS (
+      // Pre-aggregate by the FULL key before the rollup: Spark's Expand
+      // replicates every input row once per grouping set BEFORE any
+      // aggregation, so a direct rollup pays 4× the fact volume through
+      // Expand + partial agg. Summing exact DECIMAL(38,0) partials by
+      // (nation, category, brand) first shrinks Expand's input from the
+      // fact table to the group space — bit-identical results (sums of
+      // exact sums), and the shape that survives a 100 TB fact.
+      s.sql("""WITH pre AS (
               |  SELECT n_name, element_at(split(p_type, ' '), 1) AS category,
               |    p_brand,
               |    SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount)
-              |      AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0))) AS sales_u
+              |      AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0))) AS s_u
               |  FROM tpcds67_sales
-              |  GROUP BY ROLLUP (n_name, element_at(split(p_type, ' '), 1), p_brand)),
+              |  GROUP BY n_name, element_at(split(p_type, ' '), 1), p_brand),
+              |r AS (
+              |  SELECT n_name, category, p_brand, SUM(s_u) AS sales_u
+              |  FROM pre
+              |  GROUP BY ROLLUP (n_name, category, p_brand)),
               |rk AS (
               |  SELECT n_name, category, p_brand,
               |    CAST(sales_u AS DOUBLE) / 1000000.0 AS sales,
@@ -156,13 +182,20 @@ object TpcdsQueries {
       T(s, dir, "lineitem")
         .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .createOrReplaceTempView("tpcds86_sales")
-      s.sql("""WITH r AS (
+      // Pre-aggregate before the rollup (see q67) — Expand over the
+      // group space, not the fact; exact decimal sums of sums.
+      s.sql("""WITH pre AS (
               |  SELECT element_at(split(p_type, ' '), 1) AS category, p_brand,
-              |    CAST(grouping(element_at(split(p_type, ' '), 1)) AS INT) +
-              |      CAST(grouping(p_brand) AS INT) AS lochierarchy,
-              |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_d
+              |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q_d
               |  FROM tpcds86_sales
-              |  GROUP BY ROLLUP (element_at(split(p_type, ' '), 1), p_brand))
+              |  GROUP BY element_at(split(p_type, ' '), 1), p_brand),
+              |r AS (
+              |  SELECT category, p_brand,
+              |    CAST(grouping(category) AS INT) +
+              |      CAST(grouping(p_brand) AS INT) AS lochierarchy,
+              |    SUM(q_d) AS qty_d
+              |  FROM pre
+              |  GROUP BY ROLLUP (category, p_brand))
               |SELECT CAST(qty_d AS DOUBLE) AS total_qty, category, p_brand,
               |  lochierarchy,
               |  CAST(rank() OVER (PARTITION BY lochierarchy,
@@ -204,15 +237,23 @@ object TpcdsQueries {
           year(to_date(col("o_orderdate"))).as("o_year"),
           col("l_quantity"), col("l_extendedprice"), col("l_discount"))
         .createOrReplaceTempView("tpcds18_sales")
-      s.sql("""SELECT n_name, o_year,
-              |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
-              |    AS avg_qty,
-              |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
-              |    AS avg_price,
-              |  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*)
-              |    AS avg_disc,
-              |  count(*) AS n
-              |FROM tpcds18_sales
+      // Pre-aggregate by (nation, year) before the rollup (see q67):
+      // the averages divide sums-of-exact-sums by summed counts, so
+      // every output bit matches the direct rollup.
+      s.sql("""WITH pre AS (
+              |  SELECT n_name, o_year,
+              |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q_d,
+              |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS p_d,
+              |    SUM(CAST(l_discount AS DECIMAL(18,6))) AS d_d,
+              |    count(*) AS n
+              |  FROM tpcds18_sales
+              |  GROUP BY n_name, o_year)
+              |SELECT n_name, o_year,
+              |  CAST(SUM(q_d) AS DOUBLE) / SUM(n) AS avg_qty,
+              |  CAST(SUM(p_d) AS DOUBLE) / SUM(n) AS avg_price,
+              |  CAST(SUM(d_d) AS DOUBLE) / SUM(n) AS avg_disc,
+              |  SUM(n) AS n
+              |FROM pre
               |GROUP BY ROLLUP (n_name, o_year)
               |ORDER BY n_name NULLS FIRST, o_year NULLS FIRST""".stripMargin)
     }, Some("""SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
