@@ -693,11 +693,18 @@ object RelationalQueries {
 
     "a11_rollup" -> Q((s, dir) =>
       // Beyond reference (SURVEY §2.4 "not present" note): hierarchical
-      // subtotals via ROLLUP — one pass, grouping-set expansion.
+      // subtotals via ROLLUP. Pre-aggregated by the full key first —
+      // Spark's Expand replicates its INPUT per grouping set, so the
+      // direct rollup pays 3×|lineitem| through Expand while this
+      // spelling expands ≤|flag×status| pre-aggregated rows
+      // (bit-identical: exact decimal sums of sums, summed counts —
+      // the PLANS.md pre-agg-before-rollup doctrine).
       T(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("q_d"))
         .rollup("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("cnt"),
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .agg(sum(col("n")).as("cnt"), sum(col("q_d")).cast("double").as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
              |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
@@ -705,9 +712,13 @@ object RelationalQueries {
              |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
 
     "a12_cube" -> Q((s, dir) =>
+      // Pre-agg before CUBE, same doctrine as a11: Expand sees the
+      // ≤|status×priority| group space, not the orders table.
       T(s, dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("n")).as("cnt"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
       Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
              |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -801,11 +812,16 @@ object RelationalQueries {
       // grouping() flags disambiguate a real NULL key from a subtotal
       // row — the classic correctness trap of grouping-set outputs.
       T(s, dir, "orders").createOrReplaceTempView("orders_gsets")
-      s.sql("""SELECT o_orderstatus, o_orderpriority,
+      // Pre-agg before the grouping sets (PLANS.md doctrine): Expand
+      // replicates the tiny (status, priority) group space, not orders.
+      s.sql("""WITH pre AS (
+              |  SELECT o_orderstatus, o_orderpriority, count(*) AS n
+              |  FROM orders_gsets GROUP BY o_orderstatus, o_orderpriority)
+              |SELECT o_orderstatus, o_orderpriority,
               |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
               |  CAST(grouping(o_orderpriority) AS INT) AS g_priority,
-              |  count(*) AS cnt
-              |FROM orders_gsets
+              |  SUM(n) AS cnt
+              |FROM pre
               |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
               |ORDER BY g_status, g_priority,
               |  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
