@@ -47,21 +47,24 @@ object BloomPrune {
     * with a NULL key — an equi-join never matches NULL). No false
     * negatives: every true join partner survives.
     *
-    * The probe is a Scala UDF by necessity, not oversight: no public
-    * built-in expression takes a broadcast BloomFilter (Spark's own
+    * The probe is the native codegen'd expression
+    * ([[graft.plans.BloomMightContain]]) since r11 — through r10 it was
+    * a Scala UDF (no public built-in takes a BloomFilter; Spark's own
     * runtime-filter rewrite uses the internal `BloomFilterMightContain`,
-    * which isn't constructible from the public API). The UDF breaks the
-    * codegen span at exactly one filter on the pruned side; the sketch
-    * probe itself is O(1) per row, so the scan stays scan-speed. */
+    * which isn't constructible from the public API), which broke the
+    * whole-stage-codegen span at the one filter that matters. The
+    * native expression keeps the pruned scan inside codegen; the sketch
+    * ships serialized in the plan fragment, deserialized once per
+    * task. */
   def prune(fact: DataFrame, keyCol: String, bf: BloomFilter): DataFrame = {
-    val bc = fact.sparkSession.sparkContext.broadcast(bf)
+    import org.apache.spark.sql.GraftSqlBridge
     val probe = fact.schema(keyCol).dataType match {
       case LongType | IntegerType | ShortType | ByteType =>
-        val f = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-        f(col(keyCol).cast("long"))
+        GraftSqlBridge.column(graft.plans.BloomMightContain(
+          GraftSqlBridge.expression(col(keyCol).cast("long")), bf))
       case StringType =>
-        val f = udf((k: String) => k != null && bc.value.mightContainString(k))
-        f(col(keyCol))
+        GraftSqlBridge.column(graft.plans.BloomMightContain(
+          GraftSqlBridge.expression(col(keyCol)), bf))
       case dt => throw new IllegalArgumentException(
         s"BloomPrune supports integral or string keys, got $dt for $keyCol")
     }
