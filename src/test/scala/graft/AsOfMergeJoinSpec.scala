@@ -14,6 +14,15 @@ import graft.plans.AsOfJoin
   */
 class AsOfMergeJoinSpec extends SparkTestBase {
   import spark.implicits._
+  import org.scalacheck.Gen
+  import org.scalacheck.rng.Seed
+
+  /** Minimal property driver over a Gen (no scalatestplus bridge in the
+    * offline cache): deterministic seed, n samples. */
+  private def forAllSampled[A](gen: Gen[A], n: Int)(check: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(check)
+    }
 
   // Quotes: several keys, repeated ts advances, one key absent from
   // trades, one trade key absent from quotes, a trade before any quote.
@@ -108,5 +117,29 @@ class AsOfMergeJoinSpec extends SparkTestBase {
         col("asof_px").as("px"))
     assert(exec2.orderBy("trade_id").collect().map(_.toSeq).toSeq ===
       composed2.orderBy("trade_id").collect().map(_.toSeq).toSeq)
+  }
+
+  test("property: agrees with Scala brute force on random (key, ts) data") {
+    // Random left (dup keys/ts allowed) vs (key, ts)-unique right;
+    // payload is derived from (key, ts) so the winner is checkable.
+    // Covers empty sides, keys on one side only, and boundary ts ties.
+    val pairGen = Gen.listOf(Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 30L)))
+    forAllSampled(Gen.zip(pairGen, pairGen), n = 12) { case (lRaw, rRaw) =>
+      val lRows = lRaw.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val rPairs = rRaw.distinct
+      val rRows = rPairs.map { case (k, t) => (k, t, k * 1000 + t) }
+      val l = lRows.toDF("lid", "k", "lts")
+      val r = rRows.toDF("rk", "rts", "pay")
+      val out = AsOfJoin.asof(l, r, Seq("k"), Seq("rk"), "lts", "rts")
+        .select("lid", "pay").collect()
+        .map(row => row.getLong(0) -> Option(row.get(1)).map(_.asInstanceOf[Long]))
+        .toMap
+      val expected = lRows.map { case (lid, k, lts) =>
+        val cand = rPairs.filter(p => p._1 == k && p._2 <= lts)
+        lid -> (if (cand.isEmpty) None
+                else { val best = cand.maxBy(_._2); Some(best._1 * 1000 + best._2) })
+      }.toMap
+      assert(out === expected, s"left=$lRows right=$rPairs")
+    }
   }
 }
