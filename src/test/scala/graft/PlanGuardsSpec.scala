@@ -475,6 +475,19 @@ class PlanGuardsSpec extends SparkTestBase {
       val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
       assert(!plan.contains("CartesianProduct"), s"$n grew a cartesian:\n$plan")
     }
+    // Pre-agg-before-rollup doctrine (PLANS.md): the rewritten rollup
+    // gates must keep a HashAggregate BELOW the Expand — Expand over
+    // the raw fact means the pre-aggregation silently reverted.
+    for (n <- Seq("tpcds_q67_top_per_state", "tpcds_q36_margin_rank",
+        "tpcds_q86_hierarchy_rank", "tpcds_q18_avg_rollup")) {
+      val plan = graft.SparkEntry.queries(n)(spark, dir)
+        .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val expandIdx = plan.indexOf("Expand [")
+      assert(expandIdx >= 0, s"$n: rollup lost its Expand:\n$plan")
+      assert(plan.indexOf("HashAggregate", expandIdx) >= 0,
+        s"$n: no aggregate below Expand — pre-agg-before-rollup reverted:\n$plan")
+    }
+
     val q70 = graft.SparkEntry.queries("tpcds_q70_top_states")(spark, dir)
     q70.collect()
     val p70 = q70.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
