@@ -119,6 +119,20 @@ class AsOfMergeJoinSpec extends SparkTestBase {
       composed2.orderBy("trade_id").collect().map(_.toSeq).toSeq)
   }
 
+  test("multi-column (string, long) keys merge correctly") {
+    val l = Seq(("a", 1L, 10L, "L1"), ("a", 2L, 10L, "L2"), ("b", 1L, 5L, "L3"))
+      .toDF("grp", "sub", "lts", "ltag")
+    val r = Seq(("a", 1L, 8L, "R-a1"), ("a", 2L, 11L, "R-a2"), ("c", 1L, 1L, "R-c1"))
+      .toDF("g2", "s2", "rts", "rtag")
+    val out = AsOfJoin.asof(l, r, Seq("grp", "sub"), Seq("g2", "s2"), "lts", "rts")
+      .select("ltag", "rtag").collect()
+      .map(row => row.getString(0) -> Option(row.getString(1))).toMap
+    assert(out === Map(
+      "L1" -> Some("R-a1"),  // (a,1): rts=8 <= 10
+      "L2" -> None,          // (a,2): rts=11 > 10
+      "L3" -> None))         // (b,1): key absent on right
+  }
+
   test("property: agrees with Scala brute force on random (key, ts) data") {
     // Random left (dup keys/ts allowed) vs (key, ts)-unique right;
     // payload is derived from (key, ts) so the winner is checkable.
