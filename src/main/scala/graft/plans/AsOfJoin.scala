@@ -46,7 +46,8 @@ case class AsOfJoinPlan(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTs: Expression,
-    rightTs: Expression) extends BinaryNode {
+    rightTs: Expression,
+    forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -59,8 +60,8 @@ case class AsOfJoinPlan(
   * [[AsOfJoin.asof]]'s `experimental.extraStrategies` hook. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lts, rts) =>
-      AsOfMergeJoinExec(lk, rk, lts, rts, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts, fwd) =>
+      AsOfMergeJoinExec(lk, rk, lts, rts, planLater(l), planLater(r), fwd) :: Nil
     case _ => Nil
   }
 }
@@ -79,7 +80,8 @@ case class AsOfMergeJoinExec(
     leftTs: Expression,
     rightTs: Expression,
     left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode {
+    right: SparkPlan,
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -128,7 +130,35 @@ case class AsOfMergeJoinExec(
       val outProj = UnsafeProjection.create(allOut,
         leftOut ++ rightOut.map(_.withNullability(true)))
 
-      new Iterator[InternalRow] {
+      if (forward) {
+        // Forward (smallest right ts ≥ left ts): no candidate buffering
+        // at all — skip right rows strictly before the left position;
+        // the row the scan stops on IS the match when keys agree (and
+        // may serve several left rows, so it is never consumed here).
+        new Iterator[InternalRow] {
+          private var rRow: InternalRow = _
+          private var rPos: UnsafeRow = _
+          private def advanceRight(): Unit = {
+            if (rIter.hasNext) { rRow = rIter.next(); rPos = rPosProj(rRow) }
+            else { rRow = null; rPos = null }
+          }
+          advanceRight()
+          override def hasNext: Boolean = lIter.hasNext
+          override def next(): InternalRow = {
+            val lRow = lIter.next()
+            val lPos = lPosProj(lRow)
+            var scanning = rRow != null
+            while (scanning) {
+              val kc = keyOrd.compare(rPos, lPos)
+              if (kc < 0 || (kc == 0 && tsOrd.compare(rPos, lPos) < 0)) {
+                advanceRight(); scanning = rRow != null
+              } else scanning = false
+            }
+            val matched = rRow != null && keyOrd.compare(rPos, lPos) == 0
+            outProj(joined(lRow, if (matched) rRow else nullRight))
+          }
+        }
+      } else new Iterator[InternalRow] {
         private var rRow: InternalRow = _
         private var rPos: UnsafeRow = _
         private var candRow: InternalRow = _
@@ -175,17 +205,26 @@ case class AsOfMergeJoinExec(
 
 /** Public DataFrame API for the custom as-of join. */
 object AsOfJoin {
-  /** Left as-of join `left` to `right` on equal keys and the greatest
-    * `rightTsCol` ≤ `leftTsCol`; ALL right columns come back (nullable).
-    * Output carries left.output ++ right.output verbatim, so rename
-    * right-side columns that collide with left names BEFORE joining.
-    * Lazily registers [[AsOfJoinStrategy]] on the session (idempotent),
-    * so no spark.sql.extensions config is needed. */
+  /** Left as-of join `left` to `right` on equal keys; `direction` is
+    * "backward" (greatest `rightTsCol` ≤ `leftTsCol` — the default) or
+    * "forward" (smallest `rightTsCol` ≥ `leftTsCol`), both inclusive,
+    * matching pandas merge_asof. ALL right columns come back
+    * (nullable). Output carries left.output ++ right.output verbatim,
+    * so rename right-side columns that collide with left names BEFORE
+    * joining. Lazily registers [[AsOfJoinStrategy]] on the session
+    * (idempotent), so no spark.sql.extensions config is needed. */
   def asof(left: DataFrame, right: DataFrame,
       leftKeyCols: Seq[String], rightKeyCols: Seq[String],
-      leftTsCol: String, rightTsCol: String): DataFrame = {
+      leftTsCol: String, rightTsCol: String,
+      direction: String = "backward"): DataFrame = {
     require(leftKeyCols.size == rightKeyCols.size,
       "asof: left and right key lists must have equal length")
+    val forward = direction match {
+      case "backward" => false
+      case "forward" => true
+      case other => throw new IllegalArgumentException(
+        s"asof: direction must be 'backward' or 'forward', got '$other'")
+    }
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -199,7 +238,8 @@ object AsOfJoin {
     val node = AsOfJoinPlan(lPlan, rPlan,
       leftKeyCols.map(attr(lPlan, _, "left")),
       rightKeyCols.map(attr(rPlan, _, "right")),
-      attr(lPlan, leftTsCol, "left"), attr(rPlan, rightTsCol, "right"))
+      attr(lPlan, leftTsCol, "left"), attr(rPlan, rightTsCol, "right"),
+      forward = forward)
     GraftSqlBridge.dataFrame(spark, node)
   }
 

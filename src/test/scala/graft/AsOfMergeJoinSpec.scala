@@ -144,16 +144,23 @@ class AsOfMergeJoinSpec extends SparkTestBase {
       val rRows = rPairs.map { case (k, t) => (k, t, k * 1000 + t) }
       val l = lRows.toDF("lid", "k", "lts")
       val r = rRows.toDF("rk", "rts", "pay")
-      val out = AsOfJoin.asof(l, r, Seq("k"), Seq("rk"), "lts", "rts")
-        .select("lid", "pay").collect()
-        .map(row => row.getLong(0) -> Option(row.get(1)).map(_.asInstanceOf[Long]))
-        .toMap
-      val expected = lRows.map { case (lid, k, lts) =>
+      def run(direction: String) =
+        AsOfJoin.asof(l, r, Seq("k"), Seq("rk"), "lts", "rts", direction)
+          .select("lid", "pay").collect()
+          .map(row => row.getLong(0) -> Option(row.get(1)).map(_.asInstanceOf[Long]))
+          .toMap
+      val expectedBack = lRows.map { case (lid, k, lts) =>
         val cand = rPairs.filter(p => p._1 == k && p._2 <= lts)
         lid -> (if (cand.isEmpty) None
                 else { val best = cand.maxBy(_._2); Some(best._1 * 1000 + best._2) })
       }.toMap
-      assert(out === expected, s"left=$lRows right=$rPairs")
+      assert(run("backward") === expectedBack, s"backward left=$lRows right=$rPairs")
+      val expectedFwd = lRows.map { case (lid, k, lts) =>
+        val cand = rPairs.filter(p => p._1 == k && p._2 >= lts)
+        lid -> (if (cand.isEmpty) None
+                else { val best = cand.minBy(_._2); Some(best._1 * 1000 + best._2) })
+      }.toMap
+      assert(run("forward") === expectedFwd, s"forward left=$lRows right=$rPairs")
     }
   }
 }
