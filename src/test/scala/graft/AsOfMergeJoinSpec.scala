@@ -133,6 +133,25 @@ class AsOfMergeJoinSpec extends SparkTestBase {
       "L3" -> None))         // (b,1): key absent on right
   }
 
+  test("null keys group together (window-partition semantics, documented)") {
+    // The exec mirrors the composed window spelling: a NULL key is its
+    // own group (nulls sort first and compare equal), NOT SQL equality.
+    val l = Seq((Some(1L), 10L, "a"), (None, 10L, "b")).toDF("k", "lts", "tag")
+    val r = Seq((Some(1L), 5L, "r1"), (Option.empty[Long], 7L, "rn"))
+      .toDF("rk", "rts", "pay")
+    val out = AsOfJoin.asof(l, r, Seq("k"), Seq("rk"), "lts", "rts")
+      .select("tag", "pay").collect()
+      .map(row => row.getString(0) -> Option(row.getString(1))).toMap
+    assert(out === Map("a" -> Some("r1"), "b" -> Some("rn")))
+    // Same answer from the composed spelling on identical data.
+    val composed = Windowed.asofJoin(l, r.withColumnRenamed("rk", "k"),
+        Seq("k"), leftTs = "lts", rightTs = "rts", rightPayload = Seq("pay"))
+      .filter(col("tag").isNotNull)
+      .select("tag", "asof_pay").collect()
+      .map(row => row.getString(0) -> Option(row.getString(1))).toMap
+    assert(composed === out)
+  }
+
   test("property: agrees with Scala brute force on random (key, ts) data") {
     // Random left (dup keys/ts allowed) vs (key, ts)-unique right;
     // payload is derived from (key, ts) so the winner is checkable.
