@@ -47,7 +47,8 @@ case class AsOfJoinPlan(
     rightKeys: Seq[Expression],
     leftTs: Expression,
     rightTs: Expression,
-    forward: Boolean = false) extends BinaryNode {
+    forward: Boolean = false,
+    toleranceSec: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -60,8 +61,8 @@ case class AsOfJoinPlan(
   * [[AsOfJoin.asof]]'s `experimental.extraStrategies` hook. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lts, rts, fwd) =>
-      AsOfMergeJoinExec(lk, rk, lts, rts, planLater(l), planLater(r), fwd) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts, fwd, tol) =>
+      AsOfMergeJoinExec(lk, rk, lts, rts, planLater(l), planLater(r), fwd, tol) :: Nil
     case _ => Nil
   }
 }
@@ -81,7 +82,13 @@ case class AsOfMergeJoinExec(
     rightTs: Expression,
     left: SparkPlan,
     right: SparkPlan,
-    forward: Boolean = false) extends BinaryExecNode {
+    forward: Boolean = false,
+    toleranceSec: Option[Long] = None) extends BinaryExecNode {
+
+  require(toleranceSec.isEmpty || leftTs.dataType ==
+    org.apache.spark.sql.types.LongType,
+    "asof tolerance requires a LONG ts column (numeric distance)")
+  require(toleranceSec.forall(_ >= 0), "asof tolerance must be >= 0")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -124,6 +131,9 @@ case class AsOfMergeJoinExec(
           Ascending)), Seq.empty)
       val nullRight = new GenericInternalRow(rightOut.size)
       val joined = new JoinedRow
+      val tsIdx = keyTypes.size
+      val hasTol = toleranceSec.isDefined
+      val tolV = toleranceSec.getOrElse(0L)
       // The input schema must carry the right side NULLABLE: binding the
       // output attrs against non-nullable inputs would elide the null
       // check and read type defaults (0 / 0.0) off the null-fill row.
@@ -154,7 +164,8 @@ case class AsOfMergeJoinExec(
                 advanceRight(); scanning = rRow != null
               } else scanning = false
             }
-            val matched = rRow != null && keyOrd.compare(rPos, lPos) == 0
+            val matched = rRow != null && keyOrd.compare(rPos, lPos) == 0 &&
+              (!hasTol || rPos.getLong(tsIdx) - lPos.getLong(tsIdx) <= tolV)
             outProj(joined(lRow, if (matched) rRow else nullRight))
           }
         }
@@ -195,7 +206,8 @@ case class AsOfMergeJoinExec(
               advanceRight(); scanning = rRow != null
             } else scanning = false
           }
-          val matched = candRow != null && keyOrd.compare(candPos, lPos) == 0
+          val matched = candRow != null && keyOrd.compare(candPos, lPos) == 0 &&
+            (!hasTol || lPos.getLong(tsIdx) - candPos.getLong(tsIdx) <= tolV)
           outProj(joined(lRow, if (matched) candRow else nullRight))
         }
       }
@@ -208,7 +220,10 @@ object AsOfJoin {
   /** Left as-of join `left` to `right` on equal keys; `direction` is
     * "backward" (greatest `rightTsCol` ≤ `leftTsCol` — the default) or
     * "forward" (smallest `rightTsCol` ≥ `leftTsCol`), both inclusive,
-    * matching pandas merge_asof. ALL right columns come back
+    * matching pandas merge_asof. `tolerance` (inclusive, requires LONG
+    * ts) nulls the match when the nearest row sits beyond the window —
+    * the attribution-window knob; like merge_asof there is NO fallback
+    * to the next-nearest row. ALL right columns come back
     * (nullable). Output carries left.output ++ right.output verbatim,
     * so rename right-side columns that collide with left names BEFORE
     * joining. Lazily registers [[AsOfJoinStrategy]] on the session
@@ -216,7 +231,8 @@ object AsOfJoin {
   def asof(left: DataFrame, right: DataFrame,
       leftKeyCols: Seq[String], rightKeyCols: Seq[String],
       leftTsCol: String, rightTsCol: String,
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
     require(leftKeyCols.size == rightKeyCols.size,
       "asof: left and right key lists must have equal length")
     val forward = direction match {
@@ -239,7 +255,7 @@ object AsOfJoin {
       leftKeyCols.map(attr(lPlan, _, "left")),
       rightKeyCols.map(attr(rPlan, _, "right")),
       attr(lPlan, leftTsCol, "left"), attr(rPlan, rightTsCol, "right"),
-      forward = forward)
+      forward = forward, toleranceSec = tolerance)
     GraftSqlBridge.dataFrame(spark, node)
   }
 

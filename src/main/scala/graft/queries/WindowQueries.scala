@@ -182,6 +182,44 @@ object WindowQueries {
                |  ON c.user_id = v.user_id AND v.ts_sec >= c.ts_sec
                |ORDER BY c.event_id""".stripMargin)),
 
+    "j16_asof_tolerance" -> Q((s, dir) => {
+      // Attribution-window as-of: latest view within ONE HOUR before
+      // the click, else NULL — merge_asof's `tolerance` knob (no
+      // fallback to the next-nearest row). The window check happens
+      // inside the merge, so out-of-window rows cost nothing
+      // downstream. Oracle: unbounded DuckDB ASOF, then CASE-null the
+      // payload beyond the window — provably the same semantics.
+      val ev = T(s, dir, "events").withColumn("ts_sec", tsSec)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_sec")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts_sec")
+        .agg(max(col("event_id")).as("view_event_id"))
+        .select(col("user_id").as("v_user_id"), col("ts_sec").as("v_ts_sec"),
+          col("view_event_id"))
+      graft.plans.AsOfJoin.asof(clicks, views,
+          Seq("user_id"), Seq("v_user_id"), "ts_sec", "v_ts_sec",
+          tolerance = Some(3600L))
+        .select(col("event_id"), col("user_id"),
+          col("ts_sec").as("click_sec"),
+          col("view_event_id"), col("v_ts_sec").as("view_sec"))
+        .orderBy("event_id")
+    }, Some(s"""WITH ev AS (SELECT event_id, user_id, event_type,
+               |    $tsSecSql AS ts_sec FROM events),
+               |clicks AS (SELECT event_id, user_id, ts_sec FROM ev
+               |  WHERE event_type = 'click'),
+               |views AS (SELECT user_id, ts_sec,
+               |    MAX(event_id) AS view_event_id FROM ev
+               |  WHERE event_type = 'view' GROUP BY user_id, ts_sec)
+               |SELECT c.event_id, c.user_id, c.ts_sec AS click_sec,
+               |  CASE WHEN c.ts_sec - v.ts_sec <= 3600
+               |    THEN v.view_event_id END AS view_event_id,
+               |  CASE WHEN c.ts_sec - v.ts_sec <= 3600
+               |    THEN v.ts_sec END AS view_sec
+               |FROM clicks c ASOF LEFT JOIN views v
+               |  ON c.user_id = v.user_id AND v.ts_sec <= c.ts_sec
+               |ORDER BY c.event_id""".stripMargin)),
+
     "w4_sessionize" -> Q((s, dir) => {
       // Gap-based sessionization (30-min gap) + per-session rollup: the
       // canonical event-stream operator for behavioral training data.

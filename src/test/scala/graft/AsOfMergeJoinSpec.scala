@@ -180,6 +180,30 @@ class AsOfMergeJoinSpec extends SparkTestBase {
                 else { val best = cand.minBy(_._2); Some(best._1 * 1000 + best._2) })
       }.toMap
       assert(run("forward") === expectedFwd, s"forward left=$lRows right=$rPairs")
+      // Tolerance: same nearest-match, nulled beyond the window.
+      def runTol(direction: String, tol: Long) =
+        AsOfJoin.asof(l, r, Seq("k"), Seq("rk"), "lts", "rts", direction, Some(tol))
+          .select("lid", "pay").collect()
+          .map(row => row.getLong(0) -> Option(row.get(1)).map(_.asInstanceOf[Long]))
+          .toMap
+      val expectedBackTol = lRows.map { case (lid, k, lts) =>
+        val cand = rPairs.filter(p => p._1 == k && p._2 <= lts)
+        lid -> (if (cand.isEmpty) None else {
+          val best = cand.maxBy(_._2)
+          if (lts - best._2 <= 7L) Some(best._1 * 1000 + best._2) else None
+        })
+      }.toMap
+      assert(runTol("backward", 7L) === expectedBackTol,
+        s"backward tol=7 left=$lRows right=$rPairs")
+      val expectedFwdTol = lRows.map { case (lid, k, lts) =>
+        val cand = rPairs.filter(p => p._1 == k && p._2 >= lts)
+        lid -> (if (cand.isEmpty) None else {
+          val best = cand.minBy(_._2)
+          if (best._2 - lts <= 7L) Some(best._1 * 1000 + best._2) else None
+        })
+      }.toMap
+      assert(runTol("forward", 7L) === expectedFwdTol,
+        s"forward tol=7 left=$lRows right=$rPairs")
     }
   }
 }
