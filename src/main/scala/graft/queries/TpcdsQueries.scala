@@ -849,5 +849,359 @@ object TpcdsQueries {
              |  FROM sales WHERE CAST(l_linenumber % 3 AS INT) = 1
              |  EXCEPT
              |  SELECT DISTINCT o_custkey, CAST(month(o_orderdate) AS INT) AS mon
-             |  FROM sales WHERE CAST(l_linenumber % 3 AS INT) = 2)""".stripMargin)))
+             |  FROM sales WHERE CAST(l_linenumber % 3 AS INT) = 2)""".stripMargin)),
+
+    // q1 shape: customers whose total returns exceed 1.2× their state's
+    // average — the correlated-scalar-subquery-vs-group-average filter,
+    // spelled as the aggregate⋈per-group-stats join both engines plan
+    // identically (the state stats frame is |nation|-sized → broadcast).
+    // Returns derive from l_returnflag='R'; the filter compares through
+    // doubles cast ONCE from decimal-exact sums (the q74 doctrine), with
+    // multiplication instead of division so no engine ever divides.
+    "tpcds_q1_returns_above_avg" -> Q((s, dir) => {
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(T(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .createOrReplaceTempView("tpcds1_sales")
+      s.sql("""WITH ctr AS (
+              |  SELECT o_custkey, n_name,
+              |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS ret_d
+              |  FROM tpcds1_sales WHERE l_returnflag = 'R'
+              |  GROUP BY o_custkey, n_name),
+              |st AS (
+              |  SELECT n_name, SUM(ret_d) AS sum_d, count(*) AS cnt
+              |  FROM ctr GROUP BY n_name)
+              |SELECT c.o_custkey AS c_custkey, c.n_name,
+              |  CAST(c.ret_d AS DOUBLE) AS total_returns
+              |FROM ctr c JOIN st s ON c.n_name = s.n_name
+              |WHERE CAST(c.ret_d AS DOUBLE) * s.cnt * 10.0
+              |    > CAST(s.sum_d AS DOUBLE) * 12.0
+              |ORDER BY total_returns DESC, c_custkey
+              |LIMIT 100""".stripMargin)
+    }, Some("""WITH sales AS (
+             |  SELECT o_custkey, n_name, l_extendedprice, l_returnflag
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey),
+             |ctr AS (
+             |  SELECT o_custkey, n_name,
+             |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS ret_d
+             |  FROM sales WHERE l_returnflag = 'R'
+             |  GROUP BY o_custkey, n_name),
+             |st AS (
+             |  SELECT n_name, SUM(ret_d) AS sum_d, count(*) AS cnt
+             |  FROM ctr GROUP BY n_name)
+             |SELECT c.o_custkey AS c_custkey, c.n_name,
+             |  CAST(c.ret_d AS DOUBLE) AS total_returns
+             |FROM ctr c JOIN st s ON c.n_name = s.n_name
+             |WHERE CAST(c.ret_d AS DOUBLE) * s.cnt * 10.0
+             |    > CAST(s.sum_d AS DOUBLE) * 12.0
+             |ORDER BY total_returns DESC, c_custkey
+             |LIMIT 100""".stripMargin)),
+
+    // q6 shape: count, per state, the sold items priced above their
+    // category's average retail price — the other correlated-average
+    // classic: the threshold side is the |category|-sized stats frame
+    // (6 rows — broadcast), the probe side the dimension, and only the
+    // surviving partkeys (a semi-join-sized set) ever touch the fact.
+    // The driver corpus prices uniformly in [900,1000], so TPC-DS's
+    // 1.2 multiplier keeps nothing; 1.04 keeps the upper tail (~12% of
+    // parts) — the multiplier is corpus-fitted, the shape is q6's.
+    "tpcds_q6_price_above_avg" -> Q((s, dir) => {
+      T(s, dir, "part").createOrReplaceTempView("tpcds6_part")
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(T(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .createOrReplaceTempView("tpcds6_sales")
+      s.sql("""WITH p AS (
+              |  SELECT p_partkey,
+              |    element_at(split(p_type, ' '), 1) AS category,
+              |    CAST(p_retailprice AS DECIMAL(18,2)) AS price_d
+              |  FROM tpcds6_part),
+              |cat AS (
+              |  SELECT category, SUM(price_d) AS sum_d, count(*) AS cnt
+              |  FROM p GROUP BY category),
+              |qual AS (
+              |  SELECT p_partkey FROM p JOIN cat ON p.category = cat.category
+              |  WHERE CAST(price_d AS DOUBLE) * cnt * 100.0
+              |      > CAST(sum_d AS DOUBLE) * 104.0)
+              |SELECT n_name, count(*) AS cnt
+              |FROM tpcds6_sales JOIN qual ON l_partkey = qual.p_partkey
+              |GROUP BY n_name
+              |HAVING count(*) >= 10
+              |ORDER BY cnt, n_name""".stripMargin)
+    }, Some("""WITH p AS (
+             |  SELECT p_partkey, string_split(p_type, ' ')[1] AS category,
+             |    CAST(p_retailprice AS DECIMAL(18,2)) AS price_d
+             |  FROM part),
+             |cat AS (
+             |  SELECT category, SUM(price_d) AS sum_d, count(*) AS cnt
+             |  FROM p GROUP BY category),
+             |qual AS (
+             |  SELECT p_partkey FROM p JOIN cat ON p.category = cat.category
+             |  WHERE CAST(price_d AS DOUBLE) * cnt * 100.0
+             |      > CAST(sum_d AS DOUBLE) * 104.0),
+             |sales AS (
+             |  SELECT l_partkey, n_name
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey)
+             |SELECT n_name, count(*) AS cnt
+             |FROM sales JOIN qual ON l_partkey = qual.p_partkey
+             |GROUP BY n_name
+             |HAVING count(*) >= 10
+             |ORDER BY cnt, n_name""".stripMargin)),
+
+    // q65 shape: brands selling below 90% of their state's average
+    // brand revenue — the avg-of-aggregates self-join (aggregate once,
+    // re-aggregate the aggregate, join the two levels). The state-stats
+    // side is |nation|-sized → broadcast; the ONE divide for the
+    // reported average happens on decimal-exact doubles, and the filter
+    // multiplies instead (no divide in any predicate).
+    "tpcds_q65_low_brands" -> Q((s, dir) => {
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(T(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .createOrReplaceTempView("tpcds65_sales")
+      s.sql("""WITH sb AS (
+              |  SELECT n_name, p_brand,
+              |    SUM(CAST(l_extendedprice * (1.0 - l_discount)
+              |      AS DECIMAL(18,6))) AS rev_d
+              |  FROM tpcds65_sales GROUP BY n_name, p_brand),
+              |sa AS (
+              |  SELECT n_name, SUM(rev_d) AS sum_d, count(*) AS cnt
+              |  FROM sb GROUP BY n_name)
+              |SELECT sb.n_name, sb.p_brand,
+              |  CAST(sb.rev_d AS DOUBLE) AS brand_rev,
+              |  CAST(sa.sum_d AS DOUBLE) / sa.cnt AS state_avg
+              |FROM sb JOIN sa ON sb.n_name = sa.n_name
+              |WHERE CAST(sb.rev_d AS DOUBLE) * sa.cnt * 10.0
+              |    <= CAST(sa.sum_d AS DOUBLE) * 9.0
+              |ORDER BY n_name, p_brand""".stripMargin)
+    }, Some("""WITH sales AS (
+             |  SELECT n_name, p_brand, l_extendedprice, l_discount
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  JOIN part ON l_partkey = p_partkey),
+             |sb AS (
+             |  SELECT n_name, p_brand,
+             |    SUM(CAST(l_extendedprice * (1.0 - l_discount)
+             |      AS DECIMAL(18,6))) AS rev_d
+             |  FROM sales GROUP BY n_name, p_brand),
+             |sa AS (
+             |  SELECT n_name, SUM(rev_d) AS sum_d, count(*) AS cnt
+             |  FROM sb GROUP BY n_name)
+             |SELECT sb.n_name, sb.p_brand,
+             |  CAST(sb.rev_d AS DOUBLE) AS brand_rev,
+             |  CAST(sa.sum_d AS DOUBLE) / sa.cnt AS state_avg
+             |FROM sb JOIN sa ON sb.n_name = sa.n_name
+             |WHERE CAST(sb.rev_d AS DOUBLE) * sa.cnt * 10.0
+             |    <= CAST(sa.sum_d AS DOUBLE) * 9.0
+             |ORDER BY sb.n_name, sb.p_brand""".stripMargin)),
+
+    // q31 shape: states where the web channel grew faster quarter-over-
+    // quarter than the store channel — per-(state, channel, quarter)
+    // sums pivoted by conditional aggregation (ONE pass, no self-join —
+    // the spelling that replaces q31's six-way self-join at scale),
+    // then the growth comparison cross-multiplied on doubles cast once
+    // from decimal-exact sums: no divide in the predicate, the two
+    // reported ratios divide once each.
+    "tpcds_q31_growth_compare" -> Q((s, dir) => {
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(T(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .createOrReplaceTempView("tpcds31_sales")
+      s.sql("""WITH a AS (
+              |  SELECT n_name,
+              |    CAST(l_linenumber % 2 AS INT) AS chan,
+              |    CAST(quarter(o_orderdate) AS INT) AS qtr,
+              |    SUM(CAST(l_extendedprice * (1.0 - l_discount)
+              |      AS DECIMAL(18,6))) AS rev_d
+              |  FROM tpcds31_sales
+              |  WHERE CAST(quarter(o_orderdate) AS INT) IN (1, 2)
+              |  GROUP BY n_name, CAST(l_linenumber % 2 AS INT),
+              |    CAST(quarter(o_orderdate) AS INT)),
+              |p AS (
+              |  SELECT n_name,
+              |    SUM(CASE WHEN chan = 1 AND qtr = 1 THEN rev_d END) AS web1,
+              |    SUM(CASE WHEN chan = 1 AND qtr = 2 THEN rev_d END) AS web2,
+              |    SUM(CASE WHEN chan = 0 AND qtr = 1 THEN rev_d END) AS store1,
+              |    SUM(CASE WHEN chan = 0 AND qtr = 2 THEN rev_d END) AS store2
+              |  FROM a GROUP BY n_name)
+              |SELECT n_name,
+              |  CAST(web2 AS DOUBLE) / CAST(web1 AS DOUBLE) AS web_growth,
+              |  CAST(store2 AS DOUBLE) / CAST(store1 AS DOUBLE) AS store_growth
+              |FROM p
+              |WHERE web1 IS NOT NULL AND web2 IS NOT NULL
+              |  AND store1 IS NOT NULL AND store2 IS NOT NULL
+              |  AND CAST(web2 AS DOUBLE) * CAST(store1 AS DOUBLE)
+              |    > CAST(store2 AS DOUBLE) * CAST(web1 AS DOUBLE)
+              |ORDER BY n_name""".stripMargin)
+    }, Some("""WITH sales AS (
+             |  SELECT n_name, l_linenumber, o_orderdate,
+             |    l_extendedprice, l_discount
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey),
+             |a AS (
+             |  SELECT n_name,
+             |    CAST(l_linenumber % 2 AS INT) AS chan,
+             |    CAST(quarter(o_orderdate) AS INT) AS qtr,
+             |    SUM(CAST(l_extendedprice * (1.0 - l_discount)
+             |      AS DECIMAL(18,6))) AS rev_d
+             |  FROM sales
+             |  WHERE CAST(quarter(o_orderdate) AS INT) IN (1, 2)
+             |  GROUP BY n_name, CAST(l_linenumber % 2 AS INT),
+             |    CAST(quarter(o_orderdate) AS INT)),
+             |p AS (
+             |  SELECT n_name,
+             |    SUM(CASE WHEN chan = 1 AND qtr = 1 THEN rev_d END) AS web1,
+             |    SUM(CASE WHEN chan = 1 AND qtr = 2 THEN rev_d END) AS web2,
+             |    SUM(CASE WHEN chan = 0 AND qtr = 1 THEN rev_d END) AS store1,
+             |    SUM(CASE WHEN chan = 0 AND qtr = 2 THEN rev_d END) AS store2
+             |  FROM a GROUP BY n_name)
+             |SELECT n_name,
+             |  CAST(web2 AS DOUBLE) / CAST(web1 AS DOUBLE) AS web_growth,
+             |  CAST(store2 AS DOUBLE) / CAST(store1 AS DOUBLE) AS store_growth
+             |FROM p
+             |WHERE web1 IS NOT NULL AND web2 IS NOT NULL
+             |  AND store1 IS NOT NULL AND store2 IS NOT NULL
+             |  AND CAST(web2 AS DOUBLE) * CAST(store1 AS DOUBLE)
+             |    > CAST(store2 AS DOUBLE) * CAST(web1 AS DOUBLE)
+             |ORDER BY n_name""".stripMargin)),
+
+    // q23 shape: total sales restricted to FREQUENT items (sold >35
+    // times — the HAVING-count semi-join) bought by BEST customers
+    // (spend above half the max spend — the scalar-aggregate-threshold
+    // semi-join). Both reducing sets are aggregates of the fact itself;
+    // the max-spend scalar is a 1-row aggregate broadcast (never an
+    // empty-over() window). The two IN's plan as semi-joins whose build
+    // sides are already tiny before the final scan.
+    "tpcds_q23_frequent_best" -> Q((s, dir) => {
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .createOrReplaceTempView("tpcds23_sales")
+      s.sql("""WITH freq AS (
+              |  SELECT l_partkey FROM tpcds23_sales
+              |  GROUP BY l_partkey HAVING count(*) > 35),
+              |spend AS (
+              |  SELECT o_custkey,
+              |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp_d
+              |  FROM tpcds23_sales GROUP BY o_custkey),
+              |mx AS (SELECT MAX(sp_d) AS max_d FROM spend),
+              |best AS (
+              |  SELECT o_custkey FROM spend CROSS JOIN mx
+              |  WHERE CAST(sp_d AS DOUBLE) * 2.0 > CAST(max_d AS DOUBLE))
+              |SELECT
+              |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+              |    AS total_sales,
+              |  count(*) AS n_rows
+              |FROM tpcds23_sales
+              |WHERE l_partkey IN (SELECT l_partkey FROM freq)
+              |  AND o_custkey IN (SELECT o_custkey FROM best)""".stripMargin)
+    }, Some("""WITH sales AS (
+             |  SELECT l_partkey, o_custkey, l_extendedprice
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |freq AS (
+             |  SELECT l_partkey FROM sales
+             |  GROUP BY l_partkey HAVING count(*) > 35),
+             |spend AS (
+             |  SELECT o_custkey,
+             |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp_d
+             |  FROM sales GROUP BY o_custkey),
+             |mx AS (SELECT MAX(sp_d) AS max_d FROM spend),
+             |best AS (
+             |  SELECT o_custkey FROM spend CROSS JOIN mx
+             |  WHERE CAST(sp_d AS DOUBLE) * 2.0 > CAST(max_d AS DOUBLE))
+             |SELECT
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total_sales,
+             |  count(*) AS n_rows
+             |FROM sales
+             |WHERE l_partkey IN (SELECT l_partkey FROM freq)
+             |  AND o_custkey IN (SELECT o_custkey FROM best)""".stripMargin)),
+
+    // q49 shape: worst-return items per channel under TWO rankings
+    // (return ratio by quantity AND by amount), keeping items in either
+    // top-10 — the dual-rank union. Both windows share ONE partition
+    // spec (channel) so Catalyst plans one exchange with two sorts; the
+    // rank<=10 disjunction keeps the filter above the window (the OR
+    // defeats WindowGroupLimit inference, but the windowed frame is the
+    // per-channel ITEM aggregate — dimension-sized, not corpus-sized).
+    // Ratios divide once on decimal-exact sums; rank order is the ratio
+    // with a partkey tiebreak, so ranks are total and deterministic.
+    "tpcds_q49_return_ranks" -> Q((s, dir) => {
+      T(s, dir, "lineitem").createOrReplaceTempView("tpcds49_sales")
+      s.sql("""WITH r AS (
+              |  SELECT
+              |    CASE CAST(l_linenumber % 3 AS INT) WHEN 0 THEN 'web'
+              |      WHEN 1 THEN 'store' ELSE 'catalog' END AS channel,
+              |    l_partkey,
+              |    SUM(CASE WHEN l_returnflag = 'R'
+              |      THEN CAST(l_quantity AS DECIMAL(18,2))
+              |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS ret_qty,
+              |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS tot_qty,
+              |    SUM(CASE WHEN l_returnflag = 'R'
+              |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+              |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS ret_amt,
+              |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS tot_amt
+              |  FROM tpcds49_sales
+              |  GROUP BY CASE CAST(l_linenumber % 3 AS INT) WHEN 0 THEN 'web'
+              |    WHEN 1 THEN 'store' ELSE 'catalog' END, l_partkey),
+              |rk AS (
+              |  SELECT channel, l_partkey,
+              |    CAST(ret_qty AS DOUBLE) / CAST(tot_qty AS DOUBLE)
+              |      AS qty_ratio,
+              |    CAST(ret_amt AS DOUBLE) / CAST(tot_amt AS DOUBLE)
+              |      AS amt_ratio,
+              |    CAST(rank() OVER (PARTITION BY channel
+              |      ORDER BY CAST(ret_qty AS DOUBLE) / CAST(tot_qty AS DOUBLE)
+              |        DESC, l_partkey) AS INT) AS qty_rank,
+              |    CAST(rank() OVER (PARTITION BY channel
+              |      ORDER BY CAST(ret_amt AS DOUBLE) / CAST(tot_amt AS DOUBLE)
+              |        DESC, l_partkey) AS INT) AS amt_rank
+              |  FROM r)
+              |SELECT channel, l_partkey, qty_ratio, amt_ratio,
+              |  qty_rank, amt_rank
+              |FROM rk WHERE qty_rank <= 10 OR amt_rank <= 10
+              |ORDER BY channel, l_partkey""".stripMargin)
+    }, Some("""WITH r AS (
+             |  SELECT
+             |    CASE CAST(l_linenumber % 3 AS INT) WHEN 0 THEN 'web'
+             |      WHEN 1 THEN 'store' ELSE 'catalog' END AS channel,
+             |    l_partkey,
+             |    SUM(CASE WHEN l_returnflag = 'R'
+             |      THEN CAST(l_quantity AS DECIMAL(18,2))
+             |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS ret_qty,
+             |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS tot_qty,
+             |    SUM(CASE WHEN l_returnflag = 'R'
+             |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+             |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS ret_amt,
+             |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS tot_amt
+             |  FROM lineitem
+             |  GROUP BY CASE CAST(l_linenumber % 3 AS INT) WHEN 0 THEN 'web'
+             |    WHEN 1 THEN 'store' ELSE 'catalog' END, l_partkey),
+             |rk AS (
+             |  SELECT channel, l_partkey,
+             |    CAST(ret_qty AS DOUBLE) / CAST(tot_qty AS DOUBLE)
+             |      AS qty_ratio,
+             |    CAST(ret_amt AS DOUBLE) / CAST(tot_amt AS DOUBLE)
+             |      AS amt_ratio,
+             |    CAST(rank() OVER (PARTITION BY channel
+             |      ORDER BY CAST(ret_qty AS DOUBLE) / CAST(tot_qty AS DOUBLE)
+             |        DESC, l_partkey) AS INT) AS qty_rank,
+             |    CAST(rank() OVER (PARTITION BY channel
+             |      ORDER BY CAST(ret_amt AS DOUBLE) / CAST(tot_amt AS DOUBLE)
+             |        DESC, l_partkey) AS INT) AS amt_rank
+             |  FROM r)
+             |SELECT channel, l_partkey, qty_ratio, amt_ratio,
+             |  qty_rank, amt_rank
+             |FROM rk WHERE qty_rank <= 10 OR amt_rank <= 10
+             |ORDER BY channel, l_partkey""".stripMargin)))
 }
