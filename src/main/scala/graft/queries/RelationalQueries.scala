@@ -258,6 +258,41 @@ object RelationalQueries {
              |FROM ranked WHERE rn = 1 AND op <> 'D'
              |ORDER BY user_id""".stripMargin)),
 
+    "s19_dpp_prune_join" -> Q((s, dir) => {
+      // Dynamic partition pruning on the READ side (the write-side
+      // partition story is s8/s15): the fact lands partitioned by ship
+      // month, and a star join against a filtered month dimension lets
+      // Spark derive the fact's partition filter AT RUNTIME from the
+      // dim's broadcast result (DynamicPruningExpression on the scan) —
+      // only the quarter's 3 of 12 directories are ever read, though no
+      // month predicate is spelled against the fact anywhere. At 100 TB
+      // this is the mechanism that turns every date-dim-filtered star
+      // join into a partial scan. PlanGuardsSpec asserts the
+      // dynamicpruning subquery actually lands on the scan; the oracle
+      // is the equivalent static month filter — pruning must not change
+      // results, only bytes read.
+      Tables.ensureDatabase(s, "graft_w")
+      Tables.overwritePartitioned(
+        T(s, dir, "lineitem")
+          .withColumn("ship_mon", month(col("l_shipdate")))
+          .select("ship_mon", "l_extendedprice", "l_quantity"),
+        "graft_w.s19_fact", Seq("ship_mon"))
+      val dim = s.range(1, 13).select(col("id").cast("int").as("mon"),
+        (((col("id") - 1) / 3).cast("int") + 1).as("qtr"))
+      s.read.table("graft_w.s19_fact")
+        .join(broadcast(dim), col("ship_mon") === col("mon"))
+        .filter(col("qtr") === 2)
+        .groupBy("ship_mon")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy("ship_mon")
+    }, Some("""SELECT CAST(month(l_shipdate) AS INT) AS ship_mon, count(*) AS cnt,
+              |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+              |FROM lineitem
+              |WHERE CAST(month(l_shipdate) AS INT) IN (4, 5, 6)
+              |GROUP BY CAST(month(l_shipdate) AS INT)
+              |ORDER BY ship_mon""".stripMargin)),
+
     "s16_bucketed_colocated_join" -> Q((s, dir) => {
       // Redshift distkey analog (SURVEY §4): both sides bucketed on the
       // join key at write time, so the fact-dim join reads co-located

@@ -469,7 +469,7 @@ class PlanGuardsSpec extends SparkTestBase {
     // q70 is a partition-less window — the r11 anti-pattern).
     val dir = "/root/testdata/sf0.001"
     val names = graft.SparkEntry.queries.keys.filter(_.startsWith("tpcds")).toSeq.sorted
-    assert(names.size == 18)
+    assert(names.size == 24)
     for (n <- names) {
       val df = graft.SparkEntry.queries(n)(spark, dir)
       val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
@@ -515,6 +515,36 @@ class PlanGuardsSpec extends SparkTestBase {
     assert("LeftSemi".r.findAllIn(p38).length >= 2,
       s"q38 triple intersect must plan two semi-joins:\n$p38")
 
+    // q23: both reducing IN's must lower to semi-joins (frequent items
+    // and best customers are fact aggregates — hash-build sides, never
+    // a row-comparing product), and the max-spend scalar must reach the
+    // spend frame as a broadcast.
+    val q23 = graft.SparkEntry.queries("tpcds_q23_frequent_best")(spark, dir)
+    q23.collect()
+    val p23 = q23.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("LeftSemi".r.findAllIn(p23).length >= 2,
+      s"q23 must plan two semi-joins for the IN filters:\n$p23")
+
+    // q1: the per-state stats frame is |nation|-sized, so the
+    // returns-vs-state-average join must broadcast it — a shuffled join
+    // there re-exchanges the customer-sized aggregate for a 25-row
+    // build side.
+    val q1 = graft.SparkEntry.queries("tpcds_q1_returns_above_avg")(spark, dir)
+    q1.collect()
+    val p1 = q1.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p1.contains("BroadcastHashJoin"),
+      s"q1 state-average join must broadcast the nation-sized stats:\n$p1")
+
+    // q49: the dual rank windows share ONE channel partition spec —
+    // exactly one hashpartitioning(channel) exchange may feed them.
+    val q49 = graft.SparkEntry.queries("tpcds_q49_return_ranks")(spark, dir)
+    q49.collect()
+    val p49 = q49.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val chanExchanges =
+      "Exchange hashpartitioning\\(channel#\\d+, \\d+\\)".r.findAllIn(p49).length
+    assert(chanExchanges == 1,
+      s"q49 rank windows must share one channel exchange, got $chanExchanges:\n$p49")
+
     // q47: sum/count/lag/lead all share the p_brand partition spec, so
     // however many WindowExec nodes Catalyst splits them into, ONE
     // exchange must feed them all (the monthly frame is brand-sized).
@@ -527,6 +557,19 @@ class PlanGuardsSpec extends SparkTestBase {
       "Exchange hashpartitioning\\(p_brand#\\d+, \\d+\\)".r.findAllIn(p47).length
     assert(winExchanges == 1,
       s"q47 window family must share one p_brand exchange, got $winExchanges:\n$p47")
+  }
+
+  test("s19: dynamic partition pruning lands on the fact scan") {
+    // The month dim is filtered (qtr = 2) and broadcast; the fact is
+    // partitioned on the join key — Spark must derive the fact's
+    // partition filter from the dim at runtime. If the subquery is
+    // missing, the join still returns correct rows but scans all 12
+    // partitions — invisible to the oracle, fatal at 100 TB.
+    val df = graft.SparkEntry.queries("s19_dpp_prune_join")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamicpruning expression on the s19 fact scan:\n$plan")
   }
 
   test("CountMin build: one hash-agg pair, one exchange, map-side combine") {
