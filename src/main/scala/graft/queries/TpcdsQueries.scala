@@ -954,12 +954,18 @@ object TpcdsQueries {
              |HAVING count(*) >= 10
              |ORDER BY cnt, n_name""".stripMargin)),
 
-    // q65 shape: brands selling below 90% of their state's average
-    // brand revenue — the avg-of-aggregates self-join (aggregate once,
+    // q65 shape: brands selling below their state's average brand
+    // revenue — the avg-of-aggregates self-join (aggregate once,
     // re-aggregate the aggregate, join the two levels). The state-stats
     // side is |nation|-sized → broadcast; the ONE divide for the
     // reported average happens on decimal-exact doubles, and the filter
-    // multiplies instead (no divide in any predicate).
+    // multiplies instead (no divide in any predicate). TPC-DS's 0.1
+    // multiplier (and any fixed sub-average fraction) DEGENERATES with
+    // scale: per-brand revenue concentrates toward the state mean as
+    // row counts grow (0.9×avg already keeps 0 of 625 brands at the
+    // sf1 stress corpus), so the gate uses strictly-below-average —
+    // the only threshold whose selectivity (~half the brands) is
+    // scale-invariant. Same lesson as the winnow df-cap (STRESS_r11).
     "tpcds_q65_low_brands" -> Q((s, dir) => {
       T(s, dir, "lineitem")
         .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
@@ -979,8 +985,8 @@ object TpcdsQueries {
               |  CAST(sb.rev_d AS DOUBLE) AS brand_rev,
               |  CAST(sa.sum_d AS DOUBLE) / sa.cnt AS state_avg
               |FROM sb JOIN sa ON sb.n_name = sa.n_name
-              |WHERE CAST(sb.rev_d AS DOUBLE) * sa.cnt * 10.0
-              |    <= CAST(sa.sum_d AS DOUBLE) * 9.0
+              |WHERE CAST(sb.rev_d AS DOUBLE) * sa.cnt
+              |    < CAST(sa.sum_d AS DOUBLE)
               |ORDER BY n_name, p_brand""".stripMargin)
     }, Some("""WITH sales AS (
              |  SELECT n_name, p_brand, l_extendedprice, l_discount
@@ -1000,8 +1006,8 @@ object TpcdsQueries {
              |  CAST(sb.rev_d AS DOUBLE) AS brand_rev,
              |  CAST(sa.sum_d AS DOUBLE) / sa.cnt AS state_avg
              |FROM sb JOIN sa ON sb.n_name = sa.n_name
-             |WHERE CAST(sb.rev_d AS DOUBLE) * sa.cnt * 10.0
-             |    <= CAST(sa.sum_d AS DOUBLE) * 9.0
+             |WHERE CAST(sb.rev_d AS DOUBLE) * sa.cnt
+             |    < CAST(sa.sum_d AS DOUBLE)
              |ORDER BY sb.n_name, sb.p_brand""".stripMargin)),
 
     // q31 shape: states where the web channel grew faster quarter-over-
