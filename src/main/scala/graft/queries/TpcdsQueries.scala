@@ -959,7 +959,13 @@ object TpcdsQueries {
     // re-aggregate the aggregate, join the two levels). The state-stats
     // side is |nation|-sized → broadcast; the ONE divide for the
     // reported average happens on decimal-exact doubles, and the filter
-    // multiplies instead (no divide in any predicate). TPC-DS's 0.1
+    // multiplies instead (no divide in any predicate). Sums route
+    // through scale-0 micro-unit integers (the q36/q22 routing): the
+    // state-level SUM of DECIMAL(18,6) crosses 2^53 unscaled at sf10
+    // (caught by the stress corpus — 305 rows, value hash off by the
+    // DuckDB two-step decimal→double rounding, the exact 2c8a935
+    // signature), while int→double of the DECIMAL(38,0) micro-units
+    // rounds once, identically on both engines. TPC-DS's 0.1
     // multiplier (and any fixed sub-average fraction) DEGENERATES with
     // scale: per-brand revenue concentrates toward the state mean as
     // row counts grow (0.9×avg already keeps 0 of 625 brands at the
@@ -975,18 +981,18 @@ object TpcdsQueries {
         .createOrReplaceTempView("tpcds65_sales")
       s.sql("""WITH sb AS (
               |  SELECT n_name, p_brand,
-              |    SUM(CAST(l_extendedprice * (1.0 - l_discount)
-              |      AS DECIMAL(18,6))) AS rev_d
+              |    SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount)
+              |      AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0))) AS rev_u
               |  FROM tpcds65_sales GROUP BY n_name, p_brand),
               |sa AS (
-              |  SELECT n_name, SUM(rev_d) AS sum_d, count(*) AS cnt
+              |  SELECT n_name, SUM(rev_u) AS sum_u, count(*) AS cnt
               |  FROM sb GROUP BY n_name)
               |SELECT sb.n_name, sb.p_brand,
-              |  CAST(sb.rev_d AS DOUBLE) AS brand_rev,
-              |  CAST(sa.sum_d AS DOUBLE) / sa.cnt AS state_avg
+              |  CAST(sb.rev_u AS DOUBLE) / 1000000.0 AS brand_rev,
+              |  CAST(sa.sum_u AS DOUBLE) / 1000000.0 / sa.cnt AS state_avg
               |FROM sb JOIN sa ON sb.n_name = sa.n_name
-              |WHERE CAST(sb.rev_d AS DOUBLE) * sa.cnt
-              |    < CAST(sa.sum_d AS DOUBLE)
+              |WHERE CAST(sb.rev_u AS DOUBLE) * sa.cnt
+              |    < CAST(sa.sum_u AS DOUBLE)
               |ORDER BY n_name, p_brand""".stripMargin)
     }, Some("""WITH sales AS (
              |  SELECT n_name, p_brand, l_extendedprice, l_discount
@@ -996,18 +1002,18 @@ object TpcdsQueries {
              |  JOIN part ON l_partkey = p_partkey),
              |sb AS (
              |  SELECT n_name, p_brand,
-             |    SUM(CAST(l_extendedprice * (1.0 - l_discount)
-             |      AS DECIMAL(18,6))) AS rev_d
+             |    SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount)
+             |      AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0))) AS rev_u
              |  FROM sales GROUP BY n_name, p_brand),
              |sa AS (
-             |  SELECT n_name, SUM(rev_d) AS sum_d, count(*) AS cnt
+             |  SELECT n_name, SUM(rev_u) AS sum_u, count(*) AS cnt
              |  FROM sb GROUP BY n_name)
              |SELECT sb.n_name, sb.p_brand,
-             |  CAST(sb.rev_d AS DOUBLE) AS brand_rev,
-             |  CAST(sa.sum_d AS DOUBLE) / sa.cnt AS state_avg
+             |  CAST(sb.rev_u AS DOUBLE) / 1000000.0 AS brand_rev,
+             |  CAST(sa.sum_u AS DOUBLE) / 1000000.0 / sa.cnt AS state_avg
              |FROM sb JOIN sa ON sb.n_name = sa.n_name
-             |WHERE CAST(sb.rev_d AS DOUBLE) * sa.cnt
-             |    < CAST(sa.sum_d AS DOUBLE)
+             |WHERE CAST(sb.rev_u AS DOUBLE) * sa.cnt
+             |    < CAST(sa.sum_u AS DOUBLE)
              |ORDER BY sb.n_name, sb.p_brand""".stripMargin)),
 
     // q31 shape: states where the web channel grew faster quarter-over-
@@ -1016,7 +1022,10 @@ object TpcdsQueries {
     // the spelling that replaces q31's six-way self-join at scale),
     // then the growth comparison cross-multiplied on doubles cast once
     // from decimal-exact sums: no divide in the predicate, the two
-    // reported ratios divide once each.
+    // reported ratios divide once each. Sums are scale-0 micro-unit
+    // integers (the q36 routing — the quarter sums sit within one
+    // order of 2^53 unscaled at sf10, where plain DECIMAL(18,6)
+    // double-rounds in DuckDB; the 1e6 scaling cancels in the ratios).
     "tpcds_q31_growth_compare" -> Q((s, dir) => {
       T(s, dir, "lineitem")
         .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
@@ -1027,18 +1036,18 @@ object TpcdsQueries {
               |  SELECT n_name,
               |    CAST(l_linenumber % 2 AS INT) AS chan,
               |    CAST(quarter(o_orderdate) AS INT) AS qtr,
-              |    SUM(CAST(l_extendedprice * (1.0 - l_discount)
-              |      AS DECIMAL(18,6))) AS rev_d
+              |    SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount)
+              |      AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0))) AS rev_u
               |  FROM tpcds31_sales
               |  WHERE CAST(quarter(o_orderdate) AS INT) IN (1, 2)
               |  GROUP BY n_name, CAST(l_linenumber % 2 AS INT),
               |    CAST(quarter(o_orderdate) AS INT)),
               |p AS (
               |  SELECT n_name,
-              |    SUM(CASE WHEN chan = 1 AND qtr = 1 THEN rev_d END) AS web1,
-              |    SUM(CASE WHEN chan = 1 AND qtr = 2 THEN rev_d END) AS web2,
-              |    SUM(CASE WHEN chan = 0 AND qtr = 1 THEN rev_d END) AS store1,
-              |    SUM(CASE WHEN chan = 0 AND qtr = 2 THEN rev_d END) AS store2
+              |    SUM(CASE WHEN chan = 1 AND qtr = 1 THEN rev_u END) AS web1,
+              |    SUM(CASE WHEN chan = 1 AND qtr = 2 THEN rev_u END) AS web2,
+              |    SUM(CASE WHEN chan = 0 AND qtr = 1 THEN rev_u END) AS store1,
+              |    SUM(CASE WHEN chan = 0 AND qtr = 2 THEN rev_u END) AS store2
               |  FROM a GROUP BY n_name)
               |SELECT n_name,
               |  CAST(web2 AS DOUBLE) / CAST(web1 AS DOUBLE) AS web_growth,
@@ -1059,18 +1068,18 @@ object TpcdsQueries {
              |  SELECT n_name,
              |    CAST(l_linenumber % 2 AS INT) AS chan,
              |    CAST(quarter(o_orderdate) AS INT) AS qtr,
-             |    SUM(CAST(l_extendedprice * (1.0 - l_discount)
-             |      AS DECIMAL(18,6))) AS rev_d
+             |    SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount)
+             |      AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0))) AS rev_u
              |  FROM sales
              |  WHERE CAST(quarter(o_orderdate) AS INT) IN (1, 2)
              |  GROUP BY n_name, CAST(l_linenumber % 2 AS INT),
              |    CAST(quarter(o_orderdate) AS INT)),
              |p AS (
              |  SELECT n_name,
-             |    SUM(CASE WHEN chan = 1 AND qtr = 1 THEN rev_d END) AS web1,
-             |    SUM(CASE WHEN chan = 1 AND qtr = 2 THEN rev_d END) AS web2,
-             |    SUM(CASE WHEN chan = 0 AND qtr = 1 THEN rev_d END) AS store1,
-             |    SUM(CASE WHEN chan = 0 AND qtr = 2 THEN rev_d END) AS store2
+             |    SUM(CASE WHEN chan = 1 AND qtr = 1 THEN rev_u END) AS web1,
+             |    SUM(CASE WHEN chan = 1 AND qtr = 2 THEN rev_u END) AS web2,
+             |    SUM(CASE WHEN chan = 0 AND qtr = 1 THEN rev_u END) AS store1,
+             |    SUM(CASE WHEN chan = 0 AND qtr = 2 THEN rev_u END) AS store2
              |  FROM a GROUP BY n_name)
              |SELECT n_name,
              |  CAST(web2 AS DOUBLE) / CAST(web1 AS DOUBLE) AS web_growth,
