@@ -270,16 +270,20 @@ object RelationalQueries {
       // join into a partial scan. PlanGuardsSpec asserts the
       // dynamicpruning subquery actually lands on the scan; the oracle
       // is the equivalent static month filter — pruning must not change
-      // results, only bytes read.
-      Tables.ensureDatabase(s, "graft_w")
-      Tables.overwritePartitioned(
-        T(s, dir, "lineitem")
-          .withColumn("ship_mon", month(col("l_shipdate")))
-          .select("ship_mon", "l_extendedprice", "l_quantity"),
-        "graft_w.s19_fact", Seq("ship_mon"))
+      // results, only bytes read. The fact is a PATH-based partitioned
+      // write (unique temp dir), not a managed table: Bench/TimeQueries
+      // sessions share ./spark-warehouse with a per-session in-memory
+      // catalog, so a managed CTAS here hits LOCATION_ALREADY_EXISTS on
+      // every session after the first; DPP fires identically through
+      // the file index.
+      val out = tmpDir("graft_s19")
+      T(s, dir, "lineitem")
+        .withColumn("ship_mon", month(col("l_shipdate")))
+        .select("ship_mon", "l_extendedprice", "l_quantity")
+        .write.mode("overwrite").partitionBy("ship_mon").parquet(out)
       val dim = s.range(1, 13).select(col("id").cast("int").as("mon"),
         (((col("id") - 1) / 3).cast("int") + 1).as("qtr"))
-      s.read.table("graft_w.s19_fact")
+      s.read.parquet(out)
         .join(broadcast(dim), col("ship_mon") === col("mon"))
         .filter(col("qtr") === 2)
         .groupBy("ship_mon")

@@ -1142,6 +1142,120 @@ object TpcdsQueries {
              |WHERE l_partkey IN (SELECT l_partkey FROM freq)
              |  AND o_custkey IN (SELECT o_custkey FROM best)""".stripMargin)),
 
+    // q35 shape: demographic rollup of customers active in the store
+    // channel AND (web OR catalog) — the OR-of-IN-subqueries that
+    // Catalyst can NOT lower to plain semi-joins: each IN inside the
+    // disjunction becomes an ExistenceJoin (a semi-join emitting an
+    // exists-flag column the filter then combines), the one join
+    // variant no other gate exercises. The three channel key sets are
+    // distinct aggregates of the fact; the demographic side is the
+    // customer dimension. Plan-guarded: ExistenceJoin present, no
+    // cartesian.
+    "tpcds_q35_or_exists_demo" -> Q((s, dir) => {
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .createOrReplaceTempView("tpcds35_sales")
+      T(s, dir, "customer")
+        .join(T(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .createOrReplaceTempView("tpcds35_cust")
+      s.sql("""WITH cust AS (
+              |  SELECT c_custkey, n_name, c_mktsegment, c_acctbal
+              |  FROM tpcds35_cust
+              |  WHERE c_custkey IN (SELECT o_custkey FROM tpcds35_sales
+              |      WHERE CAST(l_linenumber % 3 AS INT) = 0)
+              |    AND (c_custkey IN (SELECT o_custkey FROM tpcds35_sales
+              |        WHERE CAST(l_linenumber % 3 AS INT) = 1)
+              |      OR c_custkey IN (SELECT o_custkey FROM tpcds35_sales
+              |        WHERE CAST(l_linenumber % 3 AS INT) = 2)))
+              |SELECT n_name, c_mktsegment, count(*) AS cnt,
+              |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+              |    AS sum_bal,
+              |  CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+              |    AS max_bal
+              |FROM cust GROUP BY n_name, c_mktsegment
+              |ORDER BY n_name, c_mktsegment""".stripMargin)
+    }, Some("""WITH sales AS (
+             |  SELECT o_custkey, l_linenumber
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |cust AS (
+             |  SELECT c_custkey, n_name, c_mktsegment, c_acctbal
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  WHERE c_custkey IN (SELECT o_custkey FROM sales
+             |      WHERE CAST(l_linenumber % 3 AS INT) = 0)
+             |    AND (c_custkey IN (SELECT o_custkey FROM sales
+             |        WHERE CAST(l_linenumber % 3 AS INT) = 1)
+             |      OR c_custkey IN (SELECT o_custkey FROM sales
+             |        WHERE CAST(l_linenumber % 3 AS INT) = 2)))
+             |SELECT n_name, c_mktsegment, count(*) AS cnt,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS sum_bal,
+             |  CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS max_bal
+             |FROM cust GROUP BY n_name, c_mktsegment
+             |ORDER BY n_name, c_mktsegment""".stripMargin)),
+
+    // q93 shape: net sales after returns — the sales and returns sides
+    // are BOTH aggregates of the fact at (order, part) grain, LEFT
+    // joined 1:1 on the aggregated key (aggregate-before-join: the
+    // line-grain left join TPC-DS spells risks multiplicity bugs and
+    // shuffles the fact at full width; aggregating first shrinks both
+    // sides and makes the join key provably unique). Quantities stay
+    // DECIMAL(18,2)-exact through subtract and re-sum; the top-100
+    // orders by the double cast ONCE from the exact net (identical on
+    // both engines) with a custkey tiebreak.
+    "tpcds_q93_net_after_returns" -> Q((s, dir) => {
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .createOrReplaceTempView("tpcds93_sales")
+      s.sql("""WITH sold AS (
+              |  SELECT l_orderkey, l_partkey, o_custkey,
+              |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+              |  FROM tpcds93_sales WHERE l_returnflag <> 'R'
+              |  GROUP BY l_orderkey, l_partkey, o_custkey),
+              |ret AS (
+              |  SELECT l_orderkey, l_partkey,
+              |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS ret_qty
+              |  FROM tpcds93_sales WHERE l_returnflag = 'R'
+              |  GROUP BY l_orderkey, l_partkey),
+              |net AS (
+              |  SELECT o_custkey,
+              |    SUM(sold.qty - coalesce(ret.ret_qty,
+              |      CAST(0 AS DECIMAL(18,2)))) AS net_qty
+              |  FROM sold LEFT JOIN ret
+              |    ON sold.l_orderkey = ret.l_orderkey
+              |    AND sold.l_partkey = ret.l_partkey
+              |  GROUP BY o_custkey)
+              |SELECT o_custkey, CAST(net_qty AS DOUBLE) AS net_qty
+              |FROM net
+              |ORDER BY net_qty DESC, o_custkey
+              |LIMIT 100""".stripMargin)
+    }, Some("""WITH sales AS (
+             |  SELECT l_orderkey, l_partkey, o_custkey, l_quantity,
+             |    l_returnflag
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |sold AS (
+             |  SELECT l_orderkey, l_partkey, o_custkey,
+             |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+             |  FROM sales WHERE l_returnflag <> 'R'
+             |  GROUP BY l_orderkey, l_partkey, o_custkey),
+             |ret AS (
+             |  SELECT l_orderkey, l_partkey,
+             |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS ret_qty
+             |  FROM sales WHERE l_returnflag = 'R'
+             |  GROUP BY l_orderkey, l_partkey),
+             |net AS (
+             |  SELECT o_custkey,
+             |    SUM(sold.qty - coalesce(ret.ret_qty,
+             |      CAST(0 AS DECIMAL(18,2)))) AS net_qty
+             |  FROM sold LEFT JOIN ret
+             |    ON sold.l_orderkey = ret.l_orderkey
+             |    AND sold.l_partkey = ret.l_partkey
+             |  GROUP BY o_custkey)
+             |SELECT o_custkey, CAST(net_qty AS DOUBLE) AS net_qty
+             |FROM net
+             |ORDER BY net_qty DESC, o_custkey
+             |LIMIT 100""".stripMargin)),
+
     // q49 shape: worst-return items per channel under TWO rankings
     // (return ratio by quantity AND by amount), keeping items in either
     // top-10 — the dual-rank union. Both windows share ONE partition

@@ -469,7 +469,7 @@ class PlanGuardsSpec extends SparkTestBase {
     // q70 is a partition-less window — the r11 anti-pattern).
     val dir = "/root/testdata/sf0.001"
     val names = graft.SparkEntry.queries.keys.filter(_.startsWith("tpcds")).toSeq.sorted
-    assert(names.size == 24)
+    assert(names.size == 26)
     for (n <- names) {
       val df = graft.SparkEntry.queries(n)(spark, dir)
       val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
@@ -524,6 +524,17 @@ class PlanGuardsSpec extends SparkTestBase {
     val p23 = q23.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert("LeftSemi".r.findAllIn(p23).length >= 2,
       s"q23 must plan two semi-joins for the IN filters:\n$p23")
+
+    // q35: the OR of IN-subqueries cannot lower to plain semi-joins —
+    // Catalyst must plan ExistenceJoins (semi-joins emitting an
+    // exists-flag the filter combines). If a rewrite ever turns this
+    // into a cartesian or a union-dedup of the two channel sets, the
+    // shape regressed.
+    val q35 = graft.SparkEntry.queries("tpcds_q35_or_exists_demo")(spark, dir)
+    q35.collect()
+    val p35 = q35.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p35.contains("ExistenceJoin"),
+      s"q35 OR-of-IN must plan ExistenceJoins:\n$p35")
 
     // q1: the per-state stats frame is |nation|-sized, so the
     // returns-vs-state-average join must broadcast it — a shuffled join
