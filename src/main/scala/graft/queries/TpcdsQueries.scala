@@ -1332,5 +1332,374 @@ object TpcdsQueries {
              |SELECT channel, l_partkey, qty_ratio, amt_ratio,
              |  qty_rank, amt_rank
              |FROM rk WHERE qty_rank <= 10 OR amt_rank <= 10
-             |ORDER BY channel, l_partkey""".stripMargin)))
+             |ORDER BY channel, l_partkey""".stripMargin)),
+
+    // q39 shape: coefficient-of-variation screen with a consecutive-
+    // period self-join — TPC-DS's inventory-volatility query re-derived
+    // over (brand, ship month). stddev_samp is NOT summed as doubles
+    // (partial-aggregation order would make it run-dependent): both
+    // engines aggregate the EXACT moments — count, SUM(qty) and
+    // SUM(qty*qty) as decimals (DECIMAL(18,2)^2 = scale-4 exact) — and
+    // the variance/cov come from one fixed-shape double expression over
+    // those exact operands, so the doubles are bit-identical across
+    // engines and runs. The volatility threshold is scale-invariant by
+    // the q65 doctrine: a month qualifies when its cov is strictly above
+    // the brand's own pooled cov (~half the months, at every sf), never
+    // a fixed constant that drifts empty as per-cell samples grow. The
+    // brand-level stats frame is |brand|-sized, so the qualify join
+    // broadcasts (plan-guarded); the month-month self-join is
+    // brand×month-sized. greatest(var, 0) guards the 1-ulp negative a
+    // double subtraction of equal exact moments can produce.
+    "tpcds_q39_monthly_cov" -> Q((s, dir) => {
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .createOrReplaceTempView("tpcds39_sales")
+      s.sql("""WITH m AS (
+              |  SELECT p_brand, CAST(month(l_shipdate) AS INT) AS mon,
+              |    count(*) AS n,
+              |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s1,
+              |    SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+              |      CAST(l_quantity AS DECIMAL(18,2))) AS s2
+              |  FROM tpcds39_sales
+              |  GROUP BY p_brand, month(l_shipdate)),
+              |cv AS (
+              |  SELECT p_brand, mon,
+              |    sqrt(greatest((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) -
+              |        CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) /
+              |      (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 0.0)) /
+              |      (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS cov
+              |  FROM m WHERE n >= 5),
+              |b AS (
+              |  SELECT p_brand, SUM(n) AS nb,
+              |    SUM(s1) AS b1, SUM(s2) AS b2
+              |  FROM m GROUP BY p_brand),
+              |bc AS (
+              |  SELECT p_brand,
+              |    sqrt(greatest((CAST(nb AS DOUBLE) * CAST(b2 AS DOUBLE) -
+              |        CAST(b1 AS DOUBLE) * CAST(b1 AS DOUBLE)) /
+              |      (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)), 0.0)) /
+              |      (CAST(b1 AS DOUBLE) / CAST(nb AS DOUBLE)) AS cov_brand
+              |  FROM b WHERE nb >= 24),
+              |q AS (
+              |  SELECT cv.p_brand, cv.mon, cv.cov, bc.cov_brand
+              |  FROM cv JOIN bc ON cv.p_brand = bc.p_brand
+              |  WHERE cv.cov > bc.cov_brand)
+              |SELECT x.p_brand, x.mon AS mon1, y.mon AS mon2,
+              |  x.cov AS cov1, y.cov AS cov2, x.cov_brand
+              |FROM q x JOIN q y
+              |  ON x.p_brand = y.p_brand AND y.mon = x.mon + 1
+              |ORDER BY x.p_brand, x.mon""".stripMargin)
+    }, Some("""WITH m AS (
+             |  SELECT p_brand, CAST(month(l_shipdate) AS INT) AS mon,
+             |    count(*) AS n,
+             |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s1,
+             |    SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+             |      CAST(l_quantity AS DECIMAL(18,2))) AS s2
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  GROUP BY p_brand, month(l_shipdate)),
+             |cv AS (
+             |  SELECT p_brand, mon,
+             |    sqrt(greatest((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) -
+             |        CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) /
+             |      (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 0.0)) /
+             |      (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS cov
+             |  FROM m WHERE n >= 5),
+             |b AS (
+             |  SELECT p_brand, SUM(n) AS nb,
+             |    SUM(s1) AS b1, SUM(s2) AS b2
+             |  FROM m GROUP BY p_brand),
+             |bc AS (
+             |  SELECT p_brand,
+             |    sqrt(greatest((CAST(nb AS DOUBLE) * CAST(b2 AS DOUBLE) -
+             |        CAST(b1 AS DOUBLE) * CAST(b1 AS DOUBLE)) /
+             |      (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)), 0.0)) /
+             |      (CAST(b1 AS DOUBLE) / CAST(nb AS DOUBLE)) AS cov_brand
+             |  FROM b WHERE nb >= 24),
+             |q AS (
+             |  SELECT cv.p_brand, cv.mon, cv.cov, bc.cov_brand
+             |  FROM cv JOIN bc ON cv.p_brand = bc.p_brand
+             |  WHERE cv.cov > bc.cov_brand)
+             |SELECT x.p_brand, x.mon AS mon1, y.mon AS mon2,
+             |  x.cov AS cov1, y.cov AS cov2, x.cov_brand
+             |FROM q x JOIN q y
+             |  ON x.p_brand = y.p_brand AND y.mon = x.mon + 1
+             |ORDER BY x.p_brand, x.mon""".stripMargin)),
+
+    // q14 shape: cross-channel INTERSECT feeding a downstream rollup —
+    // items sold in ALL THREE channels (two set-intersections over
+    // per-channel distinct item sets), then a (channel, category)
+    // ROLLUP of revenue restricted to those items, kept above an
+    // average-revenue scalar. Unlike q38 (whose intersect IS the
+    // answer), the intersect result here is an upstream reducer: it
+    // lowers to distinct aggregates + LeftSemi joins, the item set
+    // semi-joins into the fact, and the 1-row average broadcasts into
+    // the rollup filter — intersect → semi-join → scalar → Expand in
+    // one plan. Revenue stays scale-0 micro-unit DECIMAL(38,0) until
+    // ONE single-step cast to DOUBLE (exact past 2^53 in both engines,
+    // the q98 doctrine), so the scalar compare is deterministic.
+    "tpcds_q14_intersect_rollup" -> Q((s, dir) => {
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .createOrReplaceTempView("tpcds14_sales")
+      s.sql("""WITH base AS (
+              |  SELECT element_at(split(p_type, ' '), 1) AS category,
+              |    CASE CAST(l_linenumber % 3 AS INT) WHEN 0 THEN 'web'
+              |      WHEN 1 THEN 'store' ELSE 'catalog' END AS channel,
+              |    l_partkey,
+              |    CAST(CAST(l_extendedprice * (1.0 - l_discount)
+              |      AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0)) AS rev_u
+              |  FROM tpcds14_sales),
+              |xitems AS (
+              |  SELECT l_partkey FROM base WHERE channel = 'web'
+              |  INTERSECT
+              |  SELECT l_partkey FROM base WHERE channel = 'store'
+              |  INTERSECT
+              |  SELECT l_partkey FROM base WHERE channel = 'catalog'),
+              |avgscalar AS (
+              |  SELECT CAST(SUM(rev_u) AS DOUBLE) / 1000000.0 / count(*)
+              |    AS avg_item_rev
+              |  FROM (SELECT channel, l_partkey, SUM(rev_u) AS rev_u
+              |        FROM base GROUP BY channel, l_partkey) t),
+              |r AS (
+              |  SELECT channel, category,
+              |    SUM(rev_u) AS rev_u, count(*) AS n_lines
+              |  FROM base
+              |  WHERE l_partkey IN (SELECT l_partkey FROM xitems)
+              |  GROUP BY ROLLUP (channel, category))
+              |SELECT channel, category,
+              |  CAST(rev_u AS DOUBLE) / 1000000.0 AS revenue, n_lines
+              |FROM r
+              |WHERE CAST(rev_u AS DOUBLE) / 1000000.0 >
+              |  (SELECT avg_item_rev FROM avgscalar)
+              |ORDER BY channel NULLS FIRST, category NULLS FIRST""".stripMargin)
+    }, Some("""WITH base AS (
+             |  SELECT string_split(p_type, ' ')[1] AS category,
+             |    CASE CAST(l_linenumber % 3 AS INT) WHEN 0 THEN 'web'
+             |      WHEN 1 THEN 'store' ELSE 'catalog' END AS channel,
+             |    l_partkey,
+             |    CAST(CAST(l_extendedprice * (1.0 - l_discount)
+             |      AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0)) AS rev_u
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+             |xitems AS (
+             |  SELECT l_partkey FROM base WHERE channel = 'web'
+             |  INTERSECT
+             |  SELECT l_partkey FROM base WHERE channel = 'store'
+             |  INTERSECT
+             |  SELECT l_partkey FROM base WHERE channel = 'catalog'),
+             |avgscalar AS (
+             |  SELECT CAST(SUM(rev_u) AS DOUBLE) / 1000000.0 / count(*)
+             |    AS avg_item_rev
+             |  FROM (SELECT channel, l_partkey, SUM(rev_u) AS rev_u
+             |        FROM base GROUP BY channel, l_partkey) t),
+             |r AS (
+             |  SELECT channel, category,
+             |    SUM(rev_u) AS rev_u, count(*) AS n_lines
+             |  FROM base
+             |  WHERE l_partkey IN (SELECT l_partkey FROM xitems)
+             |  GROUP BY ROLLUP (channel, category))
+             |SELECT channel, category,
+             |  CAST(rev_u AS DOUBLE) / 1000000.0 AS revenue, n_lines
+             |FROM r
+             |WHERE CAST(rev_u AS DOUBLE) / 1000000.0 >
+             |  (SELECT avg_item_rev FROM avgscalar)
+             |ORDER BY channel NULLS FIRST, category NULLS FIRST""".stripMargin)),
+
+    // q17 shape: the buy → return → re-buy funnel — three slices of the
+    // SAME fact (store sale, store return, catalog re-purchase) chained
+    // on a composite customer key. Each slice pre-aggregates to
+    // (customer, bucket) grain FIRST (the q93 aggregate-before-join
+    // doctrine: the chain joins are then 1:1 on provably-unique keys and
+    // the fact never self-joins at line grain — TPC-DS's line-grain
+    // spelling multiplies rows combinatorially). The chain key's item
+    // axis is a FIXED 100-bucket hash of partkey, not partkey itself:
+    // lines-per-customer is corpus-invariant while |part| grows with sf,
+    // so a raw-partkey chain empties at scale (the q65 degeneracy,
+    // pre-empted) — the fixed bucket space keeps per-customer hit rates,
+    // and so chain selectivity, constant at every sf.
+    "tpcds_q17_buy_return_rebuy" -> Q((s, dir) => {
+      T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .createOrReplaceTempView("tpcds17_sales")
+      s.sql("""WITH sales AS (
+              |  SELECT o_custkey, CAST(l_partkey % 100 AS INT) AS part_bucket,
+              |    l_quantity, l_returnflag,
+              |    CASE CAST(l_linenumber % 3 AS INT) WHEN 0 THEN 'web'
+              |      WHEN 1 THEN 'store' ELSE 'catalog' END AS channel
+              |  FROM tpcds17_sales),
+              |st AS (
+              |  SELECT o_custkey, part_bucket, count(*) AS n_s,
+              |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q_s
+              |  FROM sales WHERE channel = 'store' AND l_returnflag <> 'R'
+              |  GROUP BY o_custkey, part_bucket),
+              |sr AS (
+              |  SELECT o_custkey, part_bucket, count(*) AS n_r,
+              |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q_r
+              |  FROM sales WHERE channel = 'store' AND l_returnflag = 'R'
+              |  GROUP BY o_custkey, part_bucket),
+              |cs AS (
+              |  SELECT o_custkey, part_bucket, count(*) AS n_c,
+              |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q_c
+              |  FROM sales WHERE channel = 'catalog'
+              |  GROUP BY o_custkey, part_bucket),
+              |chain AS (
+              |  SELECT st.part_bucket, st.n_s, st.q_s, sr.n_r, sr.q_r,
+              |    cs.n_c, cs.q_c
+              |  FROM st
+              |  JOIN sr ON st.o_custkey = sr.o_custkey
+              |    AND st.part_bucket = sr.part_bucket
+              |  JOIN cs ON st.o_custkey = cs.o_custkey
+              |    AND st.part_bucket = cs.part_bucket)
+              |SELECT part_bucket, count(*) AS n_chains,
+              |  CAST(SUM(n_s) AS BIGINT) AS store_lines,
+              |  CAST(SUM(q_s) AS DOUBLE) / CAST(SUM(n_s) AS DOUBLE) AS avg_store_qty,
+              |  CAST(SUM(n_r) AS BIGINT) AS return_lines,
+              |  CAST(SUM(q_r) AS DOUBLE) / CAST(SUM(n_r) AS DOUBLE) AS avg_return_qty,
+              |  CAST(SUM(n_c) AS BIGINT) AS catalog_lines,
+              |  CAST(SUM(q_c) AS DOUBLE) / CAST(SUM(n_c) AS DOUBLE) AS avg_catalog_qty
+              |FROM chain GROUP BY part_bucket
+              |ORDER BY part_bucket""".stripMargin)
+    }, Some("""WITH sales AS (
+             |  SELECT o_custkey, CAST(l_partkey % 100 AS INT) AS part_bucket,
+             |    l_quantity, l_returnflag,
+             |    CASE CAST(l_linenumber % 3 AS INT) WHEN 0 THEN 'web'
+             |      WHEN 1 THEN 'store' ELSE 'catalog' END AS channel
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |st AS (
+             |  SELECT o_custkey, part_bucket, count(*) AS n_s,
+             |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q_s
+             |  FROM sales WHERE channel = 'store' AND l_returnflag <> 'R'
+             |  GROUP BY o_custkey, part_bucket),
+             |sr AS (
+             |  SELECT o_custkey, part_bucket, count(*) AS n_r,
+             |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q_r
+             |  FROM sales WHERE channel = 'store' AND l_returnflag = 'R'
+             |  GROUP BY o_custkey, part_bucket),
+             |cs AS (
+             |  SELECT o_custkey, part_bucket, count(*) AS n_c,
+             |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q_c
+             |  FROM sales WHERE channel = 'catalog'
+             |  GROUP BY o_custkey, part_bucket),
+             |chain AS (
+             |  SELECT st.part_bucket, st.n_s, st.q_s, sr.n_r, sr.q_r,
+             |    cs.n_c, cs.q_c
+             |  FROM st
+             |  JOIN sr ON st.o_custkey = sr.o_custkey
+             |    AND st.part_bucket = sr.part_bucket
+             |  JOIN cs ON st.o_custkey = cs.o_custkey
+             |    AND st.part_bucket = cs.part_bucket)
+             |SELECT part_bucket, count(*) AS n_chains,
+             |  CAST(SUM(n_s) AS BIGINT) AS store_lines,
+             |  CAST(SUM(q_s) AS DOUBLE) / CAST(SUM(n_s) AS DOUBLE) AS avg_store_qty,
+             |  CAST(SUM(n_r) AS BIGINT) AS return_lines,
+             |  CAST(SUM(q_r) AS DOUBLE) / CAST(SUM(n_r) AS DOUBLE) AS avg_return_qty,
+             |  CAST(SUM(n_c) AS BIGINT) AS catalog_lines,
+             |  CAST(SUM(q_c) AS DOUBLE) / CAST(SUM(n_c) AS DOUBLE) AS avg_catalog_qty
+             |FROM chain GROUP BY part_bucket
+             |ORDER BY part_bucket""".stripMargin)),
+
+    // q92 shape: "excess discount" — a CORRELATED scalar subquery in the
+    // WHERE clause (a line qualifies when its discount amount exceeds
+    // 1.3× the average discount amount of ITS OWN part). Unlike
+    // q1/q6/q65, which hand-spell the above-average screen as an
+    // aggregate CTE + join, this gate keeps TPC-DS's correlated-subquery
+    // spelling VERBATIM in both engines and proves Catalyst's
+    // decorrelation (DecorrelateInnerQuery + RewriteCorrelatedScalar-
+    // Subquery) plans the same thing the hand spelling would: one
+    // per-part aggregate of the fact, equi-joined back on l_partkey —
+    // never a per-row re-scan (the plan guard rejects any nested-loop).
+    // The threshold is one fixed-shape double expression over exact
+    // decimal moments (sum as DECIMAL(38,0) micro-units, single-step
+    // cast, the q98 doctrine), so both engines compare bit-identical
+    // doubles; the part dimension joins AFTER the screen, on the
+    // surviving ~thousandth of the fact.
+    "tpcds_q92_excess_discount" -> Q((s, dir) => {
+      T(s, dir, "lineitem").createOrReplaceTempView("tpcds92_lineitem")
+      T(s, dir, "part").createOrReplaceTempView("tpcds92_part")
+      s.sql("""WITH d AS (
+              |  SELECT l_partkey,
+              |    CAST(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))
+              |      * 1000000 AS DECIMAL(38,0)) AS disc_u
+              |  FROM tpcds92_lineitem),
+              |e AS (
+              |  SELECT l_partkey, disc_u FROM d s
+              |  WHERE CAST(disc_u AS DOUBLE) >
+              |    1.3 * (SELECT CAST(SUM(disc_u) AS DOUBLE) / count(*)
+              |           FROM d x WHERE x.l_partkey = s.l_partkey))
+              |SELECT p_brand, count(*) AS n_excess,
+              |  CAST(SUM(disc_u) AS DOUBLE) / 1000000.0 AS excess_amt
+              |FROM e JOIN tpcds92_part ON l_partkey = p_partkey
+              |GROUP BY p_brand
+              |ORDER BY p_brand""".stripMargin)
+    }, Some("""WITH d AS (
+             |  SELECT l_partkey,
+             |    CAST(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))
+             |      * 1000000 AS DECIMAL(38,0)) AS disc_u
+             |  FROM lineitem),
+             |e AS (
+             |  SELECT l_partkey, disc_u FROM d s
+             |  WHERE CAST(disc_u AS DOUBLE) >
+             |    1.3 * (SELECT CAST(SUM(disc_u) AS DOUBLE) / count(*)
+             |           FROM d x WHERE x.l_partkey = s.l_partkey))
+             |SELECT p_brand, count(*) AS n_excess,
+             |  CAST(SUM(disc_u) AS DOUBLE) / 1000000.0 AS excess_amt
+             |FROM e JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand
+             |ORDER BY p_brand""".stripMargin)),
+
+    // q95 shape: orders shipped by TWO-PLUS distinct suppliers that also
+    // had a return — TPC-DS spells both screens as EXISTS over a
+    // SELF-JOIN of the fact (ws1 ⋈ ws2 on order, different warehouse;
+    // plus a returns probe). At 100 TB that's two shuffled semi-joins of
+    // the fact against itself. The engine replaces both with ONE
+    // map-side-combinable aggregate at order grain: "≥2 distinct
+    // suppliers" ⟺ min(suppkey) ≠ max(suppkey) — min/max carry partials
+    // and never Expand, unlike count(DISTINCT); "any return" is a
+    // max(CASE). One exchange on l_orderkey, the fact scanned ONCE
+    // (plan-guarded), then the order-grain frame joins orders for the
+    // priority rollup. The DuckDB oracle keeps the EXISTS spelling —
+    // line-level EXISTS and order-level qualification coincide exactly
+    // (every line of a ≥2-supplier order has a different-supplier
+    // sibling), which the hash compare proves.
+    "tpcds_q95_multi_supplier_returned" -> Q((s, dir) => {
+      T(s, dir, "lineitem").createOrReplaceTempView("tpcds95_lineitem")
+      T(s, dir, "orders").createOrReplaceTempView("tpcds95_orders")
+      s.sql("""WITH agg AS (
+              |  SELECT l_orderkey,
+              |    min(l_suppkey) AS s_min, max(l_suppkey) AS s_max,
+              |    max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              |      AS has_ret,
+              |    count(*) AS n_lines,
+              |    SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount)
+              |      AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0))) AS rev_u
+              |  FROM tpcds95_lineitem
+              |  GROUP BY l_orderkey),
+              |q AS (
+              |  SELECT l_orderkey, n_lines, rev_u FROM agg
+              |  WHERE s_min <> s_max AND has_ret = 1)
+              |SELECT o_orderpriority, count(*) AS n_orders,
+              |  CAST(SUM(n_lines) AS BIGINT) AS total_lines,
+              |  CAST(SUM(rev_u) AS DOUBLE) / 1000000.0 AS revenue
+              |FROM q JOIN tpcds95_orders ON l_orderkey = o_orderkey
+              |GROUP BY o_orderpriority
+              |ORDER BY o_orderpriority""".stripMargin)
+    }, Some("""WITH lines AS (
+             |  SELECT l_orderkey,
+             |    CAST(CAST(l_extendedprice * (1.0 - l_discount)
+             |      AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0)) AS rev_u
+             |  FROM lineitem l1
+             |  WHERE EXISTS (SELECT 1 FROM lineitem l2
+             |                WHERE l2.l_orderkey = l1.l_orderkey
+             |                  AND l2.l_suppkey <> l1.l_suppkey)
+             |    AND EXISTS (SELECT 1 FROM lineitem l3
+             |                WHERE l3.l_orderkey = l1.l_orderkey
+             |                  AND l3.l_returnflag = 'R')),
+             |q AS (
+             |  SELECT l_orderkey, count(*) AS n_lines, SUM(rev_u) AS rev_u
+             |  FROM lines GROUP BY l_orderkey)
+             |SELECT o_orderpriority, count(*) AS n_orders,
+             |  CAST(SUM(n_lines) AS BIGINT) AS total_lines,
+             |  CAST(SUM(rev_u) AS DOUBLE) / 1000000.0 AS revenue
+             |FROM q JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)))
 }

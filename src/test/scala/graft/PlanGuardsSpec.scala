@@ -469,7 +469,7 @@ class PlanGuardsSpec extends SparkTestBase {
     // q70 is a partition-less window — the r11 anti-pattern).
     val dir = "/root/testdata/sf0.001"
     val names = graft.SparkEntry.queries.keys.filter(_.startsWith("tpcds")).toSeq.sorted
-    assert(names.size == 26)
+    assert(names.size == 31)
     for (n <- names) {
       val df = graft.SparkEntry.queries(n)(spark, dir)
       val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
@@ -555,6 +555,70 @@ class PlanGuardsSpec extends SparkTestBase {
       "Exchange hashpartitioning\\(channel#\\d+, \\d+\\)".r.findAllIn(p49).length
     assert(chanExchanges == 1,
       s"q49 rank windows must share one channel exchange, got $chanExchanges:\n$p49")
+
+    // q39: the brand-level pooled-cov stats frame is |brand|-sized, so
+    // the month-vs-brand qualify join must broadcast it — shuffling the
+    // month frame against a 25-row build side would re-exchange for
+    // nothing.
+    val q39 = graft.SparkEntry.queries("tpcds_q39_monthly_cov")(spark, dir)
+    q39.collect()
+    val p39 = q39.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p39.contains("BroadcastHashJoin"),
+      s"q39 brand-cov qualify join must broadcast the brand stats:\n$p39")
+
+    // q14: the cross-channel INTERSECT must lower to LeftSemi joins over
+    // distinct item sets, and the qualified item set must reach the fact
+    // as a third semi-join — three semi-joins total feeding the rollup's
+    // Expand, never a row-comparing product.
+    // NOTE: presence checks run on the FULL plan string — the avg-rev
+    // scalar subquery prints its own nested AdaptiveSparkPlan (with its
+    // own "== Initial Plan ==" marker) ABOVE the main join tree, so the
+    // usual final-section split would truncate before the semi-joins.
+    val q14 = graft.SparkEntry.queries("tpcds_q14_intersect_rollup")(spark, dir)
+    q14.collect()
+    val p14 = q14.queryExecution.executedPlan.toString
+    assert("LeftSemi".r.findAllIn(p14).length >= 3,
+      s"q14 intersect + IN must plan three semi-joins:\n$p14")
+    assert(p14.contains("Expand ["),
+      s"q14 rollup lost its Expand:\n$p14")
+
+    // q17: the buy→return→rebuy chain must join PRE-AGGREGATED
+    // (customer, bucket) slices — three slice aggregates plus the final
+    // bucket aggregate. A line-grain self-join spelling would drop the
+    // per-slice aggregates below the joins.
+    val q17 = graft.SparkEntry.queries("tpcds_q17_buy_return_rebuy")(spark, dir)
+    q17.collect()
+    val p17 = q17.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("HashAggregate".r.findAllIn(p17).length >= 8,
+      s"q17 chain must pre-aggregate all three slices (partial+final " +
+        s"aggregates below the joins):\n$p17")
+
+    // q92: the correlated scalar subquery must DECORRELATE — one
+    // per-part aggregate of the fact equi-joined back on l_partkey,
+    // never a per-outer-row re-scan (nested loop). Full plan string:
+    // the subquery section carries its own AQE markers.
+    val q92 = graft.SparkEntry.queries("tpcds_q92_excess_discount")(spark, dir)
+    q92.collect()
+    val p92 = q92.queryExecution.executedPlan.toString
+    assert(p92.contains("HashAggregate(keys=[l_partkey"),
+      s"q92 correlated subquery must decorrelate to a per-part aggregate:\n$p92")
+    assert(!p92.contains("NestedLoop") && !p92.contains("CartesianProduct"),
+      s"q92 decorrelation fell back to a per-row re-scan:\n$p92")
+
+    // q95: the two EXISTS self-joins must be replaced by ONE order-grain
+    // aggregate — the fact is scanned exactly once, qualification comes
+    // from min/max/conditional-max partials (no LeftSemi, no Expand for
+    // a distinct-count), and one exchange keys on l_orderkey.
+    val q95 = graft.SparkEntry.queries("tpcds_q95_multi_supplier_returned")(spark, dir)
+    q95.collect()
+    val p95 = q95.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("lineitem\\.parquet".r.findAllIn(p95).length == 1,
+      s"q95 must scan the fact exactly once (no self-join):\n$p95")
+    assert(!p95.contains("LeftSemi") && !p95.contains("Expand ["),
+      s"q95 qualification must come from min/max partials, not semi-joins " +
+        s"or a distinct-count Expand:\n$p95")
+    assert(p95.contains("partial_min(l_suppkey"),
+      s"q95 order-grain aggregate lost its map-side partials:\n$p95")
 
     // q47: sum/count/lag/lead all share the p_brand partition spec, so
     // however many WindowExec nodes Catalyst splits them into, ONE
