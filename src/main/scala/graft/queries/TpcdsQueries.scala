@@ -1334,9 +1334,9 @@ object TpcdsQueries {
              |FROM rk WHERE qty_rank <= 10 OR amt_rank <= 10
              |ORDER BY channel, l_partkey""".stripMargin)),
 
-    // q39 shape: coefficient-of-variation screen with a consecutive-
-    // period self-join — TPC-DS's inventory-volatility query re-derived
-    // over (brand, ship month). stddev_samp is NOT summed as doubles
+    // q39 shape: coefficient-of-variation screen over consecutive
+    // periods — TPC-DS's inventory-volatility query re-derived over
+    // (brand, ship month). stddev_samp is NOT summed as doubles
     // (partial-aggregation order would make it run-dependent): both
     // engines aggregate the EXACT moments — count, SUM(qty) and
     // SUM(qty*qty) as decimals (DECIMAL(18,2)^2 = scale-4 exact) — and
@@ -1345,11 +1345,21 @@ object TpcdsQueries {
     // engines and runs. The volatility threshold is scale-invariant by
     // the q65 doctrine: a month qualifies when its cov is strictly above
     // the brand's own pooled cov (~half the months, at every sf), never
-    // a fixed constant that drifts empty as per-cell samples grow. The
-    // brand-level stats frame is |brand|-sized, so the qualify join
-    // broadcasts (plan-guarded); the month-month self-join is
-    // brand×month-sized. greatest(var, 0) guards the 1-ulp negative a
-    // double subtraction of equal exact moments can produce.
+    // a fixed constant that drifts empty as per-cell samples grow.
+    //
+    // TPC-DS spells this as TWO aggregate CTEs joined plus a
+    // consecutive-period SELF-JOIN — the oracle keeps that spelling, and
+    // Spark would inline the shared CTE into every reference (no
+    // physical CTE reuse), scanning the fact 4×. The engine instead
+    // derives BOTH from one (brand, month) moment frame: the brand's
+    // pooled moments are window sums PARTITION BY brand (the frame is
+    // |brand×month| ≈ 300 rows), and the month-pairing is lead() over
+    // the same partition — months are densely ordered, so "self-join on
+    // mon+1 among qualifying months" ⟺ "lead row qualifies and is
+    // exactly mon+1" (the q47 lag/lead doctrine). One fact scan, zero
+    // joins, both windows behind one brand exchange — all plan-guarded.
+    // greatest(var, 0) guards the 1-ulp negative a double subtraction of
+    // equal exact moments can produce.
     "tpcds_q39_monthly_cov" -> Q((s, dir) => {
       T(s, dir, "lineitem")
         .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
@@ -1362,33 +1372,37 @@ object TpcdsQueries {
               |      CAST(l_quantity AS DECIMAL(18,2))) AS s2
               |  FROM tpcds39_sales
               |  GROUP BY p_brand, month(l_shipdate)),
+              |w AS (
+              |  SELECT p_brand, mon, n, s1, s2,
+              |    SUM(n)  OVER (PARTITION BY p_brand) AS nb,
+              |    SUM(s1) OVER (PARTITION BY p_brand) AS b1,
+              |    SUM(s2) OVER (PARTITION BY p_brand) AS b2
+              |  FROM m),
               |cv AS (
               |  SELECT p_brand, mon,
               |    sqrt(greatest((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) -
               |        CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) /
               |      (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 0.0)) /
-              |      (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS cov
-              |  FROM m WHERE n >= 5),
-              |b AS (
-              |  SELECT p_brand, SUM(n) AS nb,
-              |    SUM(s1) AS b1, SUM(s2) AS b2
-              |  FROM m GROUP BY p_brand),
-              |bc AS (
-              |  SELECT p_brand,
-              |    sqrt(greatest((CAST(nb AS DOUBLE) * CAST(b2 AS DOUBLE) -
-              |        CAST(b1 AS DOUBLE) * CAST(b1 AS DOUBLE)) /
-              |      (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)), 0.0)) /
-              |      (CAST(b1 AS DOUBLE) / CAST(nb AS DOUBLE)) AS cov_brand
-              |  FROM b WHERE nb >= 24),
-              |q AS (
-              |  SELECT cv.p_brand, cv.mon, cv.cov, bc.cov_brand
-              |  FROM cv JOIN bc ON cv.p_brand = bc.p_brand
-              |  WHERE cv.cov > bc.cov_brand)
-              |SELECT x.p_brand, x.mon AS mon1, y.mon AS mon2,
-              |  x.cov AS cov1, y.cov AS cov2, x.cov_brand
-              |FROM q x JOIN q y
-              |  ON x.p_brand = y.p_brand AND y.mon = x.mon + 1
-              |ORDER BY x.p_brand, x.mon""".stripMargin)
+              |      (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS cov,
+              |    CASE WHEN nb >= 24 THEN
+              |      sqrt(greatest((CAST(nb AS DOUBLE) * CAST(b2 AS DOUBLE) -
+              |          CAST(b1 AS DOUBLE) * CAST(b1 AS DOUBLE)) /
+              |        (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)), 0.0)) /
+              |        (CAST(b1 AS DOUBLE) / CAST(nb AS DOUBLE))
+              |    END AS cov_brand
+              |  FROM w WHERE n >= 5),
+              |p AS (
+              |  SELECT p_brand, mon, cov, cov_brand,
+              |    (cov_brand IS NOT NULL AND cov > cov_brand) AS qual,
+              |    lead(mon)  OVER (PARTITION BY p_brand ORDER BY mon) AS mon2,
+              |    lead(cov)  OVER (PARTITION BY p_brand ORDER BY mon) AS cov2,
+              |    lead(cov_brand IS NOT NULL AND cov > cov_brand)
+              |      OVER (PARTITION BY p_brand ORDER BY mon) AS qual2
+              |  FROM cv)
+              |SELECT p_brand, mon AS mon1, mon2, cov AS cov1, cov2, cov_brand
+              |FROM p
+              |WHERE qual AND qual2 AND mon2 = mon + 1
+              |ORDER BY p_brand, mon""".stripMargin)
     }, Some("""WITH m AS (
              |  SELECT p_brand, CAST(month(l_shipdate) AS INT) AS mon,
              |    count(*) AS n,
@@ -1432,38 +1446,53 @@ object TpcdsQueries {
     // average-revenue scalar. Unlike q38 (whose intersect IS the
     // answer), the intersect result here is an upstream reducer: it
     // lowers to distinct aggregates + LeftSemi joins, the item set
-    // semi-joins into the fact, and the 1-row average broadcasts into
-    // the rollup filter — intersect → semi-join → scalar → Expand in
-    // one plan. Revenue stays scale-0 micro-unit DECIMAL(38,0) until
-    // ONE single-step cast to DOUBLE (exact past 2^53 in both engines,
-    // the q98 doctrine), so the scalar compare is deterministic.
+    // semi-joins into the rollup input, and the 1-row average broadcasts
+    // into the rollup filter — intersect → semi-join → scalar → Expand.
+    //
+    // The line-grain frame is referenced FIVE times (3 intersect
+    // branches + the average + the rollup); Spark inlines multi-ref
+    // CTEs (no physical reuse — probed, ~5 fact scans), so the engine
+    // first collapses the fact ONCE to (channel, category, item) grain
+    // — every downstream consumer is expressible at that grain — and
+    // eagerly localCheckpoints that ~3·|part|-row frame (the
+    // PageRank/Triangles iteration idiom). The fact is scanned once;
+    // the intersect/scalar/rollup plan reads the checkpointed frame.
+    // At 100 TB the checkpoint is ~1000× smaller than the fact.
+    // Revenue stays scale-0 micro-unit DECIMAL(38,0) until ONE
+    // single-step cast to DOUBLE (exact past 2^53 in both engines, the
+    // q98 doctrine), so the scalar compare is deterministic.
     "tpcds_q14_intersect_rollup" -> Q((s, dir) => {
       T(s, dir, "lineitem")
         .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .createOrReplaceTempView("tpcds14_sales")
-      s.sql("""WITH base AS (
+      s.sql("""SELECT channel, category, l_partkey,
+              |  SUM(rev_u) AS rev_u, count(*) AS n_lines
+              |FROM (
               |  SELECT element_at(split(p_type, ' '), 1) AS category,
               |    CASE CAST(l_linenumber % 3 AS INT) WHEN 0 THEN 'web'
               |      WHEN 1 THEN 'store' ELSE 'catalog' END AS channel,
               |    l_partkey,
               |    CAST(CAST(l_extendedprice * (1.0 - l_discount)
               |      AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0)) AS rev_u
-              |  FROM tpcds14_sales),
-              |xitems AS (
-              |  SELECT l_partkey FROM base WHERE channel = 'web'
+              |  FROM tpcds14_sales)
+              |GROUP BY channel, category, l_partkey""".stripMargin)
+        .localCheckpoint(true)
+        .createOrReplaceTempView("tpcds14_ci")
+      s.sql("""WITH xitems AS (
+              |  SELECT l_partkey FROM tpcds14_ci WHERE channel = 'web'
               |  INTERSECT
-              |  SELECT l_partkey FROM base WHERE channel = 'store'
+              |  SELECT l_partkey FROM tpcds14_ci WHERE channel = 'store'
               |  INTERSECT
-              |  SELECT l_partkey FROM base WHERE channel = 'catalog'),
+              |  SELECT l_partkey FROM tpcds14_ci WHERE channel = 'catalog'),
               |avgscalar AS (
               |  SELECT CAST(SUM(rev_u) AS DOUBLE) / 1000000.0 / count(*)
               |    AS avg_item_rev
               |  FROM (SELECT channel, l_partkey, SUM(rev_u) AS rev_u
-              |        FROM base GROUP BY channel, l_partkey) t),
+              |        FROM tpcds14_ci GROUP BY channel, l_partkey) t),
               |r AS (
               |  SELECT channel, category,
-              |    SUM(rev_u) AS rev_u, count(*) AS n_lines
-              |  FROM base
+              |    SUM(rev_u) AS rev_u, SUM(n_lines) AS n_lines
+              |  FROM tpcds14_ci
               |  WHERE l_partkey IN (SELECT l_partkey FROM xitems)
               |  GROUP BY ROLLUP (channel, category))
               |SELECT channel, category,
@@ -1506,16 +1535,21 @@ object TpcdsQueries {
 
     // q17 shape: the buy → return → re-buy funnel — three slices of the
     // SAME fact (store sale, store return, catalog re-purchase) chained
-    // on a composite customer key. Each slice pre-aggregates to
-    // (customer, bucket) grain FIRST (the q93 aggregate-before-join
-    // doctrine: the chain joins are then 1:1 on provably-unique keys and
-    // the fact never self-joins at line grain — TPC-DS's line-grain
-    // spelling multiplies rows combinatorially). The chain key's item
-    // axis is a FIXED 100-bucket hash of partkey, not partkey itself:
-    // lines-per-customer is corpus-invariant while |part| grows with sf,
-    // so a raw-partkey chain empties at scale (the q65 degeneracy,
-    // pre-empted) — the fixed bucket space keeps per-customer hit rates,
-    // and so chain selectivity, constant at every sf.
+    // on a composite customer key. TPC-DS (and the oracle, verbatim)
+    // spells it as three per-slice aggregates inner-joined on that key;
+    // Spark would inline the shared line-grain CTE into each slice and
+    // scan the fact three times. All three slices share ONE grouping key,
+    // so the engine fuses them into a single conditional aggregation —
+    // SUM(CASE) per slice at (customer, bucket) grain, then "chain
+    // exists" ⟺ all three slice counts > 0 (exactly the 3-way inner
+    // join's survivors, the q88 fused-slices doctrine). One fact scan,
+    // one exchange, zero joins between slices — plan-guarded. The chain
+    // key's item axis is a FIXED 100-bucket hash of partkey, not partkey
+    // itself: lines-per-customer is corpus-invariant while |part| grows
+    // with sf, so a raw-partkey chain empties at scale (the q65
+    // degeneracy, pre-empted) — the fixed bucket space keeps
+    // per-customer hit rates, and so chain selectivity, constant at
+    // every sf.
     "tpcds_q17_buy_return_rebuy" -> Q((s, dir) => {
       T(s, dir, "lineitem")
         .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
@@ -1526,29 +1560,24 @@ object TpcdsQueries {
               |    CASE CAST(l_linenumber % 3 AS INT) WHEN 0 THEN 'web'
               |      WHEN 1 THEN 'store' ELSE 'catalog' END AS channel
               |  FROM tpcds17_sales),
-              |st AS (
-              |  SELECT o_custkey, part_bucket, count(*) AS n_s,
-              |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q_s
-              |  FROM sales WHERE channel = 'store' AND l_returnflag <> 'R'
-              |  GROUP BY o_custkey, part_bucket),
-              |sr AS (
-              |  SELECT o_custkey, part_bucket, count(*) AS n_r,
-              |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q_r
-              |  FROM sales WHERE channel = 'store' AND l_returnflag = 'R'
-              |  GROUP BY o_custkey, part_bucket),
-              |cs AS (
-              |  SELECT o_custkey, part_bucket, count(*) AS n_c,
-              |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q_c
-              |  FROM sales WHERE channel = 'catalog'
-              |  GROUP BY o_custkey, part_bucket),
+              |g AS (
+              |  SELECT o_custkey, part_bucket,
+              |    SUM(CASE WHEN channel = 'store' AND l_returnflag <> 'R'
+              |      THEN 1 ELSE 0 END) AS n_s,
+              |    SUM(CASE WHEN channel = 'store' AND l_returnflag <> 'R'
+              |      THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS q_s,
+              |    SUM(CASE WHEN channel = 'store' AND l_returnflag = 'R'
+              |      THEN 1 ELSE 0 END) AS n_r,
+              |    SUM(CASE WHEN channel = 'store' AND l_returnflag = 'R'
+              |      THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS q_r,
+              |    SUM(CASE WHEN channel = 'catalog'
+              |      THEN 1 ELSE 0 END) AS n_c,
+              |    SUM(CASE WHEN channel = 'catalog'
+              |      THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS q_c
+              |  FROM sales GROUP BY o_custkey, part_bucket),
               |chain AS (
-              |  SELECT st.part_bucket, st.n_s, st.q_s, sr.n_r, sr.q_r,
-              |    cs.n_c, cs.q_c
-              |  FROM st
-              |  JOIN sr ON st.o_custkey = sr.o_custkey
-              |    AND st.part_bucket = sr.part_bucket
-              |  JOIN cs ON st.o_custkey = cs.o_custkey
-              |    AND st.part_bucket = cs.part_bucket)
+              |  SELECT part_bucket, n_s, q_s, n_r, q_r, n_c, q_c
+              |  FROM g WHERE n_s > 0 AND n_r > 0 AND n_c > 0)
               |SELECT part_bucket, count(*) AS n_chains,
               |  CAST(SUM(n_s) AS BIGINT) AS store_lines,
               |  CAST(SUM(q_s) AS DOUBLE) / CAST(SUM(n_s) AS DOUBLE) AS avg_store_qty,

@@ -460,6 +460,75 @@ class PlanGuardsSpec extends SparkTestBase {
       s"unbounded partition-less windows (add a limit or justify in the allowlist):\n${bad.mkString("\n")}")
   }
 
+  test("registry sweep: no gate plans a product join of two unbounded sides") {
+    // The other registry-wide scale killer: a join that degenerates to a
+    // row-comparing product. Two physical shapes mean trouble:
+    //   - CartesianProductExec: both sides corpus-sized, |L|×|R| work —
+    //     never acceptable in this engine.
+    //   - BroadcastNestedLoopJoinExec WITH a join condition: Catalyst
+    //     failed to extract an equi-key and fell back to probing every
+    //     broadcast row per stream row. (Condition-FREE BNLJ is the
+    //     intentional crossJoin(broadcast(tinyFrame)) idiom — centroid
+    //     attach, totals attach, spine × keys — and stays allowed; the
+    //     broadcast bound is what makes it linear.)
+    // A new gate that trips either fails here until the join gets a key
+    // or the gate is consciously justified in the allowlist.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // Conditioned-product allowlist, each with the bound spelled out —
+    // every entry broadcasts a side whose cardinality is fixed by design
+    // (a 1-row scalar, a fixed query/quantile list, a census of a
+    // low-cardinality axis), so the probe stays linear in the stream:
+    val boundedProductAllowlist: Map[String, String] = Map(
+      // 13-row month spine × |policy| keys, then a theta filter on the
+      // effective range: the spine side is a broadcast local relation,
+      // rows out ≤ 13·|keys| — linear in keys, the gap-fill contract.
+      "w7_gap_fill_ffill" -> "13-row broadcast month spine theta-joined to keys",
+      // interval overlap join: broadcast probe of ≤|maintenance windows|
+      // (tens) intervals per event — the non-equi semantics ARE the op;
+      // the bound is the tiny broadcast side, documented at the builder.
+      "j13_interval_overlap_join" -> "≤|windows| broadcast intervals, theta by design",
+      // 1-row aggregate scalar broadcast back as a theta threshold:
+      "tpch_q11" -> "1-row value-total scalar, theta threshold attach",
+      "tpch_q22" -> "1-row avg-balance scalar, theta threshold attach",
+      "tpcds_q23_frequent_best" -> "1-row max-spend scalar, theta threshold attach",
+      // fixed broadcast probe sets (≤tens of rows by construction),
+      // self-match exclusion or rank threshold is the theta:
+      "llm_cosine_topk" -> "fixed broadcast query set, self-match exclusion",
+      "llm_pq_ann_topk" -> "fixed broadcast query set, self-match exclusion",
+      "llm_rrf_fusion" -> "fixed broadcast query set, self-match exclusion",
+      "llm_ann_recall" -> "fixed broadcast query set, self-match exclusion",
+      "llm_ivfpq_recall" -> "fixed broadcast query set, self-match exclusion",
+      "llm_hist_quantiles" -> "broadcast quantile list vs 32-bin census",
+      // low-cardinality census crossed with itself for unordered pairs:
+      "llm_source_overlap" -> "≤|sources| census pairs (src_a < src_b)",
+      "a24_hll_intersect" -> "≤|groups| sketch census pairs (group_a < group_b)",
+      // ≤|days| daily sketch frame against a 7-day sliding bound:
+      "w10_sliding_distinct_hll" -> "≤|days| sketch frame, 7-day range theta")
+    def offenders(plan: SparkPlan): Seq[String] = {
+      val p = plan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      p.collect {
+        case c: CartesianProductExec => s"CartesianProduct: ${c.simpleString(5)}"
+        case b: BroadcastNestedLoopJoinExec if b.condition.nonEmpty =>
+          s"conditioned BNLJ: ${b.simpleString(5)}"
+      }
+    }
+    val dir = "/root/testdata/sf0.001"
+    val names = graft.SparkEntry.queries.keys.filterNot(_.startsWith("st")).toSeq.sorted
+    val bad = names.flatMap { name =>
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val offs = offenders(df.queryExecution.executedPlan)
+      if (offs.isEmpty || boundedProductAllowlist.contains(name)) Nil
+      else Seq(s"$name:\n  ${offs.mkString("\n  ")}")
+    }
+    assert(bad.isEmpty,
+      s"product joins of unbounded sides (key the join or justify in the allowlist):\n${bad.mkString("\n")}")
+  }
+
   test("TPC-DS gates: no cartesian products; q70 top-5 is TakeOrdered into a semi-join") {
     // The 12-query rollup/window family joins a 5-way star repeatedly;
     // a dropped join key anywhere degenerates to a cartesian of two
@@ -556,15 +625,23 @@ class PlanGuardsSpec extends SparkTestBase {
     assert(chanExchanges == 1,
       s"q49 rank windows must share one channel exchange, got $chanExchanges:\n$p49")
 
-    // q39: the brand-level pooled-cov stats frame is |brand|-sized, so
-    // the month-vs-brand qualify join must broadcast it — shuffling the
-    // month frame against a 25-row build side would re-exchange for
-    // nothing.
+    // q39: the engine derives the brand-pooled moments and the
+    // consecutive-month pairing from ONE (brand, month) frame — the fact
+    // is scanned once, the only join is the part-dim attach, and the
+    // pooled-sum and lead() windows ride one brand-keyed exchange
+    // (oracle keeps TPC-DS's two-CTE + self-join spelling).
     val q39 = graft.SparkEntry.queries("tpcds_q39_monthly_cov")(spark, dir)
     q39.collect()
     val p39 = q39.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert(p39.contains("BroadcastHashJoin"),
-      s"q39 brand-cov qualify join must broadcast the brand stats:\n$p39")
+    assert("lineitem\\.parquet".r.findAllIn(p39).length == 1,
+      s"q39 must scan the fact exactly once:\n$p39")
+    assert("Join".r.findAllIn(p39).length == 1,
+      s"q39 must plan exactly one join (the part-dim attach) — the pooled " +
+        s"moments are windows, the month pairing is lead():\n$p39")
+    val brandExchanges =
+      "Exchange hashpartitioning\\(p_brand#\\d+, \\d+\\)".r.findAllIn(p39).length
+    assert(brandExchanges == 1,
+      s"q39 windows must share one brand exchange, got $brandExchanges:\n$p39")
 
     // q14: the cross-channel INTERSECT must lower to LeftSemi joins over
     // distinct item sets, and the qualified item set must reach the fact
@@ -581,17 +658,35 @@ class PlanGuardsSpec extends SparkTestBase {
       s"q14 intersect + IN must plan three semi-joins:\n$p14")
     assert(p14.contains("Expand ["),
       s"q14 rollup lost its Expand:\n$p14")
+    // The five consumers read the checkpointed channel-item frame, never
+    // the fact: a lineitem scan in the returned plan means the
+    // collapse-once localCheckpoint regressed to CTE re-inlining.
+    assert(!p14.contains("lineitem.parquet"),
+      s"q14 consumers must read the checkpointed grain frame, not re-scan " +
+        s"the fact:\n$p14")
 
-    // q17: the buy→return→rebuy chain must join PRE-AGGREGATED
-    // (customer, bucket) slices — three slice aggregates plus the final
-    // bucket aggregate. A line-grain self-join spelling would drop the
-    // per-slice aggregates below the joins.
+    // q17: the three funnel slices share one grouping key, so the engine
+    // fuses them into a single conditional aggregation — the fact (and
+    // orders) scanned once, one (customer, bucket) exchange with
+    // conditional map-side partials, and exactly one join (the orders
+    // custkey attach). A slice-join spelling would triple the scans.
     val q17 = graft.SparkEntry.queries("tpcds_q17_buy_return_rebuy")(spark, dir)
     q17.collect()
     val p17 = q17.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert("HashAggregate".r.findAllIn(p17).length >= 8,
-      s"q17 chain must pre-aggregate all three slices (partial+final " +
-        s"aggregates below the joins):\n$p17")
+    assert("lineitem\\.parquet".r.findAllIn(p17).length == 1 &&
+        "orders\\.parquet".r.findAllIn(p17).length == 1,
+      s"q17 must scan the fact and orders exactly once each:\n$p17")
+    assert("Join".r.findAllIn(p17).length == 1,
+      s"q17 must plan exactly one join (the custkey attach) — slices fuse " +
+        s"into conditional aggregates:\n$p17")
+    assert(p17.contains("partial_sum(CASE WHEN"),
+      s"q17 fused slices lost their conditional map-side partials:\n$p17")
+    val chainExchanges =
+      "Exchange hashpartitioning\\(o_custkey#\\d+L?, part_bucket#\\d+".r
+        .findAllIn(p17).length
+    assert(chainExchanges == 1,
+      s"q17 must aggregate all slices behind ONE (custkey, bucket) " +
+        s"exchange, got $chainExchanges:\n$p17")
 
     // q92: the correlated scalar subquery must DECORRELATE — one
     // per-part aggregate of the fact equi-joined back on l_partkey,
