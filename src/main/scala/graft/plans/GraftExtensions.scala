@@ -8,9 +8,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * rules, for use via `spark.sql.extensions=graft.plans.GraftExtensions`
   * or `SparkSession.builder().withExtensions(new GraftExtensions)` — the
   * standard plug-in route for engine extensions. SURVEY §4 concludes
-  * PARITY needs no custom rules; the one rule injected here
-  * ([[RangeJoinRewrite]]) is beyond-parity, conf-gated, and off by
-  * default.
+  * PARITY needs no custom rules; the two rules injected here
+  * ([[RangeJoinRewrite]], [[DistinctThresholdRewrite]]) are
+  * beyond-parity, conf-gated, and off by default.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -36,6 +36,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => TopKByScore.build(exprs)))
     // No-op until spark.graft.rangeJoin.bucketSize is set > 0.
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
+    // No-op until spark.graft.rewriteDistinctThreshold is true.
+    ext.injectOptimizerRule(_ => DistinctThresholdRewrite)
     // Plans graft.plans.AsOfJoinPlan (custom whole-operator node) into
     // the partition-wise merge exec; AsOfJoin.asof also self-registers
     // via experimental.extraStrategies for extension-less sessions.

@@ -1069,6 +1069,47 @@ object RelationalQueries {
               |FROM p LEFT JOIN i ON i.type_a = p.type_a AND i.type_b = p.type_b
               |ORDER BY p.type_a, p.type_b""".stripMargin)),
 
+    "a25_distinct_threshold_rewrite" -> Q((s, dir) => {
+      // The OPTIMIZER-RULE form of q95's min≠max doctrine
+      // (plans/DistinctThresholdRewrite): the HAVING below is the
+      // natural count(DISTINCT)-threshold spelling a user writes; the
+      // injected rule rewrites it to min(x) <> max(x) during
+      // optimization, deleting the per-(group, value) dedup level —
+      // the shuffle carries one row per part, not one per (part,
+      // supplier). localCheckpoint materializes while the rule is
+      // installed (the j12 pattern: the driver's write happens after
+      // this fn returns, with the session restored so other plans stay
+      // untouched). DistinctThresholdRewriteSpec pins semantics (nulls,
+      // no-fire guards) and the plan shape.
+      import graft.plans.DistinctThresholdRewrite
+      T(s, dir, "lineitem").createOrReplaceTempView("a25_lineitem")
+      T(s, dir, "part").createOrReplaceTempView("a25_part")
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ DistinctThresholdRewrite
+      s.conf.set(DistinctThresholdRewrite.EnabledKey, "true")
+      try {
+        s.sql("""SELECT p_brand, count(*) AS n_multi_parts
+                |FROM (SELECT l_partkey FROM a25_lineitem
+                |      GROUP BY l_partkey
+                |      HAVING count(DISTINCT l_suppkey) >= 2) m
+                |JOIN a25_part ON l_partkey = p_partkey
+                |GROUP BY p_brand
+                |ORDER BY p_brand""".stripMargin)
+          .localCheckpoint(true)
+      } finally {
+        s.conf.set(DistinctThresholdRewrite.EnabledKey, "false")
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations
+            .filterNot(_ == DistinctThresholdRewrite)
+      }
+    }, Some("""SELECT p_brand, count(*) AS n_multi_parts
+             |FROM (SELECT l_partkey FROM lineitem
+             |      GROUP BY l_partkey
+             |      HAVING count(DISTINCT l_suppkey) >= 2) m
+             |JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand
+             |ORDER BY p_brand""".stripMargin)),
+
     "a22_hll_union_check" -> Q((s, dir) => {
       // Mergeable-sketch distinct counting (Sketches.groupSketches /
       // unionEstimate): per-type HLL sketches of the user universe roll

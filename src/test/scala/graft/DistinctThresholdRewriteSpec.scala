@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.DistinctThresholdRewrite
+
+/** [[graft.plans.DistinctThresholdRewrite]]: the HAVING
+  * count(DISTINCT x) >= 2 → min(x) <> max(x) optimizer rule. Verifies
+  * bit-identical results against the un-rewritten spelling (nulls,
+  * all-null groups, single-value groups included), the physical win (no
+  * distinct aggregate — the (group, value) dedup level disappears), and
+  * every guard that must make the rule REFUSE to fire.
+  */
+class DistinctThresholdRewriteSpec extends SparkTestBase {
+
+  private def withRule[A](f: => A): A = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ DistinctThresholdRewrite
+    spark.conf.set(DistinctThresholdRewrite.EnabledKey, "true")
+    try f
+    finally {
+      spark.conf.set(DistinctThresholdRewrite.EnabledKey, "false")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == DistinctThresholdRewrite)
+    }
+  }
+
+  private def fixture() = {
+    import spark.implicits._
+    // groups: g1 two distinct (qualifies), g2 one distinct repeated
+    // (drops), g3 one value + nulls (drops), g4 all nulls (drops),
+    // g5 two distinct + a null (qualifies — nulls don't count but
+    // don't block).
+    Seq(
+      ("g1", Some("a")), ("g1", Some("b")),
+      ("g2", Some("a")), ("g2", Some("a")), ("g2", Some("a")),
+      ("g3", Some("x")), ("g3", None),
+      ("g4", None), ("g4", None),
+      ("g5", Some("p")), ("g5", None), ("g5", Some("q")))
+      .toDF("g", "v")
+  }
+
+  private val having =
+    "SELECT g FROM t GROUP BY g HAVING count(DISTINCT v) >= 2 ORDER BY g"
+
+  test("rewrites HAVING count(DISTINCT) >= 2 and preserves semantics") {
+    fixture().createOrReplaceTempView("t")
+    val plain = spark.sql(having).collect().map(_.getString(0))
+    val (rewritten, plan) = withRule {
+      val df = spark.sql(having)
+      (df.collect().map(_.getString(0)), df.queryExecution.executedPlan.toString)
+    }
+    assert(plain.toSeq == Seq("g1", "g5"))
+    assert(rewritten.toSeq == plain.toSeq)
+    // The distinct-count aggregate is gone: no count aggregate at all,
+    // min/max partials in its place, and no (g, v)-keyed dedup level.
+    assert(!plan.contains("count("), s"distinct count survived:\n$plan")
+    assert(plan.contains("partial_min(v") && plan.contains("partial_max(v"),
+      s"min/max partials missing:\n$plan")
+    assert(!"HashAggregate\\(keys=\\[g#\\d+, v#\\d+\\]".r.findAllIn(plan).hasNext,
+      s"the (group, value) dedup level survived:\n$plan")
+  }
+
+  test("fires for the mirrored and strict spellings (2 <= c, c > 1)") {
+    fixture().createOrReplaceTempView("t")
+    for (cond <- Seq("2 <= count(DISTINCT v)", "count(DISTINCT v) > 1",
+        "1 < count(DISTINCT v)")) {
+      val q = s"SELECT g FROM t GROUP BY g HAVING $cond ORDER BY g"
+      val (rows, plan) = withRule {
+        val df = spark.sql(q)
+        (df.collect().map(_.getString(0)), df.queryExecution.executedPlan.toString)
+      }
+      assert(rows.toSeq == Seq("g1", "g5"), s"wrong rows under: $cond")
+      assert(!plan.contains("count("), s"did not fire for: $cond\n$plan")
+    }
+  }
+
+  test("refuses when the count is projected, non-threshold, float, or multi-arg") {
+    import spark.implicits._
+    fixture().createOrReplaceTempView("t")
+    Seq(("g1", 1.0), ("g1", 2.0)).toDF("g", "d").createOrReplaceTempView("td")
+    val noFire = Seq(
+      // count selected: its value is needed, min/max can't supply it
+      "SELECT g, count(DISTINCT v) AS c FROM t GROUP BY g " +
+        "HAVING count(DISTINCT v) >= 2 ORDER BY g",
+      // >= 3 is not a min/max question
+      "SELECT g FROM t GROUP BY g HAVING count(DISTINCT v) >= 3 ORDER BY g",
+      // c used OUTSIDE the threshold comparison too
+      "SELECT g FROM t GROUP BY g " +
+        "HAVING count(DISTINCT v) >= 2 AND count(DISTINCT v) < 5 ORDER BY g",
+      // floating-point child: NaN/-0.0 ordering vs distinct hashing
+      "SELECT g FROM td GROUP BY g HAVING count(DISTINCT d) >= 2 ORDER BY g",
+      // multi-column distinct
+      "SELECT g FROM t GROUP BY g HAVING count(DISTINCT g, v) >= 2 ORDER BY g")
+    for (q <- noFire) {
+      val (plainRows, (ruleRows, plan)) = (
+        spark.sql(q).collect().toSeq,
+        withRule {
+          val df = spark.sql(q)
+          (df.collect().toSeq, df.queryExecution.executedPlan.toString)
+        })
+      assert(ruleRows == plainRows, s"results diverged under: $q")
+      assert(plan.contains("count("), s"must NOT fire for: $q\n$plan")
+    }
+  }
+
+  test("agrees with the distinct spelling on driver data (suppliers per part)") {
+    val dir = "/root/testdata/sf0.001"
+    val q = """SELECT l_partkey FROM li GROUP BY l_partkey
+              |HAVING count(DISTINCT l_suppkey) >= 2
+              |ORDER BY l_partkey""".stripMargin
+    graft.queries.Registry.T(spark, dir, "lineitem").createOrReplaceTempView("li")
+    val plain = spark.sql(q).collect().map(_.getLong(0))
+    val rewritten = withRule(spark.sql(q).collect().map(_.getLong(0)))
+    assert(plain.nonEmpty && rewritten.toSeq == plain.toSeq)
+  }
+}
