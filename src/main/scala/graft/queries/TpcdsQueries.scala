@@ -636,25 +636,32 @@ object TpcdsQueries {
     // aggregate is three conditional counts over the joined null
     // pattern (no post-join shuffle: AQE folds it into a single-stage
     // partial+final count).
+    // q97 shape: channel-overlap census — TPC-DS (and the oracle) spells
+    // it as a FULL OUTER JOIN of two per-channel DISTINCT (customer,
+    // item) sets, which scans the fact twice and joins two corpus-sized
+    // frames. A full-outer join of two projections OF THE SAME FACT is a
+    // group-by in disguise: the engine aggregates once to (customer,
+    // item) grain with a per-channel presence flag (max(CASE)), and the
+    // overlap census is three conditional counts over that frame — one
+    // fact scan, one exchange, no join (the q17 fused-slices doctrine).
     "tpcds_q97_channel_overlap" -> Q((s, dir) => {
       T(s, dir, "lineitem")
         .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .createOrReplaceTempView("tpcds97_sales")
-      s.sql("""WITH ssci AS (
-              |  SELECT DISTINCT o_custkey AS cust, l_partkey AS item
-              |  FROM tpcds97_sales WHERE CAST(l_linenumber % 3 AS INT) = 1),
-              |csci AS (
-              |  SELECT DISTINCT o_custkey AS cust, l_partkey AS item
-              |  FROM tpcds97_sales WHERE CAST(l_linenumber % 3 AS INT) = 2)
+      s.sql("""WITH flags AS (
+              |  SELECT o_custkey AS cust, l_partkey AS item,
+              |    max(CASE WHEN CAST(l_linenumber % 3 AS INT) = 1
+              |      THEN 1 ELSE 0 END) AS in_s,
+              |    max(CASE WHEN CAST(l_linenumber % 3 AS INT) = 2
+              |      THEN 1 ELSE 0 END) AS in_c
+              |  FROM tpcds97_sales
+              |  WHERE CAST(l_linenumber % 3 AS INT) IN (1, 2)
+              |  GROUP BY o_custkey, l_partkey)
               |SELECT
-              |  COUNT(CASE WHEN ssci.cust IS NOT NULL AND csci.cust IS NULL
-              |    THEN 1 END) AS store_only,
-              |  COUNT(CASE WHEN ssci.cust IS NULL AND csci.cust IS NOT NULL
-              |    THEN 1 END) AS catalog_only,
-              |  COUNT(CASE WHEN ssci.cust IS NOT NULL AND csci.cust IS NOT NULL
-              |    THEN 1 END) AS both_channels
-              |FROM ssci FULL OUTER JOIN csci
-              |  ON ssci.cust = csci.cust AND ssci.item = csci.item""".stripMargin)
+              |  COUNT(CASE WHEN in_s = 1 AND in_c = 0 THEN 1 END) AS store_only,
+              |  COUNT(CASE WHEN in_s = 0 AND in_c = 1 THEN 1 END) AS catalog_only,
+              |  COUNT(CASE WHEN in_s = 1 AND in_c = 1 THEN 1 END) AS both_channels
+              |FROM flags""".stripMargin)
     }, Some("""WITH sales AS (
              |  SELECT o_custkey, l_partkey, l_linenumber
              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
@@ -674,25 +681,30 @@ object TpcdsQueries {
              |FROM ssci FULL OUTER JOIN csci
              |  ON ssci.cust = csci.cust AND ssci.item = csci.item""".stripMargin)),
 
-    // q38 shape: customers active in ALL THREE channels in the window —
-    // a 3-way INTERSECT of (customer, order-month) sets. Spark plans
-    // INTERSECT as left-semi joins over distincts; all three sides
-    // shuffle on the same composite key, so the two joins co-locate
-    // under one exchange per side (no replan between them).
+    // q38 shape: customers active in ALL THREE channels in the window.
+    // TPC-DS (and the oracle) spells it as a 3-way INTERSECT of
+    // per-channel DISTINCT (customer, month) sets — three fact scans
+    // and two semi-joins (the INTERSECT lowering itself stays proven by
+    // u2_intersect and q14). Set membership over slices OF THE SAME
+    // FACT is again a group-by in disguise: one aggregate to (customer,
+    // month) grain keeps a presence flag per channel, and "in all
+    // three" is a conjunction of the flags — one scan, one exchange,
+    // zero joins.
     "tpcds_q38_triple_intersect" -> Q((s, dir) => {
       T(s, dir, "lineitem")
         .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .createOrReplaceTempView("tpcds38_sales")
-      s.sql("""WITH hot AS (
+      s.sql("""WITH g AS (
               |  SELECT o_custkey, CAST(month(o_orderdate) AS INT) AS mon
-              |  FROM tpcds38_sales WHERE CAST(l_linenumber % 3 AS INT) = 0
-              |  INTERSECT
-              |  SELECT o_custkey, CAST(month(o_orderdate) AS INT) AS mon
-              |  FROM tpcds38_sales WHERE CAST(l_linenumber % 3 AS INT) = 1
-              |  INTERSECT
-              |  SELECT o_custkey, CAST(month(o_orderdate) AS INT) AS mon
-              |  FROM tpcds38_sales WHERE CAST(l_linenumber % 3 AS INT) = 2)
-              |SELECT count(*) AS n_omni_channel FROM hot""".stripMargin)
+              |  FROM tpcds38_sales
+              |  GROUP BY o_custkey, CAST(month(o_orderdate) AS INT)
+              |  HAVING max(CASE WHEN CAST(l_linenumber % 3 AS INT) = 0
+              |      THEN 1 ELSE 0 END) = 1
+              |    AND max(CASE WHEN CAST(l_linenumber % 3 AS INT) = 1
+              |      THEN 1 ELSE 0 END) = 1
+              |    AND max(CASE WHEN CAST(l_linenumber % 3 AS INT) = 2
+              |      THEN 1 ELSE 0 END) = 1)
+              |SELECT count(*) AS n_omni_channel FROM g""".stripMargin)
     }, Some("""WITH sales AS (
              |  SELECT o_custkey, o_orderdate, l_linenumber
              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
@@ -825,19 +837,26 @@ object TpcdsQueries {
     // like q97/q38). Spark plans EXCEPT as left-anti joins over
     // distincts on one composite key, so both anti-joins co-locate on
     // the same exchange — the set-difference twin of q38's INTERSECT.
+    // q87 shape: store-only (customer, month) cells — TPC-DS's chained
+    // EXCEPT over three per-channel DISTINCT sets (the EXCEPT lowering
+    // stays proven by u3_except). Same fused answer as q38: one
+    // (customer, month) aggregate with per-channel presence flags;
+    // "(A EXCEPT B) EXCEPT C" ⟺ flag₀ ∧ ¬flag₁ ∧ ¬flag₂ — three fact
+    // scans and two anti-joins become one scan, one exchange, no joins.
     "tpcds_q87_channel_except" -> Q((s, dir) => {
       T(s, dir, "lineitem")
         .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .createOrReplaceTempView("tpcds87_sales")
       s.sql("""SELECT count(*) AS store_only_custmons FROM (
-              |  SELECT DISTINCT o_custkey, CAST(month(o_orderdate) AS INT) AS mon
-              |  FROM tpcds87_sales WHERE CAST(l_linenumber % 3 AS INT) = 0
-              |  EXCEPT
-              |  SELECT DISTINCT o_custkey, CAST(month(o_orderdate) AS INT) AS mon
-              |  FROM tpcds87_sales WHERE CAST(l_linenumber % 3 AS INT) = 1
-              |  EXCEPT
-              |  SELECT DISTINCT o_custkey, CAST(month(o_orderdate) AS INT) AS mon
-              |  FROM tpcds87_sales WHERE CAST(l_linenumber % 3 AS INT) = 2)""".stripMargin)
+              |  SELECT o_custkey, CAST(month(o_orderdate) AS INT) AS mon
+              |  FROM tpcds87_sales
+              |  GROUP BY o_custkey, CAST(month(o_orderdate) AS INT)
+              |  HAVING max(CASE WHEN CAST(l_linenumber % 3 AS INT) = 0
+              |      THEN 1 ELSE 0 END) = 1
+              |    AND max(CASE WHEN CAST(l_linenumber % 3 AS INT) = 1
+              |      THEN 1 ELSE 0 END) = 0
+              |    AND max(CASE WHEN CAST(l_linenumber % 3 AS INT) = 2
+              |      THEN 1 ELSE 0 END) = 0)""".stripMargin)
     }, Some("""WITH sales AS (
              |  SELECT o_custkey, o_orderdate, l_linenumber
              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)

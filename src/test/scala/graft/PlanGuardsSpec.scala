@@ -565,24 +565,24 @@ class PlanGuardsSpec extends SparkTestBase {
     assert(p70.contains("LeftSemi"),
       s"q70 top-5 filter must plan a semi-join:\n$p70")
 
-    // q97: both channel sets are corpus-sized at scale, so the overlap
-    // must be a shuffled FullOuter SMJ on the composite key — a
-    // broadcast (or nested-loop) full-outer would pin one whole side
-    // in every task's memory.
-    val q97 = graft.SparkEntry.queries("tpcds_q97_channel_overlap")(spark, dir)
-    q97.collect()
-    val p97 = q97.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert(p97.contains("SortMergeJoin") && p97.contains("FullOuter"),
-      s"q97 overlap must be a FullOuter SMJ:\n$p97")
-
-    // q38: the 3-way INTERSECT must lower to LeftSemi joins over
-    // distinct aggregates (set semantics via hash-dedup), never a
-    // row-comparing cartesian.
-    val q38 = graft.SparkEntry.queries("tpcds_q38_triple_intersect")(spark, dir)
-    q38.collect()
-    val p38 = q38.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert("LeftSemi".r.findAllIn(p38).length >= 2,
-      s"q38 triple intersect must plan two semi-joins:\n$p38")
+    // q97/q38/q87: the per-channel set operations (FULL OUTER overlap,
+    // triple INTERSECT, chained EXCEPT) are fused into ONE presence-flag
+    // aggregate at the composite grain — the fact scanned once, no
+    // joins between channel slices, conditional map-side partials (the
+    // set-op lowerings themselves stay proven by u2/u3/q14).
+    for ((name, nJoins) <- Seq(("tpcds_q97_channel_overlap", 1),
+        ("tpcds_q38_triple_intersect", 1), ("tpcds_q87_channel_except", 1))) {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert("lineitem\\.parquet".r.findAllIn(p).length == 1,
+        s"$name must scan the fact exactly once:\n$p")
+      assert("Join".r.findAllIn(p).length == nJoins,
+        s"$name must plan only the orders attach join — channel slices " +
+          s"fuse into presence flags:\n$p")
+      assert(p.contains("partial_max(CASE WHEN"),
+        s"$name fused presence flags lost their map-side partials:\n$p")
+    }
 
     // q23: both reducing IN's must lower to semi-joins (frequent items
     // and best customers are fact aggregates — hash-build sides, never
