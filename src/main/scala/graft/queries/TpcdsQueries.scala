@@ -357,6 +357,13 @@ object TpcdsQueries {
     // one sales table, so the channel is DERIVED (l_linenumber % 3 —
     // the same integer formula on both engines), exactly like the
     // derived partsupp/shipmode columns in TpchQueries.
+    // q33 shape: per-category revenue unioned across the three channel
+    // CTEs. The oracle keeps the three-slice UNION ALL; the engine
+    // observes that three same-fact channel slices re-unioned are just
+    // GROUP BY (category, channel) — the CASE channel column partitions
+    // the rows, so the union of the per-channel aggregates IS the
+    // two-key aggregate. Three fact scans become one; the channel-count
+    // rollup reads the |category×3|-row frame.
     "tpcds_q33_channel_union" -> Q((s, dir) => {
       T(s, dir, "lineitem")
         .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
@@ -368,14 +375,8 @@ object TpcdsQueries {
               |    CAST(CAST(l_extendedprice * (1.0 - l_discount)
               |      AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0)) AS rev_u
               |  FROM tpcds33_sales),
-              |ws AS (SELECT category, SUM(rev_u) AS rev_u FROM base
-              |  WHERE channel = 'web' GROUP BY category),
-              |ss AS (SELECT category, SUM(rev_u) AS rev_u FROM base
-              |  WHERE channel = 'store' GROUP BY category),
-              |cs AS (SELECT category, SUM(rev_u) AS rev_u FROM base
-              |  WHERE channel = 'catalog' GROUP BY category),
-              |u AS (SELECT * FROM ws UNION ALL SELECT * FROM ss
-              |  UNION ALL SELECT * FROM cs)
+              |u AS (SELECT category, channel, SUM(rev_u) AS rev_u
+              |  FROM base GROUP BY category, channel)
               |SELECT category, CAST(SUM(rev_u) AS DOUBLE) / 1000000.0
               |    AS total_sales,
               |  count(*) AS n_channels
@@ -402,10 +403,16 @@ object TpcdsQueries {
               |FROM u GROUP BY category
               |ORDER BY category""".stripMargin), bench = true),
 
-    // q74 shape: year-over-year customer growth — yearly totals
-    // self-joined on consecutive years, keeping customers whose sales
-    // grew >10%. Totals stay DECIMAL(18,2)-exact; the ONE growth divide
-    // happens on identically-rounded doubles in both engines.
+    // q74 shape: year-over-year customer growth — yearly totals paired
+    // on consecutive years, keeping customers whose sales grew >10%.
+    // The oracle keeps TPC-DS's self-join spelling; the yearly-total CTE
+    // referenced twice would re-scan the fact (CTEs inline), so the
+    // engine pairs years with lead() PARTITION BY customer (the q39
+    // doctrine — years are densely ordered within a customer; the
+    // partition key is HIGH-cardinality, so no window concentration).
+    // One fact scan, zero joins. Totals stay DECIMAL(18,2)-exact; the
+    // ONE growth divide happens on identically-rounded doubles in both
+    // engines.
     "tpcds_q74_yoy_growth" -> Q((s, dir) => {
       T(s, dir, "orders")
         .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
@@ -416,15 +423,22 @@ object TpcdsQueries {
       s.sql("""WITH yt AS (
               |  SELECT c_custkey, c_name, o_year,
               |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot_d
-              |  FROM tpcds74_sales GROUP BY c_custkey, c_name, o_year)
-              |SELECT t1.c_custkey, t1.c_name, t1.o_year AS year1,
-              |  CAST(t1.tot_d AS DOUBLE) AS sales1,
-              |  CAST(t2.tot_d AS DOUBLE) AS sales2,
-              |  CAST(t2.tot_d AS DOUBLE) / CAST(t1.tot_d AS DOUBLE) AS growth
-              |FROM yt t1 JOIN yt t2
-              |  ON t1.c_custkey = t2.c_custkey AND t2.o_year = t1.o_year + 1
-              |WHERE CAST(t2.tot_d AS DOUBLE) / CAST(t1.tot_d AS DOUBLE) > 1.1
-              |ORDER BY t1.c_custkey, t1.o_year""".stripMargin)
+              |  FROM tpcds74_sales GROUP BY c_custkey, c_name, o_year),
+              |p AS (
+              |  SELECT c_custkey, c_name, o_year, tot_d,
+              |    lead(o_year) OVER (PARTITION BY c_custkey ORDER BY o_year)
+              |      AS y2,
+              |    lead(tot_d) OVER (PARTITION BY c_custkey ORDER BY o_year)
+              |      AS tot2
+              |  FROM yt)
+              |SELECT c_custkey, c_name, o_year AS year1,
+              |  CAST(tot_d AS DOUBLE) AS sales1,
+              |  CAST(tot2 AS DOUBLE) AS sales2,
+              |  CAST(tot2 AS DOUBLE) / CAST(tot_d AS DOUBLE) AS growth
+              |FROM p
+              |WHERE y2 = o_year + 1
+              |  AND CAST(tot2 AS DOUBLE) / CAST(tot_d AS DOUBLE) > 1.1
+              |ORDER BY c_custkey, o_year""".stripMargin)
     }, Some("""WITH yt AS (
               |  SELECT c_custkey, c_name,
               |    CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
@@ -452,19 +466,27 @@ object TpcdsQueries {
           month(to_date(col("o_orderdate"))).as("mon"),
           col("l_extendedprice"), col("l_discount"))
         .createOrReplaceTempView("tpcds59_sales")
+      // Oracle keeps the self-join; the engine pairs consecutive years
+      // with lead() PARTITION BY (nation, month) over the tiny monthly
+      // frame (the q39/q74 doctrine) — one fact scan, zero joins.
       s.sql("""WITH ms AS (
               |  SELECT n_name, o_year, mon,
               |    SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount)
               |      AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0))) AS sales_u
-              |  FROM tpcds59_sales GROUP BY n_name, o_year, mon)
-              |SELECT a.n_name, a.o_year, a.mon,
-              |  CAST(a.sales_u AS DOUBLE) / 1000000.0 AS sales_this,
-              |  CAST(b.sales_u AS DOUBLE) / 1000000.0 AS sales_next,
-              |  CAST(b.sales_u AS DOUBLE) / CAST(a.sales_u AS DOUBLE) AS ratio
-              |FROM ms a JOIN ms b
-              |  ON a.n_name = b.n_name AND a.mon = b.mon
-              |    AND b.o_year = a.o_year + 1
-              |ORDER BY a.n_name, a.o_year, a.mon""".stripMargin)
+              |  FROM tpcds59_sales GROUP BY n_name, o_year, mon),
+              |p AS (
+              |  SELECT n_name, o_year, mon, sales_u,
+              |    lead(o_year) OVER (PARTITION BY n_name, mon ORDER BY o_year)
+              |      AS y2,
+              |    lead(sales_u) OVER (PARTITION BY n_name, mon ORDER BY o_year)
+              |      AS sales2_u
+              |  FROM ms)
+              |SELECT n_name, o_year, mon,
+              |  CAST(sales_u AS DOUBLE) / 1000000.0 AS sales_this,
+              |  CAST(sales2_u AS DOUBLE) / 1000000.0 AS sales_next,
+              |  CAST(sales2_u AS DOUBLE) / CAST(sales_u AS DOUBLE) AS ratio
+              |FROM p WHERE y2 = o_year + 1
+              |ORDER BY n_name, o_year, mon""".stripMargin)
     }, Some("""WITH ms AS (
               |  SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
               |    CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mon,
@@ -492,6 +514,17 @@ object TpcdsQueries {
     // RANGE-vs-ROWS default differs in spirit between engines; months
     // are unique per brand per channel here, but the frame is pinned
     // anyway). Cumulative sums stay DECIMAL(38,0) integer units.
+    // q51 shape: per-channel cumulative revenue race. The oracle keeps
+    // TPC-DS's spelling — two per-channel monthly aggregates, each
+    // windowed, FULL OUTER joined. The engine fuses: ONE (brand, month)
+    // aggregate with conditional per-channel sums, then both running
+    // sums share one brand-keyed window exchange. A channel's cumulative
+    // must read NULL on months where that channel had no sales (that's
+    // what the outer join produced) — the running sum is computed over
+    // the null-ignoring conditional column and then MASKED back to NULL
+    // on channel-absent months, which is exactly the per-channel-rows
+    // window value because the absent months contribute nothing to the
+    // sum. One fact scan, zero joins, one window exchange.
     "tpcds_q51_cumulative" -> Q((s, dir) => {
       T(s, dir, "lineitem")
         .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
@@ -503,25 +536,27 @@ object TpcdsQueries {
               |    CAST(CAST(l_extendedprice * (1.0 - l_discount)
               |      AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0)) AS rev_u
               |  FROM tpcds51_sales),
-              |w AS (SELECT p_brand, mon, SUM(rev_u) AS rev_u FROM base
-              |  WHERE channel = 'web' GROUP BY p_brand, mon),
-              |st AS (SELECT p_brand, mon, SUM(rev_u) AS rev_u FROM base
-              |  WHERE channel = 'store' GROUP BY p_brand, mon),
-              |wc AS (SELECT p_brand, mon,
-              |  SUM(rev_u) OVER (PARTITION BY p_brand ORDER BY mon
-              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_u
-              |  FROM w),
-              |sc AS (SELECT p_brand, mon,
-              |  SUM(rev_u) OVER (PARTITION BY p_brand ORDER BY mon
-              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_u
-              |  FROM st)
-              |SELECT coalesce(wc.p_brand, sc.p_brand) AS p_brand,
-              |  coalesce(wc.mon, sc.mon) AS mon,
-              |  CAST(wc.cum_u AS DOUBLE) / 1000000.0 AS web_cum,
-              |  CAST(sc.cum_u AS DOUBLE) / 1000000.0 AS store_cum,
-              |  coalesce(wc.cum_u, 0) > coalesce(sc.cum_u, 0) AS web_ahead
-              |FROM wc FULL OUTER JOIN sc
-              |  ON wc.p_brand = sc.p_brand AND wc.mon = sc.mon
+              |g AS (
+              |  SELECT p_brand, mon,
+              |    SUM(CASE WHEN channel = 'web' THEN rev_u END) AS web_u,
+              |    SUM(CASE WHEN channel = 'store' THEN rev_u END) AS store_u
+              |  FROM base GROUP BY p_brand, mon),
+              |c AS (
+              |  SELECT p_brand, mon, web_u, store_u,
+              |    SUM(web_u) OVER (PARTITION BY p_brand ORDER BY mon
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wcum,
+              |    SUM(store_u) OVER (PARTITION BY p_brand ORDER BY mon
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scum
+              |  FROM g)
+              |SELECT p_brand, mon,
+              |  CAST(CASE WHEN web_u IS NOT NULL THEN wcum END AS DOUBLE)
+              |    / 1000000.0 AS web_cum,
+              |  CAST(CASE WHEN store_u IS NOT NULL THEN scum END AS DOUBLE)
+              |    / 1000000.0 AS store_cum,
+              |  coalesce(CASE WHEN web_u IS NOT NULL THEN wcum END, 0) >
+              |    coalesce(CASE WHEN store_u IS NOT NULL THEN scum END, 0)
+              |    AS web_ahead
+              |FROM c
               |ORDER BY p_brand, mon""".stripMargin)
     }, Some("""WITH base AS (
               |  SELECT p_brand, CAST(month(l_shipdate) AS INT) AS mon,
@@ -883,17 +918,25 @@ object TpcdsQueries {
         .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(T(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
         .createOrReplaceTempView("tpcds1_sales")
-      s.sql("""WITH ctr AS (
-              |  SELECT o_custkey, n_name,
-              |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS ret_d
-              |  FROM tpcds1_sales WHERE l_returnflag = 'R'
-              |  GROUP BY o_custkey, n_name),
-              |st AS (
+      // The customer-returns frame feeds both the state stats and the
+      // probe side; a CTE would inline twice and re-scan the fact, and
+      // a window PARTITION BY state over this CUSTOMER-grain frame
+      // would concentrate a corpus-scaled frame into |state| partitions
+      // (the anti-pattern the broadcast join avoids). So: compute the
+      // frame ONCE, localCheckpoint it (customer-grain, ~1000× smaller
+      // than the fact), and keep the broadcast-stats join shape.
+      s.sql("""SELECT o_custkey, n_name,
+              |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS ret_d
+              |FROM tpcds1_sales WHERE l_returnflag = 'R'
+              |GROUP BY o_custkey, n_name""".stripMargin)
+        .localCheckpoint(true)
+        .createOrReplaceTempView("tpcds1_ctr")
+      s.sql("""WITH st AS (
               |  SELECT n_name, SUM(ret_d) AS sum_d, count(*) AS cnt
-              |  FROM ctr GROUP BY n_name)
+              |  FROM tpcds1_ctr GROUP BY n_name)
               |SELECT c.o_custkey AS c_custkey, c.n_name,
               |  CAST(c.ret_d AS DOUBLE) AS total_returns
-              |FROM ctr c JOIN st s ON c.n_name = s.n_name
+              |FROM tpcds1_ctr c JOIN st s ON c.n_name = s.n_name
               |WHERE CAST(c.ret_d AS DOUBLE) * s.cnt * 10.0
               |    > CAST(s.sum_d AS DOUBLE) * 12.0
               |ORDER BY total_returns DESC, c_custkey
@@ -998,20 +1041,28 @@ object TpcdsQueries {
         .join(T(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
         .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .createOrReplaceTempView("tpcds65_sales")
+      // Oracle keeps the aggregate⋈state-stats join; the engine derives
+      // the state sums as windows PARTITION BY state over the TINY
+      // (state, brand) frame (the q39 doctrine — safe precisely because
+      // the windowed frame is ≤|state×brand| rows, never corpus-sized),
+      // so the twice-referenced CTE stops re-scanning the fact. One
+      // fact scan, zero joins.
       s.sql("""WITH sb AS (
               |  SELECT n_name, p_brand,
               |    SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount)
               |      AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0))) AS rev_u
               |  FROM tpcds65_sales GROUP BY n_name, p_brand),
-              |sa AS (
-              |  SELECT n_name, SUM(rev_u) AS sum_u, count(*) AS cnt
-              |  FROM sb GROUP BY n_name)
-              |SELECT sb.n_name, sb.p_brand,
-              |  CAST(sb.rev_u AS DOUBLE) / 1000000.0 AS brand_rev,
-              |  CAST(sa.sum_u AS DOUBLE) / 1000000.0 / sa.cnt AS state_avg
-              |FROM sb JOIN sa ON sb.n_name = sa.n_name
-              |WHERE CAST(sb.rev_u AS DOUBLE) * sa.cnt
-              |    < CAST(sa.sum_u AS DOUBLE)
+              |w AS (
+              |  SELECT n_name, p_brand, rev_u,
+              |    SUM(rev_u) OVER (PARTITION BY n_name) AS sum_u,
+              |    count(*) OVER (PARTITION BY n_name) AS cnt
+              |  FROM sb)
+              |SELECT n_name, p_brand,
+              |  CAST(rev_u AS DOUBLE) / 1000000.0 AS brand_rev,
+              |  CAST(sum_u AS DOUBLE) / 1000000.0 / cnt AS state_avg
+              |FROM w
+              |WHERE CAST(rev_u AS DOUBLE) * cnt
+              |    < CAST(sum_u AS DOUBLE)
               |ORDER BY n_name, p_brand""".stripMargin)
     }, Some("""WITH sales AS (
              |  SELECT n_name, p_brand, l_extendedprice, l_discount
@@ -1121,16 +1172,26 @@ object TpcdsQueries {
       T(s, dir, "lineitem")
         .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .createOrReplaceTempView("tpcds23_sales")
+      // The spend frame feeds both the max-spend scalar and the
+      // best-customer probe — a CTE would inline twice and re-scan the
+      // fact, so it is computed ONCE and localCheckpointed
+      // (customer-grain). The freq reducer and the final semi-joined
+      // sum are different grains of the fact and keep their own scans;
+      // a (customer, item)-grain collapse would NOT help here — in
+      // this corpus a customer rarely repeats an item, so that frame
+      // is ~line-sized and materializing it costs a fact-write to save
+      // a fact-read.
+      s.sql("""SELECT o_custkey,
+              |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp_d
+              |FROM tpcds23_sales GROUP BY o_custkey""".stripMargin)
+        .localCheckpoint(true)
+        .createOrReplaceTempView("tpcds23_spend")
       s.sql("""WITH freq AS (
               |  SELECT l_partkey FROM tpcds23_sales
               |  GROUP BY l_partkey HAVING count(*) > 35),
-              |spend AS (
-              |  SELECT o_custkey,
-              |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp_d
-              |  FROM tpcds23_sales GROUP BY o_custkey),
-              |mx AS (SELECT MAX(sp_d) AS max_d FROM spend),
+              |mx AS (SELECT MAX(sp_d) AS max_d FROM tpcds23_spend),
               |best AS (
-              |  SELECT o_custkey FROM spend CROSS JOIN mx
+              |  SELECT o_custkey FROM tpcds23_spend CROSS JOIN mx
               |  WHERE CAST(sp_d AS DOUBLE) * 2.0 > CAST(max_d AS DOUBLE))
               |SELECT
               |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
@@ -1213,36 +1274,33 @@ object TpcdsQueries {
              |FROM cust GROUP BY n_name, c_mktsegment
              |ORDER BY n_name, c_mktsegment""".stripMargin)),
 
-    // q93 shape: net sales after returns — the sales and returns sides
-    // are BOTH aggregates of the fact at (order, part) grain, LEFT
-    // joined 1:1 on the aggregated key (aggregate-before-join: the
-    // line-grain left join TPC-DS spells risks multiplicity bugs and
-    // shuffles the fact at full width; aggregating first shrinks both
-    // sides and makes the join key provably unique). Quantities stay
-    // DECIMAL(18,2)-exact through subtract and re-sum; the top-100
-    // orders by the double cast ONCE from the exact net (identical on
-    // both engines) with a custkey tiebreak.
+    // q93 shape: net sales after returns. The oracle keeps the
+    // aggregate-before-join spelling (sold and returned sides each
+    // aggregated to (order, part) grain, LEFT joined 1:1); both sides
+    // are slices of the SAME fact at the SAME grain, so the engine
+    // fuses them into one conditional aggregation (the q17 doctrine) —
+    // the left join's "sold side only" becomes `qty IS NOT NULL`, the
+    // missing-returns coalesce stays. One fact scan, one exchange, no
+    // join. Quantities stay DECIMAL(18,2)-exact through subtract and
+    // re-sum; the top-100 orders by the double cast ONCE from the exact
+    // net (identical on both engines) with a custkey tiebreak.
     "tpcds_q93_net_after_returns" -> Q((s, dir) => {
       T(s, dir, "lineitem")
         .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .createOrReplaceTempView("tpcds93_sales")
-      s.sql("""WITH sold AS (
+      s.sql("""WITH g AS (
               |  SELECT l_orderkey, l_partkey, o_custkey,
-              |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
-              |  FROM tpcds93_sales WHERE l_returnflag <> 'R'
+              |    SUM(CASE WHEN l_returnflag <> 'R'
+              |      THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qty,
+              |    SUM(CASE WHEN l_returnflag = 'R'
+              |      THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS ret_qty
+              |  FROM tpcds93_sales
               |  GROUP BY l_orderkey, l_partkey, o_custkey),
-              |ret AS (
-              |  SELECT l_orderkey, l_partkey,
-              |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS ret_qty
-              |  FROM tpcds93_sales WHERE l_returnflag = 'R'
-              |  GROUP BY l_orderkey, l_partkey),
               |net AS (
               |  SELECT o_custkey,
-              |    SUM(sold.qty - coalesce(ret.ret_qty,
+              |    SUM(qty - coalesce(ret_qty,
               |      CAST(0 AS DECIMAL(18,2)))) AS net_qty
-              |  FROM sold LEFT JOIN ret
-              |    ON sold.l_orderkey = ret.l_orderkey
-              |    AND sold.l_partkey = ret.l_partkey
+              |  FROM g WHERE qty IS NOT NULL
               |  GROUP BY o_custkey)
               |SELECT o_custkey, CAST(net_qty AS DOUBLE) AS net_qty
               |FROM net

@@ -625,6 +625,48 @@ class PlanGuardsSpec extends SparkTestBase {
     assert(chanExchanges == 1,
       s"q49 rank windows must share one channel exchange, got $chanExchanges:\n$p49")
 
+    // Single-scan pins for the CTE-dedup rewrites (Spark inlines every
+    // multi-reference CTE, so the only way a gate keeps the fact at one
+    // scan is a fused/window/lead spelling or an explicit checkpoint):
+    // expected = occurrences of the fact file in the final plan.
+    // q1 reads its checkpointed customer-returns frame (0 scans in the
+    // returned plan); q23 keeps freq + final scans (2) with the spend
+    // side checkpointed; q74's fact is orders.
+    for ((name, factFile, scans) <- Seq(
+        ("tpcds_q33_channel_union", "lineitem", 1),
+        ("tpcds_q59_weekly_compare", "lineitem", 1),
+        ("tpcds_q51_cumulative", "lineitem", 1),
+        ("tpcds_q65_low_brands", "lineitem", 1),
+        ("tpcds_q93_net_after_returns", "lineitem", 1),
+        ("tpcds_q74_yoy_growth", "orders", 1),
+        ("tpcds_q1_returns_above_avg", "lineitem", 0),
+        ("tpcds_q23_frequent_best", "lineitem", 2))) {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val n = (factFile + "\\.parquet").r.findAllIn(p).length
+      assert(n == scans,
+        s"$name must scan $factFile exactly $scans time(s), got $n:\n$p")
+    }
+    // The consecutive-period pairings must be lead() windows, not
+    // self-joins, and q51's two running sums must share ONE brand
+    // exchange.
+    for (name <- Seq("tpcds_q74_yoy_growth", "tpcds_q59_weekly_compare")) {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(p.contains("lead("),
+        s"$name consecutive-period pairing lost its lead() window:\n$p")
+    }
+    val q51 = graft.SparkEntry.queries("tpcds_q51_cumulative")(spark, dir)
+    q51.collect()
+    val p51 = q51.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val brandWinExchanges =
+      "Exchange hashpartitioning\\(p_brand#\\d+, \\d+\\)".r.findAllIn(p51).length
+    assert(brandWinExchanges == 1,
+      s"q51 running sums must share one brand exchange, got " +
+        s"$brandWinExchanges:\n$p51")
+
     // q39: the engine derives the brand-pooled moments and the
     // consecutive-month pairing from ONE (brand, month) frame — the fact
     // is scanned once, the only join is the part-dim attach, and the
