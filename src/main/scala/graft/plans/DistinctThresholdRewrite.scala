@@ -26,9 +26,11 @@ import org.apache.spark.sql.types._
   * Matches `Project(Filter(Aggregate))` — the shape the analyzer emits
   * for a HAVING whose count is NOT selected — and only rewrites a
   * count-distinct alias that (a) the Project does not reference, and
-  * (b) appears in the Filter condition ONLY as `c >= 2` / `c > 1`
-  * (or the mirrored literal-first forms): the one threshold min/max can
-  * answer. Floating-point children are excluded (distinct-hashing and
+  * (b) appears in the Filter condition ONLY as a threshold min/max can
+  * answer: `c >= 2` / `c > 1` → `min <> max`, or the complementary
+  * `c <= 1` / `c < 2` → the null-safe `min <=> max` (all-null group:
+  * count 0 ≤ 1 and NULL <=> NULL agree), mirrored literal-first forms
+  * included. Floating-point children are excluded (distinct-hashing and
   * ordering disagree on NaN/-0.0); `count(DISTINCT a, b)` and FILTERed
   * aggregates are left alone. The rewritten plan contains no distinct
   * aggregate, so the rule is idempotent under fixed-point.
@@ -66,19 +68,35 @@ object DistinctThresholdRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** Is this comparison `c >= 2` (in any of its four spellings)? */
-  private def isThresholdOf(cmp: Expression, c: Attribute): Boolean =
-    cmp match {
-      case GreaterThanOrEqual(a: Attribute, Literal(v, _)) =>
-        a.exprId == c.exprId && v != null && v.toString == "2"
-      case GreaterThan(a: Attribute, Literal(v, _)) =>
-        a.exprId == c.exprId && v != null && v.toString == "1"
-      case LessThanOrEqual(Literal(v, _), a: Attribute) =>
-        a.exprId == c.exprId && v != null && v.toString == "2"
-      case LessThan(Literal(v, _), a: Attribute) =>
-        a.exprId == c.exprId && v != null && v.toString == "1"
+  /** Classify a comparison on the count attribute: Some(true) for the
+    * "at least two distinct" family (`c >= 2`, `c > 1`, mirrored) —
+    * rewrites to `min <> max`; Some(false) for the complementary "at
+    * most one distinct" family (`c <= 1`, `c < 2`, mirrored) — rewrites
+    * to the null-safe `min <=> max` (an all-null group has count 0 ≤ 1
+    * AND NULL <=> NULL, so the forms coincide there too); None for
+    * anything else (no rewrite).
+    */
+  private def thresholdKind(cmp: Expression, c: Attribute): Option[Boolean] = {
+    def is(a: Expression, v: Any, want: String): Boolean = a match {
+      case attr: Attribute => attr.exprId == c.exprId &&
+        v != null && v.toString == want
       case _ => false
     }
+    cmp match {
+      case GreaterThanOrEqual(a, Literal(v, _)) if is(a, v, "2") => Some(true)
+      case GreaterThan(a, Literal(v, _)) if is(a, v, "1") => Some(true)
+      case LessThanOrEqual(Literal(v, _), a) if is(a, v, "2") => Some(true)
+      case LessThan(Literal(v, _), a) if is(a, v, "1") => Some(true)
+      case LessThanOrEqual(a, Literal(v, _)) if is(a, v, "1") => Some(false)
+      case LessThan(a, Literal(v, _)) if is(a, v, "2") => Some(false)
+      case GreaterThanOrEqual(Literal(v, _), a) if is(a, v, "1") => Some(false)
+      case GreaterThan(Literal(v, _), a) if is(a, v, "2") => Some(false)
+      case _ => None
+    }
+  }
+
+  private def isThresholdOf(cmp: Expression, c: Attribute): Boolean =
+    thresholdKind(cmp, c).isDefined
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
@@ -121,7 +139,9 @@ object DistinctThresholdRewrite extends Rule[LogicalPlan] {
             case cmp: Expression if byId.keys.exists(c => isThresholdOf(cmp, c)) =>
               val c = byId.keys.find(a => isThresholdOf(cmp, a)).get
               val (mn, mx) = minMax(c.exprId)
-              Not(EqualTo(mn.toAttribute, mx.toAttribute))
+              if (thresholdKind(cmp, c).get)
+                Not(EqualTo(mn.toAttribute, mx.toAttribute))
+              else EqualNullSafe(mn.toAttribute, mx.toAttribute)
           }
           Project(projList,
             Filter(newCond, Aggregate(group, newAggExprs, child, hint)))

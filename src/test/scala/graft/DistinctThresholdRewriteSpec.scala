@@ -74,6 +74,24 @@ class DistinctThresholdRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("rewrites the complementary <= 1 family via null-safe equality") {
+    fixture().createOrReplaceTempView("t")
+    // count(DISTINCT v) <= 1 keeps: g2 (one value), g3 (one value +
+    // nulls), g4 (all nulls, count 0) — and must DROP g1/g5.
+    for (cond <- Seq("count(DISTINCT v) <= 1", "count(DISTINCT v) < 2",
+        "1 >= count(DISTINCT v)", "2 > count(DISTINCT v)")) {
+      val q = s"SELECT g FROM t GROUP BY g HAVING $cond ORDER BY g"
+      val plain = spark.sql(q).collect().map(_.getString(0))
+      val (rows, plan) = withRule {
+        val df = spark.sql(q)
+        (df.collect().map(_.getString(0)), df.queryExecution.executedPlan.toString)
+      }
+      assert(plain.toSeq == Seq("g2", "g3", "g4"), s"oracle wrong under: $cond")
+      assert(rows.toSeq == plain.toSeq, s"results diverged under: $cond")
+      assert(!plan.contains("count("), s"did not fire for: $cond\n$plan")
+    }
+  }
+
   test("refuses when the count is projected, non-threshold, float, or multi-arg") {
     import spark.implicits._
     fixture().createOrReplaceTempView("t")
