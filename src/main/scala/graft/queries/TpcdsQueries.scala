@@ -878,6 +878,18 @@ object TpcdsQueries {
     // (customer, month) aggregate with per-channel presence flags;
     // "(A EXCEPT B) EXCEPT C" ⟺ flag₀ ∧ ¬flag₁ ∧ ¬flag₂ — three fact
     // scans and two anti-joins become one scan, one exchange, no joins.
+    //
+    // The channel key mixes the ORDER key in — `(orderkey + linenumber)
+    // % 3`, not the bare line number (q38/q97 keep that): store-only
+    // demands EVERY line of the cell share one residue, and per-order
+    // linenumbers are 1..n sequences, so any cell with an order of 3+
+    // lines — and under bare %3 any order at all, since line 1 always
+    // exists — can never qualify (measured: the bare-%3 population is
+    // 0 on the sf1+ stress corpora — the q65 scale-degeneracy, here a
+    // corpus artifact). Adding the orderkey rotates the residue per
+    // order, so cells whose orders are all short stay store-only at a
+    // corpus-invariant rate: 388 cells at driver sf0.01 (was 275 under
+    // bare %3), nonzero at every stress sf.
     "tpcds_q87_channel_except" -> Q((s, dir) => {
       T(s, dir, "lineitem")
         .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
@@ -886,24 +898,24 @@ object TpcdsQueries {
               |  SELECT o_custkey, CAST(month(o_orderdate) AS INT) AS mon
               |  FROM tpcds87_sales
               |  GROUP BY o_custkey, CAST(month(o_orderdate) AS INT)
-              |  HAVING max(CASE WHEN CAST(l_linenumber % 3 AS INT) = 0
+              |  HAVING max(CASE WHEN CAST((l_orderkey + l_linenumber) % 3 AS INT) = 0
               |      THEN 1 ELSE 0 END) = 1
-              |    AND max(CASE WHEN CAST(l_linenumber % 3 AS INT) = 1
+              |    AND max(CASE WHEN CAST((l_orderkey + l_linenumber) % 3 AS INT) = 1
               |      THEN 1 ELSE 0 END) = 0
-              |    AND max(CASE WHEN CAST(l_linenumber % 3 AS INT) = 2
+              |    AND max(CASE WHEN CAST((l_orderkey + l_linenumber) % 3 AS INT) = 2
               |      THEN 1 ELSE 0 END) = 0)""".stripMargin)
     }, Some("""WITH sales AS (
-             |  SELECT o_custkey, o_orderdate, l_linenumber
+             |  SELECT o_custkey, o_orderdate, l_orderkey, l_linenumber
              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
              |SELECT count(*) AS store_only_custmons FROM (
              |  SELECT DISTINCT o_custkey, CAST(month(o_orderdate) AS INT) AS mon
-             |  FROM sales WHERE CAST(l_linenumber % 3 AS INT) = 0
+             |  FROM sales WHERE CAST((l_orderkey + l_linenumber) % 3 AS INT) = 0
              |  EXCEPT
              |  SELECT DISTINCT o_custkey, CAST(month(o_orderdate) AS INT) AS mon
-             |  FROM sales WHERE CAST(l_linenumber % 3 AS INT) = 1
+             |  FROM sales WHERE CAST((l_orderkey + l_linenumber) % 3 AS INT) = 1
              |  EXCEPT
              |  SELECT DISTINCT o_custkey, CAST(month(o_orderdate) AS INT) AS mon
-             |  FROM sales WHERE CAST(l_linenumber % 3 AS INT) = 2)""".stripMargin)),
+             |  FROM sales WHERE CAST((l_orderkey + l_linenumber) % 3 AS INT) = 2)""".stripMargin)),
 
     // q1 shape: customers whose total returns exceed 1.2× their state's
     // average — the correlated-scalar-subquery-vs-group-average filter,
