@@ -121,6 +121,35 @@ class DistinctThresholdRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("fires when installed via GraftExtensions (injectOptimizerRule)") {
+    // The gates install through experimental.extraOptimizations; the
+    // plug-in route (spark.sql.extensions) must behave identically.
+    import org.apache.spark.sql.SparkSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne spark)
+      import s2.implicits._
+      Seq(("g1", Some("a")), ("g1", Some("b")), ("g2", Some("a")),
+        ("g2", Some("a"))).toDF("g", "v").createOrReplaceTempView("t2")
+      s2.conf.set(DistinctThresholdRewrite.EnabledKey, "true")
+      try {
+        val df = s2.sql(
+          "SELECT g FROM t2 GROUP BY g HAVING count(DISTINCT v) >= 2 ORDER BY g")
+        assert(df.collect().map(_.getString(0)).toSeq == Seq("g1"))
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("count("),
+          s"rule did not fire through the extension route:\n$plan")
+      } finally s2.conf.set(DistinctThresholdRewrite.EnabledKey, "false")
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("agrees with the distinct spelling on driver data (suppliers per part)") {
     val dir = "/root/testdata/sf0.001"
     val q = """SELECT l_partkey FROM li GROUP BY l_partkey
