@@ -295,7 +295,7 @@ object RelationalQueries {
               |FROM lineitem
               |WHERE CAST(month(l_shipdate) AS INT) IN (4, 5, 6)
               |GROUP BY CAST(month(l_shipdate) AS INT)
-              |ORDER BY ship_mon""".stripMargin)),
+              |ORDER BY ship_mon""".stripMargin), bench = true),
 
     "s16_bucketed_colocated_join" -> Q((s, dir) => {
       // Redshift distkey analog (SURVEY §4): both sides bucketed on the

@@ -714,7 +714,7 @@ object TpcdsQueries {
              |  COUNT(CASE WHEN ssci.cust IS NOT NULL AND csci.cust IS NOT NULL
              |    THEN 1 END) AS both_channels
              |FROM ssci FULL OUTER JOIN csci
-             |  ON ssci.cust = csci.cust AND ssci.item = csci.item""".stripMargin)),
+             |  ON ssci.cust = csci.cust AND ssci.item = csci.item""".stripMargin), bench = true),
 
     // q38 shape: customers active in ALL THREE channels in the window.
     // TPC-DS (and the oracle) spells it as a 3-way INTERSECT of
@@ -752,7 +752,7 @@ object TpcdsQueries {
              |  INTERSECT
              |  SELECT o_custkey, CAST(month(o_orderdate) AS INT) AS mon
              |  FROM sales WHERE CAST(l_linenumber % 3 AS INT) = 2)
-             |SELECT count(*) AS n_omni_channel FROM hot""".stripMargin)),
+             |SELECT count(*) AS n_omni_channel FROM hot""".stripMargin), bench = true),
 
     // q47 shape: monthly brand sales with the brand's average plus the
     // LAG/LEAD neighbor months — the only gate emitting both offset
@@ -806,7 +806,7 @@ object TpcdsQueries {
              |  CAST(prev_u AS DOUBLE) / 1000000.0 AS prev_sales,
              |  CAST(next_u AS DOUBLE) / 1000000.0 AS next_sales
              |FROM w
-             |ORDER BY p_brand, mon""".stripMargin)),
+             |ORDER BY p_brand, mon""".stripMargin), bench = true),
 
     // q88 shape: eight independently-filtered counts of the same fact
     // assembled into ONE row. TPC-DS spells it as eight scalar
@@ -836,7 +836,7 @@ object TpcdsQueries {
       val cols = (1 to 8).map(b => s"cnt_b$b").mkString(", ")
       s"""SELECT $cols FROM
          |$subs""".stripMargin
-    }),
+    }, bench = true),
 
     // q34 shape: ticket-size buckets — orders whose item count lands in
     // a band (HAVING on a grouped count), joined BACK to the customer
@@ -865,7 +865,7 @@ object TpcdsQueries {
              |  HAVING count(*) BETWEEN 5 AND 7)
              |SELECT c_custkey, c_name, o_orderkey, cnt
              |FROM t JOIN customer ON o_custkey = c_custkey
-             |ORDER BY c_custkey, o_orderkey""".stripMargin)),
+             |ORDER BY c_custkey, o_orderkey""".stripMargin), bench = true),
 
     // q87 shape: chained EXCEPT count — customers seen in channel 0 but
     // in NEITHER of the other two (channels derived from l_linenumber
@@ -915,7 +915,7 @@ object TpcdsQueries {
              |  FROM sales WHERE CAST((l_orderkey + l_linenumber) % 3 AS INT) = 1
              |  EXCEPT
              |  SELECT DISTINCT o_custkey, CAST(month(o_orderdate) AS INT) AS mon
-             |  FROM sales WHERE CAST((l_orderkey + l_linenumber) % 3 AS INT) = 2)""".stripMargin)),
+             |  FROM sales WHERE CAST((l_orderkey + l_linenumber) % 3 AS INT) = 2)""".stripMargin), bench = true),
 
     // q1 shape: customers whose total returns exceed 1.2× their state's
     // average — the correlated-scalar-subquery-vs-group-average filter,
@@ -972,7 +972,7 @@ object TpcdsQueries {
              |WHERE CAST(c.ret_d AS DOUBLE) * s.cnt * 10.0
              |    > CAST(s.sum_d AS DOUBLE) * 12.0
              |ORDER BY total_returns DESC, c_custkey
-             |LIMIT 100""".stripMargin)),
+             |LIMIT 100""".stripMargin), bench = true),
 
     // q6 shape: count, per state, the sold items priced above their
     // category's average retail price — the other correlated-average
@@ -1026,7 +1026,7 @@ object TpcdsQueries {
              |FROM sales JOIN qual ON l_partkey = qual.p_partkey
              |GROUP BY n_name
              |HAVING count(*) >= 10
-             |ORDER BY cnt, n_name""".stripMargin)),
+             |ORDER BY cnt, n_name""".stripMargin), bench = true),
 
     // q65 shape: brands selling below their state's average brand
     // revenue — the avg-of-aggregates self-join (aggregate once,
@@ -1096,7 +1096,7 @@ object TpcdsQueries {
              |FROM sb JOIN sa ON sb.n_name = sa.n_name
              |WHERE CAST(sb.rev_u AS DOUBLE) * sa.cnt
              |    < CAST(sa.sum_u AS DOUBLE)
-             |ORDER BY sb.n_name, sb.p_brand""".stripMargin)),
+             |ORDER BY sb.n_name, sb.p_brand""".stripMargin), bench = true),
 
     // q31 shape: states where the web channel grew faster quarter-over-
     // quarter than the store channel — per-(state, channel, quarter)
@@ -1171,7 +1171,7 @@ object TpcdsQueries {
              |  AND store1 IS NOT NULL AND store2 IS NOT NULL
              |  AND CAST(web2 AS DOUBLE) * CAST(store1 AS DOUBLE)
              |    > CAST(store2 AS DOUBLE) * CAST(web1 AS DOUBLE)
-             |ORDER BY n_name""".stripMargin)),
+             |ORDER BY n_name""".stripMargin), bench = true),
 
     // q23 shape: total sales restricted to FREQUENT items (sold >35
     // times — the HAVING-count semi-join) bought by BEST customers
@@ -1232,7 +1232,7 @@ object TpcdsQueries {
              |  count(*) AS n_rows
              |FROM sales
              |WHERE l_partkey IN (SELECT l_partkey FROM freq)
-             |  AND o_custkey IN (SELECT o_custkey FROM best)""".stripMargin)),
+             |  AND o_custkey IN (SELECT o_custkey FROM best)""".stripMargin), bench = true),
 
     // q35 shape: demographic rollup of customers active in the store
     // channel AND (web OR catalog) — the OR-of-IN-subqueries that
@@ -1284,7 +1284,7 @@ object TpcdsQueries {
              |  CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
              |    AS max_bal
              |FROM cust GROUP BY n_name, c_mktsegment
-             |ORDER BY n_name, c_mktsegment""".stripMargin)),
+             |ORDER BY n_name, c_mktsegment""".stripMargin), bench = true),
 
     // q93 shape: net sales after returns. The oracle keeps the
     // aggregate-before-join spelling (sold and returned sides each
@@ -1343,7 +1343,7 @@ object TpcdsQueries {
              |SELECT o_custkey, CAST(net_qty AS DOUBLE) AS net_qty
              |FROM net
              |ORDER BY net_qty DESC, o_custkey
-             |LIMIT 100""".stripMargin)),
+             |LIMIT 100""".stripMargin), bench = true),
 
     // q49 shape: worst-return items per channel under TWO rankings
     // (return ratio by quantity AND by amount), keeping items in either
@@ -1421,7 +1421,7 @@ object TpcdsQueries {
              |SELECT channel, l_partkey, qty_ratio, amt_ratio,
              |  qty_rank, amt_rank
              |FROM rk WHERE qty_rank <= 10 OR amt_rank <= 10
-             |ORDER BY channel, l_partkey""".stripMargin)),
+             |ORDER BY channel, l_partkey""".stripMargin), bench = true),
 
     // q39 shape: coefficient-of-variation screen over consecutive
     // periods — TPC-DS's inventory-volatility query re-derived over
@@ -1526,7 +1526,7 @@ object TpcdsQueries {
              |  x.cov AS cov1, y.cov AS cov2, x.cov_brand
              |FROM q x JOIN q y
              |  ON x.p_brand = y.p_brand AND y.mon = x.mon + 1
-             |ORDER BY x.p_brand, x.mon""".stripMargin)),
+             |ORDER BY x.p_brand, x.mon""".stripMargin), bench = true),
 
     // q14 shape: cross-channel INTERSECT feeding a downstream rollup —
     // items sold in ALL THREE channels (two set-intersections over
@@ -1620,7 +1620,7 @@ object TpcdsQueries {
              |FROM r
              |WHERE CAST(rev_u AS DOUBLE) / 1000000.0 >
              |  (SELECT avg_item_rev FROM avgscalar)
-             |ORDER BY channel NULLS FIRST, category NULLS FIRST""".stripMargin)),
+             |ORDER BY channel NULLS FIRST, category NULLS FIRST""".stripMargin), bench = true),
 
     // q17 shape: the buy → return → re-buy funnel — three slices of the
     // SAME fact (store sale, store return, catalog re-purchase) chained
@@ -1713,7 +1713,7 @@ object TpcdsQueries {
              |  CAST(SUM(n_c) AS BIGINT) AS catalog_lines,
              |  CAST(SUM(q_c) AS DOUBLE) / CAST(SUM(n_c) AS DOUBLE) AS avg_catalog_qty
              |FROM chain GROUP BY part_bucket
-             |ORDER BY part_bucket""".stripMargin)),
+             |ORDER BY part_bucket""".stripMargin), bench = true),
 
     // q92 shape: "excess discount" — a CORRELATED scalar subquery in the
     // WHERE clause (a line qualifies when its discount amount exceeds
@@ -1762,7 +1762,7 @@ object TpcdsQueries {
              |  CAST(SUM(disc_u) AS DOUBLE) / 1000000.0 AS excess_amt
              |FROM e JOIN part ON l_partkey = p_partkey
              |GROUP BY p_brand
-             |ORDER BY p_brand""".stripMargin)),
+             |ORDER BY p_brand""".stripMargin), bench = true),
 
     // q95 shape: orders shipped by TWO-PLUS distinct suppliers that also
     // had a return — TPC-DS spells both screens as EXISTS over a
@@ -1819,5 +1819,5 @@ object TpcdsQueries {
              |  CAST(SUM(rev_u) AS DOUBLE) / 1000000.0 AS revenue
              |FROM q JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY o_orderpriority
-             |ORDER BY o_orderpriority""".stripMargin)))
+             |ORDER BY o_orderpriority""".stripMargin), bench = true))
 }
