@@ -601,20 +601,32 @@ object TpcdsQueries {
           element_at(split(col("p_type"), " "), 1).as("category"),
           col("l_extendedprice"), col("l_discount"))
         .createOrReplaceTempView("tpcds70_sales")
+      // The top-5 census and the ROLLUP both aggregate the same 5-table
+      // join; a CTE would inline twice and re-run the join tree — the
+      // last multi-scan-of-a-joined-fact in the bench set (r11 verdict).
+      // SUM is reaggregable, so pre-aggregate ONCE to the finest grain
+      // either consumer needs — (n_name, category), ~|nation|·|category|
+      // rows — and localCheckpoint that tiny frame (the q1/q23 pattern
+      // composed with the q67 pre-agg-before-ROLLUP doctrine). At 100 TB
+      // this trades the second 5-table join tree for a broadcast-sized
+      // materialization.
+      s.sql("""SELECT n_name, category,
+              |  SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount)
+              |    AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0))) AS sales_u
+              |FROM tpcds70_sales GROUP BY n_name, category""".stripMargin)
+        .localCheckpoint(true)
+        .createOrReplaceTempView("tpcds70_grain")
       s.sql("""WITH top5 AS (
               |  SELECT n_name FROM (
-              |    SELECT n_name,
-              |      SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount)
-              |        AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0))) AS tot_u
-              |    FROM tpcds70_sales GROUP BY n_name)
+              |    SELECT n_name, SUM(sales_u) AS tot_u
+              |    FROM tpcds70_grain GROUP BY n_name)
               |  ORDER BY tot_u DESC, n_name LIMIT 5),
               |r AS (
               |  SELECT n_name, category,
               |    CAST(grouping(n_name) AS INT) +
               |      CAST(grouping(category) AS INT) AS lochierarchy,
-              |    SUM(CAST(CAST(l_extendedprice * (1.0 - l_discount)
-              |      AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0))) AS sales_u
-              |  FROM tpcds70_sales
+              |    SUM(sales_u) AS sales_u
+              |  FROM tpcds70_grain
               |  WHERE n_name IN (SELECT n_name FROM top5)
               |  GROUP BY ROLLUP (n_name, category))
               |SELECT CAST(sales_u AS DOUBLE) / 1000000.0 AS total_sales,

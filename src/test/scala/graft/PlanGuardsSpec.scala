@@ -564,6 +564,12 @@ class PlanGuardsSpec extends SparkTestBase {
       s"q70 top-5 must be TakeOrderedAndProject:\n$p70")
     assert(p70.contains("LeftSemi"),
       s"q70 top-5 filter must plan a semi-join:\n$p70")
+    // Since r12 the top-5 census and the ROLLUP both read the
+    // localCheckpointed (n_name, category) pre-aggregate: the returned
+    // plan must contain ZERO parquet scans — a FileScan here means the
+    // 5-table join tree is being re-run for one of the consumers.
+    assert(!p70.contains("FileScan") && !p70.contains("BatchScan"),
+      s"q70 re-scans the join tree instead of the checkpointed grain:\n$p70")
 
     // q97/q38/q87: the per-channel set operations (FULL OUTER overlap,
     // triple INTERSECT, chained EXCEPT) are fused into ONE presence-flag
