@@ -137,34 +137,8 @@ object Multimodal {
     * stripped, so the digest depends only on image content, not layout. */
   final class BmpCodec extends MediaCodec {
     @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
-    private def le32(b: Array[Byte], off: Int): Int =
-      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
-        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
-    private def le16(b: Array[Byte], off: Int): Int =
-      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
     def decode(payload: Array[Byte]): DecodedMedia = {
-      require(payload.length >= 54 && payload(0) == 'B' && payload(1) == 'M',
-        "not a BMP payload")
-      val dataOffset = le32(payload, 10)
-      val w = le32(payload, 18)
-      val rawH = le32(payload, 22)
-      val topDown = rawH < 0
-      val h = math.abs(rawH)
-      val bpp = le16(payload, 28)
-      val compression = le32(payload, 30)
-      require(bpp == 24 && compression == 0,
-        s"only 24-bit uncompressed BMP supported (bpp=$bpp, compression=$compression)")
-      require(w > 0 && h > 0, s"bad BMP dimensions ${w}x$rawH")
-      val stride = ((w * 3 + 3) / 4) * 4
-      require(payload.length >= dataOffset + stride.toLong * h,
-        s"truncated BMP: need ${stride.toLong * h} pixel bytes at offset $dataOffset")
-      val pixels = new Array[Byte](w * 3 * h)
-      var row = 0
-      while (row < h) {
-        val srcRow = if (topDown) row else h - 1 - row
-        System.arraycopy(payload, dataOffset + srcRow * stride, pixels, row * w * 3, w * 3)
-        row += 1
-      }
+      val (w, h, pixels) = bmpPixelsTopDown(payload)
       DecodedMedia(w, h, 1, hexMd5(md, pixels))
     }
   }
@@ -211,6 +185,122 @@ object Multimodal {
     df.withColumn("payload",
       unhex(concat(lit(headerHex), rowHex(1), lit("0000"), rowHex(0), lit("0000"))))
   }
+
+  /** Build a REAL 8×8 24-bit BMP per row whose grayscale content is a
+    * seeded pseudo-image with NEAR-DUPLICATE structure: every 4
+    * consecutive doc_ids share a source image (seed = doc_id div 4;
+    * gray of logical pixel j = byte j%16 of md5(seed || '_' || j div 16))
+    * and each doc perturbs exactly ONE pixel (+128 mod 256 at position
+    * doc_id % 64) — so same-seed images differ in ≤2 pixels, the shape a
+    * perceptual-hash dedup must catch, while different seeds are
+    * uncorrelated. r=g=b, so any luma formula recovers the gray value
+    * exactly, and an external oracle recomputes every pixel from the
+    * md5 formula without parsing BMP. Stored bottom-up with LE headers
+    * like every 24-bit BMP (8·3 = 24-byte rows are already 4-aligned,
+    * so no stride padding here — encodeBmp2x2 covers that case). Pure
+    * expressions: 4 md5 calls per row, codegen'd, zero shuffle. */
+  def encodeBmpGray8x8(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    def le(v: Int, bytes: Int): String =
+      (0 until bytes).map(i => "%02X".format((v >> (8 * i)) & 0xff)).mkString
+    val headerHex = "424D" + le(54 + 192, 4) + le(0, 4) + le(54, 4) +
+      le(40, 4) + le(8, 4) + le(8, 4) + le(1, 2) + le(24, 2) +
+      le(0, 4) + le(192, 4) + le(0, 4) + le(0, 4) + le(0, 4) + le(0, 4)
+    def pixHex(j: Int): String = {
+      val blk = j / 16
+      val off = 2 * (j % 16) + 1
+      val base = s"SUBSTRING(MD5(CONCAT(CAST($idCol DIV 4 AS STRING), '_', '$blk')), $off, 2)"
+      s"IF($idCol % 64 = $j, " +
+        s"LOWER(LPAD(HEX((CAST(CONV($base, 16, 10) AS INT) + 128) % 256), 2, '0')), $base)"
+    }
+    // Storage order: bottom-up rows (stored row sr = logical row 7-sr),
+    // three identical channel bytes per pixel.
+    val pixelPlane = (0 until 8).flatMap { sr =>
+      val r = 7 - sr
+      (0 until 8).map { c => s"REPEAT(${pixHex(r * 8 + c)}, 3)" }
+    }
+    df.withColumn("payload",
+      unhex(expr(s"CONCAT('$headerHex', ${pixelPlane.mkString(", ")})")))
+  }
+
+  /** Shared 24-bit BMP pixel extraction: LE header parse, stride
+    * honored, rows returned in LOGICAL top-down order with padding
+    * stripped. [[BmpCodec]] digests these bytes; [[decodeBmpGray]]
+    * projects luma from them. */
+  private[llm] def bmpPixelsTopDown(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+    def le32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    def le16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    require(payload.length >= 54 && payload(0) == 'B' && payload(1) == 'M',
+      "not a BMP payload")
+    val dataOffset = le32(payload, 10)
+    val w = le32(payload, 18)
+    val rawH = le32(payload, 22)
+    val topDown = rawH < 0
+    val h = math.abs(rawH)
+    val bpp = le16(payload, 28)
+    val compression = le32(payload, 30)
+    require(bpp == 24 && compression == 0,
+      s"only 24-bit uncompressed BMP supported (bpp=$bpp, compression=$compression)")
+    require(w > 0 && h > 0, s"bad BMP dimensions ${w}x$rawH")
+    val stride = ((w * 3 + 3) / 4) * 4
+    require(payload.length >= dataOffset + stride.toLong * h,
+      s"truncated BMP: need ${stride.toLong * h} pixel bytes at offset $dataOffset")
+    val pixels = new Array[Byte](w * 3 * h)
+    var row = 0
+    while (row < h) {
+      val srcRow = if (topDown) row else h - 1 - row
+      System.arraycopy(payload, dataOffset + srcRow * stride, pixels, row * w * 3, w * 3)
+      row += 1
+    }
+    (w, h, pixels)
+  }
+
+  /** Partition-wise BMP decode to GRAYSCALE: parses the same 24-bit
+    * format as [[BmpCodec]] and projects integer luma
+    * (299·R + 587·G + 114·B) div 1000 per pixel (BMP stores BGR), in
+    * logical top-down order. Narrow mapPartitions — no shuffle, scales
+    * with input splits; the real pixel bytes are the only input, so a
+    * decoder bug (row flip, stride, channel order) changes the grays
+    * and every downstream perceptual hash. */
+  def decodeBmpGray(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val (w, h, px) = bmpPixelsTopDown(payload)
+          val gray = new Array[Int](w * h)
+          var i = 0
+          while (i < gray.length) {
+            val b = px(3 * i) & 0xff
+            val g = px(3 * i + 1) & 0xff
+            val r = px(3 * i + 2) & 0xff
+            gray(i) = (299 * r + 587 * g + 114 * b) / 1000
+            i += 1
+          }
+          (id, w, h, gray)
+        }
+      }
+      .toDF("doc_id", "width", "height", "gray")
+  }
+
+  /** 56-bit difference hash (dHash) over an 8×8 `gray` grid: bit
+    * (r·7 + c) is set when gray(r,c) < gray(r,c+1) — for left pixel j
+    * (column j%8 < 7) the bit index is j - j div 8. Pure codegen'd
+    * projection over the array column; the BIGINT packs bits 0..55, so
+    * it is non-negative and replays exactly in any engine with 64-bit
+    * integers (the KMV hash-range lesson). Classic dHash resamples an
+    * arbitrary image to the (W+1)×H grid first; the resample belongs in
+    * the codec ([[resizePlan]] computes its geometry) — here the corpus
+    * is generated at grid size. */
+  def dHash56(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), expr(
+      """aggregate(filter(sequence(0, 62), j -> j % 8 < 7), CAST(0 AS BIGINT),
+        |  (acc, j) -> acc + IF(element_at(gray, j + 1) < element_at(gray, j + 2),
+        |    shiftleft(CAST(1 AS BIGINT), j - j DIV 8), CAST(0 AS BIGINT)))""".stripMargin)
+      .as("phash"))
 
   /** Partition-wise decode: the imperative escape hatch (mapPartitions)
     * the SURVEY reserves for genuine per-partition logic — a codec is

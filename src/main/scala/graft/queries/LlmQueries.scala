@@ -1551,6 +1551,83 @@ object LlmQueries {
               |    AS target_height
               |FROM d ORDER BY doc_id""".stripMargin)),
 
+    "llm_image_phash_dedup" -> Q((s, dir) => {
+      // Perceptual-hash image near-dup — the canonical 100 TB multimodal
+      // pipeline op, end-to-end REAL on the Spark side: genuine 8×8
+      // 24-bit BMPs (seeded md5 pixels; every 4 consecutive docs share a
+      // source image, each perturbing ONE pixel) → partition-wise BMP
+      // decode to luma grays → 56-bit dHash (pure projection) → banded
+      // LSH over 4×14-bit hash slices through the SAME skew-capped
+      // candidate machinery as the MinHash chain
+      // (Dedup.candidatePairsCapped: hot buckets emit member↔rep stars,
+      // never n²) → Hamming verify bit_count(xor) ≤ 6 on the survivors.
+      // The hash frame feeds bands and both verify sides, so it is
+      // computed ONCE and localCheckpointed (8 bytes/doc). The oracle
+      // replays pixels from the generation formula — a decoder bug (row
+      // flip, stride, channel order) or a hash/banding bug diverges.
+      val imgs = Multimodal.encodeBmpGray8x8(
+        T(s, dir, "documents").select(col("doc_id")))
+      val hashed = Multimodal.dHash56(
+          Multimodal.decodeBmpGray(s, imgs))
+        .localCheckpoint(true)
+      val bands = hashed
+        .select(col("doc_id"), col("phash"),
+          explode(expr("sequence(0, 3)")).as("band"))
+        .select(col("doc_id"), col("band"),
+          expr("shiftright(phash, 14 * band) & 16383").as("band_hash"))
+      val pairs = Dedup.candidatePairsCapped(bands, "doc_id",
+        maxBucket = 64, reps = 8)
+      pairs
+        .join(hashed.select(col("doc_id").as("id_a"), col("phash").as("ph_a")), "id_a")
+        .join(hashed.select(col("doc_id").as("id_b"), col("phash").as("ph_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int").as("hamming"),
+          col("capped"))
+        .filter(col("hamming") <= 6)
+        .orderBy("id_a", "id_b")
+    }, Some("""WITH px AS (
+              |  SELECT doc_id, j,
+              |    ((('0x' || substring(md5((doc_id // 4)::VARCHAR || '_' ||
+              |          (j // 16)::VARCHAR), 2 * (j % 16) + 1, 2))::BIGINT
+              |      + CASE WHEN j = doc_id % 64 THEN 128 ELSE 0 END) % 256) AS v
+              |  FROM documents, range(64) t(j)),
+              |ph AS (
+              |  SELECT l.doc_id,
+              |    SUM(CASE WHEN l.v < r.v
+              |      THEN (1::BIGINT << CAST(l.j - l.j // 8 AS INT))
+              |      ELSE 0 END) AS phash
+              |  FROM px l JOIN px r ON r.doc_id = l.doc_id AND r.j = l.j + 1
+              |  WHERE l.j % 8 < 7
+              |  GROUP BY l.doc_id),
+              |bands AS (
+              |  SELECT doc_id, phash, b.b AS band,
+              |    (phash >> CAST(14 * b.b AS INT)) & 16383 AS band_hash
+              |  FROM ph, range(4) b(b)),
+              |bsize AS (SELECT band, band_hash, count(*) AS n
+              |  FROM bands GROUP BY band, band_hash),
+              |bx AS (SELECT b.doc_id, b.band, b.band_hash, s.n > 64 AS oversized
+              |  FROM bands b JOIN bsize s USING (band, band_hash) WHERE s.n > 1),
+              |rp AS (SELECT band, band_hash, doc_id AS rep FROM (
+              |    SELECT band, band_hash, doc_id,
+              |      row_number() OVER (PARTITION BY band, band_hash
+              |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+              |    FROM bx WHERE oversized) z WHERE rk <= 8),
+              |small_pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, false AS c
+              |  FROM bx x JOIN bx y ON x.band = y.band AND x.band_hash = y.band_hash
+              |  WHERE NOT x.oversized AND x.doc_id < y.doc_id),
+              |big_pairs AS (SELECT least(m.doc_id, r.rep) AS id_a,
+              |    greatest(m.doc_id, r.rep) AS id_b, true AS c
+              |  FROM bx m JOIN rp r ON m.band = r.band AND m.band_hash = r.band_hash
+              |  WHERE m.oversized AND m.doc_id <> r.rep),
+              |cp AS (SELECT id_a, id_b, bool_and(c) AS capped
+              |  FROM (SELECT * FROM small_pairs UNION ALL SELECT * FROM big_pairs) u
+              |  GROUP BY id_a, id_b)
+              |SELECT c.id_a, c.id_b,
+              |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming, c.capped
+              |FROM cp c JOIN ph a ON a.doc_id = c.id_a JOIN ph b ON b.doc_id = c.id_b
+              |WHERE bit_count(xor(a.phash, b.phash)) <= 6
+              |ORDER BY c.id_a, c.id_b""".stripMargin), bench = true),
+
     // ----- JSON prop extraction over events (F23 companion) ------------
     "llm_json_props_agg" -> Q((s, dir) =>
       T(s, dir, "events")

@@ -387,6 +387,49 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got === hexMd5OfBytes(pixels))
   }
 
+  test("encodeBmpGray8x8 → decodeBmpGray recovers the formula grays; dHash56 is near-dup-shaped") {
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // Independent replay of the generator: gray of logical pixel j for
+    // doc id = byte j%16 of md5(seed '_' block), +128 on the doc's one
+    // perturbed position.
+    def gray(id: Long, j: Int): Int = {
+      val hex = md5Hex(s"${id / 4}_${j / 16}")
+      val base = Integer.parseInt(hex.substring(2 * (j % 16), 2 * (j % 16) + 2), 16)
+      (base + (if (j == id % 64) 128 else 0)) % 256
+    }
+    val ids = spark.range(0, 16).select(col("id").as("doc_id"))
+    val decoded = Multimodal.decodeBmpGray(spark,
+      Multimodal.encodeBmpGray8x8(ids))
+    val rows = decoded.collect()
+    assert(rows.length === 16)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("width") === 8 && r.getAs[Int]("height") === 8)
+      val got = r.getAs[scala.collection.Seq[Int]]("gray")
+      val want = (0 until 64).map(j => gray(id, j))
+      assert(got == want, s"gray mismatch for doc $id:\n got=$got\nwant=$want")
+    }
+    // dHash: 56 bits packed non-negative; same-seed docs (≤2 perturbed
+    // pixels apart) sit within Hamming 4, the near-dup structure the
+    // banded gate detects.
+    val hashed = Multimodal.dHash56(decoded).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("phash")).toMap
+    hashed.values.foreach(p => assert(p >= 0 && p < (1L << 56)))
+    for (seed <- 0 until 4; a <- 0 until 4; b <- (a + 1) until 4) {
+      val h = java.lang.Long.bitCount(
+        hashed(seed * 4L + a) ^ hashed(seed * 4L + b))
+      assert(h <= 4, s"same-seed pair ($seed: $a,$b) at Hamming $h")
+    }
+    // Independent dHash replay from the formula grays.
+    val id = 7L
+    val want = (0 until 63).filter(_ % 8 < 7).map { j =>
+      if (gray(id, j) < gray(id, j + 1)) 1L << (j - j / 8) else 0L
+    }.sum
+    assert(hashed(id) === want)
+  }
+
   test("CountMin: estimates are one-sided and half-sketches merge to the whole") {
     import graft.operators.CountMin
     val keys = (0 until 400).map(i => s"k${i % 37}").toDF("k")
