@@ -85,9 +85,18 @@ case class AsOfMergeJoinExec(
     forward: Boolean = false,
     toleranceSec: Option[Long] = None) extends BinaryExecNode {
 
+  // keyOrd/tsOrd below are built from the LEFT side's types but compare
+  // projections of BOTH sides — mismatched right-side types (e.g. an INT
+  // right ts against a LONG left ts) would silently miscompare instead
+  // of failing (r11 advice). Fail loudly at construction.
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    s"asof join key types must match: left=${leftKeys.map(_.dataType)} " +
+      s"right=${rightKeys.map(_.dataType)}")
+  require(leftTs.dataType == rightTs.dataType,
+    s"asof join ts types must match: left=${leftTs.dataType} right=${rightTs.dataType}")
   require(toleranceSec.isEmpty || leftTs.dataType ==
     org.apache.spark.sql.types.LongType,
-    "asof tolerance requires a LONG ts column (numeric distance)")
+    "asof tolerance requires LONG ts columns (numeric distance)")
   require(toleranceSec.forall(_ >= 0), "asof tolerance must be >= 0")
 
   override def output: Seq[Attribute] =

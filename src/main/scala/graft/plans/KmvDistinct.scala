@@ -73,7 +73,19 @@ case class KmvDistinct(
   override def update(buf: JTreeSet[java.lang.Long],
       input: InternalRow): JTreeSet[java.lang.Long] = {
     val v = child.eval(input)
-    if (v != null) add(buf, v.asInstanceOf[Long])
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      // The estimator divides by buf.last()+1 assuming hashes lie in
+      // [0, 2^32): a full-range input (e.g. xxhash64, whose longs go
+      // negative) would corrupt the estimate silently — or divide by
+      // zero at last() == -1 (r11 advice). Enforce the contract at
+      // update time so out-of-range input fails loudly, once, with the
+      // offending value named.
+      require(h >= 0L && h < 4294967296L,
+        s"kmv_distinct expects 32-bit hashes in [0, 2^32) — got $h; " +
+          "mask full-range hashes first (e.g. xxhash64(x) & 4294967295)")
+      add(buf, h)
+    }
     buf
   }
 

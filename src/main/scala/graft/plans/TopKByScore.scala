@@ -28,6 +28,15 @@ import org.apache.spark.sql.types._
   * no ties (ids are distinct within a group) — pinned in
   * TopKByScoreSpec.
   *
+  * CONTRACT — (score, id) pairs must be DISTINCT within a group: the
+  * set buffer dedups identical pairs, so duplicate input rows (or equal
+  * pairs meeting at merge) collapse to ONE entry, where the row_number
+  * window spelling would emit both and push a distinct pair out of the
+  * top k. Use a unique id per row (the intended usage — it is the
+  * tiebreak that makes the result order-deterministic) and the two
+  * spellings agree row-for-row (gate `o8_topk_heap_agg`); feed repeated
+  * ids and they deliberately do not.
+  *
   * Beyond-parity next to `o5_topk_per_group` (the window spelling kept
   * for parity with ranked-query semantics); gate `o8_topk_heap_agg`
   * proves both spellings agree row-for-row while this one plans NO
@@ -133,7 +142,9 @@ object TopKByScore {
       }
     }
 
-  /** Column API: rank-ordered array of the k best (score, id) pairs. */
+  /** Column API: rank-ordered array of the k best (score, id) pairs.
+    * (score, id) must be distinct per group — duplicates collapse to
+    * one entry (see the class contract note). */
   def topK(score: Column, id: Column, k: Int): Column =
     GraftSqlBridge.column(TopKByScore(
       GraftSqlBridge.expression(score), GraftSqlBridge.expression(id), k)
@@ -148,7 +159,9 @@ object TopKByScore {
     TopKByScore(exprs(0), exprs(1), k)
   }
 
-  /** Register as the SQL aggregate `topk_by_score(score, id, k)`. */
+  /** Register as the SQL aggregate `topk_by_score(score, id, k)`.
+    * Contract: (score, id) pairs distinct per group — duplicate pairs
+    * collapse to one entry, unlike the row_number window spelling. */
   def register(spark: SparkSession): Unit =
     GraftSqlBridge.registerFunction(spark, "topk_by_score", build)
 }

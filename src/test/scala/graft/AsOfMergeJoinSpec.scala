@@ -152,6 +152,24 @@ class AsOfMergeJoinSpec extends SparkTestBase {
     assert(composed === out)
   }
 
+  test("mismatched right-side key/ts types fail loudly at planning") {
+    // keyOrd/tsOrd are built from LEFT types but compare both sides'
+    // projections — an INT right ts against a LONG left ts must throw at
+    // exec construction, not silently miscompare (r11 advice).
+    val r32 = quotes.withColumn("q_ts", col("q_ts").cast("int"))
+    val err = intercept[Exception] {
+      AsOfJoin.asof(trades, r32, Seq("sym"), "t_ts", "q_ts").collect()
+    }
+    assert(err.getMessage.contains("ts types must match"),
+      s"unexpected error: ${err.getMessage}")
+    val rk32 = quotes.withColumn("sym", col("sym").cast("int"))
+    val err2 = intercept[Exception] {
+      AsOfJoin.asof(trades, rk32, Seq("sym"), "t_ts", "q_ts").collect()
+    }
+    assert(err2.getMessage.contains("key types must match"),
+      s"unexpected error: ${err2.getMessage}")
+  }
+
   test("property: agrees with Scala brute force on random (key, ts) data") {
     // Random left (dup keys/ts allowed) vs (key, ts)-unique right;
     // payload is derived from (key, ts) so the winner is checkable.

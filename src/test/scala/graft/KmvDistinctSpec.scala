@@ -66,6 +66,26 @@ class KmvDistinctSpec extends SparkTestBase {
     }
   }
 
+  test("out-of-range hashes fail loudly instead of corrupting the estimate") {
+    import spark.implicits._
+    // The estimator assumes [0, 2^32): full-range xxhash64-style input
+    // (negative longs) must throw at update time, not produce a negative
+    // estimate or divide by zero (r11 advice).
+    val neg = Seq(-1L, 5L).toDF("hv")
+    val err = intercept[Exception] {
+      neg.agg(KmvDistinct.kmv(col("hv"), 8)).collect()
+    }
+    assert(err.getMessage != null &&
+      (err.getMessage.contains("[0, 2^32)") ||
+        Option(err.getCause).exists(_.getMessage.contains("[0, 2^32)"))),
+      s"unexpected error: ${err.getMessage}")
+    val big = Seq(1L << 32, 5L).toDF("hv")
+    val err2 = intercept[Exception] {
+      big.agg(KmvDistinct.kmv(col("hv"), 8)).collect()
+    }
+    assert(err2.getMessage != null)
+  }
+
   test("SQL registration: kmv_distinct(hash, k) resolves and aggregates") {
     KmvDistinct.register(spark)
     hashed(40, 2).createOrReplaceTempView("kmv_in")

@@ -213,7 +213,31 @@ def check_pair_tail(con, name, sql, out_dir, chunks):
     return compare(con, name, full, out_dir, f", {len(union)} {cte_name} rows")
 
 
-def check(con, name, sql, out_dir, chunks=1):
+def materialize_ctes(sql, names):
+    """Rewrite `name AS (` to `name AS MATERIALIZED (` for each named CTE.
+
+    DuckDB inlines CTEs by default, so a CTE referenced twice is
+    COMPUTED twice — for llm_winnow_pairs the doubly-referenced `fl`
+    (census + flag-back) re-runs the whole per-position md5 fingerprint
+    grid, which is what priced the sf10 oracle out of reach (r10/r11).
+    MATERIALIZED evaluates it once; the formulas are untouched.
+    """
+    for n in names:
+        sql, k = re.subn(rf"\b{re.escape(n)}\s+AS\s*\(",
+                         f"{n} AS MATERIALIZED (", sql, count=1)
+        if k == 0:
+            raise ValueError(f"--materialize: CTE {n!r} not found in oracle")
+    return sql
+
+
+def check(con, name, sql, out_dir, chunks=1, materialize=()):
+    if materialize:
+        sql = materialize_ctes(sql, materialize)
+        if split_oracle(sql) is None and not PAIR_JOIN.search(sql):
+            # No component fixpoint and no pair-verify join to slice:
+            # the materialization itself is the treatment — run the
+            # oracle verbatim (single evaluation of each heavy CTE).
+            return compare(con, name, sql, out_dir)
     parts = split_oracle(sql)
     if parts is not None:
         return check_components(con, name, sql, parts, out_dir, chunks)
@@ -228,6 +252,9 @@ def main():
     ap.add_argument("names", nargs="+")
     ap.add_argument("--chunks", type=int, default=1,
                     help="evaluate the pair-verify join in N pair-set slices")
+    ap.add_argument("--materialize", default="",
+                    help="comma-separated CTE names to rewrite AS MATERIALIZED "
+                         "(single evaluation of multiply-referenced heavy CTEs)")
     opts = ap.parse_args()
     sqls = json.load(open(f"{opts.out_dir}/oracle_sql.json"))
     con = duckdb.connect()
@@ -269,7 +296,8 @@ def main():
     ok = True
     for n in opts.names:
         try:
-            ok &= check(con, n, sqls[n], opts.out_dir, opts.chunks)
+            mat = tuple(x for x in opts.materialize.split(",") if x)
+            ok &= check(con, n, sqls[n], opts.out_dir, opts.chunks, mat)
         except Exception as e:  # noqa: BLE001 — report and continue
             print(f"FAIL {n}: {type(e).__name__}: {e}")
             ok = False
