@@ -552,6 +552,36 @@ object RelationalQueries {
               |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
               |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin)),
 
+    "j17_salted_skew_customer" -> Q((s, dir) => {
+      // The salted join on the CUSTOMER key — the key the skew octave
+      // (StressDataGen "skew": customer 0 takes ~1% of all orders, so
+      // ~1% of the fact) actually makes hot. j9 salts the orderkey,
+      // which stays uniform in every corpus; this gate is the one whose
+      // salted (key, salt) spread does real work on skewed data, and its
+      // oracle is the plain join it must equal. saltFactor 16 ≈ hot-key
+      // share × shuffle partitions at the stress scale.
+      val fact = T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .join(T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("k"), col("l_extendedprice"))
+      val cust = T(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_mktsegment"))
+      graft.operators.Skew.saltedJoin(fact, cust, "k", saltFactor = 16)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy("c_mktsegment")
+    }, Some("""SELECT c.c_mktsegment, count(*) AS cnt,
+              |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+              |    AS sum_price
+              |FROM lineitem l
+              |JOIN orders o ON l.l_orderkey = o.o_orderkey
+              |JOIN customer c ON o.o_custkey = c.c_custkey
+              |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin),
+      bench = true),
+
     "j10_bloom_prune_join" -> Q((s, dir) => {
       // Bloom semi-join reduction (operators/BloomPrune): the fact side
       // is pruned by a constant-size sketch of the selective dim keys

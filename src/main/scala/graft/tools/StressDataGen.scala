@@ -61,6 +61,7 @@ object StressDataGen {
   def main(args: Array[String]): Unit = {
     val outDir = if (args.nonEmpty) args(0) else "/tmp/stressdata"
     val sf = if (args.length > 1) args(1).toDouble else 1.0
+    val skewHot = args.length > 2 && args(2) == "skew"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -69,12 +70,22 @@ object StressDataGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, outDir, sf)
+    generate(spark, outDir, sf, skewHot)
     spark.stop()
   }
 
-  /** Write all ten tables at `sf` (1.0 ≈ 10× the sf0.1 corpus). */
-  def generate(spark: SparkSession, outDir: String, sf: Double): Unit = {
+  /** Write all ten tables at `sf` (1.0 ≈ 10× the sf0.1 corpus).
+    *
+    * `skewHot` (CLI arg 3 = "skew") is the SKEW OCTAVE (r11 verdict
+    * stretch): ~1% of all orders — and therefore ~1% of lineitem via
+    * the FK chain — are redirected to customer 0, a Zipf-head join key
+    * two to three orders of magnitude hotter than uniform. The salted
+    * join, AQE skew handling, and every customer-grain aggregate get a
+    * genuinely skewed key distribution; everything else (and every
+    * oracle, which reads the same parquet) is unchanged.
+    */
+  def generate(spark: SparkSession, outDir: String, sf: Double,
+      skewHot: Boolean = false): Unit = {
     val nCust = (150000 * sf).toLong max 100
     val nSupp = (10000 * sf).toLong max 20
     val nPart = (200000 * sf).toLong max 200
@@ -137,7 +148,10 @@ object StressDataGen {
     val epoch95 = to_timestamp(lit("1995-01-01 00:00:00"))
     val orders = spark.range(nOrders).select(
       col("id").as("o_orderkey"),
-      (h(col("id"), lit(11)) % nCust).as("o_custkey"),
+      (if (skewHot)
+        when(h(col("id"), lit(26)) % 100 === 0, lit(0L))
+          .otherwise(h(col("id"), lit(11)) % nCust)
+      else h(col("id"), lit(11)) % nCust).as("o_custkey"),
       element_at(statuses, (h(col("id"), lit(12)) % 3 + 1).cast("int")).as("o_orderstatus"),
       round(lit(1000.0) + (h(col("id"), lit(13)) % 49900000) / 100.0, 2).as("o_totalprice"),
       timestamp_add("DAY", (h(col("id"), lit(14)) % 2400).cast("int"), epoch95)
