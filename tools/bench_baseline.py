@@ -29,6 +29,11 @@ def main() -> None:
         vals = [s["queries"][n] for s in sessions]
         queries[n] = -1.0 if any(v < 0 for v in vals) else round(statistics.median(vals), 3)
     ok = [v for v in queries.values() if v >= 0]
+    # The anchor carries its epoch's calibration-probe seconds so future
+    # Bench runs self-adjudicate: epoch_ratio = session probe / anchor
+    # probe divides uniform host drift out of every per-query ratio
+    # (r11 verdict item 3 — three rounds of manual epoch arithmetic).
+    probes = [s["probe_sec"] for s in sessions if s.get("probe_sec", -1) > 0]
     out = {
         "metric": "total",
         "value": round(sum(ok), 3),
@@ -38,6 +43,8 @@ def main() -> None:
         "n_sessions": len(sessions),
         "session_totals": [s["value"] for s in sessions],
         "stall_suspect_sessions": [s.get("stall_suspect") for s in sessions],
+        "probe_sec": round(statistics.median(probes), 3) if probes else -1.0,
+        "session_probes": [s.get("probe_sec", -1.0) for s in sessions],
         "queries": queries,
     }
     Path("BENCH_BASELINE.json").write_text(json.dumps(out, indent=1) + "\n")
