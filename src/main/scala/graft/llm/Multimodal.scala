@@ -286,15 +286,73 @@ object Multimodal {
       .toDF("doc_id", "width", "height", "gray")
   }
 
+  /** Build variable-size 24-bit BMPs (the general-image input for the
+    * resample→dHash path): width 13 or 18 BY SEED (both widths force a
+    * nonzero 4-byte stride pad — 39→40 and 54→56 — so the decoder's
+    * padding handling is exercised on every row), height 16. Same
+    * near-dup structure as [[encodeBmpGray8x8]]: 4 consecutive docs
+    * share a seed (= same dims + same md5 base pixels, since width is a
+    * seed function), each doc perturbing ONE pixel (+128 at
+    * doc_id % npix). Gray of logical pixel j = byte j%16 of
+    * md5(seed || '_' || j div 16); r=g=b. */
+  def encodeBmpGrayVar(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    def le(v: Int, bytes: Int): String =
+      (0 until bytes).map(i => "%02X".format((v >> (8 * i)) & 0xff)).mkString
+    def headerHex(w: Int, h: Int): String = {
+      val stride = ((w * 3 + 3) / 4) * 4
+      "424D" + le(54 + stride * h, 4) + le(0, 4) + le(54, 4) +
+        le(40, 4) + le(w, 4) + le(h, 4) + le(1, 2) + le(24, 2) +
+        le(0, 4) + le(stride * h, 4) + le(0, 4) + le(0, 4) + le(0, 4) + le(0, 4)
+    }
+    def pixHex(j: Int, npix: Int): String = {
+      val blk = j / 16
+      val off = 2 * (j % 16) + 1
+      val base = s"SUBSTRING(MD5(CONCAT(CAST($idCol DIV 4 AS STRING), '_', '$blk')), $off, 2)"
+      s"IF($idCol % $npix = $j, " +
+        s"LOWER(LPAD(HEX((CAST(CONV($base, 16, 10) AS INT) + 128) % 256), 2, '0')), $base)"
+    }
+    def bodyHex(w: Int, h: Int): String = {
+      val padHex = "00" * (((w * 3 + 3) / 4) * 4 - w * 3)
+      val rows = (0 until h).map { sr =>
+        val r = h - 1 - sr // bottom-up storage
+        (0 until w).map(c => s"REPEAT(${pixHex(r * w + c, w * h)}, 3)")
+          .mkString(", ") + (if (padHex.nonEmpty) s", '$padHex'" else "")
+      }
+      rows.mkString(", ")
+    }
+    val narrow = s"CONCAT('${headerHex(13, 16)}', ${bodyHex(13, 16)})"
+    val wide = s"CONCAT('${headerHex(18, 16)}', ${bodyHex(18, 16)})"
+    df.withColumn("payload",
+      unhex(expr(s"IF(($idCol DIV 4) % 2 = 0, $narrow, $wide)")))
+  }
+
+  /** Block-mean resample of a decoded (width, height, gray) image to a
+    * gw×gh grid — the resample stage classic dHash runs before hashing,
+    * as REAL distributed arithmetic: posexplode the pixels, assign each
+    * to grid cell (y·gh div h, x·gw div w), integer-mean per cell, and
+    * re-assemble the row-major grid array. Exactly replayable by any
+    * engine with integer division. One shuffle at (doc, cell) grain. */
+  def resampleGray(df: DataFrame, gw: Int = 8, gh: Int = 8): DataFrame =
+    df.select(col("doc_id"), col("width"), col("height"),
+        posexplode(col("gray")).as(Seq("j", "v")))
+      .select(col("doc_id"), col("width"), col("height"), col("v"),
+        expr(s"(j DIV width) * $gh DIV height").as("gy"),
+        expr(s"(j % width) * $gw DIV width").as("gx"))
+      .groupBy("doc_id", "width", "height", "gy", "gx")
+      .agg(expr("CAST(sum(v) AS BIGINT) DIV count(v)").as("mv"))
+      .groupBy("doc_id", "width", "height")
+      .agg(expr(
+        s"""transform(array_sort(collect_list(struct(gy, gx, mv))),
+           |  s -> CAST(s.mv AS INT))""".stripMargin).as("gray"))
+
   /** 56-bit difference hash (dHash) over an 8×8 `gray` grid: bit
     * (r·7 + c) is set when gray(r,c) < gray(r,c+1) — for left pixel j
     * (column j%8 < 7) the bit index is j - j div 8. Pure codegen'd
     * projection over the array column; the BIGINT packs bits 0..55, so
     * it is non-negative and replays exactly in any engine with 64-bit
     * integers (the KMV hash-range lesson). Classic dHash resamples an
-    * arbitrary image to the (W+1)×H grid first; the resample belongs in
-    * the codec ([[resizePlan]] computes its geometry) — here the corpus
-    * is generated at grid size. */
+    * arbitrary image to the grid first — [[resampleGray]] is that stage;
+    * [[encodeBmpGray8x8]] corpora are generated at grid size and skip it. */
   def dHash56(df: DataFrame): DataFrame =
     df.select(col("doc_id"), expr(
       """aggregate(filter(sequence(0, 62), j -> j % 8 < 7), CAST(0 AS BIGINT),

@@ -29,6 +29,85 @@ object LlmQueries {
     emb.filter(col("vec_id") < 8 || col("vec_id") % 2500 === 0)
   private val scaledCentroidSql = "vec_id < 8 OR vec_id % 2500 = 0"
 
+  // Shared image-phash chain (llm_image_phash_dedup + _clusters):
+  // encode real 8×8 BMPs → partition-wise decode to luma → 56-bit dHash
+  // (checkpointed: 8 bytes/doc, feeds bands and both verify sides) →
+  // 4×14-bit banded candidates through the skew-capped machinery →
+  // Hamming ≤ 6 verify. Returns (hash frame, verified pairs).
+  private def phashVerifiedPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val hashed = Multimodal.dHash56(
+        Multimodal.decodeBmpGray(s, Multimodal.encodeBmpGray8x8(
+          T(s, dir, "documents").select(col("doc_id")))))
+      .localCheckpoint(true)
+    val bands = hashed
+      .select(col("doc_id"), col("phash"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .select(col("doc_id"), col("band"),
+        expr("shiftright(phash, 14 * band) & 16383").as("band_hash"))
+    val pairs = Dedup.candidatePairsCapped(bands, "doc_id",
+        maxBucket = 64, reps = 8)
+      .join(hashed.select(col("doc_id").as("id_a"), col("phash").as("ph_a")), "id_a")
+      .join(hashed.select(col("doc_id").as("id_b"), col("phash").as("ph_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int").as("hamming"),
+        col("capped"))
+      .filter(col("hamming") <= 6)
+    (hashed, pairs)
+  }
+
+  // Oracle pixel→hash→bands prefix shared by every image-phash gate
+  // (including the streaming twin in StreamingQueries): pixels replayed
+  // from the generation formula (no BMP parse), dHash packed
+  // identically. Ends at `bands` — (doc_id, phash, band, band_hash).
+  private[queries] val phashHashCtes =
+    """px AS (
+      |  SELECT doc_id, j,
+      |    ((('0x' || substring(md5((doc_id // 4)::VARCHAR || '_' ||
+      |          (j // 16)::VARCHAR), 2 * (j % 16) + 1, 2))::BIGINT
+      |      + CASE WHEN j = doc_id % 64 THEN 128 ELSE 0 END) % 256) AS v
+      |  FROM documents, range(64) t(j)),
+      |ph AS MATERIALIZED (
+      |  SELECT l.doc_id,
+      |    SUM(CASE WHEN l.v < r.v
+      |      THEN (1::BIGINT << CAST(l.j - l.j // 8 AS INT))
+      |      ELSE 0 END) AS phash
+      |  FROM px l JOIN px r ON r.doc_id = l.doc_id AND r.j = l.j + 1
+      |  WHERE l.j % 8 < 7
+      |  GROUP BY l.doc_id),
+      |bands AS (
+      |  SELECT doc_id, phash, b.b AS band,
+      |    (phash >> CAST(14 * b.b AS INT)) & 16383 AS band_hash
+      |  FROM ph, range(4) b(b))""".stripMargin
+
+  // Capped candidate + Hamming-verify continuation (md5-order rep
+  // election, member↔rep stars, capped = bool_and — replayed in full).
+  // Ends at `vp`, the verified (id_a, id_b, hamming, capped) pair set.
+  private val phashPairsCtes = phashHashCtes + """,
+      |bsize AS (SELECT band, band_hash, count(*) AS n
+      |  FROM bands GROUP BY band, band_hash),
+      |bx AS (SELECT b.doc_id, b.band, b.band_hash, s.n > 64 AS oversized
+      |  FROM bands b JOIN bsize s USING (band, band_hash) WHERE s.n > 1),
+      |rp AS (SELECT band, band_hash, doc_id AS rep FROM (
+      |    SELECT band, band_hash, doc_id,
+      |      row_number() OVER (PARTITION BY band, band_hash
+      |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |    FROM bx WHERE oversized) z WHERE rk <= 8),
+      |small_pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, false AS c
+      |  FROM bx x JOIN bx y ON x.band = y.band AND x.band_hash = y.band_hash
+      |  WHERE NOT x.oversized AND x.doc_id < y.doc_id),
+      |big_pairs AS (SELECT least(m.doc_id, r.rep) AS id_a,
+      |    greatest(m.doc_id, r.rep) AS id_b, true AS c
+      |  FROM bx m JOIN rp r ON m.band = r.band AND m.band_hash = r.band_hash
+      |  WHERE m.oversized AND m.doc_id <> r.rep),
+      |cp AS (SELECT id_a, id_b, bool_and(c) AS capped
+      |  FROM (SELECT * FROM small_pairs UNION ALL SELECT * FROM big_pairs) u
+      |  GROUP BY id_a, id_b),
+      |vp AS (SELECT c.id_a, c.id_b,
+      |    CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming, c.capped
+      |  FROM cp c JOIN ph a ON a.doc_id = c.id_a JOIN ph b ON b.doc_id = c.id_b
+      |  WHERE bit_count(xor(a.phash, b.phash)) <= 6)""".stripMargin
+
   // -- shared DuckDB fragments ------------------------------------------
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   private[queries] val toksCte =
@@ -1565,68 +1644,85 @@ object LlmQueries {
       // computed ONCE and localCheckpointed (8 bytes/doc). The oracle
       // replays pixels from the generation formula — a decoder bug (row
       // flip, stride, channel order) or a hash/banding bug diverges.
-      val imgs = Multimodal.encodeBmpGray8x8(
-        T(s, dir, "documents").select(col("doc_id")))
-      val hashed = Multimodal.dHash56(
-          Multimodal.decodeBmpGray(s, imgs))
+      // Chain shared with llm_image_phash_clusters ([[phashVerifiedPairs]]).
+      phashVerifiedPairs(s, dir)._2.orderBy("id_a", "id_b")
+    }, Some(s"""WITH $phashPairsCtes
+              |SELECT id_a, id_b, hamming, capped FROM vp
+              |ORDER BY id_a, id_b""".stripMargin), bench = true),
+
+    "llm_image_phash_clusters" -> Q((s, dir) => {
+      // Image duplicate CLUSTERS: the verified phash pairs are edges into
+      // the same pointer-jumping connected-components machinery the text
+      // dedup chain uses (Dedup.dedupClusters) — every image labeled with
+      // its duplicate-cluster id, canonical flag (min doc_id), and
+      // cluster size. This is the op a 100 TB multimodal corpus actually
+      // runs (keep one image per near-dup cluster); the oracle recomputes
+      // the components with an independent recursive min-reachable-id
+      // fixpoint over the replayed pairs.
+      val (_, pairs) = phashVerifiedPairs(s, dir)
+      Dedup.dedupClusters(T(s, dir, "documents").select("doc_id"), "doc_id",
+          pairs.select("id_a", "id_b"))
+        .orderBy("doc_id")
+    }, Some(s"""WITH RECURSIVE $phashPairsCtes,
+               |edges AS (SELECT id_a AS src, id_b AS dst FROM vp
+               |          UNION SELECT id_b, id_a FROM vp),
+               |reach AS (SELECT src AS id, src AS comp FROM edges
+               |          UNION
+               |          SELECT e.src, r.comp FROM edges e
+               |          JOIN reach r ON e.dst = r.id),
+               |comps AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+               |assigned AS (SELECT d.doc_id,
+               |    coalesce(c.component, d.doc_id) AS component
+               |  FROM documents d LEFT JOIN comps c ON c.id = d.doc_id),
+               |sizes AS (SELECT component, count(*) AS cluster_size
+               |  FROM assigned GROUP BY component)
+               |SELECT a.doc_id, a.component,
+               |  a.doc_id = a.component AS is_canonical, s.cluster_size
+               |FROM assigned a JOIN sizes s USING (component)
+               |ORDER BY a.doc_id""".stripMargin)),
+
+    "llm_image_resample_phash" -> Q((s, dir) => {
+      // General-size images through the FULL classic dHash pipeline:
+      // variable-dim BMPs (13×16 or 18×16 by seed — both widths force
+      // nonzero stride padding, so the decoder's padding handling runs
+      // on every row) → real decode → block-mean resample to the 8×8
+      // grid (Multimodal.resampleGray: posexplode → (doc, cell) integer
+      // means → re-assembled grid; ONE shuffle at cell grain) → the same
+      // dHash56. The oracle replays pixels from the generation formula,
+      // the block-mean integer arithmetic, and the hash — a resample bug
+      // (wrong cell assignment, float mean, row-major mixup) diverges.
+      val res = Multimodal.resampleGray(
+          Multimodal.decodeBmpGray(s,
+            Multimodal.encodeBmpGrayVar(
+              T(s, dir, "documents").select(col("doc_id")))))
         .localCheckpoint(true)
-      val bands = hashed
-        .select(col("doc_id"), col("phash"),
-          explode(expr("sequence(0, 3)")).as("band"))
-        .select(col("doc_id"), col("band"),
-          expr("shiftright(phash, 14 * band) & 16383").as("band_hash"))
-      val pairs = Dedup.candidatePairsCapped(bands, "doc_id",
-        maxBucket = 64, reps = 8)
-      pairs
-        .join(hashed.select(col("doc_id").as("id_a"), col("phash").as("ph_a")), "id_a")
-        .join(hashed.select(col("doc_id").as("id_b"), col("phash").as("ph_b")), "id_b")
-        .select(col("id_a"), col("id_b"),
-          bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int").as("hamming"),
-          col("capped"))
-        .filter(col("hamming") <= 6)
-        .orderBy("id_a", "id_b")
-    }, Some("""WITH px AS (
-              |  SELECT doc_id, j,
+      Multimodal.dHash56(res)
+        .join(res.select("doc_id", "width", "height"), "doc_id")
+        .select(col("doc_id"), col("width"), col("height"), col("phash"))
+        .orderBy("doc_id")
+    }, Some("""WITH dims AS (SELECT doc_id,
+              |    CASE WHEN (doc_id // 4) % 2 = 0 THEN 13 ELSE 18 END AS w,
+              |    16 AS h FROM documents),
+              |px AS (SELECT doc_id, w, h, j,
               |    ((('0x' || substring(md5((doc_id // 4)::VARCHAR || '_' ||
               |          (j // 16)::VARCHAR), 2 * (j % 16) + 1, 2))::BIGINT
-              |      + CASE WHEN j = doc_id % 64 THEN 128 ELSE 0 END) % 256) AS v
-              |  FROM documents, range(64) t(j)),
-              |ph AS (
-              |  SELECT l.doc_id,
-              |    SUM(CASE WHEN l.v < r.v
-              |      THEN (1::BIGINT << CAST(l.j - l.j // 8 AS INT))
-              |      ELSE 0 END) AS phash
-              |  FROM px l JOIN px r ON r.doc_id = l.doc_id AND r.j = l.j + 1
-              |  WHERE l.j % 8 < 7
-              |  GROUP BY l.doc_id),
-              |bands AS (
-              |  SELECT doc_id, phash, b.b AS band,
-              |    (phash >> CAST(14 * b.b AS INT)) & 16383 AS band_hash
-              |  FROM ph, range(4) b(b)),
-              |bsize AS (SELECT band, band_hash, count(*) AS n
-              |  FROM bands GROUP BY band, band_hash),
-              |bx AS (SELECT b.doc_id, b.band, b.band_hash, s.n > 64 AS oversized
-              |  FROM bands b JOIN bsize s USING (band, band_hash) WHERE s.n > 1),
-              |rp AS (SELECT band, band_hash, doc_id AS rep FROM (
-              |    SELECT band, band_hash, doc_id,
-              |      row_number() OVER (PARTITION BY band, band_hash
-              |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-              |    FROM bx WHERE oversized) z WHERE rk <= 8),
-              |small_pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, false AS c
-              |  FROM bx x JOIN bx y ON x.band = y.band AND x.band_hash = y.band_hash
-              |  WHERE NOT x.oversized AND x.doc_id < y.doc_id),
-              |big_pairs AS (SELECT least(m.doc_id, r.rep) AS id_a,
-              |    greatest(m.doc_id, r.rep) AS id_b, true AS c
-              |  FROM bx m JOIN rp r ON m.band = r.band AND m.band_hash = r.band_hash
-              |  WHERE m.oversized AND m.doc_id <> r.rep),
-              |cp AS (SELECT id_a, id_b, bool_and(c) AS capped
-              |  FROM (SELECT * FROM small_pairs UNION ALL SELECT * FROM big_pairs) u
-              |  GROUP BY id_a, id_b)
-              |SELECT c.id_a, c.id_b,
-              |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming, c.capped
-              |FROM cp c JOIN ph a ON a.doc_id = c.id_a JOIN ph b ON b.doc_id = c.id_b
-              |WHERE bit_count(xor(a.phash, b.phash)) <= 6
-              |ORDER BY c.id_a, c.id_b""".stripMargin), bench = true),
+              |      + CASE WHEN j = doc_id % (w * h) THEN 128 ELSE 0 END) % 256) AS v
+              |  FROM dims, range(288) t(j) WHERE j < w * h),
+              |cells AS (SELECT doc_id, w, h,
+              |    (j // w) * 8 // h AS gy, (j % w) * 8 // w AS gx,
+              |    SUM(v) // COUNT(*) AS mv
+              |  FROM px GROUP BY doc_id, w, h, gy, gx),
+              |ph AS (SELECT l.doc_id, l.w, l.h,
+              |    CAST(SUM(CASE WHEN l.mv < r.mv
+              |      THEN (1::BIGINT << CAST(l.gy * 7 + l.gx AS INT))
+              |      ELSE 0 END) AS BIGINT) AS phash
+              |  FROM cells l JOIN cells r ON r.doc_id = l.doc_id
+              |    AND r.gy = l.gy AND r.gx = l.gx + 1
+              |  WHERE l.gx < 7
+              |  GROUP BY l.doc_id, l.w, l.h)
+              |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+              |  phash
+              |FROM ph ORDER BY doc_id""".stripMargin), bench = true),
 
     // ----- JSON prop extraction over events (F23 companion) ------------
     "llm_json_props_agg" -> Q((s, dir) =>

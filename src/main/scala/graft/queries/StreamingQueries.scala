@@ -637,5 +637,93 @@ object StreamingQueries {
                |SELECT doc_id FROM documents
                |WHERE doc_id % 2 = 0
                |   OR doc_id NOT IN (SELECT doc_id FROM coll)
+               |ORDER BY doc_id""".stripMargin)),
+
+    "st14_stream_phash_dedup" -> Q((s, dir) => {
+      // Streaming IMAGE near-dup ingest — the incremental twin of the
+      // batch phash chain (encode → real BMP decode → dHash56 → 4×14-bit
+      // bands), st13's shape applied to the multimodal column: each
+      // AvailableNow increment hashes its images, probes the ACCEPTED
+      // band index, and — unlike st13's candidate-level drop — VERIFIES
+      // each band collision with the exact Hamming test before dropping
+      // (bit_count(xor) ≤ 6 against the collided accepted image's
+      // phash, which the band index carries). State is 4 band rows +
+      // one 8-byte hash per accepted image; the standing corpus is
+      // never re-decoded. Intra-increment near-dups both land (st13's
+      // contract): the guarantee is "no increment image near-duplicates
+      // the standing corpus".
+      import graft.llm.Multimodal
+      val base = tmp("graft_st14")
+      val src = s"$base/in"; val chk = s"$base/chk"
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_st14")
+      s.sql("DROP TABLE IF EXISTS graft_st14.accepted_imgs")
+      s.sql("DROP TABLE IF EXISTS graft_st14.accepted_bands")
+      def bandsOf(df: org.apache.spark.sql.DataFrame) =
+        Multimodal.dHash56(Multimodal.decodeBmpGray(df.sparkSession,
+            Multimodal.encodeBmpGray8x8(df)))
+          .select(col("doc_id"), col("phash"),
+            explode(expr("sequence(0, 3)")).as("band"))
+          .select(col("doc_id"), col("phash"), col("band"),
+            expr("shiftright(phash, 14 * band) & 16383").as("band_hash"))
+      def runOnce(): Unit = {
+        val q = s.readStream
+          .schema("doc_id BIGINT")
+          .parquet(src)
+          .writeStream
+          .option("checkpointLocation", chk)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              val sp = batch.sparkSession
+              val nb = bandsOf(batch).localCheckpoint(true)
+              val dropped =
+                if (sp.catalog.tableExists("graft_st14.accepted_bands"))
+                  nb.join(sp.read.table("graft_st14.accepted_bands")
+                      .withColumnRenamed("phash", "acc_phash")
+                      .withColumnRenamed("doc_id", "acc_doc_id"),
+                      Seq("band", "band_hash"))
+                    .filter(bit_count(col("phash")
+                      .bitwiseXOR(col("acc_phash"))) <= 6)
+                    .select("doc_id").distinct()
+                else nb.select("doc_id").limit(0)
+              val kept = batch.join(dropped, Seq("doc_id"), "left_anti")
+                .localCheckpoint(true)
+              val keptBands = nb.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+                .localCheckpoint(true)
+              kept.select("doc_id").write.mode("append")
+                .saveAsTable("graft_st14.accepted_imgs")
+              keptBands.write.mode("append")
+                .saveAsTable("graft_st14.accepted_bands")
+            }
+          }
+          .start()
+        q.awaitTermination()
+      }
+      // Split so the verify filter DISCRIMINATES: increment 1 takes ids
+      // ≡ 0,2 (mod 8), i.e. two members of every EVEN seed quadruple.
+      // Increment 2 then carries (a) their same-seed partners — dropped
+      // through a verified Hamming ≤ 4 collision — and (b) whole ODD
+      // seed quadruples, which survive: their occasional cross-seed
+      // band collisions with the accepted index verify at Hamming ≫ 6,
+      // so a drop-on-any-collision bug (st13's candidate-level rule,
+      // wrong here) changes this gate's output.
+      val docs = T(s, dir, "documents").select(col("doc_id"))
+      docs.filter(col("doc_id") % 8 === 0 || col("doc_id") % 8 === 2)
+        .write.mode("append").parquet(src)
+      runOnce() // increment 1 seeds the accepted index
+      docs.filter(col("doc_id") % 8 =!= 0 && col("doc_id") % 8 =!= 2)
+        .write.mode("append").parquet(src)
+      runOnce() // increment 2: verified against the accepted hashes
+      s.read.table("graft_st14.accepted_imgs").orderBy("doc_id")
+    }, Some(s"""WITH ${LlmQueries.phashHashCtes},
+               |coll AS (SELECT DISTINCT n.doc_id
+               |  FROM bands n JOIN bands a
+               |    ON n.band = a.band AND n.band_hash = a.band_hash
+               |  WHERE n.doc_id % 8 NOT IN (0, 2) AND a.doc_id % 8 IN (0, 2)
+               |    AND bit_count(xor(n.phash, a.phash)) <= 6)
+               |SELECT doc_id FROM documents
+               |WHERE doc_id % 8 IN (0, 2)
+               |   OR doc_id NOT IN (SELECT doc_id FROM coll)
                |ORDER BY doc_id""".stripMargin)))
 }

@@ -430,6 +430,47 @@ class LlmOpsSpec extends SparkTestBase {
     assert(hashed(id) === want)
   }
 
+  test("resampleGray block-means variable-size BMPs onto the grid exactly") {
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def gray(id: Long, j: Int, npix: Int): Int = {
+      val hex = md5Hex(s"${id / 4}_${j / 16}")
+      val base = Integer.parseInt(hex.substring(2 * (j % 16), 2 * (j % 16) + 2), 16)
+      (base + (if (j == id % npix) 128 else 0)) % 256
+    }
+    // Independent block-mean replay: cell (gy,gx) collects pixels whose
+    // (y*8 div h, x*8 div w) lands there; integer mean.
+    def resample(id: Long, w: Int, h: Int): Seq[Int] = {
+      val cells = Array.fill(8, 8)(List.empty[Int])
+      for (y <- 0 until h; x <- 0 until w) {
+        val gy = y * 8 / h; val gx = x * 8 / w
+        cells(gy)(gx) = gray(id, y * w + x, w * h) :: cells(gy)(gx)
+      }
+      for (gy <- 0 until 8; gx <- 0 until 8)
+        yield cells(gy)(gx).sum / cells(gy)(gx).size
+    }
+    val ids = spark.range(0, 12).select(col("id").as("doc_id"))
+    val res = Multimodal.resampleGray(
+      Multimodal.decodeBmpGray(spark, Multimodal.encodeBmpGrayVar(ids)))
+    res.collect().foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val w = if ((id / 4) % 2 == 0) 13 else 18
+      assert(r.getAs[Int]("width") === w && r.getAs[Int]("height") === 16)
+      val got = r.getAs[scala.collection.Seq[Int]]("gray")
+      assert(got == resample(id, w, 16), s"resample mismatch for doc $id")
+    }
+    // Same-seed near-dup structure survives the resample: one perturbed
+    // pixel moves one cell mean, so pairs stay within a few dHash bits.
+    val hashed = Multimodal.dHash56(res).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("phash")).toMap
+    for (seed <- 0 until 3; a <- 0 until 4; b <- (a + 1) until 4) {
+      val h = java.lang.Long.bitCount(
+        hashed(seed * 4L + a) ^ hashed(seed * 4L + b))
+      assert(h <= 4, s"same-seed pair ($seed: $a,$b) at Hamming $h after resample")
+    }
+  }
+
   test("CountMin: estimates are one-sided and half-sketches merge to the whole") {
     import graft.operators.CountMin
     val keys = (0 until 400).map(i => s"k${i % 37}").toDF("k")
