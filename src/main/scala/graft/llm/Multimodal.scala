@@ -205,10 +205,12 @@ object Multimodal {
     val headerHex = "424D" + le(54 + 192, 4) + le(0, 4) + le(54, 4) +
       le(40, 4) + le(8, 4) + le(8, 4) + le(1, 2) + le(24, 2) +
       le(0, 4) + le(192, 4) + le(0, 4) + le(0, 4) + le(0, 4) + le(0, 4)
+    // ONE md5 per 16-pixel block (4/row), hoisted into an array column —
+    // not one per pixel (64/row; Catalyst does not CSE across the CONCAT).
     def pixHex(j: Int): String = {
       val blk = j / 16
       val off = 2 * (j % 16) + 1
-      val base = s"SUBSTRING(MD5(CONCAT(CAST($idCol DIV 4 AS STRING), '_', '$blk')), $off, 2)"
+      val base = s"SUBSTRING(element_at(_blks, ${blk + 1}), $off, 2)"
       s"IF($idCol % 64 = $j, " +
         s"LOWER(LPAD(HEX((CAST(CONV($base, 16, 10) AS INT) + 128) % 256), 2, '0')), $base)"
     }
@@ -218,8 +220,12 @@ object Multimodal {
       val r = 7 - sr
       (0 until 8).map { c => s"REPEAT(${pixHex(r * 8 + c)}, 3)" }
     }
-    df.withColumn("payload",
-      unhex(expr(s"CONCAT('$headerHex', ${pixelPlane.mkString(", ")})")))
+    val blks = (0 until 4).map(b =>
+      s"MD5(CONCAT(CAST($idCol DIV 4 AS STRING), '_', '$b'))").mkString(", ")
+    df.withColumn("_blks", expr(s"array($blks)"))
+      .withColumn("payload",
+        unhex(expr(s"CONCAT('$headerHex', ${pixelPlane.mkString(", ")})")))
+      .drop("_blks")
   }
 
   /** Shared 24-bit BMP pixel extraction: LE header parse, stride
@@ -304,10 +310,14 @@ object Multimodal {
         le(40, 4) + le(w, 4) + le(h, 4) + le(1, 2) + le(24, 2) +
         le(0, 4) + le(stride * h, 4) + le(0, 4) + le(0, 4) + le(0, 4) + le(0, 4)
     }
+    // ONE md5 per 16-pixel block, hoisted into an array column the
+    // per-pixel terms slice into — the naive spelling called MD5 once
+    // per PIXEL (288/row; Catalyst does not CSE across the payload
+    // CONCAT), which measured ~4.5 s at sf0.1 for the downstream gate.
     def pixHex(j: Int, npix: Int): String = {
       val blk = j / 16
       val off = 2 * (j % 16) + 1
-      val base = s"SUBSTRING(MD5(CONCAT(CAST($idCol DIV 4 AS STRING), '_', '$blk')), $off, 2)"
+      val base = s"SUBSTRING(element_at(_blks, ${blk + 1}), $off, 2)"
       s"IF($idCol % $npix = $j, " +
         s"LOWER(LPAD(HEX((CAST(CONV($base, 16, 10) AS INT) + 128) % 256), 2, '0')), $base)"
     }
@@ -320,18 +330,30 @@ object Multimodal {
       }
       rows.mkString(", ")
     }
+    val blks = (0 until 18).map(b =>
+      s"MD5(CONCAT(CAST($idCol DIV 4 AS STRING), '_', '$b'))").mkString(", ")
     val narrow = s"CONCAT('${headerHex(13, 16)}', ${bodyHex(13, 16)})"
     val wide = s"CONCAT('${headerHex(18, 16)}', ${bodyHex(18, 16)})"
-    df.withColumn("payload",
-      unhex(expr(s"IF(($idCol DIV 4) % 2 = 0, $narrow, $wide)")))
+    df.withColumn("_blks", expr(s"array($blks)"))
+      .withColumn("payload",
+        unhex(expr(s"IF(($idCol DIV 4) % 2 = 0, $narrow, $wide)")))
+      .drop("_blks")
   }
 
   /** Block-mean resample of a decoded (width, height, gray) image to a
-    * gw×gh grid — the resample stage classic dHash runs before hashing,
-    * as REAL distributed arithmetic: posexplode the pixels, assign each
-    * to grid cell (y·gh div h, x·gw div w), integer-mean per cell, and
-    * re-assemble the row-major grid array. Exactly replayable by any
-    * engine with integer division. One shuffle at (doc, cell) grain. */
+    * gw×gh grid — the resample stage classic dHash runs before hashing.
+    * Pixel (x, y) belongs to grid cell (y·gh div h, x·gw div w);
+    * the cell value is the integer mean of its pixels. Exactly
+    * replayable by any engine with integer division.
+    *
+    * Declarative spelling for ALREADY-DECODED frames: posexplode →
+    * map-side-combined groupBy at (doc, cell) grain — the shuffle
+    * carries only the gw×gh resampled cells per image (output-sized),
+    * not the pixels. A 64-cell HOF projection was measured 3.5× SLOWER
+    * (11.4 s vs 3.3 s at sf0.1: higher-order lambdas are interpreted
+    * and O(cells × pixels) per row). When decoding anyway, prefer
+    * [[decodeBmpGrayResampled]] — the codec does the block-mean in the
+    * same per-partition pass, zero shuffle, O(pixels). */
   def resampleGray(df: DataFrame, gw: Int = 8, gh: Int = 8): DataFrame =
     df.select(col("doc_id"), col("width"), col("height"),
         posexplode(col("gray")).as(Seq("j", "v")))
@@ -344,6 +366,44 @@ object Multimodal {
       .agg(expr(
         s"""transform(array_sort(collect_list(struct(gy, gx, mv))),
            |  s -> CAST(s.mv AS INT))""".stripMargin).as("gray"))
+
+  /** Decode + block-mean resample FUSED in the codec pass: the per-
+    * partition decoder already holds the pixel bytes, so the gw×gh
+    * integer means cost one O(pixels) sweep with no intermediate pixel
+    * array column and NO shuffle at all — the resample belongs in the
+    * codec. Semantics identical to decodeBmpGray ∘ resampleGray
+    * (pinned in LlmOpsSpec). */
+  def decodeBmpGrayResampled(spark: SparkSession, df: DataFrame,
+      gw: Int = 8, gh: Int = 8): DataFrame = {
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val (w, h, px) = bmpPixelsTopDown(payload)
+          val sums = new Array[Long](gw * gh)
+          val ns = new Array[Long](gw * gh)
+          var y = 0
+          while (y < h) {
+            val gy = y * gh / h
+            var x = 0
+            while (x < w) {
+              val i = y * w + x
+              val b = px(3 * i) & 0xff
+              val g = px(3 * i + 1) & 0xff
+              val r = px(3 * i + 2) & 0xff
+              val c = gy * gw + x * gw / w
+              sums(c) += (299 * r + 587 * g + 114 * b) / 1000
+              ns(c) += 1
+              x += 1
+            }
+            y += 1
+          }
+          (id, w, h, Array.tabulate(gw * gh)(c => (sums(c) / ns(c)).toInt))
+        }
+      }
+      .toDF("doc_id", "width", "height", "gray")
+  }
 
   /** 56-bit difference hash (dHash) over an 8×8 `gray` grid: bit
     * (r·7 + c) is set when gray(r,c) < gray(r,c+1) — for left pixel j

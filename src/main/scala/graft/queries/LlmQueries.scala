@@ -1685,16 +1685,16 @@ object LlmQueries {
       // General-size images through the FULL classic dHash pipeline:
       // variable-dim BMPs (13×16 or 18×16 by seed — both widths force
       // nonzero stride padding, so the decoder's padding handling runs
-      // on every row) → real decode → block-mean resample to the 8×8
-      // grid (Multimodal.resampleGray: posexplode → (doc, cell) integer
-      // means → re-assembled grid; ONE shuffle at cell grain) → the same
-      // dHash56. The oracle replays pixels from the generation formula,
-      // the block-mean integer arithmetic, and the hash — a resample bug
-      // (wrong cell assignment, float mean, row-major mixup) diverges.
-      val res = Multimodal.resampleGray(
-          Multimodal.decodeBmpGray(s,
-            Multimodal.encodeBmpGrayVar(
-              T(s, dir, "documents").select(col("doc_id")))))
+      // on every row) → decode + block-mean resample FUSED in the codec
+      // pass (Multimodal.decodeBmpGrayResampled: one O(pixels) sweep
+      // per image, zero shuffle — the declarative resampleGray twin is
+      // semantics-pinned in LlmOpsSpec) → the same dHash56. The oracle
+      // replays pixels from the generation formula, the block-mean
+      // integer arithmetic, and the hash — a resample bug (wrong cell
+      // assignment, float mean, row-major mixup) diverges.
+      val res = Multimodal.decodeBmpGrayResampled(s,
+          Multimodal.encodeBmpGrayVar(
+            T(s, dir, "documents").select(col("doc_id"))))
         .localCheckpoint(true)
       Multimodal.dHash56(res)
         .join(res.select("doc_id", "width", "height"), "doc_id")

@@ -460,6 +460,18 @@ class LlmOpsSpec extends SparkTestBase {
       val got = r.getAs[scala.collection.Seq[Int]]("gray")
       assert(got == resample(id, w, 16), s"resample mismatch for doc $id")
     }
+    // The fused codec-pass resample (what the gate runs) must equal the
+    // declarative explode→groupBy spelling cell-for-cell.
+    val fused = Multimodal.decodeBmpGrayResampled(spark,
+        Multimodal.encodeBmpGrayVar(ids)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("width"), r.getAs[scala.collection.Seq[Int]]("gray"))).toMap
+    res.collect().foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(fused(id)._1 === r.getAs[Int]("width"))
+      assert(fused(id)._2 == r.getAs[scala.collection.Seq[Int]]("gray"),
+        s"fused/declarative resample mismatch for doc $id")
+    }
     // Same-seed near-dup structure survives the resample: one perturbed
     // pixel moves one cell mean, so pairs stay within a few dHash bits.
     val hashed = Multimodal.dHash56(res).collect()
