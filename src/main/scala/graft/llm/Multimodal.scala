@@ -420,6 +420,112 @@ object Multimodal {
         |    shiftleft(CAST(1 AS BIGINT), j - j DIV 8), CAST(0 AS BIGINT)))""".stripMargin)
       .as("phash"))
 
+  /** Build a REAL RIFF/WAVE payload per row: canonical 44-byte header
+    * (PCM format 1, mono, 16-bit, 16 kHz) + 128 little-endian int16
+    * samples. Waveform content is seeded like the image corpus: 4
+    * consecutive doc_ids share a source signal (seed = doc_id div 4;
+    * sample i = LE int16 from bytes 2(i%8), 2(i%8)+1 of
+    * md5(seed || '_' || i div 8) — so the unperturbed payload hex IS
+    * the md5 hex verbatim) and each doc perturbs ONE sample
+    * (+512 mod 2¹⁶ at position doc_id % 128). An external oracle
+    * recomputes every sample from the formula without RIFF parsing. */
+  def encodeWavPcm(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    def le(v: Int, bytes: Int): String =
+      (0 until bytes).map(i => "%02X".format((v >> (8 * i)) & 0xff)).mkString
+    def ascii(s: String): String = s.getBytes("US-ASCII").map("%02X".format(_)).mkString
+    val dataBytes = 128 * 2
+    val headerHex = ascii("RIFF") + le(36 + dataBytes, 4) + ascii("WAVE") +
+      ascii("fmt ") + le(16, 4) + le(1, 2) + le(1, 2) + le(16000, 4) +
+      le(32000, 4) + le(2, 2) + le(16, 2) + ascii("data") + le(dataBytes, 4)
+    // One md5 per 8-sample block, hoisted (the image-encoder lesson).
+    val blks = (0 until 16).map(b =>
+      s"MD5(CONCAT(CAST($idCol DIV 4 AS STRING), '_', '$b'))").mkString(", ")
+    def sampleHex(i: Int): String = {
+      val blk = i / 8
+      val off = 4 * (i % 8) + 1
+      val pair = s"SUBSTRING(element_at(_blks, ${blk + 1}), $off, 4)"
+      // Perturbation: v = b0 + 256·b1 (LE), +512 mod 2^16, re-emit LE.
+      val v = s"(CAST(CONV(SUBSTRING($pair, 1, 2), 16, 10) AS INT) + " +
+        s"256 * CAST(CONV(SUBSTRING($pair, 3, 2), 16, 10) AS INT) + 512) % 65536"
+      s"IF($idCol % 128 = $i, LOWER(CONCAT(LPAD(HEX(($v) % 256), 2, '0'), " +
+        s"LPAD(HEX(($v) DIV 256), 2, '0'))), $pair)"
+    }
+    val sampleHexes = (0 until 128).map(sampleHex).mkString(", ")
+    df.withColumn("_blks", expr(s"array($blks)"))
+      .withColumn("payload", unhex(expr(s"CONCAT('$headerHex', $sampleHexes)")))
+      .drop("_blks")
+  }
+
+  /** Partition-wise RIFF/WAVE PCM decode — pure JVM, no codec library:
+    * walks the chunk list (ignoring non-fmt/data chunks like LIST),
+    * validates PCM/mono/16-bit, and extracts the signed little-endian
+    * samples. Narrow mapPartitions, no shuffle; the real payload bytes
+    * are the only input, so a header-offset or endianness bug changes
+    * every downstream feature. */
+  def decodeWavPcm(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, p) =>
+          def le32(off: Int): Int = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
+            ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
+          def le16(off: Int): Int = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+          def tag(off: Int): String = new String(p, off, 4, "US-ASCII")
+          require(p.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
+            "not a RIFF/WAVE payload")
+          var off = 12
+          var sampleRate = -1
+          var samples: Array[Int] = null
+          while (off + 8 <= p.length && (sampleRate < 0 || samples == null)) {
+            val id4 = tag(off); val sz = le32(off + 4)
+            if (id4 == "fmt ") {
+              require(le16(off + 8) == 1 && le16(off + 10) == 1 &&
+                le16(off + 22) == 16,
+                "only PCM mono 16-bit WAV supported")
+              sampleRate = le32(off + 12)
+            } else if (id4 == "data") {
+              val n = sz / 2
+              samples = Array.tabulate(n) { i =>
+                val v = le16(off + 8 + 2 * i)
+                if (v >= 32768) v - 65536 else v
+              }
+            }
+            off += 8 + sz + (sz & 1) // chunks are word-aligned
+          }
+          require(sampleRate > 0 && samples != null, "missing fmt/data chunk")
+          (id, sampleRate, samples.length, samples)
+        }
+      }
+      .toDF("doc_id", "sample_rate", "n_samples", "samples")
+  }
+
+  /** Audio features over decoded samples — pure integer projections,
+    * exactly replayable by any engine: peak |amplitude|, mean-square
+    * energy (integer division — no float sqrt), zero-crossing count
+    * (sign change on the >= 0 predicate), and a 15-bit ENERGY-DELTA
+    * fingerprint over 16 windows of 8 samples (bit w set when window
+    * w+1 is louder than window w) — the Shazam-style band-energy shape
+    * reduced to exact integer math. */
+  def audioFeatures(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("sample_rate"), col("n_samples"),
+      expr("aggregate(samples, CAST(0 AS BIGINT), (m, s) -> greatest(m, CAST(abs(s) AS BIGINT)))")
+        .as("peak"),
+      expr("aggregate(samples, CAST(0 AS BIGINT), (a, s) -> a + CAST(s AS BIGINT) * s) DIV n_samples")
+        .as("mean_square"),
+      expr("""aggregate(sequence(1, n_samples - 1), CAST(0 AS BIGINT),
+             |  (a, i) -> a + IF((element_at(samples, i + 1) >= 0) !=
+             |                   (element_at(samples, i) >= 0), 1, 0))""".stripMargin)
+        .as("zero_crossings"),
+      expr("""aggregate(sequence(0, 14), CAST(0 AS BIGINT), (acc, w) ->
+             |  acc + IF(
+             |    aggregate(slice(samples, 8 * (w + 1) + 1, 8), CAST(0 AS BIGINT),
+             |      (a, s) -> a + CAST(s AS BIGINT) * s) >
+             |    aggregate(slice(samples, 8 * w + 1, 8), CAST(0 AS BIGINT),
+             |      (a, s) -> a + CAST(s AS BIGINT) * s),
+             |    shiftleft(CAST(1 AS BIGINT), w), CAST(0 AS BIGINT)))""".stripMargin)
+        .as("energy_fp"))
+
   /** Partition-wise decode: the imperative escape hatch (mapPartitions)
     * the SURVEY reserves for genuine per-partition logic — a codec is
     * exactly that. `mkCodec` runs once per partition (asserted in

@@ -108,6 +108,25 @@ object LlmQueries {
       |  FROM cp c JOIN ph a ON a.doc_id = c.id_a JOIN ph b ON b.doc_id = c.id_b
       |  WHERE bit_count(xor(a.phash, b.phash)) <= 6)""".stripMargin
 
+  // Oracle sample replay shared by the audio gates: signed LE int16
+  // sample i of doc = bytes 2(i%8), 2(i%8)+1 of md5(seed '_' i div 8),
+  // +512 mod 2^16 at the doc's one perturbed position — no RIFF parse.
+  // Ends at `smp` (doc_id, i, s).
+  private val wavSampleCtes =
+    """pairs16 AS (
+      |  SELECT doc_id, i,
+      |    substring(md5((doc_id // 4)::VARCHAR || '_' || (i // 8)::VARCHAR),
+      |      4 * (i % 8) + 1, 4) AS p
+      |  FROM documents, range(128) t(i)),
+      |smp AS MATERIALIZED (
+      |  SELECT doc_id, i,
+      |    CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+      |  FROM (SELECT doc_id, i,
+      |      ((('0x' || substring(p, 1, 2))::INT
+      |        + 256 * ('0x' || substring(p, 3, 2))::INT
+      |        + CASE WHEN i = doc_id % 128 THEN 512 ELSE 0 END) % 65536) AS v
+      |    FROM pairs16))""".stripMargin
+
   // -- shared DuckDB fragments ------------------------------------------
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   private[queries] val toksCte =
@@ -1723,6 +1742,118 @@ object LlmQueries {
               |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
               |  phash
               |FROM ph ORDER BY doc_id""".stripMargin), bench = true),
+
+    "llm_audio_decode_features" -> Q((s, dir) => {
+      // Audio as a REAL modality, same rigor as the image track: genuine
+      // RIFF/WAVE PCM payloads (canonical 44-byte header + 128 LE int16
+      // samples, seeded near-dup waveforms) → pure-JVM chunk-walking
+      // decode (fmt validation, signed LE extraction) → exact integer
+      // features: peak, mean-square energy, zero crossings, and the
+      // 15-bit energy-delta fingerprint (the Shazam-style band-energy
+      // shape in exact integer math). The oracle recomputes samples from
+      // the generation formula without RIFF parsing, so a header-offset,
+      // endianness, or sign bug diverges.
+      Multimodal.audioFeatures(
+          Multimodal.decodeWavPcm(s,
+            Multimodal.encodeWavPcm(T(s, dir, "documents").select(col("doc_id")))))
+        .orderBy("doc_id")
+    }, Some(s"""WITH $wavSampleCtes,
+              |ew AS (SELECT doc_id, i // 8 AS w, SUM(CAST(s AS BIGINT) * s) AS e
+              |  FROM smp GROUP BY doc_id, i // 8),
+              |fp AS (SELECT l.doc_id,
+              |    CAST(SUM(CASE WHEN r.e > l.e
+              |      THEN (1::BIGINT << CAST(l.w AS INT)) ELSE 0 END) AS BIGINT)
+              |      AS energy_fp
+              |  FROM ew l JOIN ew r ON r.doc_id = l.doc_id AND r.w = l.w + 1
+              |  WHERE l.w < 15 GROUP BY l.doc_id),
+              |zl AS (SELECT doc_id, s,
+              |    lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+              |  FROM smp),
+              |zc AS (SELECT doc_id, CAST(SUM(CASE WHEN (s >= 0) != (prev >= 0)
+              |      THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+              |  FROM zl GROUP BY doc_id),
+              |base AS (SELECT doc_id, CAST(MAX(abs(s)) AS BIGINT) AS peak,
+              |    CAST(SUM(CAST(s AS BIGINT) * s) // 128 AS BIGINT) AS mean_square
+              |  FROM smp GROUP BY doc_id)
+              |SELECT b.doc_id, CAST(16000 AS INT) AS sample_rate,
+              |  CAST(128 AS INT) AS n_samples, b.peak, b.mean_square,
+              |  z.zero_crossings, f.energy_fp
+              |FROM base b JOIN zc z USING (doc_id) JOIN fp f USING (doc_id)
+              |ORDER BY b.doc_id""".stripMargin), bench = true),
+
+    "llm_audio_fingerprint_dedup" -> Q((s, dir) => {
+      // Audio near-dup: the 15-bit energy-delta fingerprint is the LSH
+      // key — 3 bands of 5 bits through the SAME skew-capped candidate
+      // machinery as the MinHash/phash chains (a short fingerprint
+      // buckets coarsely at corpus scale; the cap's member↔rep stars
+      // keep every bucket connected for clustering while bounding pair
+      // volume, and the oracle replays the cap exactly) — then every
+      // candidate VERIFIED by exact mean-absolute sample distance over
+      // the decoded waveforms (zip_with merge, ≤ 16 of full-scale
+      // ±32767: same-seed signals differ in ONE +512 sample → MAD 4;
+      // unrelated signals read ~21800). Decoded frame computed ONCE and
+      // localCheckpointed; samples attach only to candidates.
+      val decoded = Multimodal.decodeWavPcm(s,
+          Multimodal.encodeWavPcm(T(s, dir, "documents").select(col("doc_id"))))
+        .localCheckpoint(true)
+      val fp = Multimodal.audioFeatures(decoded)
+        .select(col("doc_id"), col("energy_fp"))
+      val bands = fp
+        .select(col("doc_id"), explode(expr("sequence(0, 2)")).as("band"),
+          col("energy_fp"))
+        .select(col("doc_id"), col("band"),
+          expr("shiftright(energy_fp, 5 * band) & 31").as("band_hash"))
+      val pairs = Dedup.candidatePairsCapped(bands, "doc_id",
+        maxBucket = 64, reps = 8)
+      pairs
+        .join(decoded.select(col("doc_id").as("id_a"), col("samples").as("sa")), "id_a")
+        .join(decoded.select(col("doc_id").as("id_b"), col("samples").as("sb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          expr("""aggregate(zip_with(sa, sb, (x, y) -> CAST(abs(x - y) AS BIGINT)),
+                 |  CAST(0 AS BIGINT), (a, v) -> a + v) DIV 128""".stripMargin)
+            .as("mad"),
+          col("capped"))
+        .filter(col("mad") <= 16)
+        .orderBy("id_a", "id_b")
+    }, Some(s"""WITH $wavSampleCtes,
+              |ew AS (SELECT doc_id, i // 8 AS w, SUM(CAST(s AS BIGINT) * s) AS e
+              |  FROM smp GROUP BY doc_id, i // 8),
+              |fp AS (SELECT l.doc_id,
+              |    CAST(SUM(CASE WHEN r.e > l.e
+              |      THEN (1::BIGINT << CAST(l.w AS INT)) ELSE 0 END) AS BIGINT)
+              |      AS energy_fp
+              |  FROM ew l JOIN ew r ON r.doc_id = l.doc_id AND r.w = l.w + 1
+              |  WHERE l.w < 15 GROUP BY l.doc_id),
+              |bands AS (SELECT doc_id, b.b AS band,
+              |    (energy_fp >> CAST(5 * b.b AS INT)) & 31 AS band_hash
+              |  FROM fp, range(3) b(b)),
+              |bsize AS (SELECT band, band_hash, count(*) AS n
+              |  FROM bands GROUP BY band, band_hash),
+              |bx AS (SELECT b.doc_id, b.band, b.band_hash, z.n > 64 AS oversized
+              |  FROM bands b JOIN bsize z USING (band, band_hash) WHERE z.n > 1),
+              |rp AS (SELECT band, band_hash, doc_id AS rep FROM (
+              |    SELECT band, band_hash, doc_id,
+              |      row_number() OVER (PARTITION BY band, band_hash
+              |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+              |    FROM bx WHERE oversized) z WHERE rk <= 8),
+              |small_pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, false AS c
+              |  FROM bx x JOIN bx y ON x.band = y.band AND x.band_hash = y.band_hash
+              |  WHERE NOT x.oversized AND x.doc_id < y.doc_id),
+              |big_pairs AS (SELECT least(m.doc_id, r.rep) AS id_a,
+              |    greatest(m.doc_id, r.rep) AS id_b, true AS c
+              |  FROM bx m JOIN rp r ON m.band = r.band AND m.band_hash = r.band_hash
+              |  WHERE m.oversized AND m.doc_id <> r.rep),
+              |cp AS (SELECT id_a, id_b, bool_and(c) AS capped
+              |  FROM (SELECT * FROM small_pairs UNION ALL SELECT * FROM big_pairs) u
+              |  GROUP BY id_a, id_b),
+              |mad AS (SELECT c.id_a, c.id_b,
+              |    CAST(SUM(abs(a.s - b.s)) // 128 AS BIGINT) AS mad, c.capped
+              |  FROM cp c
+              |  JOIN smp a ON a.doc_id = c.id_a
+              |  JOIN smp b ON b.doc_id = c.id_b AND b.i = a.i
+              |  GROUP BY c.id_a, c.id_b, c.capped)
+              |SELECT id_a, id_b, mad, capped FROM mad
+              |WHERE mad <= 16 ORDER BY id_a, id_b""".stripMargin), bench = true),
 
     // ----- JSON prop extraction over events (F23 companion) ------------
     "llm_json_props_agg" -> Q((s, dir) =>

@@ -483,6 +483,71 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("encodeWavPcm → decodeWavPcm recovers the formula samples; features replay") {
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def sample(id: Long, i: Int): Int = {
+      val hex = md5Hex(s"${id / 4}_${i / 8}")
+      val b0 = Integer.parseInt(hex.substring(4 * (i % 8), 4 * (i % 8) + 2), 16)
+      val b1 = Integer.parseInt(hex.substring(4 * (i % 8) + 2, 4 * (i % 8) + 4), 16)
+      val v = (b0 + 256 * b1 + (if (i == id % 128) 512 else 0)) % 65536
+      if (v >= 32768) v - 65536 else v
+    }
+    val ids = spark.range(0, 12).select(col("id").as("doc_id"))
+    val decoded = Multimodal.decodeWavPcm(spark, Multimodal.encodeWavPcm(ids))
+    decoded.collect().foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("sample_rate") === 16000)
+      assert(r.getAs[Int]("n_samples") === 128)
+      val got = r.getAs[scala.collection.Seq[Int]]("samples")
+      assert(got == (0 until 128).map(i => sample(id, i)),
+        s"sample mismatch for doc $id")
+    }
+    // Feature replay for one doc: peak / mean-square / zcr / energy_fp.
+    val id = 5L
+    val s5 = (0 until 128).map(i => sample(id, i))
+    val feats = Multimodal.audioFeatures(decoded)
+      .filter(col("doc_id") === id).head()
+    assert(feats.getAs[Long]("peak") === s5.map(v => math.abs(v).toLong).max)
+    assert(feats.getAs[Long]("mean_square") ===
+      s5.map(v => v.toLong * v).sum / 128)
+    assert(feats.getAs[Long]("zero_crossings") ===
+      (1 until 128).count(i => (s5(i) >= 0) != (s5(i - 1) >= 0)).toLong)
+    val ew = (0 until 16).map(w => (0 until 8).map(k => {
+      val v = s5(8 * w + k); v.toLong * v }).sum)
+    assert(feats.getAs[Long]("energy_fp") ===
+      (0 until 15).map(w => if (ew(w + 1) > ew(w)) 1L << w else 0L).sum)
+  }
+
+  test("decodeWavPcm walks unknown chunks (LIST before data) and rejects non-PCM") {
+    import spark.implicits._
+    def le(v: Int, bytes: Int): Array[Byte] =
+      (0 until bytes).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    def ascii(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    val samples = Array[Int](100, -200, 300)
+    val data = samples.flatMap(v => le(if (v < 0) v + 65536 else v, 2))
+    val listBody = ascii("INFOxxxx") // 8-byte opaque metadata chunk body
+    val payload =
+      ascii("RIFF") ++ le(4 + 24 + (8 + listBody.length) + 8 + data.length, 4) ++
+      ascii("WAVE") ++
+      ascii("fmt ") ++ le(16, 4) ++ le(1, 2) ++ le(1, 2) ++ le(8000, 4) ++
+        le(16000, 4) ++ le(2, 2) ++ le(16, 2) ++
+      ascii("LIST") ++ le(listBody.length, 4) ++ listBody ++
+      ascii("data") ++ le(data.length, 4) ++ data
+    val df = Seq((7L, payload)).toDF("doc_id", "payload")
+    val r = Multimodal.decodeWavPcm(spark, df).head()
+    assert(r.getAs[Int]("sample_rate") === 8000)
+    assert(r.getAs[scala.collection.Seq[Int]]("samples") == Seq(100, -200, 300))
+    // Stereo (channels=2) must be rejected loudly.
+    val bad = payload.clone(); bad(22) = 2
+    val err = intercept[Exception] {
+      Multimodal.decodeWavPcm(spark, Seq((8L, bad)).toDF("doc_id", "payload")).collect()
+    }
+    assert(err.getMessage == null ||
+      err.toString.contains("PCM") || Option(err.getCause).nonEmpty)
+  }
+
   test("CountMin: estimates are one-sided and half-sketches merge to the whole") {
     import graft.operators.CountMin
     val keys = (0 until 400).map(i => s"k${i % 37}").toDF("k")
