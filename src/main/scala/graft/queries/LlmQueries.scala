@@ -1782,30 +1782,33 @@ object LlmQueries {
               |ORDER BY b.doc_id""".stripMargin), bench = true),
 
     "llm_audio_fingerprint_dedup" -> Q((s, dir) => {
-      // Audio near-dup: the 15-bit energy-delta fingerprint is the LSH
-      // key — 3 bands of 5 bits through the SAME skew-capped candidate
-      // machinery as the MinHash/phash chains (a short fingerprint
-      // buckets coarsely at corpus scale; the cap's member↔rep stars
-      // keep every bucket connected for clustering while bounding pair
-      // volume, and the oracle replays the cap exactly) — then every
-      // candidate VERIFIED by exact mean-absolute sample distance over
-      // the decoded waveforms (zip_with merge, ≤ 16 of full-scale
-      // ±32767: same-seed signals differ in ONE +512 sample → MAD 4;
-      // unrelated signals read ~21800). Decoded frame computed ONCE and
-      // localCheckpointed; samples attach only to candidates.
+      // Audio near-dup banded by per-window QUANTIZED-CONTENT hashes —
+      // the Shazam-landmark shape: band w (16 of them) keys on
+      // md5 of window w's 8 samples coarsened to 1024-wide amplitude
+      // cells ((s+32768) div 1024, kept non-negative so Spark DIV and
+      // DuckDB // agree). A ±512 perturbation touches ONE window, so
+      // same-seed signals share ≥14 of 16 band keys — guaranteed direct
+      // recall — while cross-seed signals would need an 8-cell profile
+      // collision (64⁸ space): buckets stay seed-group-sized at ANY
+      // corpus scale. (First spelling banded 5-bit slices of the 15-bit
+      // energy-delta fingerprint: measured DEGENERATE at sf10 — 96
+      // buckets of 15.6 k docs each, 30+ min in per-bucket expansion.
+      // Short whole-signal fingerprints concentrate; content-addressed
+      // window keys distribute.) Same skew-capped candidate machinery,
+      // then exact mean-absolute sample-distance verify (≤ 16 of
+      // full-scale ±32767: same-seed reads MAD 4, unrelated ~21800).
+      // Decoded frame computed ONCE and localCheckpointed.
       val decoded = Multimodal.decodeWavPcm(s,
           Multimodal.encodeWavPcm(T(s, dir, "documents").select(col("doc_id"))))
         .localCheckpoint(true)
-      val fp = Multimodal.audioFeatures(decoded)
-        .select(col("doc_id"), col("energy_fp"))
-      val bands = fp
-        .select(col("doc_id"), explode(expr("sequence(0, 2)")).as("band"),
-          col("energy_fp"))
+      val bands = decoded
+        .select(col("doc_id"), explode(expr("sequence(0, 15)")).as("band"),
+          col("samples"))
         .select(col("doc_id"), col("band"),
-          expr("shiftright(energy_fp, 5 * band) & 31").as("band_hash"))
-      val pairs = Dedup.candidatePairsCapped(bands, "doc_id",
-        maxBucket = 64, reps = 8)
-      pairs
+          expr("""md5(concat_ws(',', transform(slice(samples, 8 * band + 1, 8),
+                 |  x -> CAST((x + 32768) DIV 1024 AS STRING))))""".stripMargin)
+            .as("band_hash"))
+      Dedup.candidatePairsCapped(bands, "doc_id", maxBucket = 64, reps = 8)
         .join(decoded.select(col("doc_id").as("id_a"), col("samples").as("sa")), "id_a")
         .join(decoded.select(col("doc_id").as("id_b"), col("samples").as("sb")), "id_b")
         .select(col("id_a"), col("id_b"),
@@ -1816,17 +1819,10 @@ object LlmQueries {
         .filter(col("mad") <= 16)
         .orderBy("id_a", "id_b")
     }, Some(s"""WITH $wavSampleCtes,
-              |ew AS (SELECT doc_id, i // 8 AS w, SUM(CAST(s AS BIGINT) * s) AS e
+              |bands AS (SELECT doc_id, i // 8 AS band,
+              |    md5(string_agg(((s + 32768) // 1024)::VARCHAR, ','
+              |      ORDER BY i)) AS band_hash
               |  FROM smp GROUP BY doc_id, i // 8),
-              |fp AS (SELECT l.doc_id,
-              |    CAST(SUM(CASE WHEN r.e > l.e
-              |      THEN (1::BIGINT << CAST(l.w AS INT)) ELSE 0 END) AS BIGINT)
-              |      AS energy_fp
-              |  FROM ew l JOIN ew r ON r.doc_id = l.doc_id AND r.w = l.w + 1
-              |  WHERE l.w < 15 GROUP BY l.doc_id),
-              |bands AS (SELECT doc_id, b.b AS band,
-              |    (energy_fp >> CAST(5 * b.b AS INT)) & 31 AS band_hash
-              |  FROM fp, range(3) b(b)),
               |bsize AS (SELECT band, band_hash, count(*) AS n
               |  FROM bands GROUP BY band, band_hash),
               |bx AS (SELECT b.doc_id, b.band, b.band_hash, z.n > 64 AS oversized
