@@ -295,11 +295,19 @@ object Bench {
       if (used + e._1.length + 1 <= budget) { keep += e; used += e._1.length + 1 }
     }
     val keptNames = keep.map(_._2).toSet
-    val omitted = finalPass.filterNot(e => keptNames.contains(e._1))
+    // Failed queries (-1 markers) are reported as their own count, NOT
+    // folded into queries_omitted: omitted means dropped-for-budget, so
+    // kept + omitted seconds reconcile with `value`, and a failure is
+    // visible in the compact artifact rather than hiding in the tail
+    // (r12 advice).
+    val failed = finalPass.filter(_._2 < 0)
+    val omitted = finalPass.filterNot(e =>
+      keptNames.contains(e._1) || e._2 < 0)
     val compact = header +
       s""""queries":${keep.map(_._1).mkString("{", ",", "}")},""" +
       f""""queries_omitted":${omitted.size},""" +
-      f""""queries_omitted_sec":${omitted.filter(_._2 >= 0).map(_._2).sum}%.3f}"""
+      f""""queries_omitted_sec":${omitted.map(_._2).sum}%.3f,""" +
+      f""""queries_failed":${failed.size}}"""
     println(compact)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LATEST.json"),

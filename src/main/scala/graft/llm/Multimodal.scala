@@ -330,11 +330,16 @@ object Multimodal {
       }
       rows.mkString(", ")
     }
-    val blks = (0 until 18).map(b =>
+    // Narrow (13×16) rows only reference blocks 0-12, so gate the
+    // array length on the seed parity alongside the payload IF — 5
+    // MD5 calls saved on half the corpus (r12 advice; this encoder's
+    // whole optimization story is MD5 count).
+    def blks(n: Int) = (0 until n).map(b =>
       s"MD5(CONCAT(CAST($idCol DIV 4 AS STRING), '_', '$b'))").mkString(", ")
     val narrow = s"CONCAT('${headerHex(13, 16)}', ${bodyHex(13, 16)})"
     val wide = s"CONCAT('${headerHex(18, 16)}', ${bodyHex(18, 16)})"
-    df.withColumn("_blks", expr(s"array($blks)"))
+    df.withColumn("_blks", expr(
+        s"IF(($idCol DIV 4) % 2 = 0, array(${blks(13)}), array(${blks(18)}))"))
       .withColumn("payload",
         unhex(expr(s"IF(($idCol DIV 4) % 2 = 0, $narrow, $wide)")))
       .drop("_blks")
@@ -479,6 +484,16 @@ object Multimodal {
           var samples: Array[Int] = null
           while (off + 8 <= p.length && (sampleRate < 0 || samples == null)) {
             val id4 = tag(off); val sz = le32(off + 4)
+            // Validate the declared chunk size BEFORE dispatching: a
+            // corrupt payload with sz past the buffer would otherwise
+            // throw a raw AIOOBE from the sample extraction, and a
+            // negative sz (high bit set) would make `off += 8 + sz`
+            // non-advancing — an infinite loop in an executor task.
+            // Fail loudly instead, like bmpPixelsTopDown's truncation
+            // check (r12 advice).
+            require(sz >= 0 && off + 8 + sz.toLong <= p.length,
+              s"corrupt RIFF chunk '$id4' at byte $off: declared size $sz " +
+                s"exceeds payload (${p.length} bytes)")
             if (id4 == "fmt ") {
               require(le16(off + 8) == 1 && le16(off + 10) == 1 &&
                 le16(off + 22) == 16,

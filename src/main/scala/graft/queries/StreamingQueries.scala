@@ -622,10 +622,20 @@ object StreamingQueries {
           .start()
         q.awaitTermination()
       }
+      // PINNED ASSUMPTION (r12 advice): the oracle is two-increment —
+      // it models each increment as ONE accept/filter step. If the file
+      // source split an increment across micro-batches (e.g. a global
+      // maxFilesPerTrigger, or multiple input files under AvailableNow),
+      // docs accepted in an earlier micro-batch would filter later
+      // members of the SAME increment, diverging from the oracle. Each
+      // increment is therefore coalesced to a single file, and
+      // maxFilesPerTrigger must stay unset on this source.
       val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
-      docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(src)
+      docs.filter(col("doc_id") % 2 === 0)
+        .coalesce(1).write.mode("append").parquet(src)
       runOnce() // increment 1: evens seed the corpus — all accepted
-      docs.filter(col("doc_id") % 2 =!= 0).write.mode("append").parquet(src)
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .coalesce(1).write.mode("append").parquet(src)
       runOnce() // increment 2: odds filtered against the evens' bands
       s.read.table("graft_st13.accepted_docs").orderBy("doc_id")
     }, Some(s"""WITH ${LlmQueries.toksCte}, ${LlmQueries.shCte},
@@ -708,12 +718,18 @@ object StreamingQueries {
       // band collisions with the accepted index verify at Hamming ≫ 6,
       // so a drop-on-any-collision bug (st13's candidate-level rule,
       // wrong here) changes this gate's output.
+      // PINNED ASSUMPTION (st13's, r12 advice): each increment must
+      // arrive as ONE micro-batch or same-seed partners accepted in an
+      // earlier micro-batch would drop later members of the same
+      // increment, diverging from the two-increment oracle — so each
+      // increment is one coalesced file and maxFilesPerTrigger stays
+      // unset on this source.
       val docs = T(s, dir, "documents").select(col("doc_id"))
       docs.filter(col("doc_id") % 8 === 0 || col("doc_id") % 8 === 2)
-        .write.mode("append").parquet(src)
+        .coalesce(1).write.mode("append").parquet(src)
       runOnce() // increment 1 seeds the accepted index
       docs.filter(col("doc_id") % 8 =!= 0 && col("doc_id") % 8 =!= 2)
-        .write.mode("append").parquet(src)
+        .coalesce(1).write.mode("append").parquet(src)
       runOnce() // increment 2: verified against the accepted hashes
       s.read.table("graft_st14.accepted_imgs").orderBy("doc_id")
     }, Some(s"""WITH ${LlmQueries.phashHashCtes},

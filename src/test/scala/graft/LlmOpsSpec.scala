@@ -546,6 +546,26 @@ class LlmOpsSpec extends SparkTestBase {
     }
     assert(err.getMessage == null ||
       err.toString.contains("PCM") || Option(err.getCause).nonEmpty)
+    // Corrupt chunk sizes must fail LOUDLY, not AIOOBE or loop forever
+    // (r12 advice): (a) a data-chunk size past the buffer; (b) a
+    // negative size (high bit set), which would make the chunk walk
+    // non-advancing.
+    val truncated = payload.clone()
+    truncated(payload.length - data.length - 4) = 127 // data sz = huge
+    val errTrunc = intercept[Exception] {
+      Multimodal.decodeWavPcm(spark,
+        Seq((9L, truncated)).toDF("doc_id", "payload")).collect()
+    }
+    assert(errTrunc.toString.contains("corrupt RIFF chunk") ||
+      Option(errTrunc.getCause).exists(_.toString.contains("corrupt RIFF chunk")))
+    val negative = payload.clone()
+    negative(payload.length - data.length - 1) = 0x80.toByte // sz < 0
+    val errNeg = intercept[Exception] {
+      Multimodal.decodeWavPcm(spark,
+        Seq((10L, negative)).toDF("doc_id", "payload")).collect()
+    }
+    assert(errNeg.toString.contains("corrupt RIFF chunk") ||
+      Option(errNeg.getCause).exists(_.toString.contains("corrupt RIFF chunk")))
   }
 
   test("CountMin: estimates are one-sided and half-sketches merge to the whole") {
