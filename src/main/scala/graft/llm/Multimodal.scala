@@ -417,7 +417,16 @@ object Multimodal {
     * it is non-negative and replays exactly in any engine with 64-bit
     * integers (the KMV hash-range lesson). Classic dHash resamples an
     * arbitrary image to the grid first — [[resampleGray]] is that stage;
-    * [[encodeBmpGray8x8]] corpora are generated at grid size and skip it. */
+    * [[encodeBmpGray8x8]] corpora are generated at grid size and skip it.
+    * `keyCols` carries the identity through — (doc_id) for still
+    * images, (doc_id, frame_idx) for video frames. */
+  def dHash56(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.select(keyCols.map(col) :+ expr(
+      """aggregate(filter(sequence(0, 62), j -> j % 8 < 7), CAST(0 AS BIGINT),
+        |  (acc, j) -> acc + IF(element_at(gray, j + 1) < element_at(gray, j + 2),
+        |    shiftleft(CAST(1 AS BIGINT), j - j DIV 8), CAST(0 AS BIGINT)))""".stripMargin)
+      .as("phash"): _*)
+
   def dHash56(df: DataFrame): DataFrame =
     df.select(col("doc_id"), expr(
       """aggregate(filter(sequence(0, 62), j -> j % 8 < 7), CAST(0 AS BIGINT),
@@ -574,6 +583,186 @@ object Multimodal {
         floor(col("width") * col("resize_scale")).cast("int"))
       .withColumn("target_height",
         floor(col("height") * col("resize_scale")).cast("int"))
+
+  /** Build a REAL RIFF AVI container per row — multi-frame uncompressed
+    * video, the third genuinely-decoded modality after BMP images and
+    * WAV audio. Canonical structure, all little-endian:
+    * {{{
+    *   RIFF('AVI '
+    *     LIST('hdrl' avih(56) LIST('strl' strh(56: 'vids'/'DIB ')
+    *                               strf(40: BITMAPINFOHEADER 8×8×24)))
+    *     LIST('movi' '00db'(192-byte DIB frame) ×4))
+    * }}}
+    * Four 8×8 frames, each a bottom-up 24-bit DIB plane (8·3 = 24-byte
+    * rows, already 4-aligned). Content is seeded like the image/audio
+    * corpora: 4 consecutive doc_ids share a source VIDEO (seed =
+    * doc_id div 4); gray of GLOBAL pixel g = frame g div 64, offset
+    * g % 64 is byte g%16 of md5(seed || '_' || g div 16), r=g=b; each
+    * doc perturbs exactly ONE pixel (+128 mod 256 at g = doc_id % 256)
+    * — so same-seed videos differ in at most one frame's hash each,
+    * the shape a temporal near-dup must catch. An external oracle
+    * recomputes every pixel from the formula without RIFF parsing.
+    * Pure expressions: 16 md5 calls per row (one per 16-pixel block,
+    * hoisted into `_blks` — the encoder lesson), zero shuffle. */
+  def encodeAvi(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    def le(v: Int, bytes: Int): String =
+      (0 until bytes).map(i => "%02X".format((v >> (8 * i)) & 0xff)).mkString
+    def ascii(s: String): String = s.getBytes("US-ASCII").map("%02X".format(_)).mkString
+    val frameBytes = 8 * 8 * 3 // 24-byte rows, 4-aligned: no stride pad
+    val nFrames = 4
+    // BITMAPINFOHEADER (strf body): 8×8, 24bpp, BI_RGB.
+    val strfHex = ascii("strf") + le(40, 4) +
+      le(40, 4) + le(8, 4) + le(8, 4) + le(1, 2) + le(24, 2) +
+      le(0, 4) + le(frameBytes, 4) + le(0, 4) + le(0, 4) + le(0, 4) + le(0, 4)
+    // AVIStreamHeader (strh body): 'vids' handled by 'DIB ', 25 fps
+    // (rate/scale), 4 frames, rcFrame = (0,0,8,8) as four int16s.
+    val strhHex = ascii("strh") + le(56, 4) +
+      ascii("vids") + ascii("DIB ") + le(0, 4) + le(0, 2) + le(0, 2) +
+      le(0, 4) + le(1, 4) + le(25, 4) + le(0, 4) + le(nFrames, 4) +
+      le(frameBytes, 4) + le(0, 4) + le(0, 4) +
+      le(0, 2) + le(0, 2) + le(8, 2) + le(8, 2)
+    val strlHex = ascii("LIST") + le(4 + 64 + 48, 4) + ascii("strl") +
+      strhHex + strfHex
+    // MainAVIHeader (avih body): 40000 µs/frame (25 fps), 1 stream,
+    // dwTotalFrames = 4, 8×8 — the decoder cross-checks this count
+    // against the movi chunk walk.
+    val avihHex = ascii("avih") + le(56, 4) +
+      le(40000, 4) + le(frameBytes * 25, 4) + le(0, 4) + le(0, 4) +
+      le(nFrames, 4) + le(0, 4) + le(1, 4) + le(frameBytes, 4) +
+      le(8, 4) + le(8, 4) + le(0, 4) + le(0, 4) + le(0, 4) + le(0, 4)
+    val hdrlHex = ascii("LIST") + le(4 + 64 + 8 + 116, 4) + ascii("hdrl") +
+      avihHex + strlHex
+    val moviSize = 4 + nFrames * (8 + frameBytes)
+    val riffSize = 4 + (8 + 4 + 64 + 8 + 116) + (8 + moviSize)
+    val headerHex = ascii("RIFF") + le(riffSize, 4) + ascii("AVI ") + hdrlHex +
+      ascii("LIST") + le(moviSize, 4) + ascii("movi")
+    val frameChunkHdr = ascii("00db") + le(frameBytes, 4)
+    // ONE md5 per 16-pixel block (16 blocks: 4 frames × 4 blocks),
+    // hoisted into an array column the per-pixel terms slice into.
+    def pixHex(g: Int): String = {
+      val blk = g / 16
+      val off = 2 * (g % 16) + 1
+      val base = s"SUBSTRING(element_at(_blks, ${blk + 1}), $off, 2)"
+      s"IF($idCol % 256 = $g, " +
+        s"LOWER(LPAD(HEX((CAST(CONV($base, 16, 10) AS INT) + 128) % 256), 2, '0')), $base)"
+    }
+    // Each frame stored bottom-up (stored row sr = logical row 7-sr),
+    // three identical channel bytes per pixel.
+    val body = (0 until nFrames).flatMap { f =>
+      s"'$frameChunkHdr'" +: (0 until 8).flatMap { sr =>
+        val r = 7 - sr
+        (0 until 8).map { c => s"REPEAT(${pixHex(f * 64 + r * 8 + c)}, 3)" }
+      }
+    }
+    val blks = (0 until 16).map(b =>
+      s"MD5(CONCAT(CAST($idCol DIV 4 AS STRING), '_', '$b'))").mkString(", ")
+    df.withColumn("_blks", expr(s"array($blks)"))
+      .withColumn("payload",
+        unhex(expr(s"CONCAT('$headerHex', ${body.mkString(", ")})")))
+      .drop("_blks")
+  }
+
+  /** Partition-wise RIFF AVI decode — pure JVM, no codec library: walks
+    * the top-level chunk list, descends LIST('hdrl') → LIST('strl') for
+    * the stream headers (requires one 'vids' stream handled as raw
+    * 'DIB ', 24-bit uncompressed via the strf BITMAPINFOHEADER), then
+    * walks LIST('movi') extracting each '00db' frame — a bottom-up
+    * stride-padded DIB plane decoded to integer luma exactly like the
+    * BMP path. One output ROW PER FRAME: (doc_id, frame_idx, width,
+    * height, gray in logical top-down order). Declared-size validation
+    * on every chunk (the WAV lesson: corrupt sizes fail loudly, never
+    * AIOOBE or a non-advancing loop); the avih dwTotalFrames count is
+    * cross-checked against the movi walk. Narrow mapPartitions — no
+    * shuffle, scales with input splits. */
+  def decodeAviFrames(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        def le32(off: Int): Int = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
+          ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
+        def le16(off: Int): Int = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+        def tag(off: Int): String = new String(p, off, 4, "US-ASCII")
+        require(p.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI ",
+          "not a RIFF/AVI payload")
+        var declaredFrames = -1
+        var w = -1; var h = -1
+        val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        def checkedSize(off: Int): Int = {
+          val sz = le32(off + 4)
+          require(sz >= 0 && off + 8 + sz.toLong <= p.length,
+            s"corrupt RIFF chunk '${tag(off)}' at byte $off: declared size " +
+              s"$sz exceeds payload (${p.length} bytes)")
+          sz
+        }
+        // walk(from, to, ctx): iterate sibling chunks, descending into
+        // the LIST types that matter (hdrl/strl/movi).
+        def walk(from: Int, to: Int): Unit = {
+          var off = from
+          while (off + 8 <= to) {
+            val id4 = tag(off); val sz = checkedSize(off)
+            if (id4 == "LIST" && sz >= 4) {
+              tag(off + 8) match {
+                case "hdrl" | "strl" => walk(off + 12, off + 8 + sz)
+                case "movi" => walk(off + 12, off + 8 + sz)
+                case _ => // INFO etc: opaque
+              }
+            } else id4 match {
+              case "avih" =>
+                require(sz >= 40, s"short avih chunk ($sz bytes)")
+                declaredFrames = le32(off + 8 + 16)
+                require(le32(off + 8 + 24) == 1,
+                  "only single-stream AVI supported")
+              case "strh" =>
+                require(sz >= 8, s"short strh chunk ($sz bytes)")
+                val fcc = tag(off + 8); val handler = tag(off + 12)
+                require(fcc == "vids" && (handler == "DIB " || handler == "    "),
+                  s"only uncompressed 'vids'/'DIB ' streams supported " +
+                    s"(got '$fcc'/'$handler')")
+              case "strf" =>
+                require(sz >= 40, s"short strf chunk ($sz bytes)")
+                w = le32(off + 8 + 4); h = le32(off + 8 + 8)
+                val bpp = le16(off + 8 + 14); val compression = le32(off + 8 + 16)
+                require(bpp == 24 && compression == 0,
+                  s"only 24-bit uncompressed DIB frames supported " +
+                    s"(bpp=$bpp, compression=$compression)")
+                require(w > 0 && h > 0, s"bad frame dimensions ${w}x$h")
+              case "00db" =>
+                require(w > 0 && h > 0, "frame chunk before stream format")
+                val stride = ((w * 3 + 3) / 4) * 4
+                require(sz == stride * h,
+                  s"frame chunk size $sz != ${stride * h} (${w}x$h stride $stride)")
+                frames += java.util.Arrays.copyOfRange(p, off + 8, off + 8 + sz)
+              case _ => // JUNK / idx1 / unknown: opaque
+            }
+            off += 8 + sz + (sz & 1) // chunks are word-aligned
+          }
+        }
+        walk(12, 8 + checkedSize(0))
+        require(declaredFrames == frames.length,
+          s"avih declares $declaredFrames frames, movi carries ${frames.length}")
+        frames.iterator.zipWithIndex.map { case (plane, idx) =>
+          val stride = ((w * 3 + 3) / 4) * 4
+          val gray = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            val srcRow = h - 1 - y // DIB planes are bottom-up
+            var x = 0
+            while (x < w) {
+              val o = srcRow * stride + 3 * x
+              val b = plane(o) & 0xff
+              val g = plane(o + 1) & 0xff
+              val r = plane(o + 2) & 0xff
+              gray(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
+              x += 1
+            }
+            y += 1
+          }
+          (id, idx, w, h, gray)
+        }
+      }
+      .toDF("doc_id", "frame_idx", "width", "height", "gray")
+  }
 
   /** STUB frame sampling: `n` consecutive "frames", each fingerprinted
     * from a slice of the BINARY payload itself — the byte-domain slicing

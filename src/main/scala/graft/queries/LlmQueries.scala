@@ -108,6 +108,41 @@ object LlmQueries {
       |  FROM cp c JOIN ph a ON a.doc_id = c.id_a JOIN ph b ON b.doc_id = c.id_b
       |  WHERE bit_count(xor(a.phash, b.phash)) <= 6)""".stripMargin
 
+  // Shared video frame-hash chain (llm_video_* gates): encode real
+  // 4-frame 8×8 RIFF AVIs → partition-wise chunk-walking decode to one
+  // luma row PER FRAME → per-frame 56-bit dHash, keyed (doc_id,
+  // frame_idx). Checkpointed: 4×8 bytes/doc, feeds bands and both
+  // verify sides of the temporal dedup.
+  private def videoFrameHashes(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Multimodal.dHash56(
+        Multimodal.decodeAviFrames(s, Multimodal.encodeAvi(
+          T(s, dir, "documents").select(col("doc_id")))),
+        Seq("doc_id", "frame_idx"))
+      .localCheckpoint(true)
+
+  // Oracle pixel→per-frame-hash replay shared by the video gates
+  // (including the streaming twin): GLOBAL pixel g of a doc lives in
+  // frame g div 64 at offset g % 64; its gray is byte g%16 of
+  // md5(seed '_' g div 16), +128 at the doc's one perturbed position
+  // (g = doc_id % 256) — no RIFF parsing. Ends at `vph`
+  // (doc_id, frame_idx, phash).
+  private[queries] val videoHashCtes =
+    """vpx AS (
+      |  SELECT doc_id, g,
+      |    ((('0x' || substring(md5((doc_id // 4)::VARCHAR || '_' ||
+      |          (g // 16)::VARCHAR), 2 * (g % 16) + 1, 2))::BIGINT
+      |      + CASE WHEN g = doc_id % 256 THEN 128 ELSE 0 END) % 256) AS v
+      |  FROM documents, range(256) t(g)),
+      |vph AS MATERIALIZED (
+      |  SELECT l.doc_id, l.g // 64 AS frame_idx,
+      |    CAST(SUM(CASE WHEN l.v < r.v
+      |      THEN (1::BIGINT << CAST((l.g % 64) - (l.g % 64) // 8 AS INT))
+      |      ELSE 0 END) AS BIGINT) AS phash
+      |  FROM vpx l JOIN vpx r ON r.doc_id = l.doc_id AND r.g = l.g + 1
+      |  WHERE l.g % 8 < 7
+      |  GROUP BY l.doc_id, l.g // 64)""".stripMargin
+
   // Oracle sample replay shared by the audio gates: signed LE int16
   // sample i of doc = bytes 2(i%8), 2(i%8)+1 of md5(seed '_' i div 8),
   // +512 mod 2^16 at the doc's one perturbed position — no RIFF parse.
@@ -1850,6 +1885,92 @@ object LlmQueries {
               |  GROUP BY c.id_a, c.id_b, c.capped)
               |SELECT id_a, id_b, mad, capped FROM mad
               |WHERE mad <= 16 ORDER BY id_a, id_b""".stripMargin), bench = true),
+
+    "llm_video_decode_framehash" -> Q((s, dir) => {
+      // Video as a REAL modality — the third after images and audio:
+      // genuine 4-frame 8×8 RIFF AVI containers (LIST hdrl with
+      // avih/strh/strf, LIST movi with bottom-up 24-bit DIB '00db'
+      // frames) → pure-JVM chunk-walking decode (stream-format
+      // validation, per-chunk declared-size checks, frame-count
+      // cross-check vs avih) to one luma row PER FRAME → per-frame
+      // 56-bit dHash. The oracle recomputes every pixel from the
+      // generation formula without RIFF parsing, so a header-offset,
+      // frame-order, row-flip, or channel-order bug diverges. Replaces
+      // frameSampleStub as the video path — the stub now stands in for
+      // compressed codecs only.
+      videoFrameHashes(s, dir)
+        .select(col("doc_id"), col("frame_idx"),
+          lit(8).as("width"), lit(8).as("height"), col("phash"))
+        .orderBy("doc_id", "frame_idx")
+    }, Some(s"""WITH $videoHashCtes
+              |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+              |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height, phash
+              |FROM vph ORDER BY doc_id, frame_idx""".stripMargin),
+      bench = true),
+
+    "llm_video_framehash_dedup" -> Q((s, dir) => {
+      // TEMPORAL video near-dup: band key = (frame_idx × 4 + b,
+      // 14-bit slice b of that frame's dHash) — 16 content-addressed
+      // band rows per video, so a band collision asserts "same slice
+      // of the same frame position", the aligned-sequence shape.
+      // Same-seed videos differ in ≤1 frame's hash EACH (one perturbed
+      // pixel flips ≤2 dHash bits), so ≥2 of 4 frames are bit-identical
+      // → ≥8 shared band keys: guaranteed direct recall; cross-seed
+      // frames are uncorrelated 56-bit hashes (expected aligned Hamming
+      // ~28/frame). Candidates through the same skew-capped machinery
+      // as the image/audio chains, then the temporal verify: SUM of
+      // per-frame Hamming over ALIGNED frames ≤ 6 (same-seed reads ≤4,
+      // unrelated ~112). Frame hashes computed ONCE (checkpointed,
+      // 32 bytes/doc); the corpus is never re-decoded for the verify.
+      val fh = videoFrameHashes(s, dir)
+      val bands = fh
+        .select(col("doc_id"), col("frame_idx"), col("phash"),
+          explode(expr("sequence(0, 3)")).as("b"))
+        .select(col("doc_id"),
+          (col("frame_idx") * 4 + col("b")).as("band"),
+          expr("shiftright(phash, 14 * b) & 16383").as("band_hash"))
+      Dedup.candidatePairsCapped(bands, "doc_id", maxBucket = 64, reps = 8)
+        .join(fh.select(col("doc_id").as("id_a"), col("frame_idx"),
+          col("phash").as("ph_a")), "id_a")
+        .join(fh.select(col("doc_id").as("id_b"), col("frame_idx"),
+          col("phash").as("ph_b")), Seq("id_b", "frame_idx"))
+        .groupBy("id_a", "id_b", "capped")
+        .agg(sum(bit_count(col("ph_a").bitwiseXOR(col("ph_b")))).as("hamming"))
+        .filter(col("hamming") <= 6)
+        .select("id_a", "id_b", "hamming", "capped")
+        .orderBy("id_a", "id_b")
+    }, Some(s"""WITH $videoHashCtes,
+              |vbands AS (SELECT doc_id, frame_idx * 4 + b.b AS band,
+              |    (phash >> CAST(14 * b.b AS INT)) & 16383 AS band_hash
+              |  FROM vph, range(4) b(b)),
+              |vbsize AS (SELECT band, band_hash, count(*) AS n
+              |  FROM vbands GROUP BY band, band_hash),
+              |vbx AS (SELECT v.doc_id, v.band, v.band_hash, s.n > 64 AS oversized
+              |  FROM vbands v JOIN vbsize s USING (band, band_hash) WHERE s.n > 1),
+              |vrp AS (SELECT band, band_hash, doc_id AS rep FROM (
+              |    SELECT band, band_hash, doc_id,
+              |      row_number() OVER (PARTITION BY band, band_hash
+              |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+              |    FROM vbx WHERE oversized) z WHERE rk <= 8),
+              |vsmall AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, false AS c
+              |  FROM vbx x JOIN vbx y ON x.band = y.band AND x.band_hash = y.band_hash
+              |  WHERE NOT x.oversized AND x.doc_id < y.doc_id),
+              |vbig AS (SELECT least(m.doc_id, r.rep) AS id_a,
+              |    greatest(m.doc_id, r.rep) AS id_b, true AS c
+              |  FROM vbx m JOIN vrp r ON m.band = r.band AND m.band_hash = r.band_hash
+              |  WHERE m.oversized AND m.doc_id <> r.rep),
+              |vcp AS (SELECT id_a, id_b, bool_and(c) AS capped
+              |  FROM (SELECT * FROM vsmall UNION ALL SELECT * FROM vbig) u
+              |  GROUP BY id_a, id_b),
+              |vvp AS (SELECT c.id_a, c.id_b,
+              |    CAST(SUM(bit_count(xor(a.phash, b.phash))) AS BIGINT) AS hamming,
+              |    c.capped
+              |  FROM vcp c JOIN vph a ON a.doc_id = c.id_a
+              |  JOIN vph b ON b.doc_id = c.id_b AND b.frame_idx = a.frame_idx
+              |  GROUP BY c.id_a, c.id_b, c.capped
+              |  HAVING SUM(bit_count(xor(a.phash, b.phash))) <= 6)
+              |SELECT id_a, id_b, hamming, capped FROM vvp
+              |ORDER BY id_a, id_b""".stripMargin), bench = true),
 
     // ----- JSON prop extraction over events (F23 companion) ------------
     "llm_json_props_agg" -> Q((s, dir) =>

@@ -568,6 +568,62 @@ class LlmOpsSpec extends SparkTestBase {
       Option(errNeg.getCause).exists(_.toString.contains("corrupt RIFF chunk")))
   }
 
+  test("encodeAvi → decodeAviFrames recovers per-frame formula pixels; corrupt AVIs fail loudly") {
+    import spark.implicits._
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // Gray of global pixel g (frame g/64, offset g%64): byte g%16 of
+    // md5(seed '_' g/16), +128 mod 256 at g = doc_id % 256.
+    def gray(id: Long, g: Int): Int = {
+      val hex = md5Hex(s"${id / 4}_${g / 16}")
+      val v = Integer.parseInt(hex.substring(2 * (g % 16), 2 * (g % 16) + 2), 16)
+      (v + (if (g == id % 256) 128 else 0)) % 256
+    }
+    val ids = spark.range(0, 10).select(col("id").as("doc_id"))
+    val decoded = Multimodal.decodeAviFrames(spark, Multimodal.encodeAvi(ids))
+    val rows = decoded.collect()
+    assert(rows.length === 40) // 10 docs × 4 frames
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val f = r.getAs[Int]("frame_idx")
+      assert(r.getAs[Int]("width") === 8 && r.getAs[Int]("height") === 8)
+      val got = r.getAs[scala.collection.Seq[Int]]("gray")
+      assert(got == (0 until 64).map(j => gray(id, f * 64 + j)),
+        s"pixel mismatch for doc $id frame $f")
+    }
+    // Same-seed docs share ≥2 bit-identical frames and their total
+    // aligned Hamming is ≤ 4 — the recall contract the dedup gate
+    // banding relies on.
+    val fh = Multimodal.dHash56(decoded, Seq("doc_id", "frame_idx"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val totalHamming = (0 until 4).map(f =>
+      java.lang.Long.bitCount(fh((0L, f)) ^ fh((1L, f)))).sum
+    assert(totalHamming <= 4, s"same-seed aligned Hamming $totalHamming > 4")
+    assert((0 until 4).count(f => fh((0L, f)) == fh((1L, f))) >= 2)
+    // Corruption: (a) truncated chunk size fails the declared-size
+    // check; (b) a frame-count mismatch vs avih fails the cross-check.
+    val payload = Multimodal.encodeAvi(Seq(3L).toDF("doc_id"))
+      .select("payload").head().getAs[Array[Byte]](0)
+    assert(payload.length === 1024)
+    val bad = payload.clone()
+    bad(payload.length - 192 - 3) = 127 // last '00db' chunk size → past buffer
+    val errTrunc = intercept[Exception] {
+      Multimodal.decodeAviFrames(spark,
+        Seq((3L, bad)).toDF("doc_id", "payload")).collect()
+    }
+    assert(errTrunc.toString.contains("corrupt RIFF chunk") ||
+      Option(errTrunc.getCause).exists(_.toString.contains("corrupt RIFF chunk")))
+    val miscount = payload.clone()
+    miscount(32 + 16) = 5 // avih dwTotalFrames: 4 → 5
+    val errCount = intercept[Exception] {
+      Multimodal.decodeAviFrames(spark,
+        Seq((3L, miscount)).toDF("doc_id", "payload")).collect()
+    }
+    assert(errCount.toString.contains("frames") ||
+      Option(errCount.getCause).exists(_.toString.contains("frames")))
+  }
+
   test("CountMin: estimates are one-sided and half-sketches merge to the whole") {
     import graft.operators.CountMin
     val keys = (0 until 400).map(i => s"k${i % 37}").toDF("k")
