@@ -1972,6 +1972,82 @@ object LlmQueries {
               |SELECT id_a, id_b, hamming, capped FROM vvp
               |ORDER BY id_a, id_b""".stripMargin), bench = true),
 
+    "llm_crossmodal_clusters" -> Q((s, dir) => {
+      // CROSS-MODAL duplicate clustering — the composition a 100 TB
+      // multimodal corpus actually runs: a document survives only if
+      // neither its TEXT near-duplicates nor its IMAGE near-duplicates
+      // the kept set, so components are computed over the UNION of the
+      // text MinHash-LSH edge set (llm_minhash_lsh_pairs' chain) and
+      // the image phash edge set (the Hamming-verified pairs the image
+      // gates share). Per-doc modality provenance comes back as
+      // incident-edge counts per modality, so a curator can see WHY a
+      // doc joined its cluster. Both edge frames are the existing
+      // sub-quadratic banded chains; the union is one extra cheap
+      // shuffle and Dedup.dedupClusters takes the edge frame as-is.
+      val docs = T(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism * 2)
+      val sh = Dedup.shingleArray(docs, "doc_id", "text", 3)
+      val sig = Dedup.minhashSignaturesNative(sh, "doc_id", 8)
+      val bands = Dedup.lshBands(sig, "doc_id", 8, 2)
+      val textPairs = Dedup.candidatePairs(bands, "doc_id")
+        .localCheckpoint(true)
+      val imgPairs = phashVerifiedPairs(s, dir)._2
+        .select("id_a", "id_b").localCheckpoint(true)
+      val edges = textPairs.unionByName(imgPairs).distinct()
+      def degrees(pairs: org.apache.spark.sql.DataFrame, as: String) =
+        pairs.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as(as))
+      Dedup.dedupClusters(T(s, dir, "documents").select("doc_id"), "doc_id", edges)
+        .join(degrees(textPairs, "n_text_edges"), Seq("doc_id"), "left")
+        .join(degrees(imgPairs, "n_image_edges"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("component"), col("is_canonical"),
+          col("cluster_size"),
+          coalesce(col("n_text_edges"), lit(0L)).as("n_text_edges"),
+          coalesce(col("n_image_edges"), lit(0L)).as("n_image_edges"))
+        .orderBy("doc_id")
+    }, Some {
+      // The image-chain CTEs collide with the LSH chain on `bands`:
+      // rename the whole image prefix (bands→ibands and the capped
+      // continuation) — whole-token rewrite, `band`/`band_hash` column
+      // names don't contain "bands".
+      val imageCtes = phashPairsCtes.replace("bands", "ibands")
+        .replace("bsize", "ibsize").replace("bx", "ibx")
+        .replace("rp", "irp").replace("small_pairs", "ismall")
+        .replace("big_pairs", "ibig").replace("cp ", "icp ")
+        .replace("FROM cp", "FROM icp")
+      s"""WITH RECURSIVE $toksCte, $shCte,
+         |$lshPairsCtes,
+         |$imageCtes,
+         |alledges AS (SELECT id_a, id_b FROM lsh_pairs
+         |  UNION SELECT id_a, id_b FROM vp),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM alledges
+         |          UNION SELECT id_b, id_a FROM alledges),
+         |reach AS (SELECT src AS id, src AS comp FROM edges
+         |          UNION
+         |          SELECT e.src, r.comp FROM edges e
+         |          JOIN reach r ON e.dst = r.id),
+         |comps AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+         |assigned AS (SELECT d.doc_id,
+         |    coalesce(c.component, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN comps c ON c.id = d.doc_id),
+         |sizes AS (SELECT component, count(*) AS cluster_size
+         |  FROM assigned GROUP BY component),
+         |tdeg AS (SELECT doc_id, count(*) AS n FROM (
+         |    SELECT id_a AS doc_id FROM lsh_pairs
+         |    UNION ALL SELECT id_b FROM lsh_pairs) GROUP BY doc_id),
+         |ideg AS (SELECT doc_id, count(*) AS n FROM (
+         |    SELECT id_a AS doc_id FROM vp
+         |    UNION ALL SELECT id_b FROM vp) GROUP BY doc_id)
+         |SELECT a.doc_id, a.component, a.doc_id = a.component AS is_canonical,
+         |  s.cluster_size,
+         |  coalesce(t.n, 0) AS n_text_edges,
+         |  coalesce(i.n, 0) AS n_image_edges
+         |FROM assigned a JOIN sizes s USING (component)
+         |LEFT JOIN tdeg t ON t.doc_id = a.doc_id
+         |LEFT JOIN ideg i ON i.doc_id = a.doc_id
+         |ORDER BY a.doc_id""".stripMargin
+    }, bench = true),
+
     // ----- JSON prop extraction over events (F23 companion) ------------
     "llm_json_props_agg" -> Q((s, dir) =>
       T(s, dir, "events")
