@@ -147,7 +147,7 @@ object LlmQueries {
   // sample i of doc = bytes 2(i%8), 2(i%8)+1 of md5(seed '_' i div 8),
   // +512 mod 2^16 at the doc's one perturbed position — no RIFF parse.
   // Ends at `smp` (doc_id, i, s).
-  private val wavSampleCtes =
+  private[queries] val wavSampleCtes =
     """pairs16 AS (
       |  SELECT doc_id, i,
       |    substring(md5((doc_id // 4)::VARCHAR || '_' || (i // 8)::VARCHAR),

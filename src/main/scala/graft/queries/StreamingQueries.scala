@@ -741,5 +741,113 @@ object StreamingQueries {
                |SELECT doc_id FROM documents
                |WHERE doc_id % 8 IN (0, 2)
                |   OR doc_id NOT IN (SELECT doc_id FROM coll)
+               |ORDER BY doc_id""".stripMargin)),
+
+    "st15_stream_audio_dedup" -> Q((s, dir) => {
+      // Streaming AUDIO near-dup ingest — completes the batch↔streaming
+      // symmetry (st13 text, st14 image): each AvailableNow increment
+      // decodes its WAVs, keys them by the 16 content-addressed
+      // per-window band hashes from the batch audio chain
+      // (llm_audio_fingerprint_dedup), probes the ACCEPTED band index,
+      // and VERIFIES each collision with the exact mean-absolute
+      // sample-distance test (≤ 16) before dropping — the verify is
+      // LOAD-BEARING here: a same-seed partner whose ±512 perturbation
+      // WRAPPED the int16 range reads MAD ~508 and must survive, so a
+      // drop-on-any-collision bug changes this gate's output. State per
+      // accepted doc: 16 band rows plus ONE decoded 128-sample frame
+      // (512 bytes — the exact verify side); the standing corpus is
+      // never re-encoded or re-decoded. Same one-micro-batch-per-
+      // increment pin as st13/st14.
+      import graft.llm.Multimodal
+      val base = tmp("graft_st15")
+      val src = s"$base/in"; val chk = s"$base/chk"
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_st15")
+      s.sql("DROP TABLE IF EXISTS graft_st15.accepted_docs")
+      s.sql("DROP TABLE IF EXISTS graft_st15.accepted_bands")
+      s.sql("DROP TABLE IF EXISTS graft_st15.accepted_audio")
+      def decodedOf(df: org.apache.spark.sql.DataFrame) =
+        Multimodal.decodeWavPcm(df.sparkSession, Multimodal.encodeWavPcm(df))
+      def bandsOf(decoded: org.apache.spark.sql.DataFrame) =
+        decoded
+          .select(col("doc_id"), explode(expr("sequence(0, 15)")).as("band"),
+            col("samples"))
+          .select(col("doc_id"), col("band"),
+            expr("""md5(concat_ws(',', transform(slice(samples, 8 * band + 1, 8),
+                   |  x -> CAST((x + 32768) DIV 1024 AS STRING))))""".stripMargin)
+              .as("band_hash"))
+      def runOnce(): Unit = {
+        val q = s.readStream
+          .schema("doc_id BIGINT")
+          .parquet(src)
+          .writeStream
+          .option("checkpointLocation", chk)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              val sp = batch.sparkSession
+              val decoded = decodedOf(batch).localCheckpoint(true)
+              val nb = bandsOf(decoded).localCheckpoint(true)
+              val dropped =
+                if (sp.catalog.tableExists("graft_st15.accepted_bands"))
+                  nb.join(sp.read.table("graft_st15.accepted_bands")
+                      .withColumnRenamed("doc_id", "acc_doc_id"),
+                      Seq("band", "band_hash"))
+                    .select("doc_id", "acc_doc_id").distinct()
+                    .join(decoded.select(col("doc_id"), col("samples").as("sn")),
+                      "doc_id")
+                    .join(sp.read.table("graft_st15.accepted_audio")
+                        .select(col("doc_id").as("acc_doc_id"),
+                          col("samples").as("sa")),
+                      "acc_doc_id")
+                    .filter(expr(
+                      """aggregate(zip_with(sn, sa, (x, y) -> CAST(abs(x - y) AS BIGINT)),
+                        |  CAST(0 AS BIGINT), (a, v) -> a + v) DIV 128 <= 16""".stripMargin))
+                    .select("doc_id").distinct()
+                else nb.select("doc_id").limit(0)
+              val kept = batch.join(dropped, Seq("doc_id"), "left_anti")
+                .localCheckpoint(true)
+              val keptBands = nb.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+                .localCheckpoint(true)
+              val keptAudio = decoded.select("doc_id", "samples")
+                .join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+                .localCheckpoint(true)
+              kept.select("doc_id").write.mode("append")
+                .saveAsTable("graft_st15.accepted_docs")
+              keptBands.write.mode("append")
+                .saveAsTable("graft_st15.accepted_bands")
+              keptAudio.write.mode("append")
+                .saveAsTable("graft_st15.accepted_audio")
+            }
+          }
+          .start()
+        q.awaitTermination()
+      }
+      val docs = T(s, dir, "documents").select(col("doc_id"))
+      docs.filter(col("doc_id") % 8 === 0 || col("doc_id") % 8 === 2)
+        .coalesce(1).write.mode("append").parquet(src)
+      runOnce() // increment 1 seeds the accepted index
+      docs.filter(col("doc_id") % 8 =!= 0 && col("doc_id") % 8 =!= 2)
+        .coalesce(1).write.mode("append").parquet(src)
+      runOnce() // increment 2: verified against the accepted samples
+      s.read.table("graft_st15.accepted_docs").orderBy("doc_id")
+    }, Some(s"""WITH ${LlmQueries.wavSampleCtes},
+               |bands AS (SELECT doc_id, i // 8 AS band,
+               |    md5(string_agg(((s + 32768) // 1024)::VARCHAR, ','
+               |      ORDER BY i)) AS band_hash
+               |  FROM smp GROUP BY doc_id, i // 8),
+               |cand AS (SELECT DISTINCT n.doc_id, a.doc_id AS acc
+               |  FROM bands n JOIN bands a
+               |    ON n.band = a.band AND n.band_hash = a.band_hash
+               |  WHERE n.doc_id % 8 NOT IN (0, 2) AND a.doc_id % 8 IN (0, 2)),
+               |mad AS (SELECT c.doc_id, c.acc,
+               |    SUM(abs(x.s - y.s)) // 128 AS mad
+               |  FROM cand c JOIN smp x ON x.doc_id = c.doc_id
+               |  JOIN smp y ON y.doc_id = c.acc AND y.i = x.i
+               |  GROUP BY c.doc_id, c.acc),
+               |coll AS (SELECT DISTINCT doc_id FROM mad WHERE mad <= 16)
+               |SELECT doc_id FROM documents
+               |WHERE doc_id % 8 IN (0, 2)
+               |   OR doc_id NOT IN (SELECT doc_id FROM coll)
                |ORDER BY doc_id""".stripMargin)))
 }
