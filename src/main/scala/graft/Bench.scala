@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark entry point. Runs the headline queries from
@@ -319,6 +321,23 @@ object Bench {
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
+      // Per-round committed FULL artifact (r12 verdict item 6): the
+      // driver's BENCH_r{N}.json keeps only the compact stdout tail
+      // (36 of 93 queries omitted in r12) and BENCH_LATEST.json is
+      // overwritten every run — so round-over-round per-query history
+      // silently lost the fast half of the suite. Infer the upcoming
+      // round as max committed BENCH_r{N}.json + 1 and write the full
+      // line there; repeated local runs converge to the last one, and
+      // the round commit freezes it.
+      val roundRe = "BENCH_r(\\d+)\\.json".r
+      val nextRound = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+        .iterator().asScala
+        .flatMap(p => roundRe.findFirstMatchIn(p.getFileName.toString)
+          .map(_.group(1).toInt))
+        .foldLeft(0)(math.max) + 1
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"BENCH_r$nextRound%02d_full.json"),
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: $e") }
     spark.stop()
   }
