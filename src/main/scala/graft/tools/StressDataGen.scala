@@ -61,7 +61,17 @@ object StressDataGen {
   def main(args: Array[String]): Unit = {
     val outDir = if (args.nonEmpty) args(0) else "/tmp/stressdata"
     val sf = if (args.length > 1) args(1).toDouble else 1.0
-    val skewHot = args.length > 2 && args(2) == "skew"
+    // arg 3: "skew" = 1% hot (the r11 octave), "skew<pct>" (e.g. skew25)
+    // = that percentage of orders redirected to customer 0 — used by the
+    // SkewAb crossover sweep, where the salt only pays once the hot key
+    // dominates a shuffle partition (share >> 1/numPartitions).
+    val skewPct: Int =
+      if (args.length > 2 && args(2).startsWith("skew"))
+        args(2).stripPrefix("skew") match {
+          case "" => 1
+          case p  => p.toInt
+        }
+      else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -70,22 +80,23 @@ object StressDataGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, outDir, sf, skewHot)
+    generate(spark, outDir, sf, skewPct)
     spark.stop()
   }
 
   /** Write all ten tables at `sf` (1.0 ≈ 10× the sf0.1 corpus).
     *
-    * `skewHot` (CLI arg 3 = "skew") is the SKEW OCTAVE (r11 verdict
-    * stretch): ~1% of all orders — and therefore ~1% of lineitem via
-    * the FK chain — are redirected to customer 0, a Zipf-head join key
-    * two to three orders of magnitude hotter than uniform. The salted
-    * join, AQE skew handling, and every customer-grain aggregate get a
+    * `skewPct` (CLI arg 3 = "skew" or "skew<pct>") is the SKEW OCTAVE
+    * (r11 verdict stretch): that percentage of all orders — and
+    * therefore of lineitem via the FK chain — are redirected to
+    * customer 0, a Zipf-head join key orders of magnitude hotter than
+    * uniform ("skew" alone keeps the original 1%). The salted join,
+    * AQE skew handling, and every customer-grain aggregate get a
     * genuinely skewed key distribution; everything else (and every
     * oracle, which reads the same parquet) is unchanged.
     */
   def generate(spark: SparkSession, outDir: String, sf: Double,
-      skewHot: Boolean = false): Unit = {
+      skewPct: Int = 0): Unit = {
     val nCust = (150000 * sf).toLong max 100
     val nSupp = (10000 * sf).toLong max 20
     val nPart = (200000 * sf).toLong max 200
@@ -148,8 +159,8 @@ object StressDataGen {
     val epoch95 = to_timestamp(lit("1995-01-01 00:00:00"))
     val orders = spark.range(nOrders).select(
       col("id").as("o_orderkey"),
-      (if (skewHot)
-        when(h(col("id"), lit(26)) % 100 === 0, lit(0L))
+      (if (skewPct > 0)
+        when(h(col("id"), lit(26)) % 100 < skewPct, lit(0L))
           .otherwise(h(col("id"), lit(11)) % nCust)
       else h(col("id"), lit(11)) % nCust).as("o_custkey"),
       element_at(statuses, (h(col("id"), lit(12)) % 3 + 1).cast("int")).as("o_orderstatus"),
