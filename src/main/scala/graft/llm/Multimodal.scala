@@ -13,11 +13,15 @@ import org.apache.spark.sql.functions._
   *     self-contained uncompressed raster formats (PPM P6 and 24-bit
   *     BMP) — header parse, dimension extraction, pixel-byte extraction,
   *     pixel digest — no external codec library needed.
+  *   - [[encodePng8x8]] / [[pngPixelsTopDown]]: a REAL COMPRESSED
+  *     codec — zlib ships in the JDK, so the full PNG
+  *     filter→deflate→chunk→CRC→inflate→unfilter round-trip runs pure
+  *     JVM (as do the RIFF WAVE/AVI codecs for audio/video).
   *   - [[decodeStub]] / [[StubCodec]]: a clearly-marked deterministic
-  *     stub standing in for compressed formats (JPEG/PNG/audio/video)
-  *     whose codec libraries this container does not ship. The stub
-  *     keeps schema and scaling behavior identical, so swapping in a
-  *     libjpeg/ffmpeg-backed [[MediaCodec]] changes nothing around it.
+  *     stub standing in ONLY for formats whose codecs genuinely are
+  *     not in the JDK (JPEG, H.264). The stub keeps schema and scaling
+  *     behavior identical, so swapping in a libjpeg/ffmpeg-backed
+  *     [[MediaCodec]] changes nothing around it.
   */
 object Multimodal {
 
@@ -762,6 +766,233 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "frame_idx", "width", "height", "gray")
+  }
+
+  // ------------------------------------------------------------------
+  // PNG — a REAL COMPRESSED codec, pure JVM. zlib ships in the JDK
+  // (java.util.zip.Deflater/Inflater), so PNG needs no external codec
+  // library: signature + big-endian chunk frames (length/type/data/
+  // CRC32), IHDR, zlib-deflated IDAT scanlines, per-scanline filter
+  // types 0-4 (None/Sub/Up/Average/Paeth per the PNG spec). This is
+  // the compressed tier the decodeStub note said the container could
+  // not ship — for PNG it can, so the stub now stands in only for
+  // formats whose codecs genuinely are not in the JDK (JPEG/H.264).
+  // ------------------------------------------------------------------
+
+  private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    .map(_.toByte)
+
+  /** a=left, b=up, c=up-left — the PNG spec's Paeth predictor. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** One PNG chunk: BE length, 4-byte type, data, CRC32(type||data). */
+  private def pngChunk(tag: String, data: Array[Byte]): Array[Byte] = {
+    val t = tag.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    require(t.length == 4, s"bad chunk tag $tag")
+    val crc = new java.util.zip.CRC32()
+    crc.update(t); crc.update(data)
+    val out = java.nio.ByteBuffer.allocate(12 + data.length)
+    out.putInt(data.length).put(t).put(data).putInt(crc.getValue.toInt)
+    out.array()
+  }
+
+  /** Build a REAL 8×8 truecolor (color type 2) PNG per row — the full
+    * compressed path: formula pixels → per-scanline FILTER (type
+    * (doc_id + row) % 5, so all five PNG filters are load-bearing in
+    * every image) → one zlib-deflated IDAT → CRC32-framed chunks. Same
+    * near-dup corpus structure as [[encodeBmpGray8x8]] but in a
+    * DISTINCT seed namespace so the two corpora don't alias: gray of
+    * logical pixel j = byte j%16 of md5('p' || doc_id div 4 || '_' ||
+    * j div 16), +128 mod 256 at j = doc_id % 64; r=g=b. The oracle
+    * replays pixels from that formula without any PNG parsing, so an
+    * encode/decode bug anywhere in the deflate→inflate→unfilter
+    * round-trip breaks pixel equality downstream. Per-partition
+    * MessageDigest + Deflater (reset per row), narrow mapPartitions. */
+  def encodePng8x8(spark: SparkSession, df: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions { ids =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val defl = new java.util.zip.Deflater()
+        ids.map { id =>
+          val seed = id / 4
+          val gray = new Array[Int](64)
+          var b = 0
+          while (b < 4) {
+            md.reset()
+            val digest = md.digest(s"p${seed}_$b"
+              .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+            var k = 0
+            while (k < 16) { gray(b * 16 + k) = digest(k) & 0xff; k += 1 }
+            b += 1
+          }
+          val perturbed = (id % 64).toInt
+          gray(perturbed) = (gray(perturbed) + 128) % 256
+          // Scanlines: filter byte + 24 RGB bytes, filtered per spec.
+          val w = 8; val h = 8; val bpp = 3
+          val raw = Array.tabulate(h, w * bpp)((r, i) => gray(r * w + i / bpp))
+          val scan = new Array[Byte](h * (1 + w * bpp))
+          var r = 0
+          while (r < h) {
+            val f = ((id + r) % 5).toInt
+            scan(r * 25) = f.toByte
+            var i = 0
+            while (i < w * bpp) {
+              val cur = raw(r)(i)
+              val left = if (i >= bpp) raw(r)(i - bpp) else 0
+              val up = if (r > 0) raw(r - 1)(i) else 0
+              val upLeft = if (r > 0 && i >= bpp) raw(r - 1)(i - bpp) else 0
+              val v = f match {
+                case 0 => cur
+                case 1 => cur - left
+                case 2 => cur - up
+                case 3 => cur - (left + up) / 2
+                case 4 => cur - paeth(left, up, upLeft)
+              }
+              scan(r * 25 + 1 + i) = (v & 0xff).toByte
+              i += 1
+            }
+            r += 1
+          }
+          defl.reset()
+          defl.setInput(scan)
+          defl.finish()
+          val buf = new Array[Byte](scan.length + 64)
+          val n = defl.deflate(buf)
+          require(defl.finished(), "deflate buffer too small for 8x8 scanlines")
+          val ihdr = java.nio.ByteBuffer.allocate(13)
+            .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+            .put(0.toByte).put(0.toByte).put(0.toByte).array()
+          val payload = PngSig ++ pngChunk("IHDR", ihdr) ++
+            pngChunk("IDAT", buf.take(n)) ++ pngChunk("IEND", Array.emptyByteArray)
+          (id, payload)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Full PNG decode to top-down RGB bytes — signature check, BE chunk
+    * walk with declared-size validation BEFORE dispatch (the WAV
+    * chunk-walk lesson: a corrupt length must fail loudly, never AIOOBE
+    * or loop) and CRC32 verification of every chunk, IHDR field
+    * validation (8-bit truecolor, deflate, filter method 0, no
+    * interlace), multi-IDAT zlib inflate to the exact scanline length,
+    * and per-scanline UNFILTER of all five PNG filter types. */
+  private[llm] def pngPixelsTopDown(p: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(p.length >= 8 && PngSig.indices.forall(i => p(i) == PngSig(i)),
+      "not a PNG payload")
+    def be32(off: Int): Int =
+      ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
+        ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
+    var off = 8
+    var w = -1; var h = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      require(off + 8 <= p.length, s"truncated PNG chunk header at byte $off")
+      val len = be32(off)
+      val tag = new String(p, off + 4, 4, "US-ASCII")
+      require(len >= 0 && off + 12L + len <= p.length,
+        s"corrupt PNG chunk '$tag' at byte $off: declared size $len " +
+          s"exceeds payload (${p.length} bytes)")
+      val crc = new java.util.zip.CRC32()
+      crc.update(p, off + 4, 4 + len)
+      require(crc.getValue.toInt == be32(off + 8 + len),
+        s"PNG chunk '$tag' at byte $off fails CRC32")
+      tag match {
+        case "IHDR" =>
+          require(len == 13, s"IHDR length $len != 13")
+          w = be32(off + 8); h = be32(off + 12)
+          val (depth, color) = (p(off + 16) & 0xff, p(off + 17) & 0xff)
+          val (comp, filt, inter) =
+            (p(off + 18) & 0xff, p(off + 19) & 0xff, p(off + 20) & 0xff)
+          require(depth == 8 && color == 2,
+            s"only 8-bit truecolor PNG supported (depth=$depth, color=$color)")
+          require(comp == 0 && filt == 0 && inter == 0,
+            s"unsupported PNG compression/filter/interlace ($comp/$filt/$inter)")
+          require(w > 0 && h > 0, s"bad PNG dimensions ${w}x$h")
+        case "IDAT" =>
+          require(w > 0, "IDAT before IHDR")
+          idat.write(p, off + 8, len)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks skipped, CRC still verified
+      }
+      off += 12 + len
+    }
+    require(w > 0 && idat.size() > 0, "missing IHDR/IDAT chunk")
+    val bpp = 3
+    val rowLen = 1 + w * bpp
+    val scan = new Array[Byte](h * rowLen)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    while (got < scan.length && !inf.finished()) {
+      val n = inf.inflate(scan, got, scan.length - got)
+      require(n > 0 || inf.finished(), "truncated PNG IDAT stream")
+      got += n
+    }
+    require(got == scan.length && (inf.finished() ||
+        inf.inflate(new Array[Byte](1)) == 0 && inf.finished()),
+      s"PNG IDAT inflates to $got bytes, expected ${scan.length}")
+    inf.end()
+    val pixels = new Array[Byte](h * w * bpp)
+    var r = 0
+    while (r < h) {
+      val f = scan(r * rowLen) & 0xff
+      require(f <= 4, s"bad PNG filter type $f on scanline $r")
+      var i = 0
+      while (i < w * bpp) {
+        val x = scan(r * rowLen + 1 + i) & 0xff
+        val left = if (i >= bpp) pixels(r * w * bpp + i - bpp) & 0xff else 0
+        val up = if (r > 0) pixels((r - 1) * w * bpp + i) & 0xff else 0
+        val upLeft =
+          if (r > 0 && i >= bpp) pixels((r - 1) * w * bpp + i - bpp) & 0xff else 0
+        val v = f match {
+          case 0 => x
+          case 1 => x + left
+          case 2 => x + up
+          case 3 => x + (left + up) / 2
+          case 4 => x + paeth(left, up, upLeft)
+        }
+        pixels(r * w * bpp + i) = (v & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    (w, h, pixels)
+  }
+
+  /** Partition-wise PNG decode to GRAYSCALE — the compressed-format
+    * sibling of [[decodeBmpGray]]: full inflate + unfilter via
+    * [[pngPixelsTopDown]], then integer luma (299·R + 587·G + 114·B)
+    * div 1000 (PNG stores RGB, not BGR). Narrow mapPartitions, no
+    * shuffle; scales with input splits. */
+  def decodePngGray(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val (w, h, px) = pngPixelsTopDown(payload)
+          val gray = new Array[Int](w * h)
+          var i = 0
+          while (i < gray.length) {
+            val r = px(3 * i) & 0xff
+            val g = px(3 * i + 1) & 0xff
+            val b = px(3 * i + 2) & 0xff
+            gray(i) = (299 * r + 587 * g + 114 * b) / 1000
+            i += 1
+          }
+          (id, w, h, gray)
+        }
+      }
+      .toDF("doc_id", "width", "height", "gray")
   }
 
   /** STUB frame sampling: `n` consecutive "frames", each fingerprinted

@@ -1778,6 +1778,43 @@ object LlmQueries {
               |  phash
               |FROM ph ORDER BY doc_id""".stripMargin), bench = true),
 
+    "llm_png_decode_phash" -> Q((s, dir) => {
+      // COMPRESSED images as a real modality: PNG needs no external
+      // codec library (zlib is in the JDK), so the full compressed
+      // round-trip runs end-to-end on the engine — formula pixels →
+      // per-scanline PNG filters (all five types load-bearing in every
+      // image: type (doc_id+row) % 5) → zlib deflate → CRC32-framed
+      // chunks → big-endian chunk walk with CRC verify → inflate →
+      // unfilter → luma → the same 56-bit dHash as the BMP track. The
+      // oracle replays pixels from the generation formula (distinct
+      // 'p' seed namespace, no PNG parsing), so a bug ANYWHERE in the
+      // filter/deflate/chunk/inflate path breaks pixel equality and
+      // diverges the hash. Narrow end-to-end: encode and decode are
+      // both per-partition sweeps, zero shuffle before the final sort.
+      Multimodal.dHash56(
+          Multimodal.decodePngGray(s, Multimodal.encodePng8x8(
+            s, T(s, dir, "documents").select(col("doc_id")))),
+          Seq("doc_id", "width", "height"))
+        .select(col("doc_id"), col("width"), col("height"), col("phash"))
+        .orderBy("doc_id")
+    }, Some("""WITH ppx AS (
+              |  SELECT doc_id, j,
+              |    ((('0x' || substring(md5('p' || (doc_id // 4)::VARCHAR || '_' ||
+              |          (j // 16)::VARCHAR), 2 * (j % 16) + 1, 2))::BIGINT
+              |      + CASE WHEN j = doc_id % 64 THEN 128 ELSE 0 END) % 256) AS v
+              |  FROM documents, range(64) t(j)),
+              |pph AS (
+              |  SELECT l.doc_id,
+              |    CAST(SUM(CASE WHEN l.v < r.v
+              |      THEN (1::BIGINT << CAST(l.j - l.j // 8 AS INT))
+              |      ELSE 0 END) AS BIGINT) AS phash
+              |  FROM ppx l JOIN ppx r ON r.doc_id = l.doc_id AND r.j = l.j + 1
+              |  WHERE l.j % 8 < 7
+              |  GROUP BY l.doc_id)
+              |SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+              |  phash
+              |FROM pph ORDER BY doc_id""".stripMargin), bench = true),
+
     "llm_audio_decode_features" -> Q((s, dir) => {
       // Audio as a REAL modality, same rigor as the image track: genuine
       // RIFF/WAVE PCM payloads (canonical 44-byte header + 128 LE int16

@@ -297,6 +297,38 @@ object RelationalQueries {
               |GROUP BY CAST(month(l_shipdate) AS INT)
               |ORDER BY ship_mon""".stripMargin), bench = true),
 
+    "s20_gzip_csv_scan" -> Q((s, dir) => {
+      // COMPRESSED text ingest (the .csv.gz drop every warehouse
+      // receives). The scale point is that gzip is NOT SPLITTABLE —
+      // one .gz member = one read task, no matter how large — so the
+      // writer deliberately KEEPS the input parallelism (many
+      // similar-sized .gz files, each an independent task) instead of
+      // coalescing to a single giant member that would serialize the
+      // whole scan at 100 TB. Prices travel as DECIMAL(12,2) text so
+      // the round-trip is exact; the aggregate uses the exact-decimal-
+      // sum-then-double gate discipline.
+      val out = tmpDir("graft_s20")
+      T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(12,2)").as("o_totalprice"))
+        .write.mode("overwrite").option("header", "true")
+        .option("compression", "gzip").csv(out)
+      s.read.option("header", "true")
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+          "o_totalprice DECIMAL(12,2)")
+        .csv(out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_custs"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_total"))
+        .orderBy("o_orderstatus")
+    }, Some("""SELECT o_orderstatus, count(*) AS n_orders,
+              |  count(DISTINCT o_custkey) AS n_custs,
+              |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(18,2)))
+              |    AS DOUBLE) AS sum_total
+              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     "s16_bucketed_colocated_join" -> Q((s, dir) => {
       // Redshift distkey analog (SURVEY §4): both sides bucketed on the
       // join key at write time, so the fact-dim join reads co-located

@@ -430,6 +430,98 @@ class LlmOpsSpec extends SparkTestBase {
     assert(hashed(id) === want)
   }
 
+  test("encodePng8x8 → decodePngGray: the zlib round-trip recovers the formula grays") {
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // Independent replay of the PNG generator ('p' seed namespace,
+    // distinct from the BMP corpus so the two never alias).
+    def gray(id: Long, j: Int): Int = {
+      val hex = md5Hex(s"p${id / 4}_${j / 16}")
+      val base = Integer.parseInt(hex.substring(2 * (j % 16), 2 * (j % 16) + 2), 16)
+      (base + (if (j == id % 64) 128 else 0)) % 256
+    }
+    // 16 ids × 8 scanlines with filter type (id + row) % 5: every image
+    // exercises ALL FIVE PNG filters (None/Sub/Up/Average/Paeth) through
+    // the real deflate→inflate round-trip, so a bug in any one filter's
+    // encode or decode arithmetic flips grays below.
+    val ids = spark.range(0, 16).select(col("id").as("doc_id"))
+    val decoded = Multimodal.decodePngGray(spark,
+      Multimodal.encodePng8x8(spark, ids))
+    val rows = decoded.collect()
+    assert(rows.length === 16)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("width") === 8 && r.getAs[Int]("height") === 8)
+      val got = r.getAs[scala.collection.Seq[Int]]("gray")
+      val want = (0 until 64).map(j => gray(id, j))
+      assert(got == want, s"gray mismatch for doc $id:\n got=$got\nwant=$want")
+    }
+    // Same near-dup contract as the BMP corpus: same-seed docs within
+    // Hamming 4; independent dHash replay from the formula grays.
+    val hashed = Multimodal.dHash56(decoded).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("phash")).toMap
+    hashed.values.foreach(p => assert(p >= 0 && p < (1L << 56)))
+    for (seed <- 0 until 4; a <- 0 until 4; b <- (a + 1) until 4) {
+      val h = java.lang.Long.bitCount(
+        hashed(seed * 4L + a) ^ hashed(seed * 4L + b))
+      assert(h <= 4, s"same-seed pair ($seed: $a,$b) at Hamming $h")
+    }
+    val id = 7L
+    val want = (0 until 63).filter(_ % 8 < 7).map { j =>
+      if (gray(id, j) < gray(id, j + 1)) 1L << (j - j / 8) else 0L
+    }.sum
+    assert(hashed(id) === want)
+  }
+
+  test("PNG chunk walk: CRC/size/IHDR corruption fails loudly; ancillary chunks skip") {
+    import spark.implicits._
+    val payload = Multimodal.encodePng8x8(spark,
+      spark.range(5, 6).select(col("id").as("doc_id")))
+      .select("payload").as[Array[Byte]].head()
+    def decode(p: Array[Byte]): Array[org.apache.spark.sql.Row] =
+      Multimodal.decodePngGray(spark, Seq((5L, p)).toDF("doc_id", "payload")).collect()
+    val baseline = decode(payload).head.getAs[scala.collection.Seq[Int]]("gray")
+    // Layout: 8-byte signature, IHDR chunk = 4+4+13+4 = 25 bytes → IDAT
+    // length field starts at byte 33.
+    // (1) a flipped IDAT data byte must fail the chunk CRC32, never
+    // silently inflate garbage.
+    val flipped = payload.clone()
+    flipped(42) = (flipped(42) ^ 0x01).toByte
+    val eCrc = intercept[Exception](decode(flipped))
+    assert(eCrc.toString.contains("CRC32") ||
+      Option(eCrc.getCause).exists(_.toString.contains("CRC32")))
+    // (2) a declared chunk size past the buffer must fail the size
+    // check BEFORE any read (the WAV chunk-walk lesson).
+    val oversized = payload.clone()
+    oversized(33) = 0x7f.toByte
+    val eSz = intercept[Exception](decode(oversized))
+    assert(eSz.toString.contains("corrupt PNG chunk") ||
+      Option(eSz.getCause).exists(_.toString.contains("corrupt PNG chunk")))
+    // (3) an IHDR declaring grayscale (color type 0) with a VALID CRC —
+    // so only the field validation can catch it — must be rejected.
+    val gray0 = payload.clone()
+    gray0(25) = 0 // color type byte (sig 8 + len 4 + type 4 + data offset 9)
+    val crc = new java.util.zip.CRC32()
+    crc.update(gray0, 12, 17) // IHDR type + data
+    val crcV = crc.getValue.toInt
+    for (i <- 0 until 4) gray0(29 + i) = ((crcV >> (8 * (3 - i))) & 0xff).toByte
+    val eColor = intercept[Exception](decode(gray0))
+    assert(eColor.toString.contains("truecolor") ||
+      Option(eColor.getCause).exists(_.toString.contains("truecolor")))
+    // (4) a well-formed ancillary chunk (tEXt) between IHDR and IDAT is
+    // skipped — CRC still verified — and the decode is unchanged.
+    val text = "graft".getBytes("US-ASCII")
+    val tCrc = new java.util.zip.CRC32()
+    tCrc.update("tEXt".getBytes("US-ASCII")); tCrc.update(text)
+    val tv = tCrc.getValue.toInt
+    val chunk = Array[Byte](0, 0, 0, text.length.toByte) ++
+      "tEXt".getBytes("US-ASCII") ++ text ++
+      (0 until 4).map(i => ((tv >> (8 * (3 - i))) & 0xff).toByte).toArray
+    val withText = payload.take(33) ++ chunk ++ payload.drop(33)
+    assert(decode(withText).head.getAs[scala.collection.Seq[Int]]("gray") == baseline)
+  }
+
   test("resampleGray block-means variable-size BMPs onto the grid exactly") {
     def md5Hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
