@@ -849,5 +849,115 @@ object StreamingQueries {
                |SELECT doc_id FROM documents
                |WHERE doc_id % 8 IN (0, 2)
                |   OR doc_id NOT IN (SELECT doc_id FROM coll)
+               |ORDER BY doc_id""".stripMargin)),
+
+    "st16_stream_video_dedup" -> Q((s, dir) => {
+      // Streaming VIDEO near-dup ingest — completes the batch↔streaming
+      // matrix across all four modalities (st13 text, st14 image, st15
+      // audio). Each AvailableNow increment decodes its AVIs to
+      // per-frame dHashes, keys them by the 16 content-addressed
+      // (frame_idx × 4 + slice, 14-bit hash slice) band keys from the
+      // batch video chain (llm_video_framehash_dedup), probes the
+      // ACCEPTED band index, and verifies each collision with the exact
+      // TEMPORAL test — summed Hamming over ALIGNED frames ≤ 6 against
+      // the accepted doc's stored hashes — before dropping. The verify
+      // is load-bearing: a single 14-bit slice collision between
+      // unrelated videos (aligned Hamming ~112) must survive. State per
+      // accepted doc: 16 band rows + 4 hash rows (32 bytes); the
+      // standing corpus is never re-decoded. Same one-coalesced-file-
+      // per-increment pin as st13-st15 (maxFilesPerTrigger must stay
+      // unset on these sources).
+      import graft.llm.Multimodal
+      val base = tmp("graft_st16")
+      val src = s"$base/in"; val chk = s"$base/chk"
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_st16")
+      s.sql("DROP TABLE IF EXISTS graft_st16.accepted_docs")
+      s.sql("DROP TABLE IF EXISTS graft_st16.accepted_bands")
+      s.sql("DROP TABLE IF EXISTS graft_st16.accepted_hashes")
+      def hashesOf(df: org.apache.spark.sql.DataFrame) =
+        Multimodal.dHash56(
+          Multimodal.decodeAviFrames(df.sparkSession, Multimodal.encodeAvi(df)),
+          Seq("doc_id", "frame_idx"))
+      def bandsOf(fh: org.apache.spark.sql.DataFrame) =
+        fh.select(col("doc_id"), col("frame_idx"), col("phash"),
+            explode(expr("sequence(0, 3)")).as("b"))
+          .select(col("doc_id"),
+            (col("frame_idx") * 4 + col("b")).as("band"),
+            expr("shiftright(phash, 14 * b) & 16383").as("band_hash"))
+      def runOnce(): Unit = {
+        val q = s.readStream
+          .schema("doc_id BIGINT")
+          .parquet(src)
+          .writeStream
+          .option("checkpointLocation", chk)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              val sp = batch.sparkSession
+              val fh = hashesOf(batch).localCheckpoint(true)
+              val nb = bandsOf(fh).localCheckpoint(true)
+              val dropped =
+                if (sp.catalog.tableExists("graft_st16.accepted_bands"))
+                  nb.join(sp.read.table("graft_st16.accepted_bands")
+                      .withColumnRenamed("doc_id", "acc_doc_id"),
+                      Seq("band", "band_hash"))
+                    .select("doc_id", "acc_doc_id").distinct()
+                    .join(fh.select(col("doc_id"), col("frame_idx"),
+                      col("phash").as("ph_n")), "doc_id")
+                    .join(sp.read.table("graft_st16.accepted_hashes")
+                        .select(col("doc_id").as("acc_doc_id"), col("frame_idx"),
+                          col("phash").as("ph_a")),
+                      Seq("acc_doc_id", "frame_idx"))
+                    .groupBy("doc_id", "acc_doc_id")
+                    .agg(sum(bit_count(col("ph_n").bitwiseXOR(col("ph_a"))))
+                      .as("hamming"))
+                    .filter(col("hamming") <= 6)
+                    .select("doc_id").distinct()
+                else nb.select("doc_id").limit(0)
+              val kept = batch.join(dropped, Seq("doc_id"), "left_anti")
+                .localCheckpoint(true)
+              val keptBands = nb.select("doc_id", "band", "band_hash")
+                .join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+                .localCheckpoint(true)
+              val keptHashes = fh
+                .join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+                .localCheckpoint(true)
+              kept.select("doc_id").write.mode("append")
+                .saveAsTable("graft_st16.accepted_docs")
+              keptBands.write.mode("append")
+                .saveAsTable("graft_st16.accepted_bands")
+              keptHashes.write.mode("append")
+                .saveAsTable("graft_st16.accepted_hashes")
+            }
+          }
+          .start()
+        q.awaitTermination()
+      }
+      val docs = T(s, dir, "documents").select(col("doc_id"))
+      docs.filter(col("doc_id") % 8 === 0 || col("doc_id") % 8 === 2)
+        .coalesce(1).write.mode("append").parquet(src)
+      runOnce() // increment 1 seeds the accepted index
+      docs.filter(col("doc_id") % 8 =!= 0 && col("doc_id") % 8 =!= 2)
+        .coalesce(1).write.mode("append").parquet(src)
+      runOnce() // increment 2: temporal-verified against the accepted hashes
+      s.read.table("graft_st16.accepted_docs").orderBy("doc_id")
+    }, Some(s"""WITH ${LlmQueries.videoHashCtes},
+               |vbands AS (SELECT doc_id, frame_idx * 4 + b.b AS band,
+               |    (phash >> CAST(14 * b.b AS INT)) & 16383 AS band_hash
+               |  FROM vph, range(4) b(b)),
+               |cand AS (SELECT DISTINCT n.doc_id, a.doc_id AS acc
+               |  FROM vbands n JOIN vbands a
+               |    ON n.band = a.band AND n.band_hash = a.band_hash
+               |  WHERE n.doc_id % 8 NOT IN (0, 2) AND a.doc_id % 8 IN (0, 2)),
+               |ham AS (SELECT c.doc_id, c.acc,
+               |    SUM(bit_count(xor(x.phash, y.phash))) AS h
+               |  FROM cand c JOIN vph x ON x.doc_id = c.doc_id
+               |  JOIN vph y ON y.doc_id = c.acc AND y.frame_idx = x.frame_idx
+               |  GROUP BY c.doc_id, c.acc),
+               |coll AS (SELECT DISTINCT doc_id FROM ham WHERE h <= 6)
+               |SELECT doc_id FROM documents
+               |WHERE doc_id % 8 IN (0, 2)
+               |   OR doc_id NOT IN (SELECT doc_id FROM coll)
                |ORDER BY doc_id""".stripMargin)))
 }
