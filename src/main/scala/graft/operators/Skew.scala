@@ -29,12 +29,16 @@ object Skew {
   }
 
   /** Top-k hottest keys with their row share — the diagnostic that decides
-    * whether salting is warranted and what saltFactor to use. */
+    * whether salting is warranted and what saltFactor to use (the
+    * measured doctrine, PLANS.md "Skewed-key doctrine": broadcast
+    * first; salt only when the head key's share exceeds ~3× the mean
+    * partition share). Ordering tie-breaks on the key so the top-k cut
+    * is deterministic on uniform corpora, where every key ties. */
   def keySkewProfile(df: DataFrame, key: String, k: Int = 10): DataFrame = {
     val total = df.count()
     df.groupBy(col(key)).agg(count(lit(1)).as("rows"))
       .withColumn("share", col("rows") / lit(total.toDouble))
-      .orderBy(col("rows").desc)
+      .orderBy(col("rows").desc, col(key))
       .limit(k)
   }
 }

@@ -614,6 +614,22 @@ object RelationalQueries {
               |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin),
       bench = true),
 
+    "j18_skew_profile" -> Q((s, dir) => {
+      // The DIAGNOSTIC that drives the skewed-key doctrine (PLANS.md,
+      // measured in STRESS_r13 §1): top-k hottest join keys with their
+      // row share, the number a pipeline reads BEFORE choosing
+      // plain/AQE vs salted vs broadcast. One map-side-combined
+      // aggregate over the fact key + a k-row sort — the profile is
+      // O(distinct keys) shuffled, never O(rows). Tie-broken on the
+      // key so the cut is deterministic on uniform corpora.
+      graft.operators.Skew.keySkewProfile(
+          T(s, dir, "orders").select(col("o_custkey")), "o_custkey", 10)
+        .select(col("o_custkey"), col("rows").as("key_rows"), col("share"))
+    }, Some("""SELECT o_custkey, count(*) AS key_rows,
+              |  count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM orders) AS share
+              |FROM orders GROUP BY o_custkey
+              |ORDER BY key_rows DESC, o_custkey LIMIT 10""".stripMargin)),
+
     "j10_bloom_prune_join" -> Q((s, dir) => {
       // Bloom semi-join reduction (operators/BloomPrune): the fact side
       // is pruned by a constant-size sketch of the selective dim keys
