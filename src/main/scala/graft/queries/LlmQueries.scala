@@ -121,6 +121,92 @@ object LlmQueries {
         Seq("doc_id", "frame_idx"))
       .localCheckpoint(true)
 
+  // Shared audio verified-pair chain (llm_audio_fingerprint_dedup + the
+  // cross-modal gates): RIFF/WAVE decode → 16 content-addressed
+  // per-window quantized-amplitude band keys → skew-capped candidates →
+  // exact mean-absolute sample-distance verify (≤ 16). Returns
+  // (id_a, id_b, mad, capped), unordered; the decoded frame is computed
+  // once and localCheckpointed so neither the bands nor either verify
+  // side re-decodes.
+  private def audioVerifiedPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val decoded = Multimodal.decodeWavPcm(s,
+        Multimodal.encodeWavPcm(T(s, dir, "documents").select(col("doc_id"))))
+      .localCheckpoint(true)
+    val bands = decoded
+      .select(col("doc_id"), explode(expr("sequence(0, 15)")).as("band"),
+        col("samples"))
+      .select(col("doc_id"), col("band"),
+        expr("""md5(concat_ws(',', transform(slice(samples, 8 * band + 1, 8),
+               |  x -> CAST((x + 32768) DIV 1024 AS STRING))))""".stripMargin)
+          .as("band_hash"))
+    Dedup.candidatePairsCapped(bands, "doc_id", maxBucket = 64, reps = 8)
+      .join(decoded.select(col("doc_id").as("id_a"), col("samples").as("sa")), "id_a")
+      .join(decoded.select(col("doc_id").as("id_b"), col("samples").as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        expr("""aggregate(zip_with(sa, sb, (x, y) -> CAST(abs(x - y) AS BIGINT)),
+               |  CAST(0 AS BIGINT), (a, v) -> a + v) DIV 128""".stripMargin)
+          .as("mad"),
+        col("capped"))
+      .filter(col("mad") <= 16)
+  }
+
+  // Shared video temporal verified-pair chain (llm_video_framehash_dedup
+  // + the cross-modal gates): per-frame dHashes → 16 (frame_idx × 4 + b,
+  // 14-bit slice) band keys → skew-capped candidates → summed
+  // ALIGNED-frame Hamming ≤ 6 verify. Returns (id_a, id_b, hamming,
+  // capped), unordered; frame hashes come from the checkpointed
+  // videoFrameHashes frame (32 bytes/doc), never a re-decode.
+  private def videoVerifiedPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val fh = videoFrameHashes(s, dir)
+    val bands = fh
+      .select(col("doc_id"), col("frame_idx"), col("phash"),
+        explode(expr("sequence(0, 3)")).as("b"))
+      .select(col("doc_id"),
+        (col("frame_idx") * 4 + col("b")).as("band"),
+        expr("shiftright(phash, 14 * b) & 16383").as("band_hash"))
+    Dedup.candidatePairsCapped(bands, "doc_id", maxBucket = 64, reps = 8)
+      .join(fh.select(col("doc_id").as("id_a"), col("frame_idx"),
+        col("phash").as("ph_a")), "id_a")
+      .join(fh.select(col("doc_id").as("id_b"), col("frame_idx"),
+        col("phash").as("ph_b")), Seq("id_b", "frame_idx"))
+      .groupBy("id_a", "id_b", "capped")
+      .agg(sum(bit_count(col("ph_a").bitwiseXOR(col("ph_b")))).as("hamming"))
+      .filter(col("hamming") <= 6)
+      .select("id_a", "id_b", "hamming", "capped")
+  }
+
+  // Oracle generator for the skew-capped candidate machinery
+  // (Dedup.candidatePairsCapped with maxBucket=64, reps=8) over an
+  // existing `<bands>`(doc_id, band, band_hash) CTE: emits the
+  // bsize/bx/rp/small/big chain under the given name prefix, ending at
+  // `<p>cp`, the DISTINCT (id_a, id_b) candidate edge set (the capped
+  // provenance flag is dropped — composition gates only need edges).
+  // Mirrors the per-gate spellings (md5-order rep election, member↔rep
+  // stars) token for token.
+  private def cappedEdgeCtes(p: String, bands: String): String =
+    s"""${p}bsize AS (SELECT band, band_hash, count(*) AS n
+       |  FROM $bands GROUP BY band, band_hash),
+       |${p}bx AS (SELECT b.doc_id, b.band, b.band_hash, z.n > 64 AS oversized
+       |  FROM $bands b JOIN ${p}bsize z USING (band, band_hash) WHERE z.n > 1),
+       |${p}rp AS (SELECT band, band_hash, doc_id AS rep FROM (
+       |    SELECT band, band_hash, doc_id,
+       |      row_number() OVER (PARTITION BY band, band_hash
+       |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |    FROM ${p}bx WHERE oversized) z WHERE rk <= 8),
+       |${p}small AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM ${p}bx x JOIN ${p}bx y
+       |    ON x.band = y.band AND x.band_hash = y.band_hash
+       |  WHERE NOT x.oversized AND x.doc_id < y.doc_id),
+       |${p}big AS (SELECT least(m.doc_id, r.rep) AS id_a,
+       |    greatest(m.doc_id, r.rep) AS id_b
+       |  FROM ${p}bx m JOIN ${p}rp r
+       |    ON m.band = r.band AND m.band_hash = r.band_hash
+       |  WHERE m.oversized AND m.doc_id <> r.rep),
+       |${p}cp AS (SELECT DISTINCT id_a, id_b
+       |  FROM (SELECT * FROM ${p}small UNION ALL SELECT * FROM ${p}big) u)""".stripMargin
+
   // Oracle pixel→per-frame-hash replay shared by the video gates
   // (including the streaming twin): GLOBAL pixel g of a doc lives in
   // frame g div 64 at offset g % 64; its gray is byte g%16 of
@@ -1870,26 +1956,7 @@ object LlmQueries {
       // then exact mean-absolute sample-distance verify (≤ 16 of
       // full-scale ±32767: same-seed reads MAD 4, unrelated ~21800).
       // Decoded frame computed ONCE and localCheckpointed.
-      val decoded = Multimodal.decodeWavPcm(s,
-          Multimodal.encodeWavPcm(T(s, dir, "documents").select(col("doc_id"))))
-        .localCheckpoint(true)
-      val bands = decoded
-        .select(col("doc_id"), explode(expr("sequence(0, 15)")).as("band"),
-          col("samples"))
-        .select(col("doc_id"), col("band"),
-          expr("""md5(concat_ws(',', transform(slice(samples, 8 * band + 1, 8),
-                 |  x -> CAST((x + 32768) DIV 1024 AS STRING))))""".stripMargin)
-            .as("band_hash"))
-      Dedup.candidatePairsCapped(bands, "doc_id", maxBucket = 64, reps = 8)
-        .join(decoded.select(col("doc_id").as("id_a"), col("samples").as("sa")), "id_a")
-        .join(decoded.select(col("doc_id").as("id_b"), col("samples").as("sb")), "id_b")
-        .select(col("id_a"), col("id_b"),
-          expr("""aggregate(zip_with(sa, sb, (x, y) -> CAST(abs(x - y) AS BIGINT)),
-                 |  CAST(0 AS BIGINT), (a, v) -> a + v) DIV 128""".stripMargin)
-            .as("mad"),
-          col("capped"))
-        .filter(col("mad") <= 16)
-        .orderBy("id_a", "id_b")
+      audioVerifiedPairs(s, dir).orderBy("id_a", "id_b")
     }, Some(s"""WITH $wavSampleCtes,
               |bands AS (SELECT doc_id, i // 8 AS band,
               |    md5(string_agg(((s + 32768) // 1024)::VARCHAR, ','
@@ -1959,23 +2026,7 @@ object LlmQueries {
       // per-frame Hamming over ALIGNED frames ≤ 6 (same-seed reads ≤4,
       // unrelated ~112). Frame hashes computed ONCE (checkpointed,
       // 32 bytes/doc); the corpus is never re-decoded for the verify.
-      val fh = videoFrameHashes(s, dir)
-      val bands = fh
-        .select(col("doc_id"), col("frame_idx"), col("phash"),
-          explode(expr("sequence(0, 3)")).as("b"))
-        .select(col("doc_id"),
-          (col("frame_idx") * 4 + col("b")).as("band"),
-          expr("shiftright(phash, 14 * b) & 16383").as("band_hash"))
-      Dedup.candidatePairsCapped(bands, "doc_id", maxBucket = 64, reps = 8)
-        .join(fh.select(col("doc_id").as("id_a"), col("frame_idx"),
-          col("phash").as("ph_a")), "id_a")
-        .join(fh.select(col("doc_id").as("id_b"), col("frame_idx"),
-          col("phash").as("ph_b")), Seq("id_b", "frame_idx"))
-        .groupBy("id_a", "id_b", "capped")
-        .agg(sum(bit_count(col("ph_a").bitwiseXOR(col("ph_b")))).as("hamming"))
-        .filter(col("hamming") <= 6)
-        .select("id_a", "id_b", "hamming", "capped")
-        .orderBy("id_a", "id_b")
+      videoVerifiedPairs(s, dir).orderBy("id_a", "id_b")
     }, Some(s"""WITH $videoHashCtes,
               |vbands AS (SELECT doc_id, frame_idx * 4 + b.b AS band,
               |    (phash >> CAST(14 * b.b AS INT)) & 16383 AS band_hash
@@ -2082,6 +2133,133 @@ object LlmQueries {
          |FROM assigned a JOIN sizes s USING (component)
          |LEFT JOIN tdeg t ON t.doc_id = a.doc_id
          |LEFT JOIN ideg i ON i.doc_id = a.doc_id
+         |ORDER BY a.doc_id""".stripMargin
+    }, bench = true),
+
+    "llm_crossmodal_4way" -> Q((s, dir) => {
+      // FOUR-MODALITY duplicate clustering — the full composition over
+      // every near-dup edge set the engine produces: text MinHash-LSH
+      // candidates ∪ image phash Hamming-verified pairs ∪ audio
+      // fingerprint MAD-verified pairs ∪ video temporal aligned-frame
+      // pairs, components over the union, per-doc per-modality
+      // incident-edge provenance plus n_modalities (how many distinct
+      // modalities tie the doc to its cluster — the curator's "why did
+      // this survive/die" signal). All four edge frames are the
+      // existing sub-quadratic banded chains (each checkpointed at
+      // pair granularity); the union adds ONE tagged degree aggregate
+      // and one distinct — no modality is recomputed and nothing
+      // quadratic appears at any corpus scale.
+      val docs = T(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism * 2)
+      val sh = Dedup.shingleArray(docs, "doc_id", "text", 3)
+      val sig = Dedup.minhashSignaturesNative(sh, "doc_id", 8)
+      val tbands = Dedup.lshBands(sig, "doc_id", 8, 2)
+      val tagged = Dedup.candidatePairs(tbands, "doc_id")
+        .withColumn("m", lit("text"))
+        .unionByName(phashVerifiedPairs(s, dir)._2
+          .select("id_a", "id_b").withColumn("m", lit("image")))
+        .unionByName(audioVerifiedPairs(s, dir)
+          .select("id_a", "id_b").withColumn("m", lit("audio")))
+        .unionByName(videoVerifiedPairs(s, dir)
+          .select("id_a", "id_b").withColumn("m", lit("video")))
+        .localCheckpoint(true)
+      val edges = tagged.select("id_a", "id_b").distinct()
+      val deg = tagged
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"), col("m"))
+        .groupBy("doc_id")
+        .agg(
+          sum(when(col("m") === "text", 1L).otherwise(0L)).as("n_text_edges"),
+          sum(when(col("m") === "image", 1L).otherwise(0L)).as("n_image_edges"),
+          sum(when(col("m") === "audio", 1L).otherwise(0L)).as("n_audio_edges"),
+          sum(when(col("m") === "video", 1L).otherwise(0L)).as("n_video_edges"))
+      Dedup.dedupClusters(T(s, dir, "documents").select("doc_id"), "doc_id", edges)
+        .join(deg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("component"), col("is_canonical"),
+          col("cluster_size"),
+          coalesce(col("n_text_edges"), lit(0L)).as("n_text_edges"),
+          coalesce(col("n_image_edges"), lit(0L)).as("n_image_edges"),
+          coalesce(col("n_audio_edges"), lit(0L)).as("n_audio_edges"),
+          coalesce(col("n_video_edges"), lit(0L)).as("n_video_edges"))
+        .withColumn("n_modalities",
+          (when(col("n_text_edges") > 0, 1).otherwise(0)
+            + when(col("n_image_edges") > 0, 1).otherwise(0)
+            + when(col("n_audio_edges") > 0, 1).otherwise(0)
+            + when(col("n_video_edges") > 0, 1).otherwise(0)).cast("int"))
+        .orderBy("doc_id")
+    }, Some {
+      // The image pixel chain's `bands` collides with the LSH chain's:
+      // rename the image prefix only (plain .replace is safe — no other
+      // token in phashHashCtes contains "bands"); audio/video band CTEs
+      // are written fresh under a/v prefixes, and the capped candidate
+      // machinery is generated by cappedEdgeCtes so all three binary
+      // modalities share ONE authoritative oracle spelling.
+      val imageHashCtes = phashHashCtes.replace("bands", "ibands")
+      s"""WITH RECURSIVE $toksCte, $shCte,
+         |$lshPairsCtes,
+         |$imageHashCtes,
+         |${cappedEdgeCtes("i", "ibands")},
+         |ivp AS (SELECT c.id_a, c.id_b FROM icp c
+         |  JOIN ph a ON a.doc_id = c.id_a JOIN ph b ON b.doc_id = c.id_b
+         |  WHERE bit_count(xor(a.phash, b.phash)) <= 6),
+         |$wavSampleCtes,
+         |abands AS (SELECT doc_id, i // 8 AS band,
+         |    md5(string_agg(((s + 32768) // 1024)::VARCHAR, ','
+         |      ORDER BY i)) AS band_hash
+         |  FROM smp GROUP BY doc_id, i // 8),
+         |${cappedEdgeCtes("a", "abands")},
+         |avp AS (SELECT c.id_a, c.id_b
+         |  FROM acp c JOIN smp a ON a.doc_id = c.id_a
+         |  JOIN smp b ON b.doc_id = c.id_b AND b.i = a.i
+         |  GROUP BY c.id_a, c.id_b
+         |  HAVING SUM(abs(a.s - b.s)) // 128 <= 16),
+         |$videoHashCtes,
+         |vbands AS (SELECT doc_id, frame_idx * 4 + b.b AS band,
+         |    (phash >> CAST(14 * b.b AS INT)) & 16383 AS band_hash
+         |  FROM vph, range(4) b(b)),
+         |${cappedEdgeCtes("v", "vbands")},
+         |vvp AS (SELECT c.id_a, c.id_b
+         |  FROM vcp c JOIN vph a ON a.doc_id = c.id_a
+         |  JOIN vph b ON b.doc_id = c.id_b AND b.frame_idx = a.frame_idx
+         |  GROUP BY c.id_a, c.id_b
+         |  HAVING SUM(bit_count(xor(a.phash, b.phash))) <= 6),
+         |alledges AS (
+         |  SELECT id_a, id_b, 'text' AS m FROM lsh_pairs
+         |  UNION ALL SELECT id_a, id_b, 'image' FROM ivp
+         |  UNION ALL SELECT id_a, id_b, 'audio' FROM avp
+         |  UNION ALL SELECT id_a, id_b, 'video' FROM vvp),
+         |uedge AS (SELECT DISTINCT id_a, id_b FROM alledges),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM uedge
+         |          UNION SELECT id_b, id_a FROM uedge),
+         |reach AS (SELECT src AS id, src AS comp FROM edges
+         |          UNION
+         |          SELECT e.src, r.comp FROM edges e
+         |          JOIN reach r ON e.dst = r.id),
+         |comps AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+         |assigned AS (SELECT d.doc_id,
+         |    coalesce(c.component, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN comps c ON c.id = d.doc_id),
+         |sizes AS (SELECT component, count(*) AS cluster_size
+         |  FROM assigned GROUP BY component),
+         |deg AS (SELECT doc_id, m, count(*) AS n FROM (
+         |    SELECT id_a AS doc_id, m FROM alledges
+         |    UNION ALL SELECT id_b, m FROM alledges) GROUP BY doc_id, m),
+         |pdeg AS (SELECT doc_id,
+         |    coalesce(SUM(CASE WHEN m = 'text' THEN n END), 0) AS nt,
+         |    coalesce(SUM(CASE WHEN m = 'image' THEN n END), 0) AS ni,
+         |    coalesce(SUM(CASE WHEN m = 'audio' THEN n END), 0) AS na,
+         |    coalesce(SUM(CASE WHEN m = 'video' THEN n END), 0) AS nv
+         |  FROM deg GROUP BY doc_id)
+         |SELECT a.doc_id, a.component, a.doc_id = a.component AS is_canonical,
+         |  s.cluster_size,
+         |  CAST(coalesce(p.nt, 0) AS BIGINT) AS n_text_edges,
+         |  CAST(coalesce(p.ni, 0) AS BIGINT) AS n_image_edges,
+         |  CAST(coalesce(p.na, 0) AS BIGINT) AS n_audio_edges,
+         |  CAST(coalesce(p.nv, 0) AS BIGINT) AS n_video_edges,
+         |  CAST((coalesce(p.nt, 0) > 0)::INT + (coalesce(p.ni, 0) > 0)::INT
+         |    + (coalesce(p.na, 0) > 0)::INT + (coalesce(p.nv, 0) > 0)::INT
+         |    AS INT) AS n_modalities
+         |FROM assigned a JOIN sizes s USING (component)
+         |LEFT JOIN pdeg p ON p.doc_id = a.doc_id
          |ORDER BY a.doc_id""".stripMargin
     }, bench = true),
 
