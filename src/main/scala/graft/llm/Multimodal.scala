@@ -438,6 +438,86 @@ object Multimodal {
         |    shiftleft(CAST(1 AS BIGINT), j - j DIV 8), CAST(0 AS BIGINT)))""".stripMargin)
       .as("phash"))
 
+  /** Scene segmentation over per-frame perceptual hashes — the video
+    * curation stage between decode and dedup: a frame OPENS a new scene
+    * when its dHash Hamming distance to the PREVIOUS frame exceeds
+    * `threshold` (the first frame always opens scene 0), and each scene
+    * elects a deterministic content-addressed KEYFRAME — the frame with
+    * the smallest (phash, frame_idx) — the representative a training
+    * pipeline samples instead of every near-identical frame. Input is
+    * the (doc_id, frame_idx, phash) frame the dedup chain already
+    * computes (8 bytes per frame; the raw video is never re-decoded);
+    * output is one row per (doc, scene) with the span, frame count, and
+    * keyframe. Cost: the lag window, the running-cut sum, and the
+    * per-scene aggregate all key on doc_id, so Catalyst plans ONE
+    * exchange of the hash frame for the whole op; per-task state is one
+    * video's frames and nothing is quadratic at any corpus scale. */
+  def sceneSplit(frameHashes: DataFrame, threshold: Int = 28): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byFrame = Window.partitionBy("doc_id").orderBy("frame_idx")
+    val prev = lag(col("phash"), 1).over(byFrame)
+    frameHashes
+      .select(col("doc_id"), col("frame_idx"), col("phash"),
+        when(prev.isNull ||
+            bit_count(col("phash").bitwiseXOR(prev)) > threshold, 1L)
+          .otherwise(0L).as("_cut"))
+      .select(col("doc_id"), col("frame_idx"), col("phash"),
+        (sum(col("_cut")).over(byFrame
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+          .as("scene_id"))
+      .groupBy(col("doc_id"), col("scene_id"))
+      .agg(
+        min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        min(struct(col("phash"), col("frame_idx"))).as("_kf"))
+      .select(col("doc_id"), col("scene_id"), col("start_frame"),
+        col("end_frame"), col("n_frames"),
+        col("_kf.frame_idx").as("keyframe_idx"),
+        col("_kf.phash").as("keyframe_phash"))
+  }
+
+  /** Frame-aligned CLIP-in-VIDEO containment — the Content-ID shape: for
+    * every (clip, video, offset) where the clip's frame sequence aligns
+    * inside the video, report the summed aligned-frame Hamming distance
+    * when it clears `tau`. Candidate generation is CONTENT-ADDRESSED and
+    * never all-pairs: the join key is the full 56-bit frame hash, so a
+    * candidate bucket is exactly the set of bit-identical frames — at
+    * any corpus scale its size is the true-duplicate multiplicity (seed-
+    * group-sized here, like the audio band keys), not a function of
+    * corpus size; random 56-bit collisions are ~2⁻⁵⁶. Recall holds for
+    * near-dup containment because a perturbed source changes at most
+    * one frame's hash: at least one clip frame still matches exactly,
+    * and the verify re-checks EVERY aligned frame. `clips` is
+    * (clip_id, p, phash) with p = 0..nClipFrames-1; `videos` is
+    * (doc_id, frame_idx, phash); both are 8-byte-per-frame hash frames
+    * — no pixel data moves through the join. A candidate survives only
+    * if all nClipFrames align inside the video (the n_aligned check —
+    * a clip hanging off the end dies there). */
+  def clipContainment(clips: DataFrame, videos: DataFrame,
+      nClipFrames: Int, tau: Int = 6): DataFrame = {
+    val v = videos.select(col("doc_id").as("video_id"),
+      col("frame_idx"), col("phash"))
+    val cand = clips.select(col("clip_id"), col("p"), col("phash"))
+      .join(v, Seq("phash"))
+      .select(col("clip_id"), col("video_id"),
+        (col("frame_idx") - col("p")).as("offset"))
+      .filter(col("offset") >= 0)
+      .distinct()
+    cand
+      .join(clips.select(col("clip_id"), col("p"), col("phash").as("ph_c")),
+        Seq("clip_id"))
+      .select(col("clip_id"), col("video_id"), col("offset"), col("ph_c"),
+        (col("offset") + col("p")).as("want_idx"))
+      .join(v.select(col("video_id"), col("frame_idx").as("want_idx"),
+        col("phash").as("ph_v")), Seq("video_id", "want_idx"))
+      .groupBy(col("clip_id"), col("video_id"), col("offset"))
+      .agg(sum(bit_count(col("ph_c").bitwiseXOR(col("ph_v")))).as("hamming"),
+        count(lit(1)).as("n_aligned"))
+      .filter(col("n_aligned") === nClipFrames && col("hamming") <= tau)
+      .select(col("clip_id"), col("video_id"), col("offset"), col("hamming"))
+  }
+
   /** Build a REAL RIFF/WAVE payload per row: canonical 44-byte header
     * (PCM format 1, mono, 16-bit, 16 kHz) + 128 little-endian int16
     * samples. Waveform content is seeded like the image corpus: 4

@@ -28,6 +28,58 @@ object Skew {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Doctrine-driven equi-join — the measured skew doctrine (PLANS.md
+    * "Skewed-key doctrine", STRESS_r13 §1) as an executable operator.
+    * Decision order, exactly as the sf10 A/B sweep ranked it:
+    *
+    *   1. BROADCAST when the dim side fits (`small` row count ≤
+    *      `maxBroadcastRows`): no fact shuffle at all, wall-time flat in
+    *      skew (4.4–6.6 s across 1%→25% hot share in the sweep).
+    *   2. SALTED when broadcast can't cover and the hottest key's share
+    *      of the large side exceeds `hotShareThreshold`: the salt's
+    *      fixed ~20–30% cost (dim replicate + wider shuffle key) pays
+    *      only past the measured ~10–12% crossover on 32 partitions,
+    *      but salted wall-time stays FLAT as the hot share grows while
+    *      plain degrades linearly — the property that matters at 100 TB,
+    *      where a 12% key is millions of rows in ONE task.
+    *   3. PLAIN (+AQE) otherwise.
+    *
+    * The profile pass is `keySkewProfile`'s aggregate reduced to two
+    * scalars (head-key rows, total rows): one map-side-combined hash-agg,
+    * O(distinct keys) shuffled, never row data to the driver. On a
+    * 100 TB fact, pass a pre-sampled `profileOn` (e.g.
+    * `large.sample(0.001)` — the head share is scale-free) or reuse
+    * table statistics; the default profiles `large` exactly so the
+    * decision is deterministic for the oracle to replay.
+    *
+    * Semantics are identical to `large.join(small, key)` (inner) in all
+    * three branches; the chosen branch is recorded in a
+    * `join_strategy` literal column so pipelines (and tests) can audit
+    * the decision. */
+  def adaptiveJoin(large: DataFrame, small: DataFrame, key: String,
+      maxBroadcastRows: Long = 1000000L, hotShareThreshold: Double = 0.10,
+      saltFactor: Int = 16, profileOn: Option[DataFrame] = None): DataFrame = {
+    if (small.count() <= maxBroadcastRows)
+      large.join(broadcast(small), Seq(key))
+        .withColumn("join_strategy", lit("broadcast"))
+    else {
+      val prof = profileOn.getOrElse(large)
+        .groupBy(col(key)).agg(count(lit(1)).as("n"))
+        .agg(max(col("n")).as("hot"), sum(col("n")).as("total"))
+        .head()
+      // Empty large side: no head key, nothing to salt.
+      val share =
+        if (prof.isNullAt(0)) 0.0
+        else prof.getLong(0).toDouble / prof.getLong(1).toDouble
+      if (share > hotShareThreshold)
+        saltedJoin(large, small, key, saltFactor)
+          .withColumn("join_strategy", lit("salted"))
+      else
+        large.join(small, Seq(key))
+          .withColumn("join_strategy", lit("plain"))
+    }
+  }
+
   /** Top-k hottest keys with their row share — the diagnostic that decides
     * whether salting is warranted and what saltFactor to use (the
     * measured doctrine, PLANS.md "Skewed-key doctrine": broadcast

@@ -2060,6 +2060,93 @@ object LlmQueries {
               |SELECT id_a, id_b, hamming, capped FROM vvp
               |ORDER BY id_a, id_b""".stripMargin), bench = true),
 
+    "llm_video_scene_split" -> Q((s, dir) => {
+      // SCENE segmentation + keyframe election — the video curation op
+      // between decode and dedup (Multimodal.sceneSplit): a frame opens
+      // a new scene when its dHash Hamming distance to the previous
+      // frame exceeds 28 (the median of the 56-bit distance between
+      // unrelated frames, so cut/no-cut varies per video and per
+      // transition — the corpus exercises both branches), and each
+      // scene elects the content-addressed keyframe min(phash,
+      // frame_idx) — the frame a multimodal training pipeline samples
+      // instead of every near-identical one. Runs on the checkpointed
+      // 8-byte-per-frame hash frame (never a re-decode); the lag
+      // window, the running cut sum, and the per-scene aggregate share
+      // ONE doc_id exchange. The oracle replays hashes from the pixel
+      // formula and the segmentation with window functions, so an
+      // off-by-one in the cut lag, the scene numbering, or the
+      // keyframe tie-break diverges.
+      Multimodal.sceneSplit(videoFrameHashes(s, dir), threshold = 28)
+        .orderBy("doc_id", "scene_id")
+    }, Some(s"""WITH $videoHashCtes,
+              |cuts AS (SELECT doc_id, frame_idx, phash,
+              |    CASE WHEN lag(phash) OVER w IS NULL
+              |      OR bit_count(xor(phash, lag(phash) OVER w)) > 28
+              |      THEN 1 ELSE 0 END AS is_cut
+              |  FROM vph WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+              |scn AS (SELECT doc_id, frame_idx, phash,
+              |    SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+              |      AS scene_id
+              |  FROM cuts),
+              |rk AS (SELECT doc_id, scene_id, frame_idx, phash,
+              |    row_number() OVER (PARTITION BY doc_id, scene_id
+              |      ORDER BY phash, frame_idx) AS rn
+              |  FROM scn)
+              |SELECT doc_id, CAST(scene_id AS BIGINT) AS scene_id,
+              |  CAST(min(frame_idx) AS INT) AS start_frame,
+              |  CAST(max(frame_idx) AS INT) AS end_frame,
+              |  count(*) AS n_frames,
+              |  CAST(min(CASE WHEN rn = 1 THEN frame_idx END) AS INT)
+              |    AS keyframe_idx,
+              |  min(CASE WHEN rn = 1 THEN phash END) AS keyframe_phash
+              |FROM rk GROUP BY doc_id, scene_id
+              |ORDER BY doc_id, scene_id""".stripMargin), bench = true),
+
+    "llm_video_clip_containment" -> Q((s, dir) => {
+      // CLIP-in-VIDEO containment (the Content-ID shape,
+      // Multimodal.clipContainment): clips are the 2-frame excerpts
+      // (frames 1-2) of each seed-canonical video (doc_id % 4 = 0);
+      // the search reports every (clip, video, offset) alignment whose
+      // summed aligned-frame Hamming ≤ 6 — each clip finds its source
+      // AND the source's same-seed near-dup videos, always at offset 1.
+      // Candidates join on the FULL 56-bit frame hash (content-
+      // addressed: bucket size = true duplicate multiplicity at any
+      // corpus scale, never corpus-sized), recall surviving the one-
+      // perturbed-frame near-dups because ≥1 clip frame still matches
+      // exactly; the verify then re-checks every aligned frame, so a
+      // candidate-only implementation (or one that lets a partial
+      // alignment through) diverges. Runs on the checkpointed
+      // 8-byte/frame hash frame — pixels are never re-decoded.
+      val fh = videoFrameHashes(s, dir)
+      val clips = fh
+        .filter(col("doc_id") % 4 === 0 && col("frame_idx").isin(1, 2))
+        .select(col("doc_id").as("clip_id"),
+          (col("frame_idx") - 1).as("p"), col("phash"))
+      Multimodal.clipContainment(clips, fh, nClipFrames = 2, tau = 6)
+        .orderBy("clip_id", "video_id", "offset")
+    }, Some(s"""WITH $videoHashCtes,
+              |clips AS (SELECT doc_id AS clip_id,
+              |    CAST(frame_idx - 1 AS INT) AS p, phash
+              |  FROM vph WHERE doc_id % 4 = 0 AND frame_idx IN (1, 2)),
+              |cand AS (SELECT DISTINCT c.clip_id, v.doc_id AS video_id,
+              |    CAST(v.frame_idx - c.p AS INT) AS loc
+              |  FROM clips c JOIN vph v ON v.phash = c.phash
+              |  WHERE v.frame_idx - c.p >= 0),
+              |ver AS (SELECT d.clip_id, d.video_id, d.loc,
+              |    CAST(SUM(bit_count(xor(c.phash, v.phash))) AS BIGINT)
+              |      AS hamming,
+              |    count(*) AS n_aligned
+              |  FROM cand d
+              |  JOIN clips c ON c.clip_id = d.clip_id
+              |  JOIN vph v ON v.doc_id = d.video_id
+              |    AND v.frame_idx = d.loc + c.p
+              |  GROUP BY d.clip_id, d.video_id, d.loc)
+              |SELECT clip_id, video_id, loc AS "offset", hamming
+              |FROM ver WHERE n_aligned = 2 AND hamming <= 6
+              |ORDER BY clip_id, video_id, loc""".stripMargin),
+      bench = true),
+
     "llm_crossmodal_clusters" -> Q((s, dir) => {
       // CROSS-MODAL duplicate clustering — the composition a 100 TB
       // multimodal corpus actually runs: a document survives only if

@@ -630,6 +630,57 @@ object RelationalQueries {
               |FROM orders GROUP BY o_custkey
               |ORDER BY key_rows DESC, o_custkey LIMIT 10""".stripMargin)),
 
+    "j19_adaptive_skew_join" -> Q((s, dir) => {
+      // The DOCTRINE as an operator (Skew.adaptiveJoin): broadcast when
+      // the dim fits, salt when the profiled head-key share clears the
+      // measured ~10% crossover (STRESS_r13 §1), plain+AQE otherwise —
+      // with the decision recorded in a join_strategy column. Two
+      // configs through the SAME operator: defaults (customer fits →
+      // broadcast at every sf) and maxBroadcastRows = 0 (broadcast
+      // forbidden → the share-based branch: plain on uniform corpora,
+      // salted on the skew octaves, where customer 0 clears 10%). The
+      // oracle replays the decision tree from counts it computes
+      // itself, so the gate is corpus-dependent: the same query text
+      // verifies 'plain' at sf0.01 and 'salted' on /tmp/stress10_skew25.
+      // All branches must equal the plain inner join (aggregated so the
+      // output is salt-assignment invariant).
+      val orders = T(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"), col("o_totalprice"))
+      val cust = T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("join_strategy", "c_mktsegment")
+          .agg(count(lit(1)).as("order_cnt"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("total_price"))
+      agg(graft.operators.Skew.adaptiveJoin(orders, cust, "c_custkey"))
+        .unionByName(agg(graft.operators.Skew.adaptiveJoin(
+          orders, cust, "c_custkey", maxBroadcastRows = 0L)))
+        .orderBy("join_strategy", "c_mktsegment")
+    }, Some("""WITH share AS (SELECT max(n)::DOUBLE / sum(n)::DOUBLE AS sh
+              |  FROM (SELECT count(*) AS n FROM orders GROUP BY o_custkey)),
+              |dim AS (SELECT count(*) AS n FROM customer),
+              |sa AS (SELECT CASE WHEN (SELECT n FROM dim) <= 1000000
+              |    THEN 'broadcast'
+              |    WHEN (SELECT sh FROM share) > 0.10 THEN 'salted'
+              |    ELSE 'plain' END AS strat),
+              |sb AS (SELECT CASE WHEN (SELECT n FROM dim) <= 0
+              |    THEN 'broadcast'
+              |    WHEN (SELECT sh FROM share) > 0.10 THEN 'salted'
+              |    ELSE 'plain' END AS strat),
+              |agg AS (SELECT c.c_mktsegment, count(*) AS order_cnt,
+              |    CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              |      AS total_price
+              |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              |  GROUP BY c.c_mktsegment)
+              |SELECT (SELECT strat FROM sa) AS join_strategy,
+              |  c_mktsegment, order_cnt, total_price FROM agg
+              |UNION ALL
+              |SELECT (SELECT strat FROM sb), c_mktsegment, order_cnt, total_price
+              |FROM agg
+              |ORDER BY join_strategy, c_mktsegment""".stripMargin),
+      bench = true),
+
     "j10_bloom_prune_join" -> Q((s, dir) => {
       // Bloom semi-join reduction (operators/BloomPrune): the fact side
       // is pruned by a constant-size sketch of the selective dim keys

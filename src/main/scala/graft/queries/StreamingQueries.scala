@@ -959,5 +959,112 @@ object StreamingQueries {
                |SELECT doc_id FROM documents
                |WHERE doc_id % 8 IN (0, 2)
                |   OR doc_id NOT IN (SELECT doc_id FROM coll)
+               |ORDER BY doc_id""".stripMargin)),
+
+    "st17_stream_crossmodal_dedup" -> Q((s, dir) => {
+      // Streaming CROSS-MODAL near-dup ingest — the streaming twin of
+      // llm_crossmodal_clusters' composition: an increment doc is
+      // dropped when its TEXT near-duplicates the standing corpus (the
+      // st13 MinHash-LSH band collision, candidate-level — the batch
+      // cross-modal edge set uses the same unverified text candidates)
+      // OR its IMAGE near-duplicates it (the st14 band collision with
+      // the exact Hamming ≤ 6 verify). Each modality probes its OWN
+      // accepted index and the union of the two drop sets decides; a
+      // doc with a cross-seed image band collision that fails the
+      // Hamming verify AND no text collision must survive, so a
+      // union-before-verify bug (or'ing raw candidates) changes this
+      // gate's output. State per accepted doc: 4 text band rows + 4
+      // image band rows (the image rows carry the 8-byte phash verify
+      // side); neither modality of the standing corpus is ever
+      // recomputed. Same one-coalesced-file-per-increment pin as
+      // st13–st16 (maxFilesPerTrigger must stay unset on this source).
+      import graft.llm.{Dedup, Multimodal}
+      val base = tmp("graft_st17")
+      val src = s"$base/in"; val chk = s"$base/chk"
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_st17")
+      s.sql("DROP TABLE IF EXISTS graft_st17.accepted_docs")
+      s.sql("DROP TABLE IF EXISTS graft_st17.accepted_tbands")
+      s.sql("DROP TABLE IF EXISTS graft_st17.accepted_ibands")
+      def textBandsOf(df: org.apache.spark.sql.DataFrame) =
+        Dedup.lshBands(Dedup.minhashSignaturesNative(
+          Dedup.shingleArray(df, "doc_id", "text", 3), "doc_id", 8), "doc_id", 8, 2)
+      def imageBandsOf(df: org.apache.spark.sql.DataFrame) =
+        Multimodal.dHash56(Multimodal.decodeBmpGray(df.sparkSession,
+            Multimodal.encodeBmpGray8x8(df.select(col("doc_id")))))
+          .select(col("doc_id"), col("phash"),
+            explode(expr("sequence(0, 3)")).as("band"))
+          .select(col("doc_id"), col("phash"), col("band"),
+            expr("shiftright(phash, 14 * band) & 16383").as("band_hash"))
+      def runOnce(): Unit = {
+        val q = s.readStream
+          .schema("doc_id BIGINT, text STRING")
+          .parquet(src)
+          .writeStream
+          .option("checkpointLocation", chk)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              val sp = batch.sparkSession
+              val tb = textBandsOf(batch).localCheckpoint(true)
+              val ib = imageBandsOf(batch).localCheckpoint(true)
+              val droppedText =
+                if (sp.catalog.tableExists("graft_st17.accepted_tbands"))
+                  tb.join(sp.read.table("graft_st17.accepted_tbands"),
+                    Seq("band", "band_hash"), "left_semi")
+                    .select("doc_id")
+                else tb.select("doc_id").limit(0)
+              val droppedImage =
+                if (sp.catalog.tableExists("graft_st17.accepted_ibands"))
+                  ib.join(sp.read.table("graft_st17.accepted_ibands")
+                      .withColumnRenamed("phash", "acc_phash")
+                      .withColumnRenamed("doc_id", "acc_doc_id"),
+                      Seq("band", "band_hash"))
+                    .filter(bit_count(col("phash")
+                      .bitwiseXOR(col("acc_phash"))) <= 6)
+                    .select("doc_id")
+                else ib.select("doc_id").limit(0)
+              val dropped = droppedText.unionByName(droppedImage).distinct()
+              val kept = batch.join(dropped, Seq("doc_id"), "left_anti")
+                .localCheckpoint(true)
+              val keptT = tb.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+                .localCheckpoint(true)
+              val keptI = ib.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+                .localCheckpoint(true)
+              kept.select("doc_id").write.mode("append")
+                .saveAsTable("graft_st17.accepted_docs")
+              keptT.write.mode("append")
+                .saveAsTable("graft_st17.accepted_tbands")
+              keptI.write.mode("append")
+                .saveAsTable("graft_st17.accepted_ibands")
+            }
+          }
+          .start()
+        q.awaitTermination()
+      }
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      docs.filter(col("doc_id") % 8 === 0 || col("doc_id") % 8 === 2)
+        .coalesce(1).write.mode("append").parquet(src)
+      runOnce() // increment 1 seeds both modality indexes
+      docs.filter(col("doc_id") % 8 =!= 0 && col("doc_id") % 8 =!= 2)
+        .coalesce(1).write.mode("append").parquet(src)
+      runOnce() // increment 2: text-candidate OR image-verified drops
+      s.read.table("graft_st17.accepted_docs").orderBy("doc_id")
+    }, Some(s"""WITH ${LlmQueries.toksCte}, ${LlmQueries.shCte},
+               |${LlmQueries.lshSigBandsCtes},
+               |${LlmQueries.phashHashCtes.replace("bands", "ibands")},
+               |tcoll AS (SELECT DISTINCT n.doc_id
+               |  FROM bands n JOIN bands a
+               |    ON n.band = a.band AND n.band_hash = a.band_hash
+               |  WHERE n.doc_id % 8 NOT IN (0, 2) AND a.doc_id % 8 IN (0, 2)),
+               |icoll AS (SELECT DISTINCT n.doc_id
+               |  FROM ibands n JOIN ibands a
+               |    ON n.band = a.band AND n.band_hash = a.band_hash
+               |  WHERE n.doc_id % 8 NOT IN (0, 2) AND a.doc_id % 8 IN (0, 2)
+               |    AND bit_count(xor(n.phash, a.phash)) <= 6)
+               |SELECT doc_id FROM documents
+               |WHERE doc_id % 8 IN (0, 2)
+               |   OR doc_id NOT IN (SELECT doc_id FROM tcoll
+               |                     UNION SELECT doc_id FROM icoll)
                |ORDER BY doc_id""".stripMargin)))
 }

@@ -716,6 +716,54 @@ class LlmOpsSpec extends SparkTestBase {
       Option(errCount.getCause).exists(_.toString.contains("frames")))
   }
 
+  test("sceneSplit: cuts on Hamming > threshold, keyframe is min (phash, idx)") {
+    import spark.implicits._
+    // doc 1: f0=0, f1=3 (H=2, no cut at 28), f2=all-56-bits (H=54, CUT),
+    // f3=f2 (H=0, no cut) → scenes [0,1] and [2,3]. doc 2: one frame.
+    val full = (1L << 56) - 1
+    val fh = Seq(
+      (1L, 0, 0L), (1L, 1, 3L), (1L, 2, full), (1L, 3, full),
+      (2L, 0, 42L))
+      .toDF("doc_id", "frame_idx", "phash")
+    val scenes = Multimodal.sceneSplit(fh, threshold = 28)
+      .orderBy("doc_id", "scene_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getInt(5), r.getLong(6)))
+    assert(scenes === Array(
+      (1L, 0L, 0, 1, 2L, 0, 0L),    // keyframe: min phash 0 at f0
+      (1L, 1L, 2, 3, 2L, 2, full),  // equal phashes: tie-break on idx
+      (2L, 0L, 0, 0, 1L, 0, 42L)))
+    // Threshold is strict: H=2 equals the threshold → NOT a cut; one
+    // below → cut. (Guards an off-by-one in the > comparison.)
+    assert(Multimodal.sceneSplit(fh.filter($"doc_id" === 1L), threshold = 2)
+      .count() === 2)
+    assert(Multimodal.sceneSplit(fh.filter($"doc_id" === 1L), threshold = 1)
+      .count() === 3)
+  }
+
+  test("clipContainment: aligned verify is load-bearing; partial alignments die") {
+    import spark.implicits._
+    val videos = Seq(
+      (1L, 0, 10L), (1L, 1, 20L), (1L, 2, 30L), (1L, 3, 40L),
+      (2L, 0, 23L), (2L, 1, 30L), (2L, 2, 99L), (2L, 3, 98L),
+      (3L, 0, 20L), (3L, 1, 30L ^ 0xFF00L), (3L, 2, 7L), (3L, 3, 8L))
+      .toDF("doc_id", "frame_idx", "phash")
+    val clips = Seq(
+      // matches video 1 @1 exactly; video 2 @0 with Hamming 2 (23 vs
+      // 20); candidate in video 3 @0 via the exact frame-0 match but
+      // the OTHER aligned frame reads Hamming 8 — the verify must kill
+      // it (a candidate-only implementation would emit it).
+      (100L, 0, 20L), (100L, 1, 30L),
+      // frame 0 matches video 1's LAST frame: offset 3 leaves p=1
+      // hanging past the end — n_aligned = 1, must die.
+      (200L, 0, 40L), (200L, 1, 77L))
+      .toDF("clip_id", "p", "phash")
+    val out = Multimodal.clipContainment(clips, videos, nClipFrames = 2, tau = 6)
+      .orderBy("clip_id", "video_id", "offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(out === Array((100L, 1L, 1, 0L), (100L, 2L, 0, 2L)))
+  }
+
   test("CountMin: estimates are one-sided and half-sketches merge to the whole") {
     import graft.operators.CountMin
     val keys = (0 until 400).map(i => s"k${i % 37}").toDF("k")

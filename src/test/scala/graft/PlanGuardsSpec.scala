@@ -46,6 +46,34 @@ class PlanGuardsSpec extends SparkTestBase {
       s"same-partitioning windows must reuse one shuffle, plan:\n$plan")
   }
 
+  test("sceneSplit: lag window, cut sum, and scene agg share ONE exchange") {
+    // The op's scale contract (llm_video_scene_split): both window specs
+    // and the per-scene aggregate key on doc_id(+scene_id), so Catalyst
+    // must plan exactly one hash exchange of the 8-byte/frame hash frame
+    // — a second exchange would re-shuffle the corpus per stage.
+    val fh = (0 until 400)
+      .map(i => (i.toLong / 4, i % 4, (i * 2654435761L) & ((1L << 56) - 1)))
+      .toDF("doc_id", "frame_idx", "phash")
+      .repartition(8) // round-robin: breaks any inherited partitioning
+    val out = graft.llm.Multimodal.sceneSplit(fh)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1,
+      s"sceneSplit must reuse one doc_id exchange, plan:\n$plan")
+  }
+
+  test("adaptiveJoin: broadcast branch plans a BroadcastHashJoin, no shuffle of the fact") {
+    val large = (1 to 1000).map(i => (i % 50, i)).toDF("k", "payload")
+    val small = (1 to 50).map(k => (k, s"d$k")).toDF("k", "dim")
+    val out = graft.operators.Skew.adaptiveJoin(large, small, "k")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"broadcast branch must not shuffle either side:\n$plan")
+  }
+
   test("explicit-values pivot runs NO eager distinct job at construction time") {
     // A values-less pivot collects the column's distinct values with a
     // driver-blocking job BEFORE the query even runs; with the value

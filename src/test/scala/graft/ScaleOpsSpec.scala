@@ -176,6 +176,33 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(math.abs(top.getAs[Double]("share") - 0.9) < 1e-9)
   }
 
+  test("adaptiveJoin picks the doctrine branch and always equals the plain join") {
+    val large = ((1 to 50).map(_ => 1) ++ (1 to 50).map(i => 1 + i % 10))
+      .zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "payload")
+    val small = (1 to 11).map(k => (k, s"dim$k")).toDF("k", "dim")
+    val plain = large.join(small, Seq("k"))
+      .orderBy("k", "payload").collect().toSeq
+    def run(maxB: Long, thresh: Double) =
+      Skew.adaptiveJoin(large, small, "k",
+        maxBroadcastRows = maxB, hotShareThreshold = thresh)
+    // Dim fits → broadcast, regardless of skew.
+    val b = run(100L, 0.10)
+    assert(b.select("join_strategy").distinct().head().getString(0) === "broadcast")
+    assert(b.drop("join_strategy").orderBy("k", "payload").collect().toSeq === plain)
+    // Broadcast forbidden + head key at ~55% share → salted.
+    val sj = run(0L, 0.10)
+    assert(sj.select("join_strategy").distinct().head().getString(0) === "salted")
+    assert(sj.drop("join_strategy").orderBy("k", "payload").collect().toSeq === plain)
+    // Broadcast forbidden + threshold above the head share → plain.
+    val p = run(0L, 0.99)
+    assert(p.select("join_strategy").distinct().head().getString(0) === "plain")
+    assert(p.drop("join_strategy").orderBy("k", "payload").collect().toSeq === plain)
+    // Empty large side: no head key — plain, and no NPE from the profile.
+    val empty = Skew.adaptiveJoin(large.limit(0), small, "k",
+      maxBroadcastRows = 0L)
+    assert(empty.count() === 0L)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     Tables.ensureDatabase(spark, "graft_test")
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
