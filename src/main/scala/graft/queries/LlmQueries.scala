@@ -24,10 +24,10 @@ object LlmQueries {
   // target cluster size, so pair volume stays LINEAR in the corpus.
   // Count-free and layout-invariant. `scaledCentroidSql` is the
   // verbatim oracle mirror — any scaling change edits BOTH here.
-  private def scaledCentroids(
+  private[queries] def scaledCentroids(
       emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     emb.filter(col("vec_id") < 8 || col("vec_id") % 2500 === 0)
-  private val scaledCentroidSql = "vec_id < 8 OR vec_id % 2500 = 0"
+  private[queries] val scaledCentroidSql = "vec_id < 8 OR vec_id % 2500 = 0"
 
   // Shared image-phash chain (llm_image_phash_dedup + _clusters):
   // encode real 8×8 BMPs → partition-wise decode to luma → 56-bit dHash
@@ -327,9 +327,9 @@ object LlmQueries {
        |sims AS (SELECT doc_id, $bits AS simhash FROM v)""".stripMargin
   }
 
-  private def dotSql(a: String, b: String) =
+  private[queries] def dotSql(a: String, b: String) =
     s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (x, y) -> x + y)"
-  private def simSql(a: String, b: String) =
+  private[queries] def simSql(a: String, b: String) =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
   private def l2Sql(a: String, b: String) =
     s"sqrt(list_reduce(list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y))"
@@ -2145,6 +2145,75 @@ object LlmQueries {
               |SELECT clip_id, video_id, loc AS "offset", hamming
               |FROM ver WHERE n_aligned = 2 AND hamming <= 6
               |ORDER BY clip_id, video_id, loc""".stripMargin),
+      bench = true),
+
+    "llm_audio_clip_containment" -> Q((s, dir) => {
+      // CLIP-in-AUDIO containment — the audio twin of the video
+      // Content-ID gate: clips are the middle 64 samples (windows 4-11)
+      // of each seed-canonical signal (doc_id % 4 = 0); the search
+      // reports every window-aligned (clip, audio, w_off) placement
+      // whose EXACT mean-absolute distance over the aligned 64 samples
+      // ≤ 16. Candidates join on the content-addressed quantized-window
+      // key (the audio dedup chain's band spelling WITHOUT the position
+      // — so arbitrary offsets match); buckets stay true-duplicate-
+      // multiplicity-sized. Recall is structural: all four same-seed
+      // perturbations land in ONE window (consecutive positions, and
+      // 4k mod 8 ∈ {0,4} keeps them inside a window), so ≥7 of the 8
+      // clip windows still key-match. The verify is load-bearing
+      // exactly like the audio dedup gate: an int16-WRAPPED perturbation
+      // reads MAD ~1016 and must drop that placement while the
+      // unwrapped same-seed ones read ≤ 16 and survive.
+      val decoded = Multimodal.decodeWavPcm(s, Multimodal.encodeWavPcm(
+          T(s, dir, "documents").select(col("doc_id"))))
+        .localCheckpoint(true)
+      val aw = decoded
+        .select(col("doc_id"), explode(expr("sequence(0, 15)")).as("w"),
+          col("samples"))
+        .select(col("doc_id"), col("w"),
+          expr("""md5(concat_ws(',', transform(slice(samples, 8 * w + 1, 8),
+                 |  x -> CAST((x + 32768) DIV 1024 AS STRING))))""".stripMargin)
+            .as("key"))
+      val cw = aw.filter(col("doc_id") % 4 === 0 && col("w").between(4, 11))
+        .select(col("doc_id").as("clip_id"), (col("w") - 4).as("p"), col("key"))
+      val cand = cw
+        .join(aw.select(col("doc_id").as("audio_id"), col("w"), col("key")),
+          Seq("key"))
+        .select(col("clip_id"), col("audio_id"), (col("w") - col("p")).as("w_off"))
+        .filter(col("w_off").between(0, 8))
+        .distinct()
+      cand
+        .join(decoded.select(col("doc_id").as("clip_id"),
+          col("samples").as("sc")), "clip_id")
+        .join(decoded.select(col("doc_id").as("audio_id"),
+          col("samples").as("sa")), "audio_id")
+        .select(col("clip_id"), col("audio_id"), col("w_off"),
+          expr("""aggregate(zip_with(slice(sc, 33, 64), slice(sa, 8 * w_off + 1, 64),
+                 |  (x, y) -> CAST(abs(x - y) AS BIGINT)),
+                 |  CAST(0 AS BIGINT), (a, v) -> a + v) DIV 64""".stripMargin)
+            .as("mad"))
+        .filter(col("mad") <= 16)
+        .orderBy("clip_id", "audio_id", "w_off")
+    }, Some(s"""WITH $wavSampleCtes,
+              |aw AS (SELECT doc_id, i // 8 AS w,
+              |    md5(string_agg(((s + 32768) // 1024)::VARCHAR, ','
+              |      ORDER BY i)) AS key
+              |  FROM smp GROUP BY doc_id, i // 8),
+              |cw AS (SELECT doc_id AS clip_id, CAST(w - 4 AS INT) AS p, key
+              |  FROM aw WHERE doc_id % 4 = 0 AND w BETWEEN 4 AND 11),
+              |cand AS (SELECT DISTINCT c.clip_id, a.doc_id AS audio_id,
+              |    CAST(a.w - c.p AS INT) AS w_off
+              |  FROM cw c JOIN aw a ON a.key = c.key
+              |  WHERE a.w - c.p BETWEEN 0 AND 8),
+              |mad AS (SELECT d.clip_id, d.audio_id, d.w_off,
+              |    CAST(SUM(abs(x.s - y.s)) // 64 AS BIGINT) AS mad
+              |  FROM cand d
+              |  JOIN smp x ON x.doc_id = d.clip_id AND x.i BETWEEN 32 AND 95
+              |  JOIN smp y ON y.doc_id = d.audio_id
+              |    AND y.i = 8 * d.w_off + (x.i - 32)
+              |  GROUP BY d.clip_id, d.audio_id, d.w_off)
+              |SELECT clip_id, audio_id, w_off, mad FROM mad
+              |WHERE mad <= 16
+              |ORDER BY clip_id, audio_id, w_off""".stripMargin),
       bench = true),
 
     "llm_crossmodal_clusters" -> Q((s, dir) => {

@@ -1066,5 +1066,105 @@ object StreamingQueries {
                |WHERE doc_id % 8 IN (0, 2)
                |   OR doc_id NOT IN (SELECT doc_id FROM tcoll
                |                     UNION SELECT doc_id FROM icoll)
-               |ORDER BY doc_id""".stripMargin)))
+               |ORDER BY doc_id""".stripMargin)),
+
+    "st18_stream_embedding_dedup" -> Q((s, dir) => {
+      // Streaming EMBEDDING (semantic) near-dup ingest — the fifth
+      // modality of the batch↔streaming matrix (st13 text, st14 image,
+      // st15 audio, st16 video, st17 cross-modal): the batch
+      // llm_embedding_neardup chain applied at ingest. The IVF codebook
+      // is a FIXED model artifact (the same corpus-scaled centroid rule
+      // as the batch chain), so cluster routing is stable across
+      // increments; each increment assigns its vectors to the nearest
+      // centroid (broadcast codebook — the increment never shuffles),
+      // probes ONLY its own cluster's accepted vectors, and drops on
+      // unit-vector dot ≥ 0.35 — the exact verify the batch gate uses,
+      // same fused DotProduct expression, so both engines fold
+      // identically. State per accepted vector: cluster id + unit
+      // vector (the verify side); the standing corpus is never
+      // re-normalized or re-assigned. Same one-coalesced-file-per-
+      // increment pin as st13–st17.
+      import graft.llm.Similarity
+      val base = tmp("graft_st18")
+      val src = s"$base/in"; val chk = s"$base/chk"
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_st18")
+      s.sql("DROP TABLE IF EXISTS graft_st18.accepted_docs")
+      s.sql("DROP TABLE IF EXISTS graft_st18.accepted_vecs")
+      val cents = LlmQueries.scaledCentroids(T(s, dir, "embeddings"))
+        .select(col("vec_id"), col("embedding"))
+        .localCheckpoint(true)
+      def unitOf(df: org.apache.spark.sql.DataFrame) =
+        df.join(Similarity.ivfAssign(df, cents, "vec_id", "embedding"), "vec_id")
+          .select(col("vec_id"), col("cluster_id"),
+            Similarity.asDoubleVec(col("embedding")).as("vv"))
+          .withColumn("nrm", sqrt(graft.plans.DotProduct(col("vv"), col("vv"))))
+          .select(col("vec_id"), col("cluster_id"),
+            expr("transform(vv, e -> e / nrm)").as("uv"))
+      def runOnce(): Unit = {
+        val q = s.readStream
+          .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+          .parquet(src)
+          .writeStream
+          .option("checkpointLocation", chk)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              val sp = batch.sparkSession
+              val nv = unitOf(batch).localCheckpoint(true)
+              val dropped =
+                if (sp.catalog.tableExists("graft_st18.accepted_vecs"))
+                  nv.join(sp.read.table("graft_st18.accepted_vecs")
+                      .select(col("cluster_id"), col("uv").as("acc_uv")),
+                      Seq("cluster_id"))
+                    .filter(graft.plans.DotProduct(col("uv"), col("acc_uv"))
+                      >= 0.35)
+                    .select("vec_id").distinct()
+                else nv.select("vec_id").limit(0)
+              val kept = batch.select("vec_id")
+                .join(dropped, Seq("vec_id"), "left_anti")
+                .localCheckpoint(true)
+              val keptVecs = nv.join(kept, Seq("vec_id"), "left_semi")
+                .localCheckpoint(true)
+              kept.write.mode("append")
+                .saveAsTable("graft_st18.accepted_docs")
+              keptVecs.write.mode("append")
+                .saveAsTable("graft_st18.accepted_vecs")
+            }
+          }
+          .start()
+        q.awaitTermination()
+      }
+      val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      emb.filter(col("vec_id") % 8 === 0 || col("vec_id") % 8 === 2)
+        .coalesce(1).write.mode("append").parquet(src)
+      runOnce() // increment 1 seeds the accepted index
+      emb.filter(col("vec_id") % 8 =!= 0 && col("vec_id") % 8 =!= 2)
+        .coalesce(1).write.mode("append").parquet(src)
+      runOnce() // increment 2: cluster-local unit-dot verify
+      s.read.table("graft_st18.accepted_docs").orderBy("vec_id")
+    }, Some {
+      val sim = LlmQueries.simSql("a.vv", "c.cv")
+      def dot(a: String, b: String) = LlmQueries.dotSql(a, b)
+      s"""WITH v AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings),
+         |cent AS (SELECT vec_id AS centroid_id, vv AS cv FROM v
+         |  WHERE ${LlmQueries.scaledCentroidSql}),
+         |assigned AS (SELECT vec_id, centroid_id AS cluster_id FROM (
+         |  SELECT a.vec_id, c.centroid_id,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY $sim DESC, c.centroid_id) AS rn
+         |  FROM v a CROSS JOIN cent c) WHERE rn = 1),
+         |cv AS (SELECT v.vec_id,
+         |    list_transform(v.vv, e -> e / sqrt(${dot("v.vv", "v.vv")})) AS uv,
+         |    a.cluster_id
+         |  FROM v JOIN assigned a ON v.vec_id = a.vec_id),
+         |coll AS (SELECT DISTINCT n.vec_id
+         |  FROM cv n JOIN cv a ON n.cluster_id = a.cluster_id
+         |  WHERE n.vec_id % 8 NOT IN (0, 2) AND a.vec_id % 8 IN (0, 2)
+         |    AND ${dot("n.uv", "a.uv")} >= 0.35)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id % 8 IN (0, 2)
+         |   OR vec_id NOT IN (SELECT vec_id FROM coll)
+         |ORDER BY vec_id""".stripMargin
+    }))
 }
