@@ -634,6 +634,49 @@ object Multimodal {
              |    shiftleft(CAST(1 AS BIGINT), w), CAST(0 AS BIGINT)))""".stripMargin)
         .as("energy_fp"))
 
+  /** Silence-gated audio segmentation — the audio twin of [[sceneSplit]]
+    * and the VAD-shaped curation stage between decode and feature
+    * extraction: the signal is cut into fixed windows of
+    * `windowSamples` samples, a window is ACTIVE when its exact integer
+    * energy (Σ s²) clears `threshold`, and each maximal run of active
+    * windows becomes one segment (classic gaps-and-islands: a run opens
+    * where the previous active window is not the immediate neighbor).
+    * Output is one row per (doc, segment) with the window span, length,
+    * peak- and total-energy — all BIGINT math, exactly replayable by
+    * any engine. Cost mirrors sceneSplit: the lag window, the running
+    * run-id sum, and the per-segment aggregate all key on doc_id, so
+    * ONE exchange of the (doc, window, energy) frame — 16 rows/doc, the
+    * samples themselves never shuffle — covers the whole op at any
+    * corpus scale. */
+  def silenceSplit(decoded: DataFrame, threshold: Long,
+      windowSamples: Int = 8, nWindows: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byW = Window.partitionBy("doc_id").orderBy("w")
+    val prevW = lag(col("w"), 1).over(byW)
+    decoded
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, ${nWindows - 1})")).as("w"),
+        col("samples"))
+      .select(col("doc_id"), col("w"),
+        expr(s"""aggregate(slice(samples, $windowSamples * w + 1, $windowSamples),
+                |  CAST(0 AS BIGINT), (a, s) -> a + CAST(s AS BIGINT) * s)""".stripMargin)
+          .as("energy"))
+      .filter(col("energy") >= threshold)
+      .select(col("doc_id"), col("w"), col("energy"),
+        when(prevW.isNull || col("w") - prevW > 1, 1L).otherwise(0L).as("_cut"))
+      .select(col("doc_id"), col("w"), col("energy"),
+        (sum(col("_cut")).over(byW
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+          .as("segment_id"))
+      .groupBy(col("doc_id"), col("segment_id"))
+      .agg(
+        min(col("w")).as("start_w"),
+        max(col("w")).as("end_w"),
+        count(lit(1)).as("n_windows"),
+        max(col("energy")).as("peak_energy"),
+        sum(col("energy")).as("sum_energy"))
+  }
+
   /** Partition-wise decode: the imperative escape hatch (mapPartitions)
     * the SURVEY reserves for genuine per-partition logic — a codec is
     * exactly that. `mkCodec` runs once per partition (asserted in

@@ -209,4 +209,42 @@ object Pq {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= kTop)
   }
+
+  /** ADC shortlist → EXACT rerank — the standard production composition
+    * (FAISS's refine stage): [[ivfPqTopK]] produces a `shortlist`-sized
+    * candidate list per query from the compressed codes, then ONLY those
+    * candidates' raw vectors are read back for an exact squared-L2
+    * rerank to the final `kTop`. This is where PQ's quantization error
+    * gets bought back: the codes bound how many raw vectors are touched
+    * (shortlist × queries, not the corpus), the rerank restores exact
+    * ordering among them.
+    *
+    * Scale shape: the shortlist frame is O(queries · shortlist) — always
+    * broadcast into the join against the corpus raw vectors, so the
+    * corpus side is ONE broadcast-hash probe (no corpus shuffle, raw
+    * vectors stream through the scan exactly once); the query vectors
+    * broadcast too. Output carries `approx_rank` next to the exact rank
+    * so the reorder the rerank performed is observable.
+    *
+    * Determinism: exact_d2 is the same one-fold [[l2sq]] both the exact
+    * chains and the oracle replay; ties break on corpus_id. */
+  def ivfPqRerank(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      cb: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int, kTop: Int, shortlist: Int, nprobe: Int = 1): DataFrame = {
+    val short = ivfPqTopK(corpus, queries, centroids, cb, idCol, vecCol,
+        m, subDim, shortlist, nprobe)
+      .select(col("query_id"), col("corpus_id"), col("rank").as("approx_rank"))
+    val cvec = corpus.select(col(idCol).as("corpus_id"),
+      Similarity.asDoubleVec(col(vecCol)).as("cv"))
+    val qvec = queries.select(col(idCol).as("query_id"),
+      Similarity.asDoubleVec(col(vecCol)).as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("exact_d2").asc, col("corpus_id"))
+    cvec.join(broadcast(short), "corpus_id")
+      .join(broadcast(qvec), "query_id")
+      .select(col("query_id"), col("corpus_id"), col("approx_rank"),
+        l2sq(col("cv"), col("qv")).as("exact_d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kTop)
+  }
 }

@@ -113,7 +113,7 @@ object LlmQueries {
   // luma row PER FRAME → per-frame 56-bit dHash, keyed (doc_id,
   // frame_idx). Checkpointed: 4×8 bytes/doc, feeds bands and both
   // verify sides of the temporal dedup.
-  private def videoFrameHashes(s: org.apache.spark.sql.SparkSession,
+  private[queries] def videoFrameHashes(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     Multimodal.dHash56(
         Multimodal.decodeAviFrames(s, Multimodal.encodeAvi(
@@ -1372,6 +1372,98 @@ object LlmQueries {
          |SELECT * FROM rec1 UNION ALL SELECT * FROM rec3 ORDER BY nprobe""".stripMargin
     })),
 
+    "llm_ivfpq_rerank" -> Q((s, dir) => {
+      // ADC shortlist → EXACT rerank (Pq.ivfPqRerank — FAISS's refine
+      // stage): the compressed codes shortlist 9 candidates per query,
+      // then ONLY those 9 raw vectors are read back for an exact
+      // squared-L2 rerank to the final top-3. The output carries
+      // approx_rank next to the exact rank, so the reorder the rerank
+      // performed — quantization error being bought back — is part of
+      // the verified result, and a pass-through implementation (final
+      // order = ADC order) diverges wherever the code-space and exact
+      // orders disagree. The oracle replays codebook build + encode +
+      // assign + LUT + shortlist + the exact rerank fold.
+      val emb = T(s, dir, "embeddings")
+      val cb = Pq.codebooks(emb, "vec_id", "embedding", m = 8, subDim = 8, k = 4, iters = 2)
+      Pq.ivfPqRerank(emb, emb.filter(col("vec_id").between(10, 14)),
+          emb.filter(col("vec_id") < 8), cb,
+          "vec_id", "embedding", m = 8, subDim = 8, kTop = 3, shortlist = 9)
+        .orderBy("query_id", "rank")
+    }, Some({
+      def d2(a: String, b: String) =
+        s"list_reduce(list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+      def assignCte(name: String, cents: String) =
+        s"""$name AS (SELECT vec_id, s, sv, cid FROM (
+           |  SELECT b.vec_id, b.s, b.sv, c.cid,
+           |    row_number() OVER (PARTITION BY b.vec_id, b.s
+           |      ORDER BY ${d2("b.sv", "c.cv")} ASC, c.cid) AS rn
+           |  FROM sub b JOIN $cents c ON b.s = c.s) WHERE rn = 1)""".stripMargin
+      def meanCtes(a: String, mm: String, cprev: String, c: String) =
+        s"""$mm AS (SELECT s, cid, i,
+           |    CAST(SUM(CAST(floor(sv[i] * 1073741824.0) AS DECIMAL(38,0))) AS DOUBLE)
+           |      / count(*) / 1073741824.0 AS mu
+           |  FROM $a, LATERAL (SELECT unnest(generate_series(1, len(sv))) AS i) u
+           |  GROUP BY s, cid, i),
+           |$c AS (SELECT p.s, p.cid, coalesce(n.cv, p.cv) AS cv
+           |  FROM $cprev p LEFT JOIN
+           |    (SELECT s, cid, list(mu ORDER BY i) AS cv FROM $mm GROUP BY s, cid) n
+           |  ON p.s = n.s AND p.cid = n.cid)""".stripMargin
+      val sim = simSql("a.vv", "c.cv")
+      s"""WITH v AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings),
+         |sub AS (SELECT vec_id, s, list_slice(vv, s * 8 + 1, s * 8 + 8) AS sv
+         |  FROM v, LATERAL (SELECT unnest(range(0, 8)) AS s) u),
+         |c0 AS (SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS cid,
+         |    sv AS cv FROM sub
+         |  WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 4)),
+         |${assignCte("a1", "c0")},
+         |${meanCtes("a1", "m1", "c0", "c1")},
+         |${assignCte("a2", "c1")},
+         |${meanCtes("a2", "m2", "c1", "c2")},
+         |codes0 AS (SELECT vec_id, s, cid FROM (
+         |  SELECT b.vec_id, b.s, c.cid,
+         |    row_number() OVER (PARTITION BY b.vec_id, b.s
+         |      ORDER BY ${d2("b.sv", "c.cv")} ASC, c.cid) AS rn
+         |  FROM sub b JOIN c2 c ON b.s = c.s) WHERE rn = 1),
+         |codes AS (SELECT vec_id AS corpus_id, list(cid ORDER BY s) AS codes
+         |  FROM codes0 GROUP BY vec_id),
+         |cent AS (SELECT vec_id AS centroid_id, vv AS cv FROM v WHERE vec_id < 8),
+         |assigned AS (SELECT vec_id, centroid_id AS cluster_id FROM (
+         |  SELECT a.vec_id, c.centroid_id,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY $sim DESC, c.centroid_id) AS rn
+         |  FROM v a CROSS JOIN cent c) WHERE rn = 1),
+         |qsub AS (SELECT vec_id AS query_id, s, sv FROM sub WHERE vec_id BETWEEN 10 AND 14),
+         |lut0 AS (SELECT q.query_id, q.s, c.cid, ${d2("q.sv", "c.cv")} AS dd
+         |  FROM qsub q JOIN c2 c ON q.s = c.s),
+         |lut1 AS (SELECT query_id, s, list(dd ORDER BY cid) AS l FROM lut0 GROUP BY query_id, s),
+         |lut AS (SELECT query_id, list(l ORDER BY s) AS luts FROM lut1 GROUP BY query_id),
+         |scored AS (SELECT q.query_id, c.corpus_id,
+         |  list_reduce(list_transform(range(1, 9), s -> q.luts[s][c.codes[s] + 1]),
+         |    (x, y) -> x + y) AS approx_d2
+         |  FROM codes c
+         |  JOIN assigned ca ON ca.vec_id = c.corpus_id
+         |  JOIN lut q ON TRUE
+         |  JOIN assigned qa ON qa.vec_id = q.query_id
+         |    AND qa.cluster_id = ca.cluster_id
+         |  WHERE c.corpus_id <> q.query_id),
+         |short AS (SELECT query_id, corpus_id, CAST(rank AS INT) AS approx_rank FROM (
+         |  SELECT query_id, corpus_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY approx_d2 ASC, corpus_id) AS rank
+         |  FROM scored) WHERE rank <= 9),
+         |qv AS (SELECT vec_id AS query_id, vv AS qv FROM v WHERE vec_id BETWEEN 10 AND 14),
+         |rr0 AS (SELECT t.query_id, t.corpus_id, t.approx_rank,
+         |    ${d2("q.qv", "c.vv")} AS exact_d2
+         |  FROM short t JOIN v c ON c.vec_id = t.corpus_id
+         |  JOIN qv q ON q.query_id = t.query_id),
+         |rr AS (SELECT query_id, corpus_id, approx_rank, exact_d2,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY exact_d2 ASC, corpus_id) AS rank
+         |  FROM rr0)
+         |SELECT query_id, corpus_id, approx_rank, exact_d2,
+         |  CAST(rank AS INT) AS rank
+         |FROM rr WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    }), bench = true),
+
     "llm_lr_train" -> Q((s, dir) => {
       // Distributed quality-classifier training (Classifier.scala):
       // 4 full-batch GD iterations, softsign link, class-weighted
@@ -2214,6 +2306,48 @@ object LlmQueries {
               |SELECT clip_id, audio_id, w_off, mad FROM mad
               |WHERE mad <= 16
               |ORDER BY clip_id, audio_id, w_off""".stripMargin),
+      bench = true),
+
+    "llm_audio_silence_split" -> Q((s, dir) => {
+      // Silence-gated audio SEGMENTATION (Multimodal.silenceSplit) —
+      // the VAD-shaped audio twin of the video scene split: each
+      // signal's 16 windows of 8 samples get an exact integer energy
+      // (Σ s²); a window is active when energy ≥ 2,863,311,530 (the
+      // analytic MEAN window energy for uniform int16 samples,
+      // 8·(2¹⁶·2¹⁶−1)/12 — close to the empirical median, so ~half the
+      // windows are silent and runs open, close, and merge all over
+      // the corpus rather than one branch dominating); maximal active
+      // runs become segments via gaps-and-islands. All-BIGINT math;
+      // the oracle recomputes every sample from the generation formula
+      // and replays the islands with window functions, so an off-by-one
+      // in the window slice, the run detection, or the segment
+      // numbering diverges.
+      val decoded = Multimodal.decodeWavPcm(s, Multimodal.encodeWavPcm(
+          T(s, dir, "documents").select(col("doc_id"))))
+      Multimodal.silenceSplit(decoded, threshold = 2863311530L)
+        .orderBy("doc_id", "segment_id")
+    }, Some(s"""WITH $wavSampleCtes,
+              |wen AS (SELECT doc_id, CAST(i // 8 AS INT) AS w,
+              |    CAST(SUM(s::BIGINT * s) AS BIGINT) AS energy
+              |  FROM smp GROUP BY doc_id, i // 8
+              |  HAVING CAST(SUM(s::BIGINT * s) AS BIGINT) >= 2863311530),
+              |isl AS (SELECT doc_id, w, energy,
+              |    CASE WHEN lag(w) OVER dw IS NULL
+              |      OR w - lag(w) OVER dw > 1 THEN 1 ELSE 0 END AS cut
+              |  FROM wen WINDOW dw AS (PARTITION BY doc_id ORDER BY w)),
+              |seg AS (SELECT doc_id, w, energy,
+              |    CAST(SUM(cut) OVER (PARTITION BY doc_id ORDER BY w
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+              |      AS BIGINT) AS segment_id
+              |  FROM isl)
+              |SELECT doc_id, segment_id,
+              |  CAST(min(w) AS INT) AS start_w,
+              |  CAST(max(w) AS INT) AS end_w,
+              |  count(*) AS n_windows,
+              |  max(energy) AS peak_energy,
+              |  CAST(sum(energy) AS BIGINT) AS sum_energy
+              |FROM seg GROUP BY doc_id, segment_id
+              |ORDER BY doc_id, segment_id""".stripMargin),
       bench = true),
 
     "llm_crossmodal_clusters" -> Q((s, dir) => {

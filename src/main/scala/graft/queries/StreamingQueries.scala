@@ -1166,5 +1166,240 @@ object StreamingQueries {
          |WHERE vec_id % 8 IN (0, 2)
          |   OR vec_id NOT IN (SELECT vec_id FROM coll)
          |ORDER BY vec_id""".stripMargin
-    }))
+    }),
+
+    "st19_stream_content_registry" -> Q((s, dir) => {
+      // Streaming CONTENT-ID REGISTRY — the service shape of the batch
+      // clip-containment gate: one tagged stream interleaves video
+      // REGISTRATIONS (kind 'v': fingerprinted frame hashes appended to
+      // the standing index) and clip QUERIES (kind 'c': probed against
+      // the index as it exists at arrival). A clip can only match
+      // videos registered BEFORE it, so the result is arrival-order-
+      // dependent — the genuinely stateful property the oracle encodes:
+      // increment order is videos(even) → clips(id%8=0) → videos(odd)
+      // → clips(id%8=4), so the early clip wave sees only even videos
+      // while the late wave sees the full index, and the output is a
+      // strict, provenance-bearing subset of the batch gate's. Within a
+      // batch registrations apply before probes (register-then-query);
+      // the probe itself is Multimodal.clipContainment — the same
+      // content-addressed full-hash join + aligned-Hamming verify as
+      // batch, so the two spellings cannot fork. State is the 8-byte/
+      // frame hash index — pixels never enter the stream. Same one-
+      // coalesced-file-per-increment pin as st13–st18 (maxFilesPerTrigger
+      // must stay unset on this source).
+      import graft.llm.Multimodal
+      val base = tmp("graft_st19")
+      val src = s"$base/in"; val chk = s"$base/chk"
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_st19")
+      s.sql("DROP TABLE IF EXISTS graft_st19.video_frames")
+      s.sql("DROP TABLE IF EXISTS graft_st19.placements")
+      val fh = LlmQueries.videoFrameHashes(s, dir)
+      val vidRows = fh.select(lit("v").as("kind"), col("doc_id").as("id"),
+        col("frame_idx").as("idx"), col("phash"))
+      val clipRows = fh
+        .filter(col("doc_id") % 4 === 0 && col("frame_idx").isin(1, 2))
+        .select(lit("c").as("kind"), col("doc_id").as("id"),
+          (col("frame_idx") - 1).as("idx"), col("phash"))
+      def runOnce(): Unit = {
+        val q = s.readStream
+          .schema("kind STRING, id BIGINT, idx INT, phash BIGINT")
+          .parquet(src)
+          .writeStream
+          .option("checkpointLocation", chk)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              val sp = batch.sparkSession
+              val vids = batch.filter(col("kind") === "v")
+                .select(col("id").as("doc_id"), col("idx").as("frame_idx"),
+                  col("phash"))
+              if (!vids.isEmpty)
+                vids.write.mode("append")
+                  .saveAsTable("graft_st19.video_frames")
+              val clips = batch.filter(col("kind") === "c")
+                .select(col("id").as("clip_id"), col("idx").as("p"),
+                  col("phash"))
+              if (!clips.isEmpty) {
+                val idx = sp.read.table("graft_st19.video_frames")
+                Multimodal.clipContainment(clips, idx, nClipFrames = 2, tau = 6)
+                  .write.mode("append")
+                  .saveAsTable("graft_st19.placements")
+              }
+            }
+          }
+          .start()
+        q.awaitTermination()
+      }
+      vidRows.filter(col("id") % 2 === 0)
+        .coalesce(1).write.mode("append").parquet(src)
+      runOnce() // increment 1: register the even half of the corpus
+      clipRows.filter(col("id") % 8 === 0)
+        .coalesce(1).write.mode("append").parquet(src)
+      runOnce() // increment 2: early clip wave — sees even videos only
+      vidRows.filter(col("id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(src)
+      runOnce() // increment 3: register the odd half
+      clipRows.filter(col("id") % 8 === 4)
+        .coalesce(1).write.mode("append").parquet(src)
+      runOnce() // increment 4: late clip wave — sees the full index
+      s.read.table("graft_st19.placements")
+        .orderBy("clip_id", "video_id", "offset")
+    }, Some(s"""WITH ${LlmQueries.videoHashCtes},
+              |clips AS (SELECT doc_id AS clip_id,
+              |    CAST(frame_idx - 1 AS INT) AS p, phash
+              |  FROM vph WHERE doc_id % 4 = 0 AND frame_idx IN (1, 2)),
+              |cand AS (SELECT DISTINCT c.clip_id, v.doc_id AS video_id,
+              |    CAST(v.frame_idx - c.p AS INT) AS loc
+              |  FROM clips c JOIN vph v ON v.phash = c.phash
+              |  WHERE v.frame_idx - c.p >= 0),
+              |ver AS (SELECT d.clip_id, d.video_id, d.loc,
+              |    CAST(SUM(bit_count(xor(c.phash, v.phash))) AS BIGINT)
+              |      AS hamming,
+              |    count(*) AS n_aligned
+              |  FROM cand d
+              |  JOIN clips c ON c.clip_id = d.clip_id
+              |  JOIN vph v ON v.doc_id = d.video_id
+              |    AND v.frame_idx = d.loc + c.p
+              |  GROUP BY d.clip_id, d.video_id, d.loc)
+              |SELECT clip_id, video_id, loc AS "offset", hamming
+              |FROM ver WHERE n_aligned = 2 AND hamming <= 6
+              |  AND (clip_id % 8 = 4 OR video_id % 2 = 0)
+              |ORDER BY clip_id, video_id, loc""".stripMargin)),
+
+    "st20_stream_cdc_scd2" -> Q((s, dir) => {
+      // Streaming CDC → SCD2 maintenance — the lakehouse-migration op
+      // the reference's whole pipeline exists for, run CONTINUOUSLY:
+      // change batches arrive as a stream and each micro-batch applies
+      // Scd2.merge (the same join+union+rewrite algebra as the batch
+      // scd2_merge gate) against the standing dimension, so versions
+      // CHAIN across increments — a key updated in both increments ends
+      // with three rows (original closed at d+1, 'X' closed at d+2,
+      // 'Y' current), something no single merge can produce. Increment
+      // 1 covers even keys ('X' where key % 6 = 0; no-op updates
+      // elsewhere must NOT spawn versions) plus the % 10 ∈ {8} brand-
+      // new inserts; increment 2 re-updates every % 3 = 0 key to 'Y',
+      // re-closing rows increment 1 created. The oracle replays BOTH
+      // sequential merges in chained CTEs — a fold-into-one-merge
+      // implementation diverges on every three-version chain. State is
+      // the dimension table itself (overwrite-per-batch = the Parquet
+      // spelling of MERGE; localCheckpoint breaks the read-overwrite
+      // cycle). Same one-coalesced-file-per-increment pin as st13–st19.
+      import graft.operators.Scd2
+      val base = tmp("graft_st20")
+      val src = s"$base/in"; val chk = s"$base/chk"
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_st20")
+      s.sql("DROP TABLE IF EXISTS graft_st20.dim")
+      val o = T(s, dir, "orders")
+      def shape(df: org.apache.spark.sql.DataFrame,
+          statusCol: org.apache.spark.sql.Column,
+          startCol: org.apache.spark.sql.Column) =
+        df.select(
+          col("o_orderkey").cast("string").as("order_id"),
+          statusCol.as("status"),
+          col("o_totalprice").cast("decimal(12,2)").as("total"),
+          startCol.as("effective_start_date"),
+          lit(null).cast("timestamp").as("effective_end_date"),
+          lit(true).as("is_current"))
+      shape(o.filter(col("o_orderkey") % 10 < 8),
+          col("o_orderstatus"), col("o_orderdate"))
+        .write.mode("overwrite").saveAsTable("graft_st20.dim")
+      def runOnce(): Unit = {
+        val q = s.readStream
+          .schema("order_id STRING, status STRING, total DECIMAL(12,2), " +
+            "effective_start_date TIMESTAMP, effective_end_date TIMESTAMP, " +
+            "is_current BOOLEAN")
+          .parquet(src)
+          .writeStream
+          .option("checkpointLocation", chk)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              val sp = batch.sparkSession
+              val merged = Scd2.merge(sp.read.table("graft_st20.dim"), batch,
+                  Seq("order_id"), Seq("status", "total"))
+                .localCheckpoint(true)
+              merged.write.mode("overwrite").saveAsTable("graft_st20.dim")
+            }
+          }
+          .start()
+        q.awaitTermination()
+      }
+      shape(o.filter(col("o_orderkey") % 2 === 0),
+          when(col("o_orderkey") % 6 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")),
+          expr("o_orderdate + INTERVAL 1 DAY"))
+        .coalesce(1).write.mode("append").parquet(src)
+      runOnce() // increment 1: even-key changes + % 10 = 8 inserts
+      shape(o.filter(col("o_orderkey") % 3 === 0), lit("Y"),
+          expr("o_orderdate + INTERVAL 2 DAY"))
+        .coalesce(1).write.mode("append").parquet(src)
+      runOnce() // increment 2: % 3 = 0 re-updates — versions must chain
+      Registry.decimalsToDouble(s.read.table("graft_st20.dim"))
+        .orderBy("order_id", "effective_start_date", "is_current")
+    }, Some("""WITH t0 AS (
+              |  SELECT CAST(o_orderkey AS VARCHAR) AS order_id,
+              |    o_orderstatus AS status,
+              |    CAST(o_totalprice AS DECIMAL(12,2)) AS total,
+              |    o_orderdate AS effective_start_date,
+              |    CAST(NULL AS TIMESTAMP) AS effective_end_date,
+              |    TRUE AS is_current
+              |  FROM orders WHERE o_orderkey % 10 < 8),
+              |s1 AS (
+              |  SELECT CAST(o_orderkey AS VARCHAR) AS order_id,
+              |    CASE WHEN o_orderkey % 6 = 0 THEN 'X' ELSE o_orderstatus END AS status,
+              |    CAST(o_totalprice AS DECIMAL(12,2)) AS total,
+              |    o_orderdate + INTERVAL 1 DAY AS effective_start_date,
+              |    CAST(NULL AS TIMESTAMP) AS effective_end_date,
+              |    TRUE AS is_current
+              |  FROM orders WHERE o_orderkey % 2 = 0),
+              |chg1 AS (SELECT c.order_id FROM t0 c JOIN s1 s USING (order_id)
+              |  WHERE (c.status IS DISTINCT FROM s.status)
+              |     OR (c.total IS DISTINCT FROM s.total)),
+              |m1 AS (
+              |  SELECT c.* FROM t0 c
+              |  WHERE c.order_id NOT IN (SELECT order_id FROM chg1)
+              |  UNION ALL
+              |  SELECT c.order_id, c.status, c.total, c.effective_start_date,
+              |    s.effective_start_date, FALSE
+              |  FROM t0 c JOIN s1 s USING (order_id)
+              |  WHERE c.order_id IN (SELECT order_id FROM chg1)
+              |  UNION ALL
+              |  SELECT s.* FROM s1 s
+              |  WHERE s.order_id IN (SELECT order_id FROM chg1)
+              |  UNION ALL
+              |  SELECT s.* FROM s1 s
+              |  WHERE s.order_id NOT IN (SELECT order_id FROM t0)),
+              |cur1 AS (SELECT * FROM m1 WHERE is_current),
+              |hist1 AS (SELECT * FROM m1 WHERE NOT is_current),
+              |s2 AS (
+              |  SELECT CAST(o_orderkey AS VARCHAR) AS order_id,
+              |    'Y' AS status,
+              |    CAST(o_totalprice AS DECIMAL(12,2)) AS total,
+              |    o_orderdate + INTERVAL 2 DAY AS effective_start_date,
+              |    CAST(NULL AS TIMESTAMP) AS effective_end_date,
+              |    TRUE AS is_current
+              |  FROM orders WHERE o_orderkey % 3 = 0),
+              |chg2 AS (SELECT c.order_id FROM cur1 c JOIN s2 s USING (order_id)
+              |  WHERE (c.status IS DISTINCT FROM s.status)
+              |     OR (c.total IS DISTINCT FROM s.total)),
+              |m2 AS (
+              |  SELECT * FROM hist1
+              |  UNION ALL
+              |  SELECT c.* FROM cur1 c
+              |  WHERE c.order_id NOT IN (SELECT order_id FROM chg2)
+              |  UNION ALL
+              |  SELECT c.order_id, c.status, c.total, c.effective_start_date,
+              |    s.effective_start_date, FALSE
+              |  FROM cur1 c JOIN s2 s USING (order_id)
+              |  WHERE c.order_id IN (SELECT order_id FROM chg2)
+              |  UNION ALL
+              |  SELECT s.* FROM s2 s
+              |  WHERE s.order_id IN (SELECT order_id FROM chg2)
+              |  UNION ALL
+              |  SELECT s.* FROM s2 s
+              |  WHERE s.order_id NOT IN (SELECT order_id FROM cur1))
+              |SELECT * EXCLUDE (total), CAST(total AS DOUBLE) AS total FROM m2
+              |ORDER BY order_id, effective_start_date, is_current""".stripMargin)))
 }

@@ -741,6 +741,29 @@ class LlmOpsSpec extends SparkTestBase {
       .count() === 3)
   }
 
+  test("silenceSplit: maximal active runs become segments; silent docs vanish") {
+    import spark.implicits._
+    // doc 1, 4 windows of 8 samples: w0 energy 800 (active), w1 energy 0
+    // (silent), w2 energy 3200, w3 energy 800 → segments [0,0] and
+    // [2,3]. doc 2: all silent → no rows at all.
+    def win(v: Int) = Array.fill(8)(v)
+    val d1 = win(10) ++ win(0) ++ win(20) ++ win(10)
+    val d2 = Array.fill(32)(1) // energy 8/window, below threshold
+    val decoded = Seq((1L, d1), (2L, d2)).toDF("doc_id", "samples")
+    val segs = Multimodal.silenceSplit(decoded, threshold = 500L,
+        windowSamples = 8, nWindows = 4)
+      .orderBy("doc_id", "segment_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(segs === Array(
+      (1L, 0L, 0, 0, 1L, 800L, 800L),
+      (1L, 1L, 2, 3, 2L, 3200L, 4000L)))
+    // Threshold boundary is inclusive (energy >= threshold is active):
+    // at exactly 800 both w0 and w3 stay; one above drops them.
+    assert(Multimodal.silenceSplit(decoded, 800L, 8, 4).count() === 2)
+    assert(Multimodal.silenceSplit(decoded, 801L, 8, 4).count() === 1)
+  }
+
   test("clipContainment: aligned verify is load-bearing; partial alignments die") {
     import spark.implicits._
     val videos = Seq(

@@ -142,6 +142,41 @@ class PqSpec extends SparkTestBase {
       assert(assign(r.getAs[Long]("query_id")) === r.getAs[Long]("cluster_id"))
   }
 
+  test("ivfPqRerank: exact order wins over ADC order within the shortlist") {
+    val cb = Pq.codebooks(vecs, "vec_id", "embedding", m, subDim, k = 3, iters = 2)
+    val centroids = vecs.filter(col("vec_id") < 3)
+    val queries = vecs.filter(col("vec_id") >= 9)
+    val shortlist = 6
+    val short = Pq.ivfPqTopK(vecs, queries, centroids, cb,
+        "vec_id", "embedding", m, subDim, kTop = shortlist)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id")))
+      .toSet
+    val out = Pq.ivfPqRerank(vecs, queries, centroids, cb,
+      "vec_id", "embedding", m, subDim, kTop = 3, shortlist = shortlist)
+      .orderBy("query_id", "rank").collect()
+    assert(out.nonEmpty)
+    // reranked results are drawn from the ADC shortlist only...
+    for (r <- out)
+      assert(short((r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))))
+    // ...and within each query they are ordered by EXACT squared L2
+    // (ties impossible here), approx_rank preserved from the shortlist.
+    val raw = vecs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    for ((q, rs) <- out.groupBy(_.getAs[Long]("query_id"))) {
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      val exact = sorted.map(r =>
+        d2(raw(q), raw(r.getAs[Long]("corpus_id"))))
+      assert(exact.sorted.toSeq === exact.toSeq, s"query $q not exact-ordered")
+      sorted.foreach(r =>
+        assert(math.abs(r.getAs[Double]("exact_d2") -
+          d2(raw(q), raw(r.getAs[Long]("corpus_id")))) < 1e-12))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq === (1 to sorted.length))
+    }
+  }
+
   test("subspaces fails loudly on a wrong-length vector") {
     val bad = Seq((0L, Array.fill(dim + 1)(0.5))).toDF("vec_id", "embedding")
     val ex = intercept[Exception] {

@@ -40,6 +40,30 @@ class Scd2Spec extends SparkTestBase {
     assert(p2.length === 1 && p2(0).getAs[Boolean]("is_current"))
   }
 
+  test("sequential merges chain versions: two updates make a 3-row history") {
+    // The streaming CDC gate's core property (st20): applying merge
+    // per change-batch must CHAIN — batch 2 closes the version batch 1
+    // inserted, so the key carries original→v1→v2 with contiguous
+    // effective ranges. A fold-into-one-merge spelling can't produce
+    // the middle row.
+    val t0 = dim(("P1", "ACTIVE", "2024-01-01", None, true))
+    val b1 = dim(("P1", "SUSPENDED", "2024-03-01", None, true))
+    val b2 = dim(("P1", "CANCELLED", "2024-06-01", None, true))
+    val after1 = Scd2.merge(t0, b1, Seq("policy_id"), Seq("status")).cache()
+    val after2 = Scd2.merge(after1, b2, Seq("policy_id"), Seq("status"))
+      .orderBy("effective_start_date").collect()
+    assert(after2.length === 3)
+    assert(after2.map(_.getAs[String]("status")).toSeq ===
+      Seq("ACTIVE", "SUSPENDED", "CANCELLED"))
+    assert(after2.map(_.getAs[Boolean]("is_current")).toSeq ===
+      Seq(false, false, true))
+    // ranges are contiguous: each closed row ends where the next starts
+    assert(after2(0).getAs[java.sql.Timestamp]("effective_end_date") ===
+      after2(1).getAs[java.sql.Timestamp]("effective_start_date"))
+    assert(after2(1).getAs[java.sql.Timestamp]("effective_end_date") ===
+      after2(2).getAs[java.sql.Timestamp]("effective_start_date"))
+  }
+
   test("merge inserts brand-new keys and keeps history untouched") {
     val target = dim(("P1", "ACTIVE", "2024-01-01", None, true),
       ("P1", "PENDING", "2023-01-01", Some("2024-01-01"), false)) // history row
