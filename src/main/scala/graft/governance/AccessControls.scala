@@ -42,6 +42,20 @@ object AccessControls {
       case c => col(c)
     }: _*)
 
+  /** Keyed pseudonymization (GDPR art. 4(5)): a stable salted surrogate
+    * for an identifying key — `md5(salt ":" key)` — so analytics run on
+    * tokens instead of identities while REFERENTIAL INTEGRITY survives:
+    * the same (salt, key) maps to the same surrogate in every table, so
+    * joins, group-bys, and distinct counts give identical results on the
+    * pseudonymized frames as on the clear ones (the gate's oracle
+    * exploits exactly this — it joins on the CLEAR key and must match).
+    * Unlike [[maskNameFor]]-style redaction this is a bijection per salt
+    * (md5 collisions ~2⁻⁶⁴ at any realistic key count): re-identification
+    * requires the salt, rotating the salt re-keys the whole corpus, and
+    * the projection is pure codegen — no shuffle, no UDF. */
+  def pseudonymizeKey(c: Column, salt: String): Column =
+    md5(concat_ws(":", lit(salt), c.cast("string")))
+
   /** Right-to-erasure (GDPR art. 17): split a frame into the retained
     * rows and the per-subject erasure tally for the compliance record.
     * The erase set joins as a broadcast left_anti / left_semi pair —

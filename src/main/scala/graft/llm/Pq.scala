@@ -210,6 +210,83 @@ object Pq {
       .filter(col("rank") <= kTop)
   }
 
+  /** Residual-encoded IVF-PQ — the fidelity FAISS's IVFPQ actually
+    * ships: instead of PQ-coding the raw vector, each vector is coded as
+    * its RESIDUAL from its coarse centroid (r = x − c), and the query
+    * LUT is built on the query's residual from the SAME probed centroid
+    * (q − c), so the ADC score approximates ‖(q−c) − r̂‖² = ‖q − x̂‖²
+    * with x̂ = c + r̂. Residuals concentrate near zero once the coarse
+    * quantizer has absorbed the between-cluster variance, so the same
+    * m·log₂(k) bits quantize a much smaller cell — reconstruction error
+    * drops versus raw-vector codes (spec-pinned on a two-cluster
+    * corpus where raw PQ must straddle both clusters).
+    *
+    * Scale shape matches [[ivfPqTopK]] — codes + cluster id per corpus
+    * vector, broadcast LUTs, equi-join on cluster_id — with one
+    * difference: the LUT is per (query, probed cluster), because the
+    * query residual changes with the centroid; `nprobe` therefore
+    * multiplies only the broadcast LUT count (queries × nprobe × m·k
+    * doubles), never the corpus side.
+    *
+    * Determinism: the residual subtraction is one `zip_with` both
+    * engines fold identically; codebooks train on residuals through the
+    * same integer-grid means as [[codebooks]]. */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int, k: Int, iters: Int, kTop: Int,
+      nprobe: Int = 1): DataFrame = {
+    val centVec = centroids.select(col(idCol).as("cluster_id"),
+      Similarity.asDoubleVec(col(vecCol)).as("_cv0"))
+    val resid = corpus
+      .select(col(idCol), Similarity.asDoubleVec(col(vecCol)).as("_vv"))
+      .join(Similarity.ivfAssign(corpus, centroids, idCol, vecCol), idCol)
+      .join(broadcast(centVec), "cluster_id")
+      .select(col(idCol), col("cluster_id"),
+        zip_with(col("_vv"), col("_cv0"), (x, c) => x - c).as("rv"))
+      .localCheckpoint(true)
+    val cb = codebooks(resid, idCol, "rv", m, subDim, k, iters)
+    val codes = encode(resid, cb, idCol, "rv", m, subDim)
+      .join(resid.select(col(idCol), col("cluster_id")), idCol)
+      .select(col(idCol).as("corpus_id"), col("cluster_id"), col("codes"))
+    val qResid = queries
+      .select(col(idCol).as("query_id"), Similarity.asDoubleVec(col(vecCol)).as("_qv"))
+      .join(Similarity.ivfAssignMulti(queries, centroids, idCol, vecCol, nprobe)
+        .select(col(idCol).as("query_id"), col("cluster_id")), "query_id")
+      .join(broadcast(centVec), "cluster_id")
+      .select(col("query_id"), col("cluster_id"),
+        zip_with(col("_qv"), col("_cv0"), (x, c) => x - c).as("qrv"))
+    // Per-(query, cluster) LUTs — queryLuts keys on the id alone, but
+    // the residual changes with the probed centroid. Same wrong-length
+    // guard as subspaces (zip_with would null-pad silently).
+    val guard = assert_true(size(col("qrv")) === m * subDim,
+      concat(lit(s"Pq: expected dim ${m * subDim} but query residual has "),
+        size(col("qrv")).cast("string"), lit(" elements")))
+    val slices = array((0 until m).map(j =>
+      slice(col("qrv"), j * subDim + 1, subDim)): _*)
+    val lut = qResid
+      .select(col("query_id"),
+        (col("cluster_id") + coalesce(guard.cast("long"), lit(0L))).as("cluster_id"),
+        posexplode(slices).as(Seq("s", "sv")))
+      .join(broadcast(cb), "s")
+      .select(col("query_id"), col("cluster_id"), col("s"), col("cid"),
+        l2sq(col("sv"), col("cv")).as("dd"))
+      .groupBy("query_id", "cluster_id", "s")
+      .agg(sort_array(collect_list(struct(col("cid"), col("dd")))).as("cd"))
+      .select(col("query_id"), col("cluster_id"), col("s"),
+        expr("transform(cd, c -> c.dd)").as("l"))
+      .groupBy("query_id", "cluster_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("l")))).as("sl"))
+      .select(col("query_id"), col("cluster_id"),
+        expr("transform(sl, x -> x.l)").as("luts"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_d2").asc, col("corpus_id"))
+    codes.join(broadcast(lut), "cluster_id")
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"), col("cluster_id"), adcScore)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kTop)
+  }
+
   /** ADC shortlist → EXACT rerank — the standard production composition
     * (FAISS's refine stage): [[ivfPqTopK]] produces a `shortlist`-sized
     * candidate list per query from the compressed codes, then ONLY those

@@ -738,4 +738,29 @@ object TextOps {
           roundTo).as("pmi"))
       .orderBy(col("pmi").desc, col("bigram")).limit(topK)
   }
+
+  /** Blocked entity resolution — record linkage by BLOCKING + thresholded
+    * edit-distance verify, the classic fuzzy-match shape for structured
+    * records (names, addresses, SKUs) where token-level MinHash is the
+    * wrong granularity. A candidate pair must share the first
+    * `prefixLen` characters (the blocking key: the equi-join that
+    * replaces the quadratic all-pairs — bucket sizes are the number of
+    * records per prefix, never corpus-sized), survive the |length
+    * difference| ≤ maxDist pre-filter (a length gap of d already forces
+    * distance ≥ d, so the O(n·m) DP is never run on obvious
+    * non-matches), and then verify `levenshtein ≤ maxDist` — Spark's
+    * THRESHOLDED levenshtein, which abandons the DP as soon as the
+    * bound is exceeded, so per-pair cost is O(maxDist · min(n, m)), not
+    * O(n·m). Output: (id_a, id_b, dist), id_a < id_b. */
+  def blockedEditDistancePairs(df: DataFrame, idCol: String, nameCol: String,
+      prefixLen: Int, maxDist: Int): DataFrame = {
+    val b = df.select(col(idCol).as("_id"), col(nameCol).as("_nm"),
+      substring(col(nameCol), 1, prefixLen).as("_blk"))
+    b.as("x").join(b.as("y"),
+        col("x._blk") === col("y._blk") && col("x._id") < col("y._id") &&
+          abs(length(col("x._nm")) - length(col("y._nm"))) <= maxDist)
+      .select(col("x._id").as("id_a"), col("y._id").as("id_b"),
+        levenshtein(col("x._nm"), col("y._nm"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
+  }
 }

@@ -174,5 +174,38 @@ object GovernanceQueries {
               |  UNION ALL
               |  SELECT '_erased_rows', count(*) FROM orders
               |  WHERE o_custkey IN (SELECT unnest(range(1, 1501, 13)))
-              |) ORDER BY bucket""".stripMargin)))
+              |) ORDER BY bucket""".stripMargin)),
+
+    "gov_pseudonymize_join" -> Q((s, dir) => {
+      // Keyed pseudonymization with referential integrity
+      // (AccessControls.pseudonymizeKey): customer and orders are
+      // tokenized INDEPENDENTLY with the same salt, then joined on the
+      // surrogate alone — the clear key never appears downstream. The
+      // oracle is deliberately NOT a replay of the join: it joins on
+      // the CLEAR key and only then derives the surrogate, so the gate
+      // passes iff pseudonymization is consistent across tables and
+      // injective (a salt drift, cast drift, or collision between the
+      // two tokenization sites diverges). Top-10 customers by order
+      // count, count-desc / surrogate-asc total order.
+      import graft.governance.AccessControls
+      val cust = T(s, dir, "customer").select(
+        AccessControls.pseudonymizeKey(col("c_custkey"), "k7").as("surrogate"))
+      val ords = T(s, dir, "orders").select(
+        AccessControls.pseudonymizeKey(col("o_custkey"), "k7").as("surrogate"),
+        col("o_totalprice"))
+      Registry.decimalsToDouble(
+        cust.join(ords, "surrogate")
+          .groupBy("surrogate")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("spend")))
+        .orderBy(col("n_orders").desc, col("surrogate"))
+        .limit(10)
+    }, Some("""SELECT surrogate, n_orders, CAST(spend AS DOUBLE) AS spend
+              |FROM (
+              |  SELECT md5('k7:' || CAST(c.c_custkey AS VARCHAR)) AS surrogate,
+              |    count(*) AS n_orders,
+              |    SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS spend
+              |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+              |  GROUP BY 1)
+              |ORDER BY n_orders DESC, surrogate LIMIT 10""".stripMargin)))
 }

@@ -1372,6 +1372,100 @@ object LlmQueries {
          |SELECT * FROM rec1 UNION ALL SELECT * FROM rec3 ORDER BY nprobe""".stripMargin
     })),
 
+    "llm_ivfpq_residual_topk" -> Q((s, dir) => {
+      // RESIDUAL-encoded IVF-PQ (Pq.ivfPqResidualTopK) — the fidelity
+      // FAISS's IVFPQ actually ships: codes quantize x − c(cluster)
+      // instead of x, and the query LUT is built on q − c of the SAME
+      // probed centroid, so ADC approximates ‖q − (c + r̂)‖². The
+      // codebooks train on residuals (same integer-grid Lloyd means),
+      // the LUT is per (query, probed cluster), and the oracle replays
+      // the entire chain — coarse assign, residual subtraction,
+      // residual codebook build, encode, per-cluster LUT, fold — so a
+      // raw-vector-codes implementation (ivfpq_topk's spelling) or a
+      // query-side residual against the wrong centroid diverges.
+      val emb = T(s, dir, "embeddings")
+      Pq.ivfPqResidualTopK(emb, emb.filter(col("vec_id").between(10, 14)),
+          emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", m = 8, subDim = 8, k = 4, iters = 2, kTop = 3)
+        .orderBy("query_id", "rank")
+    }, Some({
+      def d2(a: String, b: String) =
+        s"list_reduce(list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+      def assignCte(name: String, cents: String) =
+        s"""$name AS (SELECT vec_id, s, sv, cid FROM (
+           |  SELECT b.vec_id, b.s, b.sv, c.cid,
+           |    row_number() OVER (PARTITION BY b.vec_id, b.s
+           |      ORDER BY ${d2("b.sv", "c.cv")} ASC, c.cid) AS rn
+           |  FROM sub b JOIN $cents c ON b.s = c.s) WHERE rn = 1)""".stripMargin
+      def meanCtes(a: String, mm: String, cprev: String, c: String) =
+        s"""$mm AS (SELECT s, cid, i,
+           |    CAST(SUM(CAST(floor(sv[i] * 1073741824.0) AS DECIMAL(38,0))) AS DOUBLE)
+           |      / count(*) / 1073741824.0 AS mu
+           |  FROM $a, LATERAL (SELECT unnest(generate_series(1, len(sv))) AS i) u
+           |  GROUP BY s, cid, i),
+           |$c AS (SELECT p.s, p.cid, coalesce(n.cv, p.cv) AS cv
+           |  FROM $cprev p LEFT JOIN
+           |    (SELECT s, cid, list(mu ORDER BY i) AS cv FROM $mm GROUP BY s, cid) n
+           |  ON p.s = n.s AND p.cid = n.cid)""".stripMargin
+      val sim = simSql("a.vv", "c.cv")
+      s"""WITH v AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings),
+         |cent AS (SELECT vec_id AS centroid_id, vv AS cv FROM v WHERE vec_id < 8),
+         |assigned AS MATERIALIZED (SELECT vec_id, centroid_id AS cluster_id FROM (
+         |  SELECT a.vec_id, c.centroid_id,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY $sim DESC, c.centroid_id) AS rn
+         |  FROM v a CROSS JOIN cent c) WHERE rn = 1),
+         |rv AS MATERIALIZED (SELECT a.vec_id, a.cluster_id,
+         |    list_transform(range(1, len(x.vv) + 1), i -> x.vv[i] - c.cv[i]) AS vv
+         |  FROM assigned a JOIN v x ON x.vec_id = a.vec_id
+         |  JOIN cent c ON c.centroid_id = a.cluster_id),
+         |sub AS MATERIALIZED (SELECT vec_id, s, list_slice(vv, s * 8 + 1, s * 8 + 8) AS sv
+         |  FROM rv, LATERAL (SELECT unnest(range(0, 8)) AS s) u),
+         |c0 AS (SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS cid,
+         |    sv AS cv FROM sub
+         |  WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 4)),
+         |${assignCte("a1", "c0")},
+         |${meanCtes("a1", "m1", "c0", "c1")},
+         |${assignCte("a2", "c1")},
+         |${meanCtes("a2", "m2", "c1", "c2")},
+         |codes0 AS (SELECT vec_id, s, cid FROM (
+         |  SELECT b.vec_id, b.s, c.cid,
+         |    row_number() OVER (PARTITION BY b.vec_id, b.s
+         |      ORDER BY ${d2("b.sv", "c.cv")} ASC, c.cid) AS rn
+         |  FROM sub b JOIN c2 c ON b.s = c.s) WHERE rn = 1),
+         |codes AS (SELECT z.vec_id AS corpus_id, a.cluster_id,
+         |    list(z.cid ORDER BY z.s) AS codes
+         |  FROM codes0 z JOIN assigned a ON a.vec_id = z.vec_id
+         |  GROUP BY z.vec_id, a.cluster_id),
+         |qrv AS (SELECT a.vec_id AS query_id, a.cluster_id,
+         |    list_transform(range(1, len(x.vv) + 1), i -> x.vv[i] - c.cv[i]) AS qv
+         |  FROM assigned a JOIN v x ON x.vec_id = a.vec_id
+         |  JOIN cent c ON c.centroid_id = a.cluster_id
+         |  WHERE a.vec_id BETWEEN 10 AND 14),
+         |qsub AS (SELECT query_id, cluster_id, s,
+         |    list_slice(qv, s * 8 + 1, s * 8 + 8) AS sv
+         |  FROM qrv, LATERAL (SELECT unnest(range(0, 8)) AS s) u),
+         |lut0 AS (SELECT q.query_id, q.cluster_id, q.s, c.cid,
+         |    ${d2("q.sv", "c.cv")} AS dd
+         |  FROM qsub q JOIN c2 c ON q.s = c.s),
+         |lut1 AS (SELECT query_id, cluster_id, s, list(dd ORDER BY cid) AS l
+         |  FROM lut0 GROUP BY query_id, cluster_id, s),
+         |lut AS (SELECT query_id, cluster_id, list(l ORDER BY s) AS luts
+         |  FROM lut1 GROUP BY query_id, cluster_id),
+         |scored AS (SELECT q.query_id, c.corpus_id, c.cluster_id,
+         |  list_reduce(list_transform(range(1, 9), s -> q.luts[s][c.codes[s] + 1]),
+         |    (x, y) -> x + y) AS approx_d2
+         |  FROM codes c JOIN lut q ON q.cluster_id = c.cluster_id
+         |  WHERE c.corpus_id <> q.query_id)
+         |SELECT query_id, corpus_id, cluster_id, approx_d2,
+         |  CAST(rank AS INT) AS rank
+         |FROM (SELECT query_id, corpus_id, cluster_id, approx_d2,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY approx_d2 ASC, corpus_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    }), bench = true),
+
     "llm_ivfpq_rerank" -> Q((s, dir) => {
       // ADC shortlist → EXACT rerank (Pq.ivfPqRerank — FAISS's refine
       // stage): the compressed codes shortlist 9 candidates per query,
@@ -3108,6 +3202,50 @@ object LlmQueries {
               |FROM wn GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ----- sub-document dedup + statistical quality ----------------------
+    "llm_entity_resolution" -> Q((s, dir) => {
+      // Blocked ENTITY RESOLUTION (TextOps.blockedEditDistancePairs) —
+      // record linkage at the record-field granularity MinHash is wrong
+      // for: 4 records per entity (seed = custkey div 4) carry the
+      // md5-derived base name verbatim, with one substituted char
+      // (dist 1), one appended char (dist 1), and one 4-char suffix
+      // (dist 4 — MUST be dropped by the verify). Blocking on the
+      // 6-char prefix replaces all-pairs with an equi-join; the
+      // |length diff| ≤ 2 pre-filter kills the far variant before any
+      // DP runs (its pairs never reach levenshtein); the THRESHOLDED
+      // levenshtein abandons the DP at distance > 2. The oracle
+      // replays names, blocking, the length filter, and full edit
+      // distances — a pre-filter that's too aggressive or a threshold
+      // off-by-one diverges.
+      val recs = T(s, dir, "customer").select(
+        col("c_custkey").as("rec_id"),
+        expr("""CASE CAST(c_custkey % 4 AS INT)
+               |  WHEN 0 THEN substring(md5(CAST(c_custkey DIV 4 AS STRING)), 1, 8)
+               |  WHEN 1 THEN concat(substring(md5(CAST(c_custkey DIV 4 AS STRING)), 1, 7), 'x')
+               |  WHEN 2 THEN concat(substring(md5(CAST(c_custkey DIV 4 AS STRING)), 1, 8), '7')
+               |  ELSE concat(substring(md5(CAST(c_custkey DIV 4 AS STRING)), 1, 8), 'zzzz')
+               |END""".stripMargin).as("name"))
+      TextOps.blockedEditDistancePairs(recs, "rec_id", "name",
+          prefixLen = 6, maxDist = 2)
+        .orderBy("id_a", "id_b")
+    }, Some("""WITH h AS (SELECT c_custkey AS rec_id,
+              |    substring(md5(CAST(c_custkey // 4 AS VARCHAR)), 1, 8) AS h8,
+              |    c_custkey % 4 AS v
+              |  FROM customer),
+              |recs AS (SELECT rec_id,
+              |    CASE v WHEN 0 THEN h8
+              |      WHEN 1 THEN substring(h8, 1, 7) || 'x'
+              |      WHEN 2 THEN h8 || '7'
+              |      ELSE h8 || 'zzzz' END AS name
+              |  FROM h),
+              |cand AS (SELECT x.rec_id AS id_a, y.rec_id AS id_b,
+              |    CAST(levenshtein(x.name, y.name) AS INT) AS dist
+              |  FROM recs x JOIN recs y
+              |    ON substring(x.name, 1, 6) = substring(y.name, 1, 6)
+              |    AND x.rec_id < y.rec_id
+              |    AND abs(len(x.name) - len(y.name)) <= 2)
+              |SELECT id_a, id_b, dist FROM cand WHERE dist <= 2
+              |ORDER BY id_a, id_b""".stripMargin)),
+
     "llm_segment_dedup" -> Q((s, dir) =>
       // Segment-level dedup (TextOps.segmentDedup): 12-token segments
       // survive only at their first (doc, position) occurrence — the

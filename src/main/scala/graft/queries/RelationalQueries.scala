@@ -329,6 +329,55 @@ object RelationalQueries {
               |    AS DOUBLE) AS sum_total
               |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    "s21_json_corrupt_scan" -> Q((s, dir) => {
+      // MALFORMED-record ingest (the other drop every warehouse
+      // receives): JSON lines where some records are broken mid-object.
+      // PERMISSIVE mode with columnNameOfCorruptRecord quarantines the
+      // bad lines into _corrupt_record instead of failing the scan or
+      // silently dropping them (DROPMALFORMED) — at 100 TB a corrupt
+      // shard must not kill the job NOR vanish without a tally. Every
+      // o_orderkey % 7 = 0 line is truncated mid-object; the gate
+      // buckets rows by parsed status vs '_corrupt' and the oracle
+      // replays the corruption predicate from the clean table, so a
+      // scan that drops, double-counts, or mis-quarantines diverges.
+      // The aggregate-only read also respects Spark's restriction on
+      // querying _corrupt_record without the other columns.
+      val out = tmpDir("graft_s21")
+      T(s, dir, "orders").filter(col("o_orderkey") % 20 < 3)
+        .select(
+          when(col("o_orderkey") % 7 === 0,
+            concat(lit("{\"o_orderkey\": "),
+              col("o_orderkey").cast("string"), lit(", BROKEN")))
+          .otherwise(to_json(struct(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice").cast("decimal(12,2)").as("o_totalprice"))))
+          .as("value"))
+        .write.mode("overwrite").text(out)
+      val parsed = s.read
+        .schema("o_orderkey BIGINT, o_orderstatus STRING, " +
+          "o_totalprice DECIMAL(12,2), _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+      parsed
+        .select(when(col("_corrupt_record").isNull, col("o_orderstatus"))
+          .otherwise(lit("_corrupt")).as("bucket"),
+          col("o_totalprice"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_total"))
+        .orderBy("bucket")
+    }, Some("""SELECT bucket, count(*) AS n,
+              |  CAST(SUM(total) AS DOUBLE) AS sum_total
+              |FROM (
+              |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN '_corrupt'
+              |           ELSE o_orderstatus END AS bucket,
+              |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+              |         ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2))
+              |                AS DECIMAL(18,2)) END AS total
+              |  FROM orders WHERE o_orderkey % 20 < 3)
+              |GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
     "s16_bucketed_colocated_join" -> Q((s, dir) => {
       // Redshift distkey analog (SURVEY §4): both sides bucketed on the
       // join key at write time, so the fact-dim join reads co-located

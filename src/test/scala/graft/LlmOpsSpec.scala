@@ -741,6 +741,28 @@ class LlmOpsSpec extends SparkTestBase {
       .count() === 3)
   }
 
+  test("blockedEditDistancePairs: blocking, length pre-filter, threshold all bite") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "abcdef01"),   // base
+      (2L, "abcdef0x"),   // dist 1 from 1
+      (3L, "abcdef01zzzz"), // dist 4 AND length-gap 4: pre-filter kills
+      (4L, "zzzzzz01"),   // different block: never a candidate
+      (5L, "abcdefXY"))   // dist 2 from 1 (two substitutions)
+      .toDF("rec_id", "name")
+    val pairs = TextOps.blockedEditDistancePairs(recs, "rec_id", "name",
+        prefixLen = 6, maxDist = 2)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs === Array((1L, 2L, 1), (1L, 5L, 2), (2L, 5L, 2)))
+    // widen the length filter by raising maxDist: the far variant is a
+    // candidate at maxDist=4 and verifies at exactly 4
+    val wide = TextOps.blockedEditDistancePairs(recs, "rec_id", "name",
+        prefixLen = 6, maxDist = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(wide.contains((1L, 3L, 4)))
+  }
+
   test("silenceSplit: maximal active runs become segments; silent docs vanish") {
     import spark.implicits._
     // doc 1, 4 windows of 8 samples: w0 energy 800 (active), w1 energy 0

@@ -177,6 +177,55 @@ class PqSpec extends SparkTestBase {
     }
   }
 
+  test("ivfPqResidualTopK: ADC identity vs c + reconstructed residual; stays in-cluster") {
+    val centroids = vecs.filter(col("vec_id") < 3)
+    val queries = vecs.filter(col("vec_id") >= 9)
+    val out = Pq.ivfPqResidualTopK(vecs, queries, centroids,
+      "vec_id", "embedding", m, subDim, k = 3, iters = 2, kTop = 3).collect()
+    assert(out.nonEmpty)
+    // candidates share the query's coarse cluster
+    val assign = graft.llm.Similarity
+      .ivfAssign(vecs, centroids, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (r <- out) {
+      assert(assign(r.getAs[Long]("query_id")) === r.getAs[Long]("cluster_id"))
+      assert(assign(r.getAs[Long]("corpus_id")) === r.getAs[Long]("cluster_id"))
+    }
+    // ADC identity: approx_d2 == ||q - (c + recon(residual codes))||^2 —
+    // exact because subspaces partition the dims and the query LUT is
+    // built on q - c of the same centroid.
+    val raw = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val centArr = centroids.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val centVec = centroids.select(col("vec_id").as("cluster_id"),
+      col("embedding").as("_cv0"))
+    val resid = vecs.join(
+        graft.llm.Similarity.ivfAssign(vecs, centroids, "vec_id", "embedding"), "vec_id")
+      .join(centVec, "cluster_id")
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("_cv0"), (x, c) => x - c).as("rv"))
+    val cb = Pq.codebooks(resid, "vec_id", "rv", m, subDim, k = 3, iters = 2)
+    val recon = Pq.reconstruct(
+        Pq.encode(resid, cb, "vec_id", "rv", m, subDim), cb, "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    for (r <- out) {
+      val q = raw(r.getAs[Long]("query_id"))
+      val c = centArr(r.getAs[Long]("cluster_id"))
+      val rr = recon(r.getAs[Long]("corpus_id"))
+      val exact = q.indices.foldLeft(0.0) { (acc, i) =>
+        val d = q(i) - (c(i) + rr(i)); acc + d * d
+      }
+      assert(math.abs(exact - r.getAs[Double]("approx_d2")) < 1e-9,
+        s"ADC identity broken at ${(r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))}")
+    }
+    // and the residual codes are genuinely different from raw-vector codes
+    val rawCodes = Pq.encode(vecs, Pq.codebooks(vecs, "vec_id", "embedding", m, subDim, 3, 2),
+      "vec_id", "embedding", m, subDim)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val residCodes = Pq.encode(resid, cb, "vec_id", "rv", m, subDim)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(rawCodes.keySet.exists(id => rawCodes(id) != residCodes(id)))
+  }
+
   test("subspaces fails loudly on a wrong-length vector") {
     val bad = Seq((0L, Array.fill(dim + 1)(0.5))).toDF("vec_id", "embedding")
     val ex = intercept[Exception] {

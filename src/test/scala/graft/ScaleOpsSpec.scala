@@ -263,6 +263,24 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(retained.count() + t.values.sum === df.count())
   }
 
+  test("pseudonymizeKey: stable across tables, injective, salt-sensitive") {
+    import graft.governance.AccessControls
+    val a = Seq(1L, 2L, 3L).toDF("k")
+      .select(AccessControls.pseudonymizeKey(col("k"), "s1").as("t"), col("k"))
+    val b = Seq(2L, 3L, 4L).toDF("k")
+      .select(AccessControls.pseudonymizeKey(col("k"), "s1").as("t"), col("k"))
+    // same (salt, key) → same surrogate in both frames: the join on the
+    // token recovers exactly the clear-key intersection
+    val joined = a.join(b.select(col("t")), "t")
+      .collect().map(_.getAs[Long]("k")).sorted
+    assert(joined.toSeq === Seq(2L, 3L))
+    // injective over the keys, and rotating the salt re-keys everything
+    assert(a.select("t").distinct().count() === 3)
+    val rotated = Seq(1L, 2L, 3L).toDF("k")
+      .select(AccessControls.pseudonymizeKey(col("k"), "s2").as("t"))
+    assert(a.select("t").join(rotated, "t").count() === 0)
+  }
+
   test("k-anonymity: classes flag below-k; suppression nulls exactly those rows") {
     import graft.governance.AccessControls
     // Classes under (g, x): (A,1)×5 ok, (A,2)×2, (B,1)×1, (C,null)×2 —
