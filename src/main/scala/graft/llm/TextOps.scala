@@ -739,6 +739,37 @@ object TextOps {
       .orderBy(col("pmi").desc, col("bigram")).limit(topK)
   }
 
+  /** URL canonicalization — the normalization pass that runs BEFORE
+    * URL-level dedup of a web corpus, where the same page hides behind
+    * case-variant hosts, default ports, `www.` prefixes, tracking
+    * params, fragments, and trailing slashes. Rules, in order:
+    * fragment stripped; trailing `utm_*`/`gclid`/`fbclid` params
+    * dropped (with `?`/`&` stitching for first-position params);
+    * trailing slash removed (incl. before `?`); scheme+host — and ONLY
+    * scheme+host, the path keeps its case — lowercased; default port
+    * (`:443` on https, `:80` on http) stripped; leading `www.`
+    * dropped. Pure regexp/string projection, zero-shuffle, codegen'd;
+    * every pattern stays in the Java∩RE2 regex subset so an external
+    * engine replays it exactly. Full query-param REORDERING is out of
+    * scope (that needs a sort over split params, a different cost
+    * class); tracking params are handled wherever they appear. */
+  def normalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*", "")
+    val noTrack = regexp_replace(noFrag, "&(utm_[a-z]+|gclid|fbclid)=[^&]*", "")
+    val noTrack2 = regexp_replace(noTrack, "\\?(utm_[a-z]+|gclid|fbclid)=[^&]*&", "?")
+    val noTrack3 = regexp_replace(noTrack2, "\\?(utm_[a-z]+|gclid|fbclid)=[^&]*$", "")
+    val noSlashQ = regexp_replace(noTrack3, "/\\?", "?")
+    val noSlash = regexp_replace(noSlashQ, "(?i)^(https?://[^/?]+/.*[^/?])/$", "$1")
+    val schemeHost = regexp_extract(noSlash, "(?i)^(https?://[^/?]*)", 1)
+    val rest = noSlash.substr(length(schemeHost) + 1, lit(65536))
+    val host = regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(schemeHost), "^(https://.*):443$", "$1"),
+        "^(http://.*):80$", "$1"),
+      "^(https?://)www\\.", "$1")
+    concat(host, rest)
+  }
+
   /** Blocked entity resolution — record linkage by BLOCKING + thresholded
     * edit-distance verify, the classic fuzzy-match shape for structured
     * records (names, addresses, SKUs) where token-level MinHash is the

@@ -3246,6 +3246,57 @@ object LlmQueries {
               |SELECT id_a, id_b, dist FROM cand WHERE dist <= 2
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    "llm_url_normalize" -> Q((s, dir) => {
+      // URL canonicalization before URL-level dedup (TextOps
+      // .normalizeUrl): four spellings of every entity's URL —
+      // mixed-case host, SHOUTED host + :443 + www., tracking param +
+      // fragment, trailing slash + gclid — must collapse to ONE
+      // canonical form, while the PATH keeps its case ('/Item/p…'
+      // survives un-lowered: a lower(whole-url) shortcut diverges
+      // here). Grouping by the normalized URL must therefore produce
+      // exactly one row per entity with n = 4; the oracle replays
+      // every regexp step with RE2 spellings, so a pattern outside the
+      // Java∩RE2 subset, a wrong rule order, or an over-eager
+      // lowercase diverges.
+      val g = "CAST(c_custkey DIV 4 AS STRING)"
+      val urls = T(s, dir, "customer").select(
+        col("c_custkey").as("rec_id"),
+        expr(s"""CASE CAST(c_custkey % 4 AS INT)
+                |  WHEN 0 THEN concat('https://Shop', $g, '.Example.com/Item/p', $g, '?id=', $g)
+                |  WHEN 1 THEN concat('HTTPS://WWW.SHOP', $g, '.EXAMPLE.COM:443/Item/p', $g, '?id=', $g)
+                |  WHEN 2 THEN concat('https://www.Shop', $g, '.example.com/Item/p', $g, '?id=', $g, '&utm_source=feed#frag')
+                |  ELSE concat('https://shop', $g, '.example.com/Item/p', $g, '/?id=', $g, '&gclid=xyz')
+                |END""".stripMargin).as("url"))
+      urls.select(col("rec_id"), TextOps.normalizeUrl(col("url")).as("url_norm"))
+        .groupBy("url_norm")
+        .agg(count(lit(1)).as("n"), min(col("rec_id")).as("first_rec"))
+        .orderBy("url_norm")
+    }, Some("""WITH e AS (SELECT c_custkey AS rec_id,
+              |    CAST(c_custkey // 4 AS VARCHAR) AS g, c_custkey % 4 AS v
+              |  FROM customer),
+              |urls AS (SELECT rec_id, CASE v
+              |    WHEN 0 THEN 'https://Shop' || g || '.Example.com/Item/p' || g || '?id=' || g
+              |    WHEN 1 THEN 'HTTPS://WWW.SHOP' || g || '.EXAMPLE.COM:443/Item/p' || g || '?id=' || g
+              |    WHEN 2 THEN 'https://www.Shop' || g || '.example.com/Item/p' || g || '?id=' || g || '&utm_source=feed#frag'
+              |    ELSE 'https://shop' || g || '.example.com/Item/p' || g || '/?id=' || g || '&gclid=xyz' END AS url
+              |  FROM e),
+              |n1 AS (SELECT rec_id, regexp_replace(url, '#.*', '', 'g') AS u FROM urls),
+              |n2 AS (SELECT rec_id, regexp_replace(u, '&(utm_[a-z]+|gclid|fbclid)=[^&]*', '', 'g') AS u FROM n1),
+              |n3 AS (SELECT rec_id, regexp_replace(u, '\?(utm_[a-z]+|gclid|fbclid)=[^&]*&', '?', 'g') AS u FROM n2),
+              |n4 AS (SELECT rec_id, regexp_replace(u, '\?(utm_[a-z]+|gclid|fbclid)=[^&]*$', '', 'g') AS u FROM n3),
+              |n5 AS (SELECT rec_id, regexp_replace(u, '/\?', '?', 'g') AS u FROM n4),
+              |n6 AS (SELECT rec_id, regexp_replace(u, '(?i)^(https?://[^/?]+/.*[^/?])/$', '\1') AS u FROM n5),
+              |parts AS (SELECT rec_id, u,
+              |    regexp_extract(u, '(?i)^(https?://[^/?]*)', 1) AS sh FROM n6),
+              |norm AS (SELECT rec_id,
+              |    regexp_replace(regexp_replace(regexp_replace(lower(sh),
+              |        '^(https://.*):443$', '\1'), '^(http://.*):80$', '\1'),
+              |      '^(https?://)www\.', '\1')
+              |    || substr(u, length(sh) + 1, 65536) AS url_norm
+              |  FROM parts)
+              |SELECT url_norm, count(*) AS n, min(rec_id) AS first_rec
+              |FROM norm GROUP BY url_norm ORDER BY url_norm""".stripMargin)),
+
     "llm_segment_dedup" -> Q((s, dir) =>
       // Segment-level dedup (TextOps.segmentDedup): 12-token segments
       // survive only at their first (doc, position) occurrence — the

@@ -1401,5 +1401,90 @@ object StreamingQueries {
               |  SELECT s.* FROM s2 s
               |  WHERE s.order_id NOT IN (SELECT order_id FROM cur1))
               |SELECT * EXCLUDE (total), CAST(total AS DOUBLE) AS total FROM m2
-              |ORDER BY order_id, effective_start_date, is_current""".stripMargin)))
+              |ORDER BY order_id, effective_start_date, is_current""".stripMargin)),
+
+    "st21_stream_entity_resolution" -> Q((s, dir) => {
+      // Streaming ENTITY RESOLUTION ingest — record linkage at ingest
+      // time, the sixth member of the streaming dedup matrix (st13
+      // text, st14 image, st15 audio, st16 video, st18 embedding): an
+      // incoming record is dropped when it links to an ALREADY-ACCEPTED
+      // record through the batch chain's exact spelling
+      // (TextOps.blockedEditDistancePairs semantics: shared 6-char
+      // block, |len diff| ≤ 2, thresholded levenshtein ≤ 2). The
+      // accepted index keys on the block prefix, so each increment
+      // probes only its own blocks; records that collide within ONE
+      // increment are both accepted (the index is previous-increments
+      // state — pinned, and what the oracle replays). Increment 1 =
+      // even rec_ids (canonical + append-variant of every entity),
+      // increment 2 = odd (the substituted variant must link and drop;
+      // the dist-4 decoy must survive BOTH the length pre-filter and
+      // the verify). Same one-coalesced-file-per-increment pin as
+      // st13–st20.
+      val base = tmp("graft_st21")
+      val src = s"$base/in"; val chk = s"$base/chk"
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_st21")
+      s.sql("DROP TABLE IF EXISTS graft_st21.accepted")
+      val recs = T(s, dir, "customer").select(
+        col("c_custkey").as("rec_id"),
+        expr("""CASE CAST(c_custkey % 4 AS INT)
+               |  WHEN 0 THEN substring(md5(CAST(c_custkey DIV 4 AS STRING)), 1, 8)
+               |  WHEN 1 THEN concat(substring(md5(CAST(c_custkey DIV 4 AS STRING)), 1, 7), 'x')
+               |  WHEN 2 THEN concat(substring(md5(CAST(c_custkey DIV 4 AS STRING)), 1, 8), '7')
+               |  ELSE concat(substring(md5(CAST(c_custkey DIV 4 AS STRING)), 1, 8), 'zzzz')
+               |END""".stripMargin).as("name"))
+      def runOnce(): Unit = {
+        val q = s.readStream
+          .schema("rec_id BIGINT, name STRING")
+          .parquet(src)
+          .writeStream
+          .option("checkpointLocation", chk)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              val sp = batch.sparkSession
+              val nb = batch.select(col("rec_id"), col("name"),
+                substring(col("name"), 1, 6).as("blk"))
+              val dropped =
+                if (sp.catalog.tableExists("graft_st21.accepted"))
+                  nb.join(sp.read.table("graft_st21.accepted")
+                      .select(col("blk"), col("name").as("acc_name")), Seq("blk"))
+                    .filter(abs(length(col("name")) - length(col("acc_name"))) <= 2 &&
+                      levenshtein(col("name"), col("acc_name"), 2) >= 0)
+                    .select("rec_id").distinct()
+                else nb.select("rec_id").limit(0)
+              nb.join(dropped, Seq("rec_id"), "left_anti")
+                .write.mode("append").saveAsTable("graft_st21.accepted")
+            }
+          }
+          .start()
+        q.awaitTermination()
+      }
+      recs.filter(col("rec_id") % 2 === 0)
+        .coalesce(1).write.mode("append").parquet(src)
+      runOnce() // increment 1: canonical + append-variant seed the index
+      recs.filter(col("rec_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(src)
+      runOnce() // increment 2: substituted variants link+drop, decoys survive
+      s.read.table("graft_st21.accepted").select("rec_id").orderBy("rec_id")
+    }, Some("""WITH h AS (SELECT c_custkey AS rec_id,
+              |    substring(md5(CAST(c_custkey // 4 AS VARCHAR)), 1, 8) AS h8,
+              |    c_custkey % 4 AS v
+              |  FROM customer),
+              |recs AS (SELECT rec_id,
+              |    CASE v WHEN 0 THEN h8
+              |      WHEN 1 THEN substring(h8, 1, 7) || 'x'
+              |      WHEN 2 THEN h8 || '7'
+              |      ELSE h8 || 'zzzz' END AS name
+              |  FROM h),
+              |coll AS (SELECT DISTINCT n.rec_id
+              |  FROM recs n JOIN recs a
+              |    ON substring(n.name, 1, 6) = substring(a.name, 1, 6)
+              |  WHERE n.rec_id % 2 = 1 AND a.rec_id % 2 = 0
+              |    AND abs(len(n.name) - len(a.name)) <= 2
+              |    AND levenshtein(n.name, a.name) <= 2)
+              |SELECT rec_id FROM recs
+              |WHERE rec_id % 2 = 0
+              |   OR rec_id NOT IN (SELECT rec_id FROM coll)
+              |ORDER BY rec_id""".stripMargin)))
 }

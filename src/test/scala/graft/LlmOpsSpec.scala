@@ -741,6 +741,30 @@ class LlmOpsSpec extends SparkTestBase {
       .count() === 3)
   }
 
+  test("normalizeUrl: host-only lowering, ports, www, tracking, slashes") {
+    import spark.implicits._
+    val cases = Seq(
+      // path case must SURVIVE while scheme+host lowers
+      ("https://WWW.Example.COM:443/Keep/Case?id=1", "https://example.com/Keep/Case?id=1"),
+      ("HTTPS://EXAMPLE.COM/Keep", "https://example.com/Keep"),
+      // http default port; https keeps a NON-default port
+      ("http://Example.com:80/a", "http://example.com/a"),
+      ("https://example.com:8443/a", "https://example.com:8443/a"),
+      // tracking params: first-position (stitch '?'), mid, trailing, fragment
+      ("https://e.com/a?utm_source=x&id=2", "https://e.com/a?id=2"),
+      ("https://e.com/a?id=2&gclid=z#frag", "https://e.com/a?id=2"),
+      ("https://e.com/a?fbclid=only", "https://e.com/a"),
+      // trailing slash: bare and before-query; root slash kept
+      ("https://e.com/a/", "https://e.com/a"),
+      ("https://e.com/a/?id=3", "https://e.com/a?id=3"),
+      ("https://e.com/", "https://e.com/"))
+    val out = cases.map(_._1).toDF("url")
+      .select(col("url"), TextOps.normalizeUrl(col("url")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for ((in, want) <- cases)
+      assert(out(in) === want, s"normalizeUrl($in)")
+  }
+
   test("blockedEditDistancePairs: blocking, length pre-filter, threshold all bite") {
     import spark.implicits._
     val recs = Seq(
