@@ -130,6 +130,47 @@ object Checks {
       total - distinct, total)
   }
 
+  /** SCD2 invariant audit — the DQ twin of [[graft.operators.Scd2]]: a
+    * healthy type-2 dimension has, per natural key, AT MOST one current
+    * row, no non-current row left open (a closed version must carry its
+    * end date), no current row carrying an end date, and version ranges
+    * that neither overlap nor (usually) gap. Returns ONE summary row of
+    * violation counts, fully distributed: one window pass per key
+    * (ordered by start, current-flag tiebreak) feeds a per-key rollup,
+    * then a global aggregate — the dimension shuffles once on the key
+    * and nothing is collected. A NULL end date is treated as
+    * open-until-infinity, so ANY row sorted after an open row counts as
+    * an overlap. Gaps are reported, not judged: retention deletes
+    * legitimately create them, which is why they get their own counter
+    * instead of folding into `keys_overlapping`. */
+  def scd2IntegrityReport(dim: DataFrame, keyCol: String,
+      startCol: String = "effective_start_date",
+      endCol: String = "effective_end_date",
+      isCurCol: String = "is_current"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("k").orderBy(col("s"), col("c"))
+    val rows = dim.select(col(keyCol).as("k"), col(startCol).as("s"),
+        col(endCol).as("e"), coalesce(col(isCurCol), lit(false)).as("c"))
+      .withColumn("prev_e", lag(col("e"), 1).over(w))
+      .withColumn("has_prev", lag(col("s"), 1).over(w).isNotNull)
+    val perKey = rows.groupBy("k").agg(
+      sum(when(col("c"), 1L).otherwise(0L)).as("n_cur"),
+      sum(when(!col("c") && col("e").isNull, 1L).otherwise(0L)).as("n_open_noncur"),
+      sum(when(col("c") && col("e").isNotNull, 1L).otherwise(0L)).as("n_cur_with_end"),
+      sum(when(col("has_prev") &&
+        (col("prev_e").isNull || col("prev_e") > col("s")), 1L).otherwise(0L)).as("n_overlap"),
+      sum(when(col("has_prev") && col("prev_e").isNotNull &&
+        col("prev_e") < col("s"), 1L).otherwise(0L)).as("n_gap"))
+    perKey.agg(
+      count(lit(1)).as("n_keys"),
+      sum(when(col("n_cur") > 1, 1L).otherwise(0L)).as("keys_multi_current"),
+      sum(when(col("n_cur") === 0, 1L).otherwise(0L)).as("keys_no_current"),
+      sum(col("n_open_noncur")).as("rows_open_noncurrent"),
+      sum(col("n_cur_with_end")).as("rows_current_with_end"),
+      sum(when(col("n_overlap") > 0, 1L).otherwise(0L)).as("keys_overlapping"),
+      sum(when(col("n_gap") > 0, 1L).otherwise(0L)).as("keys_gapped"))
+  }
+
   /** Pass/fail rollup (`data_quality_checks.py:108-122`), returned as a
     * string instead of logged. */
   def summarize(tableName: String, results: Map[String, CheckResult]): String = {

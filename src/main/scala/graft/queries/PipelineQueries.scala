@@ -805,6 +805,95 @@ object PipelineQueries {
               |    (SELECT count(*) FROM orders)
               |) ORDER BY check_target""".stripMargin)),
 
+    "dq_scd2_integrity" -> Q((s, dir) => {
+      // SCD2 invariant audit (Checks.scd2IntegrityReport) — the DQ twin
+      // of the merge and the streaming CDC gates: one window pass per
+      // key + one rollup verifies at-most-one-current, closed-rows-are-
+      // closed, current-rows-are-open, and range overlap/gap health.
+      // The fixture INJECTS every violation class (a second current
+      // row, an open non-current row, a gapped closed row, a current
+      // row carrying an end date, and keys whose only row is closed),
+      // so all seven counters are non-trivially exercised and an audit
+      // that under- or over-counts any class diverges.
+      import graft.quality.Checks
+      val o = T(s, dir, "orders")
+      def rowsOf(pred: org.apache.spark.sql.Column,
+          start: org.apache.spark.sql.Column,
+          end: org.apache.spark.sql.Column, isCur: Boolean) =
+        o.filter(pred).select(col("o_orderkey").as("k"),
+          start.as("effective_start_date"), end.as("effective_end_date"),
+          lit(isCur).as("is_current"))
+      val nullTs = lit(null).cast("timestamp")
+      val dim = rowsOf(col("o_orderkey") % 10 < 8, col("o_orderdate"), nullTs, isCur = true)
+        .unionByName(rowsOf(col("o_orderkey") % 20 === 1,
+          expr("o_orderdate - INTERVAL 30 DAY"), col("o_orderdate"), isCur = false))
+        .unionByName(rowsOf(col("o_orderkey") % 10 === 8,
+          expr("o_orderdate - INTERVAL 30 DAY"), col("o_orderdate"), isCur = false))
+        .unionByName(rowsOf(col("o_orderkey") % 97 === 0 && col("o_orderkey") % 10 < 8,
+          expr("o_orderdate + INTERVAL 40 DAY"), nullTs, isCur = true))
+        .unionByName(rowsOf(col("o_orderkey") % 89 === 0 && col("o_orderkey") % 10 < 8,
+          expr("o_orderdate - INTERVAL 60 DAY"), nullTs, isCur = false))
+        .unionByName(rowsOf(col("o_orderkey") % 83 === 0 && col("o_orderkey") % 10 < 8,
+          expr("o_orderdate - INTERVAL 100 DAY"),
+          expr("o_orderdate - INTERVAL 90 DAY"), isCur = false))
+        .unionByName(rowsOf(col("o_orderkey") % 79 === 0 && col("o_orderkey") % 10 < 8,
+          expr("o_orderdate + INTERVAL 50 DAY"),
+          expr("o_orderdate + INTERVAL 60 DAY"), isCur = true))
+      Checks.scd2IntegrityReport(dim, "k")
+    }, Some("""WITH dim AS (
+              |  SELECT o_orderkey AS k, o_orderdate AS s,
+              |    CAST(NULL AS TIMESTAMP) AS e, TRUE AS c
+              |  FROM orders WHERE o_orderkey % 10 < 8
+              |  UNION ALL
+              |  SELECT o_orderkey, o_orderdate - INTERVAL 30 DAY,
+              |    o_orderdate, FALSE
+              |  FROM orders WHERE o_orderkey % 20 = 1
+              |  UNION ALL
+              |  SELECT o_orderkey, o_orderdate - INTERVAL 30 DAY,
+              |    o_orderdate, FALSE
+              |  FROM orders WHERE o_orderkey % 10 = 8
+              |  UNION ALL
+              |  SELECT o_orderkey, o_orderdate + INTERVAL 40 DAY,
+              |    CAST(NULL AS TIMESTAMP), TRUE
+              |  FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey % 10 < 8
+              |  UNION ALL
+              |  SELECT o_orderkey, o_orderdate - INTERVAL 60 DAY,
+              |    CAST(NULL AS TIMESTAMP), FALSE
+              |  FROM orders WHERE o_orderkey % 89 = 0 AND o_orderkey % 10 < 8
+              |  UNION ALL
+              |  SELECT o_orderkey, o_orderdate - INTERVAL 100 DAY,
+              |    o_orderdate - INTERVAL 90 DAY, FALSE
+              |  FROM orders WHERE o_orderkey % 83 = 0 AND o_orderkey % 10 < 8
+              |  UNION ALL
+              |  SELECT o_orderkey, o_orderdate + INTERVAL 50 DAY,
+              |    o_orderdate + INTERVAL 60 DAY, TRUE
+              |  FROM orders WHERE o_orderkey % 79 = 0 AND o_orderkey % 10 < 8),
+              |r AS (SELECT k, s, e, c,
+              |    lag(e) OVER w AS prev_e,
+              |    lag(s) OVER w IS NOT NULL AS has_prev
+              |  FROM dim WINDOW w AS (PARTITION BY k ORDER BY s, c)),
+              |pk AS (SELECT k,
+              |    SUM(CASE WHEN c THEN 1 ELSE 0 END) AS n_cur,
+              |    SUM(CASE WHEN NOT c AND e IS NULL THEN 1 ELSE 0 END) AS n_open,
+              |    SUM(CASE WHEN c AND e IS NOT NULL THEN 1 ELSE 0 END) AS n_cwe,
+              |    SUM(CASE WHEN has_prev AND (prev_e IS NULL OR prev_e > s)
+              |      THEN 1 ELSE 0 END) AS n_ov,
+              |    SUM(CASE WHEN has_prev AND prev_e IS NOT NULL AND prev_e < s
+              |      THEN 1 ELSE 0 END) AS n_gap
+              |  FROM r GROUP BY k)
+              |SELECT count(*) AS n_keys,
+              |  CAST(SUM(CASE WHEN n_cur > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS keys_multi_current,
+              |  CAST(SUM(CASE WHEN n_cur = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS keys_no_current,
+              |  CAST(SUM(n_open) AS BIGINT) AS rows_open_noncurrent,
+              |  CAST(SUM(n_cwe) AS BIGINT) AS rows_current_with_end,
+              |  CAST(SUM(CASE WHEN n_ov > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS keys_overlapping,
+              |  CAST(SUM(CASE WHEN n_gap > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS keys_gapped
+              |FROM pk""".stripMargin)),
+
     "dq_table_sweep" -> Q((s, dir) => {
       import s.implicits._
       // Post-pipeline sweep (notebooks/run_data_quality_checks.py): one

@@ -110,6 +110,39 @@ class ChecksSpec extends SparkTestBase {
     assert(results.values.forall(_.passed), Checks.summarize("policies", results))
   }
 
+  test("scd2IntegrityReport counts each violation class exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.TimestampType
+    // K1 healthy 2-version chain; K2 two current rows (overlap via the
+    // open first row); K3 only a closed row (no current); K4 closed row
+    // left open; K5 gapped history; K6 current row carrying an end.
+    val dim = Seq(
+      ("K1", "2024-01-01", Some("2024-06-01"), false),
+      ("K1", "2024-06-01", None, true),
+      ("K2", "2024-01-01", None, true),
+      ("K2", "2024-03-01", None, true),
+      ("K3", "2024-01-01", Some("2024-02-01"), false),
+      ("K4", "2024-01-01", None, false),
+      ("K4", "2024-02-01", None, true),
+      ("K5", "2024-01-01", Some("2024-02-01"), false),
+      ("K5", "2024-05-01", None, true),
+      ("K6", "2024-01-01", Some("2024-09-01"), true))
+      .toDF("k", "s0", "e0", "is_current")
+      .select(col("k"),
+        col("s0").cast(TimestampType).as("effective_start_date"),
+        col("e0").cast(TimestampType).as("effective_end_date"),
+        col("is_current"))
+    val r = Checks.scd2IntegrityReport(dim, "k").collect()(0)
+    assert(r.getAs[Long]("n_keys") === 6L)
+    assert(r.getAs[Long]("keys_multi_current") === 1L) // K2
+    assert(r.getAs[Long]("keys_no_current") === 1L)    // K3
+    assert(r.getAs[Long]("rows_open_noncurrent") === 1L) // K4's first row
+    assert(r.getAs[Long]("rows_current_with_end") === 1L) // K6
+    assert(r.getAs[Long]("keys_overlapping") === 2L)   // K2 + K4 (open row precedes)
+    assert(r.getAs[Long]("keys_gapped") === 1L)        // K5
+  }
+
   test("madOutliers flags the planted outlier and nothing else") {
     import spark.implicits._
     val df = (Seq(10.0, 10.0, 11.0, 11.0, 12.0, 1000.0).map(("g1", _)) ++

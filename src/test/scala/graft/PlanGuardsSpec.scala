@@ -63,6 +63,59 @@ class PlanGuardsSpec extends SparkTestBase {
       s"sceneSplit must reuse one doc_id exchange, plan:\n$plan")
   }
 
+  test("silenceSplit: gate filter precedes ONE doc_id exchange shared by all stages") {
+    // Scale contract (llm_audio_silence_split): the energy gate drops
+    // silent windows BEFORE the shuffle, and the lag window, run-id sum,
+    // and per-segment aggregate all ride one doc_id exchange of the
+    // 16-row/doc energy frame — the samples themselves never shuffle.
+    val decoded = (0 until 200)
+      .map(i => (i.toLong, Array.tabulate(128)(j => ((i * 31 + j * 7) % 40) - 20)))
+      .toDF("doc_id", "samples")
+      .repartition(8)
+    val out = graft.llm.Multimodal.silenceSplit(decoded, threshold = 800L)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1,
+      s"silenceSplit must reuse one doc_id exchange, plan:\n$plan")
+    // the energy gate sits below the window (Filter before the Sort/Window)
+    val filterIdx = plan.indexOf("Filter")
+    val windowIdx = plan.indexOf("Window")
+    assert(filterIdx > windowIdx && windowIdx >= 0,
+      s"energy filter must run below the window stage (plan prints top-down):\n$plan")
+  }
+
+  test("ivfPqRerank: every join broadcasts — the raw-vector scan never sort-merges") {
+    // Scale contract (llm_ivfpq_rerank): the shortlist frame is
+    // O(queries × shortlist) and must be BROADCAST into the probe of the
+    // corpus raw vectors; a sort-merge join would shuffle the whole
+    // vector corpus to rerank 9 candidates per query.
+    val vecs = (0 until 24).map { i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i % 3 * 7.0 + j) + 0.01 * i))
+    }.toDF("vec_id", "embedding")
+    val cb = graft.llm.Pq.codebooks(vecs, "vec_id", "embedding", 4, 4, 3, 1)
+    val out = graft.llm.Pq.ivfPqRerank(vecs,
+      vecs.filter(col("vec_id") >= 20), vecs.filter(col("vec_id") < 3), cb,
+      "vec_id", "embedding", 4, 4, kTop = 2, shortlist = 5)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probes:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"rerank must never sort-merge the vector corpus:\n$plan")
+  }
+
+  test("blockedEditDistancePairs: pure equi-join — no cartesian, no nested loop") {
+    val recs = (0 until 300)
+      .map(i => (i.toLong, f"name${i / 3}%05d" + ("x" * (i % 3))))
+      .toDF("rec_id", "name")
+    val out = graft.llm.TextOps.blockedEditDistancePairs(recs, "rec_id", "name", 6, 2)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"blocking must plan an equi-join, not all-pairs:\n$plan")
+  }
+
   test("adaptiveJoin: broadcast branch plans a BroadcastHashJoin, no shuffle of the fact") {
     val large = (1 to 1000).map(i => (i % 50, i)).toDF("k", "payload")
     val small = (1 to 50).map(k => (k, s"d$k")).toDF("k", "dim")
