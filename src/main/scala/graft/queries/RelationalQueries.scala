@@ -1723,5 +1723,45 @@ object RelationalQueries {
              |  o_orderkey << 3 AS shl,
              |  o_orderkey >> 2 AS shr,
              |  CAST(bit_count(o_orderkey) AS INT) AS popcount
-             |FROM orders ORDER BY o_orderkey""".stripMargin)))
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    "f27_try_cast_family" -> Q((s, dir) => {
+      // Safe-parsing scalar family (r13) — the expression-level partner
+      // of s21's corrupt-record quarantine: try_cast turns malformed
+      // numerics into NULLs instead of failing the job (the ANSI-mode
+      // ingestion idiom), try_divide nulls division by zero. The
+      // fixture cycles clean ints, decimals, garbage, empty strings and
+      // NULLs, so parsed/failed tallies and the exact sum of what DID
+      // parse pin the semantics against DuckDB's TRY_CAST.
+      val raw = T(s, dir, "orders").select(col("o_orderkey").as("k"),
+        expr("""CASE CAST(o_orderkey % 5 AS INT)
+               |  WHEN 0 THEN CAST(o_orderkey AS STRING)
+               |  WHEN 1 THEN concat(CAST(o_orderkey AS STRING), '.25')
+               |  WHEN 2 THEN 'n/a'
+               |  WHEN 3 THEN ''
+               |  ELSE NULL
+               |END""".stripMargin).as("raw"))
+      raw.select(col("k"),
+          expr("try_cast(raw AS DOUBLE)").as("d"),
+          expr("try_divide(CAST(k AS DOUBLE), CAST(k % 3 AS DOUBLE))").as("q"))
+        .agg(count(lit(1)).as("n"),
+          count(col("d")).as("n_parsed"),
+          sum(col("d").cast("decimal(18,2)")).cast("double").as("sum_parsed"),
+          count(col("q")).as("n_divided"))
+    }, Some("""WITH raw AS (SELECT o_orderkey AS k,
+              |    CASE CAST(o_orderkey % 5 AS INT)
+              |      WHEN 0 THEN CAST(o_orderkey AS VARCHAR)
+              |      WHEN 1 THEN CAST(o_orderkey AS VARCHAR) || '.25'
+              |      WHEN 2 THEN 'n/a'
+              |      WHEN 3 THEN ''
+              |      ELSE NULL END AS raw
+              |  FROM orders),
+              |p AS (SELECT k, TRY_CAST(raw AS DOUBLE) AS d,
+              |    CASE WHEN k % 3 = 0 THEN NULL
+              |      ELSE CAST(k AS DOUBLE) / CAST(k % 3 AS DOUBLE) END AS q
+              |  FROM raw)
+              |SELECT count(*) AS n, count(d) AS n_parsed,
+              |  CAST(SUM(CAST(d AS DECIMAL(18,2))) AS DOUBLE) AS sum_parsed,
+              |  count(q) AS n_divided
+              |FROM p""".stripMargin)))
 }
