@@ -52,9 +52,13 @@ object AccessControls {
     * Unlike [[maskNameFor]]-style redaction this is a bijection per salt
     * (md5 collisions ~2⁻⁶⁴ at any realistic key count): re-identification
     * requires the salt, rotating the salt re-keys the whole corpus, and
-    * the projection is pure codegen — no shuffle, no UDF. */
+    * the projection is pure codegen — no shuffle, no UDF. NULL keys stay
+    * NULL (concat_ws would silently SKIP the null and collapse every
+    * NULL key onto md5(salt), making surrogate joins match rows a
+    * clear-key join drops — the r13 ADVICE finding). */
   def pseudonymizeKey(c: Column, salt: String): Column =
-    md5(concat_ws(":", lit(salt), c.cast("string")))
+    when(c.isNull, lit(null).cast("string"))
+      .otherwise(md5(concat_ws(":", lit(salt), c.cast("string"))))
 
   /** Right-to-erasure (GDPR art. 17): split a frame into the retained
     * rows and the per-subject erasure tally for the compliance record.

@@ -653,7 +653,18 @@ object Multimodal {
     import org.apache.spark.sql.expressions.Window
     val byW = Window.partitionBy("doc_id").orderBy("w")
     val prevW = lag(col("w"), 1).over(byW)
+    // loud length guard (r13 ADVICE): a signal shorter than the window
+    // grid would silently yield empty/partial slices whose energy
+    // computes as 0 (or a partial sum) and vanishes below the silence
+    // gate — fail per-row instead, the same posture as Pq.subspaces on
+    // wrong-length vectors. assert_true returns NULL on pass, so the
+    // where() both forces the check and filters nothing.
+    val expected = windowSamples * nWindows
     decoded
+      .where(assert_true(size(col("samples")) === expected,
+        concat(lit(s"silenceSplit: samples must have exactly $expected " +
+          s"(= $windowSamples x $nWindows) values; got "),
+          size(col("samples")), lit(" for doc_id "), col("doc_id"))).isNull)
       .select(col("doc_id"),
         explode(expr(s"sequence(0, ${nWindows - 1})")).as("w"),
         col("samples"))

@@ -752,22 +752,35 @@ object TextOps {
     * every pattern stays in the Java∩RE2 regex subset so an external
     * engine replays it exactly. Full query-param REORDERING is out of
     * scope (that needs a sort over split params, a different cost
-    * class); tracking params are handled wherever they appear. */
+    * class).
+    *
+    * Structure (r13 ADVICE): the URL is SPLIT at the first `?` before
+    * any rewriting, so path rules can never fire inside a query-param
+    * VALUE (`?next=/path/?x=1` keeps its value intact) and query rules
+    * see only the true query string; tracking-param names match
+    * case-insensitively (`?UTM_SOURCE=` is as much tracking as the
+    * lowercase spelling — mirroring the case-normalized host). */
   def normalizeUrl(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*", "")
-    val noTrack = regexp_replace(noFrag, "&(utm_[a-z]+|gclid|fbclid)=[^&]*", "")
-    val noTrack2 = regexp_replace(noTrack, "\\?(utm_[a-z]+|gclid|fbclid)=[^&]*&", "?")
-    val noTrack3 = regexp_replace(noTrack2, "\\?(utm_[a-z]+|gclid|fbclid)=[^&]*$", "")
-    val noSlashQ = regexp_replace(noTrack3, "/\\?", "?")
-    val noSlash = regexp_replace(noSlashQ, "(?i)^(https?://[^/?]+/.*[^/?])/$", "$1")
-    val schemeHost = regexp_extract(noSlash, "(?i)^(https?://[^/?]*)", 1)
-    val rest = noSlash.substr(length(schemeHost) + 1, lit(65536))
+    // split at the FIRST '?': head = scheme://host/path, qs = "?k=v&…" or ""
+    val head = regexp_extract(noFrag, "^([^?]*)", 1)
+    val qs = noFrag.substr(length(head) + 1, lit(65536))
+    // tracking params — anchored to the real query string, (?i) on names
+    val qs1 = regexp_replace(qs, "(?i)&(utm_[a-z]+|gclid|fbclid)=[^&]*", "")
+    val qs2 = regexp_replace(qs1, "(?i)^\\?(utm_[a-z]+|gclid|fbclid)=[^&]*&", "?")
+    val qs3 = regexp_replace(qs2, "(?i)^\\?(utm_[a-z]+|gclid|fbclid)=[^&]*$", "")
+    // trailing path slash: always dropped when a query follows; without a
+    // query, dropped only on a non-root path (bare "https://host/" survives)
+    val head2 = when(length(qs3) > 0, regexp_replace(head, "/$", ""))
+      .otherwise(regexp_replace(head, "(?i)^(https?://[^/?]+/.*[^/])/$", "$1"))
+    val schemeHost = regexp_extract(head2, "(?i)^(https?://[^/?]*)", 1)
+    val rest = head2.substr(length(schemeHost) + 1, lit(65536))
     val host = regexp_replace(
       regexp_replace(
         regexp_replace(lower(schemeHost), "^(https://.*):443$", "$1"),
         "^(http://.*):80$", "$1"),
       "^(https?://)www\\.", "$1")
-    concat(host, rest)
+    concat(host, rest, qs3)
   }
 
   /** Blocked entity resolution — record linkage by BLOCKING + thresholded

@@ -80,6 +80,25 @@ object Skew {
     }
   }
 
+  /** Deterministic row sample for skew PROFILING at scale — the sampled
+    * `profileOn` the [[adaptiveJoin]] scale story promises (its exact
+    * default profile is an eager full-fact aggregate; at 100 TB the
+    * profile should read a fraction of the fact, and a hot key's SHARE
+    * is scale-free, so a uniform row sample estimates it with tight
+    * relative error on exactly the keys that matter — a 10% head key is
+    * ~10% of any uniform sample). The sample is an md5 bucket of a
+    * row-unique id (`Splits.hashBucket`), NOT `rand()`: the kept set is
+    * a pure function of the data, so the strategy decision is
+    * deterministic and an external engine replays it — the property the
+    * j20 gate verifies on both uniform and skewed corpora. `bps` is
+    * basis points out of 10000 (100 = a 1% sample). Pure filter
+    * projection: no shuffle, evaluated at scan speed. */
+  def profileSample(df: DataFrame, rowIdCol: String, bps: Int = 100,
+      salt: String = "skewprof"): DataFrame = {
+    require(bps > 0 && bps <= 10000, "bps must be in (0, 10000]")
+    df.filter(graft.llm.Splits.hashBucket(col(rowIdCol), 10000, salt) < bps)
+  }
+
   /** Top-k hottest keys with their row share — the diagnostic that decides
     * whether salting is warranted and what saltFactor to use (the
     * measured doctrine, PLANS.md "Skewed-key doctrine": broadcast

@@ -148,7 +148,11 @@ object Checks {
       endCol: String = "effective_end_date",
       isCurCol: String = "is_current"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("k").orderBy(col("s"), col("c"))
+    // final `e` tiebreak (r13 ADVICE): two rows sharing (key, start,
+    // is_current) would otherwise make lag(e) nondeterministic and the
+    // overlap/gap counters engine-dependent. asc_nulls_first is Spark's
+    // asc default — the oracle must spell NULLS FIRST explicitly.
+    val w = Window.partitionBy("k").orderBy(col("s"), col("c"), col("e").asc_nulls_first)
     val rows = dim.select(col(keyCol).as("k"), col(startCol).as("s"),
         col(endCol).as("e"), coalesce(col(isCurCol), lit(false)).as("c"))
       .withColumn("prev_e", lag(col("e"), 1).over(w))

@@ -311,6 +311,40 @@ object LlmQueries {
     // form always hash-joins the equi keys with the inequality residual.
   }
 
+  // URL-canonicalization oracle chain — mirrors TextOps.normalizeUrl
+  // step-for-step (split at the first '?', case-insensitive tracking
+  // params, trailing-slash rules, host normalization). Input: a CTE
+  // named urls(rec_id, url); output: norm(rec_id, url_norm). Shared by
+  // llm_url_normalize and llm_curation_pipeline so the two oracles can
+  // never fork.
+  private[queries] val urlNormCtes: String =
+    """un1 AS (SELECT rec_id, regexp_replace(url, '#.*', '', 'g') AS u FROM urls),
+      |usp AS (SELECT rec_id, regexp_extract(u, '^([^?]*)', 1) AS head,
+      |    substr(u, length(regexp_extract(u, '^([^?]*)', 1)) + 1, 65536) AS qs
+      |  FROM un1),
+      |uq1 AS (SELECT rec_id, head,
+      |    regexp_replace(qs, '(?i)&(utm_[a-z]+|gclid|fbclid)=[^&]*', '', 'g') AS qs
+      |  FROM usp),
+      |uq2 AS (SELECT rec_id, head,
+      |    regexp_replace(qs, '(?i)^\?(utm_[a-z]+|gclid|fbclid)=[^&]*&', '?') AS qs
+      |  FROM uq1),
+      |uq3 AS (SELECT rec_id, head,
+      |    regexp_replace(qs, '(?i)^\?(utm_[a-z]+|gclid|fbclid)=[^&]*$', '') AS qs
+      |  FROM uq2),
+      |uh2 AS (SELECT rec_id, qs,
+      |    CASE WHEN length(qs) > 0 THEN regexp_replace(head, '/$', '')
+      |      ELSE regexp_replace(head, '(?i)^(https?://[^/?]+/.*[^/])/$', '\1')
+      |    END AS head
+      |  FROM uq3),
+      |uparts AS (SELECT rec_id, head, qs,
+      |    regexp_extract(head, '(?i)^(https?://[^/?]*)', 1) AS sh_host FROM uh2),
+      |norm AS (SELECT rec_id,
+      |    regexp_replace(regexp_replace(regexp_replace(lower(sh_host),
+      |        '^(https://.*):443$', '\1'), '^(http://.*):80$', '\1'),
+      |      '^(https?://)www\.', '\1') ||
+      |    substr(head, length(sh_host) + 1, 65536) || qs AS url_norm
+      |  FROM uparts)""".stripMargin
+
   // 16-bit SimHash as chained CTEs ending in sims(doc_id, simhash) —
   // mirrors Dedup.simhash bit-for-bit (odd hex nibble = +1 vote).
   private val simhashCtes: String = {
@@ -3271,7 +3305,7 @@ object LlmQueries {
         .groupBy("url_norm")
         .agg(count(lit(1)).as("n"), min(col("rec_id")).as("first_rec"))
         .orderBy("url_norm")
-    }, Some("""WITH e AS (SELECT c_custkey AS rec_id,
+    }, Some(s"""WITH e AS (SELECT c_custkey AS rec_id,
               |    CAST(c_custkey // 4 AS VARCHAR) AS g, c_custkey % 4 AS v
               |  FROM customer),
               |urls AS (SELECT rec_id, CASE v
@@ -3280,20 +3314,7 @@ object LlmQueries {
               |    WHEN 2 THEN 'https://www.Shop' || g || '.example.com/Item/p' || g || '?id=' || g || '&utm_source=feed#frag'
               |    ELSE 'https://shop' || g || '.example.com/Item/p' || g || '/?id=' || g || '&gclid=xyz' END AS url
               |  FROM e),
-              |n1 AS (SELECT rec_id, regexp_replace(url, '#.*', '', 'g') AS u FROM urls),
-              |n2 AS (SELECT rec_id, regexp_replace(u, '&(utm_[a-z]+|gclid|fbclid)=[^&]*', '', 'g') AS u FROM n1),
-              |n3 AS (SELECT rec_id, regexp_replace(u, '\?(utm_[a-z]+|gclid|fbclid)=[^&]*&', '?', 'g') AS u FROM n2),
-              |n4 AS (SELECT rec_id, regexp_replace(u, '\?(utm_[a-z]+|gclid|fbclid)=[^&]*$', '', 'g') AS u FROM n3),
-              |n5 AS (SELECT rec_id, regexp_replace(u, '/\?', '?', 'g') AS u FROM n4),
-              |n6 AS (SELECT rec_id, regexp_replace(u, '(?i)^(https?://[^/?]+/.*[^/?])/$', '\1') AS u FROM n5),
-              |parts AS (SELECT rec_id, u,
-              |    regexp_extract(u, '(?i)^(https?://[^/?]*)', 1) AS sh FROM n6),
-              |norm AS (SELECT rec_id,
-              |    regexp_replace(regexp_replace(regexp_replace(lower(sh),
-              |        '^(https://.*):443$', '\1'), '^(http://.*):80$', '\1'),
-              |      '^(https?://)www\.', '\1')
-              |    || substr(u, length(sh) + 1, 65536) AS url_norm
-              |  FROM parts)
+              |$urlNormCtes
               |SELECT url_norm, count(*) AS n, min(rec_id) AS first_rec
               |FROM norm GROUP BY url_norm ORDER BY url_norm""".stripMargin)),
 
@@ -3671,6 +3692,201 @@ object LlmQueries {
          |    THEN l.component END) AS n_multi_clusters
          |FROM lbl l JOIN csizes s USING (component)""".stripMargin
     })),
+
+    "llm_curation_pipeline" -> Q((s, dir) => {
+      // The END-TO-END corpus-curation chain a training-data team runs,
+      // as ONE gate with per-stage corpus accounting (r13 verdict item
+      // 4): eval holdout → canonical-URL dedup (TextOps.normalizeUrl;
+      // three spelling variants per entity, %10=7 docs share their
+      // predecessor's entity so normalization MERGES them) → quality
+      // filter (TextOps.qualityFilter, llm_quality_filter thresholds) →
+      // fuzzy dedup (the llm_dedup_pipeline chain: shingle → MinHash →
+      // LSH bands → exact-Jaccard ≥ 0.8 → connected components →
+      // canonical pick) → eval decontamination (shared 5-grams vs the
+      // held-out docs) → leak-free cluster split (split keyed on the
+      // dedup COMPONENT — free here, the components were just built) →
+      // sequence packing of the train split. Output: one row per stage
+      // with units in/out and the surviving token mass — docs for
+      // stages 0–5; stage 6 counts packed BINS out with the packed
+      // token total (overlap tokens counted, stride 8 < chunk 12).
+      // Every stage reuses the individually-gated operator; the oracle
+      // replays ALL stages in chained CTEs (url chain via urlNormCtes,
+      // dedup via the shared sh/sigs/bands fragments over the full
+      // corpus with pairs filtered to quality survivors — band hashes
+      // are per-doc, so filtering pairs ≡ banding the survivor corpus).
+      // Stage frames are doc_id-sized and localCheckpointed so the
+      // 7 accounting rows never recompute the chain prefix.
+      import graft.llm.{Dedup, Splits, TextOps}
+      val docs = T(s, dir, "documents").select("doc_id", "text")
+      val sizes = docs.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("ntok"))
+      val evalDocs = docs.filter(col("doc_id") < 10)
+      val corpus = docs.filter(col("doc_id") >= 10)
+      val g = "CAST(CASE WHEN doc_id % 10 = 7 THEN doc_id - 1 ELSE doc_id END AS STRING)"
+      val url = expr(s"""CASE CAST(doc_id % 3 AS INT)
+        |  WHEN 0 THEN concat('https://Docs.Example.com/d/', $g, '?id=', $g)
+        |  WHEN 1 THEN concat('HTTPS://WWW.DOCS.EXAMPLE.COM:443/d/', $g, '?id=', $g, '#frag')
+        |  ELSE concat('https://docs.example.com/d/', $g, '/?id=', $g, '&utm_source=x')
+        |END""".stripMargin)
+      val urlKeptIds = corpus
+        .select(col("doc_id"), TextOps.normalizeUrl(url).as("url_norm"))
+        .groupBy("url_norm").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id").localCheckpoint(true)
+      val urlKept = corpus.join(urlKeptIds, "doc_id")
+      val qualIds = TextOps.qualityFilter(urlKept,
+          minTokens = 20, maxTokens = 100000,
+          maxPunctRatio = 0.06, minStopwordRatio = 0.05)
+        .filter(col("keep")).select("doc_id").localCheckpoint(true)
+      val qualDocs = urlKept.join(qualIds, "doc_id")
+      val sh = Dedup.shingleArray(qualDocs, "doc_id", "text", 3)
+      val sig = Dedup.minhashSignaturesNative(sh, "doc_id", 8)
+      val cands = Dedup.candidatePairs(Dedup.lshBands(sig, "doc_id", 8, 2), "doc_id")
+      val verified = Dedup.jaccardPairsFromArrays(sh, "doc_id", cands)
+        .where(col("jaccard") >= 0.8)
+      val canon = Dedup.dedupClusters(qualDocs.select("doc_id"), "doc_id",
+          verified.select("id_a", "id_b"))
+        .filter(col("is_canonical")).select("doc_id", "component")
+        .localCheckpoint(true)
+      val canonDocs = qualDocs.join(canon, "doc_id")
+      val deconKept = Dedup.decontaminate(canonDocs, evalDocs, "doc_id", "text", 5)
+        .select("doc_id", "component").localCheckpoint(true)
+      val trainIds = Splits.assignSplits(deconKept, "component")
+        .filter(col("split") === "train").select("doc_id").localCheckpoint(true)
+      val trainDocs = docs.join(trainIds, "doc_id")
+      val chunks = TextOps.chunk(trainDocs, "doc_id", "text",
+          chunkTokens = 12, stride = 8)
+        .withColumn("shard", pmod(col("doc_id"), lit(8)))
+      val packed = TextOps.packSequences(chunks, "shard",
+        Seq("doc_id", "chunk_id"), "n_tokens", capacity = 64)
+      def stageRow(id: Int, name: String,
+          in: org.apache.spark.sql.DataFrame, out: org.apache.spark.sql.DataFrame) =
+        in.agg(count(lit(1)).as("units_in")).crossJoin(broadcast(
+          out.join(sizes, "doc_id").agg(count(lit(1)).as("units_out"),
+            coalesce(sum(col("ntok")), lit(0L)).as("tokens_out"))))
+          .select(lit(id).as("stage_id"), lit(name).as("stage"),
+            col("units_in"), col("units_out"), col("tokens_out"))
+      val packRow = trainIds.agg(count(lit(1)).as("units_in")).crossJoin(broadcast(
+        packed.agg(count_distinct(col("shard"), col("bin_id")).as("units_out"),
+          coalesce(sum(col("n_tokens").cast("long")), lit(0L)).as("tokens_out"))))
+        .select(lit(6).as("stage_id"), lit("pack_sequences").as("stage"),
+          col("units_in"), col("units_out"), col("tokens_out"))
+      stageRow(0, "eval_holdout", docs, corpus)
+        .unionByName(stageRow(1, "url_dedup", corpus, urlKeptIds))
+        .unionByName(stageRow(2, "quality_filter", urlKeptIds, qualIds))
+        .unionByName(stageRow(3, "fuzzy_dedup", qualIds, canon.select("doc_id")))
+        .unionByName(stageRow(4, "decontaminate", canon, deconKept.select("doc_id")))
+        .unionByName(stageRow(5, "cluster_split", deconKept, trainIds))
+        .unionByName(packRow)
+        .orderBy("stage_id")
+    }, Some(s"""WITH RECURSIVE $toksCte,
+              |tsz AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS ntok FROM toks),
+              |corpus AS (SELECT doc_id FROM documents WHERE doc_id >= 10),
+              |urls AS (SELECT doc_id AS rec_id, CASE CAST(doc_id % 3 AS INT)
+              |    WHEN 0 THEN 'https://Docs.Example.com/d/' || g || '?id=' || g
+              |    WHEN 1 THEN 'HTTPS://WWW.DOCS.EXAMPLE.COM:443/d/' || g || '?id=' || g || '#frag'
+              |    ELSE 'https://docs.example.com/d/' || g || '/?id=' || g || '&utm_source=x'
+              |  END AS url
+              |  FROM (SELECT doc_id, CAST(CASE WHEN doc_id % 10 = 7
+              |      THEN doc_id - 1 ELSE doc_id END AS VARCHAR) AS g FROM corpus)),
+              |$urlNormCtes,
+              |url_kept AS (SELECT min(rec_id) AS doc_id FROM norm GROUP BY url_norm),
+              |qstats AS (SELECT d.doc_id,
+              |    len(string_split($normSql, ' ')) AS n_tokens,
+              |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) /
+              |      NULLIF(CAST(length(text) AS DOUBLE), 0) AS punct_ratio,
+              |    CAST(len(regexp_extract_all(lower(text),
+              |        '\\b(the|a|an|and|of|to|in|is|it)\\b')) AS DOUBLE) /
+              |      NULLIF(CAST(len(string_split($normSql, ' ')) AS DOUBLE), 0)
+              |      AS stopword_ratio
+              |  FROM documents d JOIN url_kept USING (doc_id)),
+              |qual_kept AS (SELECT doc_id FROM qstats
+              |  WHERE n_tokens >= 20 AND n_tokens <= 100000
+              |    AND (punct_ratio > 0.06) IS NOT TRUE
+              |    AND (stopword_ratio < 0.05) IS NOT TRUE),
+              |$shCte,
+              |$lshPairsCtes,
+              |qp AS (SELECT id_a, id_b FROM lsh_pairs
+              |  WHERE id_a IN (SELECT doc_id FROM qual_kept)
+              |    AND id_b IN (SELECT doc_id FROM qual_kept)),
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (SELECT p.id_a, p.id_b, count(*) AS n_inter
+              |  FROM qp p
+              |  JOIN sh x ON x.doc_id = p.id_a
+              |  JOIN sh y ON y.doc_id = p.id_b AND y.shingle = x.shingle
+              |  GROUP BY p.id_a, p.id_b),
+              |verified AS (SELECT i.id_a, i.id_b FROM inter i
+              |  JOIN sizes sa ON sa.doc_id = i.id_a
+              |  JOIN sizes sb ON sb.doc_id = i.id_b
+              |  WHERE CAST(i.n_inter AS DOUBLE) /
+              |    CAST(sa.n + sb.n - i.n_inter AS DOUBLE) >= 0.8),
+              |edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+              |          UNION SELECT id_b, id_a FROM verified),
+              |reach AS (SELECT src AS id, src AS comp FROM edges
+              |          UNION
+              |          SELECT e.src, r.comp FROM edges e
+              |          JOIN reach r ON e.dst = r.id),
+              |comps AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+              |lbl AS (SELECT q.doc_id, coalesce(c.component, q.doc_id) AS component
+              |  FROM qual_kept q LEFT JOIN comps c ON c.id = q.doc_id),
+              |canon AS (SELECT doc_id, component FROM lbl WHERE doc_id = component),
+              |$sh5Cte,
+              |eval5 AS (SELECT DISTINCT shingle FROM sh5 WHERE doc_id < 10),
+              |contam AS (SELECT DISTINCT t.doc_id FROM sh5 t
+              |  JOIN eval5 e ON t.shingle = e.shingle
+              |  JOIN canon c ON c.doc_id = t.doc_id),
+              |decon_kept AS (SELECT doc_id, component FROM canon
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+              |train AS (SELECT doc_id FROM decon_kept
+              |  WHERE ('0x' || substring(md5(CAST(component AS VARCHAR)), 1, 8))::BIGINT
+              |    % 10000 < 8000),
+              |tch AS (SELECT t.doc_id, t.t, range(0, len(t.t), 8) AS starts
+              |  FROM toks t JOIN train USING (doc_id)),
+              |ch AS (SELECT doc_id, CAST(i - 1 AS INT) AS chunk_id,
+              |    doc_id % 8 AS shard,
+              |    CAST(LEAST(12, len(t) - starts[i]) AS INT) AS n_tokens
+              |  FROM tch, LATERAL (SELECT unnest(generate_series(1, len(starts))) AS i)),
+              |packed AS (SELECT shard, n_tokens,
+              |    CAST((CAST(SUM(n_tokens) OVER (PARTITION BY shard
+              |        ORDER BY doc_id, chunk_id
+              |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              |      - n_tokens) // 64 AS BIGINT) AS bin_id
+              |  FROM ch)
+              |SELECT CAST(0 AS INT) AS stage_id, 'eval_holdout' AS stage,
+              |  (SELECT count(*) FROM documents) AS units_in,
+              |  (SELECT count(*) FROM corpus) AS units_out,
+              |  (SELECT CAST(coalesce(sum(ntok), 0) AS BIGINT)
+              |    FROM tsz JOIN corpus USING (doc_id)) AS tokens_out
+              |UNION ALL
+              |SELECT 1, 'url_dedup', (SELECT count(*) FROM corpus),
+              |  (SELECT count(*) FROM url_kept),
+              |  (SELECT CAST(coalesce(sum(ntok), 0) AS BIGINT)
+              |    FROM tsz JOIN url_kept USING (doc_id))
+              |UNION ALL
+              |SELECT 2, 'quality_filter', (SELECT count(*) FROM url_kept),
+              |  (SELECT count(*) FROM qual_kept),
+              |  (SELECT CAST(coalesce(sum(ntok), 0) AS BIGINT)
+              |    FROM tsz JOIN qual_kept USING (doc_id))
+              |UNION ALL
+              |SELECT 3, 'fuzzy_dedup', (SELECT count(*) FROM qual_kept),
+              |  (SELECT count(*) FROM canon),
+              |  (SELECT CAST(coalesce(sum(ntok), 0) AS BIGINT)
+              |    FROM tsz JOIN canon USING (doc_id))
+              |UNION ALL
+              |SELECT 4, 'decontaminate', (SELECT count(*) FROM canon),
+              |  (SELECT count(*) FROM decon_kept),
+              |  (SELECT CAST(coalesce(sum(ntok), 0) AS BIGINT)
+              |    FROM tsz JOIN decon_kept USING (doc_id))
+              |UNION ALL
+              |SELECT 5, 'cluster_split', (SELECT count(*) FROM decon_kept),
+              |  (SELECT count(*) FROM train),
+              |  (SELECT CAST(coalesce(sum(ntok), 0) AS BIGINT)
+              |    FROM tsz JOIN train USING (doc_id))
+              |UNION ALL
+              |SELECT 6, 'pack_sequences', (SELECT count(*) FROM train),
+              |  (SELECT count(*) FROM (SELECT DISTINCT shard, bin_id FROM packed)),
+              |  (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM packed)
+              |ORDER BY stage_id""".stripMargin),
+      bench = true),
 
     "llm_quality_ntile" -> Q((s, dir) => {
       // Within-language quality quartile (Splits.quantileBuckets):

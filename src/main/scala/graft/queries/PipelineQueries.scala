@@ -871,7 +871,7 @@ object PipelineQueries {
               |r AS (SELECT k, s, e, c,
               |    lag(e) OVER w AS prev_e,
               |    lag(s) OVER w IS NOT NULL AS has_prev
-              |  FROM dim WINDOW w AS (PARTITION BY k ORDER BY s, c)),
+              |  FROM dim WINDOW w AS (PARTITION BY k ORDER BY s, c, e NULLS FIRST)),
               |pk AS (SELECT k,
               |    SUM(CASE WHEN c THEN 1 ELSE 0 END) AS n_cur,
               |    SUM(CASE WHEN NOT c AND e IS NULL THEN 1 ELSE 0 END) AS n_open,

@@ -730,6 +730,70 @@ object RelationalQueries {
               |ORDER BY join_strategy, c_mktsegment""".stripMargin),
       bench = true),
 
+    "j20_sampled_skew_profile" -> Q((s, dir) => {
+      // The SAMPLED profile path of the doctrine join (Skew.profileSample
+      // → adaptiveJoin(profileOn=…)) — the 100 TB spelling, where the
+      // strategy decision reads a 1% md5-bucket row sample instead of
+      // the full fact (the head-key SHARE is scale-free, so a uniform
+      // row sample estimates it with tight relative error on exactly
+      // the keys that matter). Broadcast is forbidden (maxBroadcastRows
+      // = 0) so the share branch is what's exercised; the EXACT profile
+      // runs beside it through the same operator and both strategies
+      // land in the output, so the gate proves DECISION STABILITY:
+      // sampled and exact must pick the same branch on this corpus —
+      // 'plain' on the uniform driver data, 'salted' on the skew
+      // octaves, where the hot key dominates any 1% sample too. The
+      // oracle replays the md5-bucket sample row-for-row and both
+      // decision trees from its own counts, so a sample-spelling drift,
+      // a wrong threshold, or a nondeterministic (rand) sample
+      // diverges. Join results are aggregated salt-invariantly and must
+      // be identical in every branch.
+      import graft.operators.Skew
+      val orders = T(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"), col("o_totalprice"),
+          col("o_orderkey"))
+      val cust = T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val sample = Skew.profileSample(orders, "o_orderkey", bps = 100)
+        .select("c_custkey")
+      def agg(cfg: String, df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("join_strategy", "c_mktsegment")
+          .agg(count(lit(1)).as("order_cnt"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("total_price"))
+          .select(lit(cfg).as("cfg"), col("join_strategy"),
+            col("c_mktsegment"), col("order_cnt"), col("total_price"))
+      agg("exact", Skew.adaptiveJoin(orders, cust, "c_custkey",
+          maxBroadcastRows = 0L))
+        .unionByName(agg("sampled_1pct", Skew.adaptiveJoin(orders, cust,
+          "c_custkey", maxBroadcastRows = 0L, profileOn = Some(sample))))
+        .orderBy("cfg", "join_strategy", "c_mktsegment")
+    }, Some("""WITH f AS (SELECT o_custkey AS k, o_totalprice, o_orderkey
+              |  FROM orders),
+              |ex AS (SELECT max(n)::DOUBLE / sum(n)::DOUBLE AS sh
+              |  FROM (SELECT count(*) AS n FROM f GROUP BY k)),
+              |smp AS (SELECT k FROM f
+              |  WHERE ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)
+              |    || 'skewprof'), 1, 8))::BIGINT % 10000 < 100),
+              |sx AS (SELECT CASE WHEN count(*) = 0 THEN 0.0
+              |    ELSE max(n)::DOUBLE / sum(n)::DOUBLE END AS sh
+              |  FROM (SELECT count(*) AS n FROM smp GROUP BY k)),
+              |se AS (SELECT CASE WHEN (SELECT sh FROM ex) > 0.10
+              |  THEN 'salted' ELSE 'plain' END AS strat),
+              |ss AS (SELECT CASE WHEN (SELECT sh FROM sx) > 0.10
+              |  THEN 'salted' ELSE 'plain' END AS strat),
+              |agg AS (SELECT c.c_mktsegment, count(*) AS order_cnt,
+              |    CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              |      AS total_price
+              |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              |  GROUP BY c.c_mktsegment)
+              |SELECT 'exact' AS cfg, (SELECT strat FROM se) AS join_strategy,
+              |  c_mktsegment, order_cnt, total_price FROM agg
+              |UNION ALL
+              |SELECT 'sampled_1pct', (SELECT strat FROM ss),
+              |  c_mktsegment, order_cnt, total_price FROM agg
+              |ORDER BY cfg, join_strategy, c_mktsegment""".stripMargin)),
+
     "j10_bloom_prune_join" -> Q((s, dir) => {
       // Bloom semi-join reduction (operators/BloomPrune): the fact side
       // is pruned by a constant-size sketch of the selective dim keys
