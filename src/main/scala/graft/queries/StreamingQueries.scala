@@ -18,6 +18,135 @@ object StreamingQueries {
   // events.ts (nanos) → exact epoch seconds on the DuckDB side.
   private val tsSecSql = "CAST(floor(date_part('epoch', ts)) AS BIGINT)"
 
+  /** The st20 streaming CDC → SCD2 chain, shared by the dimension gate
+    * (st20) and its integrity-audit twin (st22) so the two can never
+    * fork: seed the dimension from `orders`, stream two change
+    * increments through a foreachBatch Scd2.merge under one checkpoint,
+    * return the final dimension. `tag` isolates the catalog table and
+    * landing dirs per gate. */
+  private def streamCdcScd2(s: org.apache.spark.sql.SparkSession, dir: String,
+      tag: String): org.apache.spark.sql.DataFrame = {
+    import graft.operators.Scd2
+    val base = tmp(s"graft_$tag")
+    val src = s"$base/in"; val chk = s"$base/chk"
+    s.sql(s"CREATE DATABASE IF NOT EXISTS graft_$tag")
+    s.sql(s"DROP TABLE IF EXISTS graft_$tag.dim")
+    val o = T(s, dir, "orders")
+    def shape(df: org.apache.spark.sql.DataFrame,
+        statusCol: org.apache.spark.sql.Column,
+        startCol: org.apache.spark.sql.Column) =
+      df.select(
+        col("o_orderkey").cast("string").as("order_id"),
+        statusCol.as("status"),
+        col("o_totalprice").cast("decimal(12,2)").as("total"),
+        startCol.as("effective_start_date"),
+        lit(null).cast("timestamp").as("effective_end_date"),
+        lit(true).as("is_current"))
+    shape(o.filter(col("o_orderkey") % 10 < 8),
+        col("o_orderstatus"), col("o_orderdate"))
+      .write.mode("overwrite").saveAsTable(s"graft_$tag.dim")
+    def runOnce(): Unit = {
+      val q = s.readStream
+        .schema("order_id STRING, status STRING, total DECIMAL(12,2), " +
+          "effective_start_date TIMESTAMP, effective_end_date TIMESTAMP, " +
+          "is_current BOOLEAN")
+        .parquet(src)
+        .writeStream
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val sp = batch.sparkSession
+            val merged = Scd2.merge(sp.read.table(s"graft_$tag.dim"), batch,
+                Seq("order_id"), Seq("status", "total"))
+              .localCheckpoint(true)
+            merged.write.mode("overwrite").saveAsTable(s"graft_$tag.dim")
+          }
+        }
+        .start()
+      q.awaitTermination()
+    }
+    shape(o.filter(col("o_orderkey") % 2 === 0),
+        when(col("o_orderkey") % 6 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")),
+        expr("o_orderdate + INTERVAL 1 DAY"))
+      .coalesce(1).write.mode("append").parquet(src)
+    runOnce() // increment 1: even-key changes + % 10 = 8 inserts
+    shape(o.filter(col("o_orderkey") % 3 === 0), lit("Y"),
+        expr("o_orderdate + INTERVAL 2 DAY"))
+      .coalesce(1).write.mode("append").parquet(src)
+    runOnce() // increment 2: % 3 = 0 re-updates — versions must chain
+    s.read.table(s"graft_$tag.dim")
+  }
+
+  /** DuckDB replay of the st20 chain — both sequential merges in
+    * chained CTEs ending in m2 (the final dimension). Shared by the
+    * st20 dimension compare and the st22 integrity audit. */
+  private val cdcScd2Ctes: String =
+    """t0 AS (
+      |  SELECT CAST(o_orderkey AS VARCHAR) AS order_id,
+      |    o_orderstatus AS status,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS total,
+      |    o_orderdate AS effective_start_date,
+      |    CAST(NULL AS TIMESTAMP) AS effective_end_date,
+      |    TRUE AS is_current
+      |  FROM orders WHERE o_orderkey % 10 < 8),
+      |s1 AS (
+      |  SELECT CAST(o_orderkey AS VARCHAR) AS order_id,
+      |    CASE WHEN o_orderkey % 6 = 0 THEN 'X' ELSE o_orderstatus END AS status,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS total,
+      |    o_orderdate + INTERVAL 1 DAY AS effective_start_date,
+      |    CAST(NULL AS TIMESTAMP) AS effective_end_date,
+      |    TRUE AS is_current
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |chg1 AS (SELECT c.order_id FROM t0 c JOIN s1 s USING (order_id)
+      |  WHERE (c.status IS DISTINCT FROM s.status)
+      |     OR (c.total IS DISTINCT FROM s.total)),
+      |m1 AS (
+      |  SELECT c.* FROM t0 c
+      |  WHERE c.order_id NOT IN (SELECT order_id FROM chg1)
+      |  UNION ALL
+      |  SELECT c.order_id, c.status, c.total, c.effective_start_date,
+      |    s.effective_start_date, FALSE
+      |  FROM t0 c JOIN s1 s USING (order_id)
+      |  WHERE c.order_id IN (SELECT order_id FROM chg1)
+      |  UNION ALL
+      |  SELECT s.* FROM s1 s
+      |  WHERE s.order_id IN (SELECT order_id FROM chg1)
+      |  UNION ALL
+      |  SELECT s.* FROM s1 s
+      |  WHERE s.order_id NOT IN (SELECT order_id FROM t0)),
+      |cur1 AS (SELECT * FROM m1 WHERE is_current),
+      |hist1 AS (SELECT * FROM m1 WHERE NOT is_current),
+      |s2 AS (
+      |  SELECT CAST(o_orderkey AS VARCHAR) AS order_id,
+      |    'Y' AS status,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS total,
+      |    o_orderdate + INTERVAL 2 DAY AS effective_start_date,
+      |    CAST(NULL AS TIMESTAMP) AS effective_end_date,
+      |    TRUE AS is_current
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |chg2 AS (SELECT c.order_id FROM cur1 c JOIN s2 s USING (order_id)
+      |  WHERE (c.status IS DISTINCT FROM s.status)
+      |     OR (c.total IS DISTINCT FROM s.total)),
+      |m2 AS (
+      |  SELECT * FROM hist1
+      |  UNION ALL
+      |  SELECT c.* FROM cur1 c
+      |  WHERE c.order_id NOT IN (SELECT order_id FROM chg2)
+      |  UNION ALL
+      |  SELECT c.order_id, c.status, c.total, c.effective_start_date,
+      |    s.effective_start_date, FALSE
+      |  FROM cur1 c JOIN s2 s USING (order_id)
+      |  WHERE c.order_id IN (SELECT order_id FROM chg2)
+      |  UNION ALL
+      |  SELECT s.* FROM s2 s
+      |  WHERE s.order_id IN (SELECT order_id FROM chg2)
+      |  UNION ALL
+      |  SELECT s.* FROM s2 s
+      |  WHERE s.order_id NOT IN (SELECT order_id FROM cur1))""".stripMargin
+
   val defs: Seq[(String, Q)] = Seq(
 
     "st1_availablenow_incremental" -> Q((s, dir) => {
@@ -1285,121 +1414,10 @@ object StreamingQueries {
       // the dimension table itself (overwrite-per-batch = the Parquet
       // spelling of MERGE; localCheckpoint breaks the read-overwrite
       // cycle). Same one-coalesced-file-per-increment pin as st13–st19.
-      import graft.operators.Scd2
-      val base = tmp("graft_st20")
-      val src = s"$base/in"; val chk = s"$base/chk"
-      s.sql("CREATE DATABASE IF NOT EXISTS graft_st20")
-      s.sql("DROP TABLE IF EXISTS graft_st20.dim")
-      val o = T(s, dir, "orders")
-      def shape(df: org.apache.spark.sql.DataFrame,
-          statusCol: org.apache.spark.sql.Column,
-          startCol: org.apache.spark.sql.Column) =
-        df.select(
-          col("o_orderkey").cast("string").as("order_id"),
-          statusCol.as("status"),
-          col("o_totalprice").cast("decimal(12,2)").as("total"),
-          startCol.as("effective_start_date"),
-          lit(null).cast("timestamp").as("effective_end_date"),
-          lit(true).as("is_current"))
-      shape(o.filter(col("o_orderkey") % 10 < 8),
-          col("o_orderstatus"), col("o_orderdate"))
-        .write.mode("overwrite").saveAsTable("graft_st20.dim")
-      def runOnce(): Unit = {
-        val q = s.readStream
-          .schema("order_id STRING, status STRING, total DECIMAL(12,2), " +
-            "effective_start_date TIMESTAMP, effective_end_date TIMESTAMP, " +
-            "is_current BOOLEAN")
-          .parquet(src)
-          .writeStream
-          .option("checkpointLocation", chk)
-          .outputMode("append")
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            if (!batch.isEmpty) {
-              val sp = batch.sparkSession
-              val merged = Scd2.merge(sp.read.table("graft_st20.dim"), batch,
-                  Seq("order_id"), Seq("status", "total"))
-                .localCheckpoint(true)
-              merged.write.mode("overwrite").saveAsTable("graft_st20.dim")
-            }
-          }
-          .start()
-        q.awaitTermination()
-      }
-      shape(o.filter(col("o_orderkey") % 2 === 0),
-          when(col("o_orderkey") % 6 === 0, lit("X"))
-            .otherwise(col("o_orderstatus")),
-          expr("o_orderdate + INTERVAL 1 DAY"))
-        .coalesce(1).write.mode("append").parquet(src)
-      runOnce() // increment 1: even-key changes + % 10 = 8 inserts
-      shape(o.filter(col("o_orderkey") % 3 === 0), lit("Y"),
-          expr("o_orderdate + INTERVAL 2 DAY"))
-        .coalesce(1).write.mode("append").parquet(src)
-      runOnce() // increment 2: % 3 = 0 re-updates — versions must chain
-      Registry.decimalsToDouble(s.read.table("graft_st20.dim"))
+      // (Chain body shared with st22's integrity audit — streamCdcScd2.)
+      Registry.decimalsToDouble(streamCdcScd2(s, dir, "st20"))
         .orderBy("order_id", "effective_start_date", "is_current")
-    }, Some("""WITH t0 AS (
-              |  SELECT CAST(o_orderkey AS VARCHAR) AS order_id,
-              |    o_orderstatus AS status,
-              |    CAST(o_totalprice AS DECIMAL(12,2)) AS total,
-              |    o_orderdate AS effective_start_date,
-              |    CAST(NULL AS TIMESTAMP) AS effective_end_date,
-              |    TRUE AS is_current
-              |  FROM orders WHERE o_orderkey % 10 < 8),
-              |s1 AS (
-              |  SELECT CAST(o_orderkey AS VARCHAR) AS order_id,
-              |    CASE WHEN o_orderkey % 6 = 0 THEN 'X' ELSE o_orderstatus END AS status,
-              |    CAST(o_totalprice AS DECIMAL(12,2)) AS total,
-              |    o_orderdate + INTERVAL 1 DAY AS effective_start_date,
-              |    CAST(NULL AS TIMESTAMP) AS effective_end_date,
-              |    TRUE AS is_current
-              |  FROM orders WHERE o_orderkey % 2 = 0),
-              |chg1 AS (SELECT c.order_id FROM t0 c JOIN s1 s USING (order_id)
-              |  WHERE (c.status IS DISTINCT FROM s.status)
-              |     OR (c.total IS DISTINCT FROM s.total)),
-              |m1 AS (
-              |  SELECT c.* FROM t0 c
-              |  WHERE c.order_id NOT IN (SELECT order_id FROM chg1)
-              |  UNION ALL
-              |  SELECT c.order_id, c.status, c.total, c.effective_start_date,
-              |    s.effective_start_date, FALSE
-              |  FROM t0 c JOIN s1 s USING (order_id)
-              |  WHERE c.order_id IN (SELECT order_id FROM chg1)
-              |  UNION ALL
-              |  SELECT s.* FROM s1 s
-              |  WHERE s.order_id IN (SELECT order_id FROM chg1)
-              |  UNION ALL
-              |  SELECT s.* FROM s1 s
-              |  WHERE s.order_id NOT IN (SELECT order_id FROM t0)),
-              |cur1 AS (SELECT * FROM m1 WHERE is_current),
-              |hist1 AS (SELECT * FROM m1 WHERE NOT is_current),
-              |s2 AS (
-              |  SELECT CAST(o_orderkey AS VARCHAR) AS order_id,
-              |    'Y' AS status,
-              |    CAST(o_totalprice AS DECIMAL(12,2)) AS total,
-              |    o_orderdate + INTERVAL 2 DAY AS effective_start_date,
-              |    CAST(NULL AS TIMESTAMP) AS effective_end_date,
-              |    TRUE AS is_current
-              |  FROM orders WHERE o_orderkey % 3 = 0),
-              |chg2 AS (SELECT c.order_id FROM cur1 c JOIN s2 s USING (order_id)
-              |  WHERE (c.status IS DISTINCT FROM s.status)
-              |     OR (c.total IS DISTINCT FROM s.total)),
-              |m2 AS (
-              |  SELECT * FROM hist1
-              |  UNION ALL
-              |  SELECT c.* FROM cur1 c
-              |  WHERE c.order_id NOT IN (SELECT order_id FROM chg2)
-              |  UNION ALL
-              |  SELECT c.order_id, c.status, c.total, c.effective_start_date,
-              |    s.effective_start_date, FALSE
-              |  FROM cur1 c JOIN s2 s USING (order_id)
-              |  WHERE c.order_id IN (SELECT order_id FROM chg2)
-              |  UNION ALL
-              |  SELECT s.* FROM s2 s
-              |  WHERE s.order_id IN (SELECT order_id FROM chg2)
-              |  UNION ALL
-              |  SELECT s.* FROM s2 s
-              |  WHERE s.order_id NOT IN (SELECT order_id FROM cur1))
+    }, Some(s"""WITH $cdcScd2Ctes
               |SELECT * EXCLUDE (total), CAST(total AS DOUBLE) AS total FROM m2
               |ORDER BY order_id, effective_start_date, is_current""".stripMargin)),
 
@@ -1486,5 +1504,49 @@ object StreamingQueries {
               |SELECT rec_id FROM recs
               |WHERE rec_id % 2 = 0
               |   OR rec_id NOT IN (SELECT rec_id FROM coll)
-              |ORDER BY rec_id""".stripMargin)))
+              |ORDER BY rec_id""".stripMargin)),
+
+    "st22_stream_scd2_audit" -> Q((s, dir) => {
+      // SCD2 integrity at the STREAMING boundary (r13 verdict item 7):
+      // the dq_scd2_integrity audit run as the post-condition of the
+      // st20 streaming CDC chain — the streamed dimension is
+      // invariant-CHECKED (at-most-one-current, closed-rows-closed,
+      // current-rows-open, no overlaps/gaps), not just oracle-matched.
+      // A healthy chain reads all seven violation counters ZERO (every
+      // close sets end = successor start, so even keys_gapped is 0);
+      // the oracle REPLAYS the audit over its own replay of both merges
+      // (shared cdcScd2Ctes), so an audit that under- or over-counts,
+      // or a merge that breaks an invariant, diverges rather than
+      // comparing against hard-coded zeros.
+      graft.quality.Checks.scd2IntegrityReport(
+        streamCdcScd2(s, dir, "st22"), "order_id")
+    }, Some(s"""WITH $cdcScd2Ctes,
+              |r AS (SELECT order_id AS k, effective_start_date AS st,
+              |    effective_end_date AS e, is_current AS c,
+              |    lag(effective_end_date) OVER w AS prev_e,
+              |    lag(effective_start_date) OVER w IS NOT NULL AS has_prev
+              |  FROM m2 WINDOW w AS (PARTITION BY order_id
+              |    ORDER BY effective_start_date, is_current,
+              |      effective_end_date NULLS FIRST)),
+              |pk AS (SELECT k,
+              |    SUM(CASE WHEN c THEN 1 ELSE 0 END) AS n_cur,
+              |    SUM(CASE WHEN NOT c AND e IS NULL THEN 1 ELSE 0 END) AS n_open,
+              |    SUM(CASE WHEN c AND e IS NOT NULL THEN 1 ELSE 0 END) AS n_cwe,
+              |    SUM(CASE WHEN has_prev AND (prev_e IS NULL OR prev_e > st)
+              |      THEN 1 ELSE 0 END) AS n_ov,
+              |    SUM(CASE WHEN has_prev AND prev_e IS NOT NULL AND prev_e < st
+              |      THEN 1 ELSE 0 END) AS n_gap
+              |  FROM r GROUP BY k)
+              |SELECT count(*) AS n_keys,
+              |  CAST(SUM(CASE WHEN n_cur > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS keys_multi_current,
+              |  CAST(SUM(CASE WHEN n_cur = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS keys_no_current,
+              |  CAST(SUM(n_open) AS BIGINT) AS rows_open_noncurrent,
+              |  CAST(SUM(n_cwe) AS BIGINT) AS rows_current_with_end,
+              |  CAST(SUM(CASE WHEN n_ov > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS keys_overlapping,
+              |  CAST(SUM(CASE WHEN n_gap > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS keys_gapped
+              |FROM pk""".stripMargin)))
 }
