@@ -132,6 +132,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Fresh warehouse per session (same as Verify): the streaming gates
+      // create catalog tables, and a PERSISTENT ./spark-warehouse from a
+      // previous JVM + a fresh metastore = LOCATION_ALREADY_EXISTS on the
+      // first saveAsTable (bit the first cross-session streaming bench).
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_bench_wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Local-iteration subset (comma-separated names); the driver never

@@ -1195,7 +1195,7 @@ object StreamingQueries {
                |WHERE doc_id % 8 IN (0, 2)
                |   OR doc_id NOT IN (SELECT doc_id FROM tcoll
                |                     UNION SELECT doc_id FROM icoll)
-               |ORDER BY doc_id""".stripMargin)),
+               |ORDER BY doc_id""".stripMargin), bench = true),
 
     "st18_stream_embedding_dedup" -> Q((s, dir) => {
       // Streaming EMBEDDING (semantic) near-dup ingest — the fifth
@@ -1295,7 +1295,7 @@ object StreamingQueries {
          |WHERE vec_id % 8 IN (0, 2)
          |   OR vec_id NOT IN (SELECT vec_id FROM coll)
          |ORDER BY vec_id""".stripMargin
-    }),
+    }, bench = true),
 
     "st19_stream_content_registry" -> Q((s, dir) => {
       // Streaming CONTENT-ID REGISTRY — the service shape of the batch
@@ -1419,7 +1419,7 @@ object StreamingQueries {
         .orderBy("order_id", "effective_start_date", "is_current")
     }, Some(s"""WITH $cdcScd2Ctes
               |SELECT * EXCLUDE (total), CAST(total AS DOUBLE) AS total FROM m2
-              |ORDER BY order_id, effective_start_date, is_current""".stripMargin)),
+              |ORDER BY order_id, effective_start_date, is_current""".stripMargin), bench = true),
 
     "st21_stream_entity_resolution" -> Q((s, dir) => {
       // Streaming ENTITY RESOLUTION ingest — record linkage at ingest
@@ -1504,7 +1504,7 @@ object StreamingQueries {
               |SELECT rec_id FROM recs
               |WHERE rec_id % 2 = 0
               |   OR rec_id NOT IN (SELECT rec_id FROM coll)
-              |ORDER BY rec_id""".stripMargin)),
+              |ORDER BY rec_id""".stripMargin), bench = true),
 
     "st22_stream_scd2_audit" -> Q((s, dir) => {
       // SCD2 integrity at the STREAMING boundary (r13 verdict item 7):
