@@ -254,9 +254,16 @@ object Multimodal {
     require(bpp == 24 && compression == 0,
       s"only 24-bit uncompressed BMP supported (bpp=$bpp, compression=$compression)")
     require(w > 0 && h > 0, s"bad BMP dimensions ${w}x$rawH")
-    val stride = ((w * 3 + 3) / 4) * 4
-    require(payload.length >= dataOffset + stride.toLong * h,
-      s"truncated BMP: need ${stride.toLong * h} pixel bytes at offset $dataOffset")
+    // All size math in Long: a fuzzed w near 2^30 overflows Int stride to
+    // a NEGATIVE value, which would slip the bounds require and surface
+    // as AIOOBE/NegativeArraySize from the copy loop instead of a loud
+    // reject (CodecFuzzSpec). Once the Long bound holds, every Int cast
+    // below is exact (stride*h <= payload.length <= Int.MaxValue).
+    require(dataOffset >= 54, s"bad BMP data offset $dataOffset")
+    val strideL = ((w.toLong * 3 + 3) / 4) * 4
+    require(payload.length >= dataOffset + strideL * h,
+      s"truncated BMP: need ${strideL * h} pixel bytes at offset $dataOffset")
+    val stride = strideL.toInt
     val pixels = new Array[Byte](w * 3 * h)
     var row = 0
     while (row < h) {
@@ -560,48 +567,61 @@ object Multimodal {
     * samples. Narrow mapPartitions, no shuffle; the real payload bytes
     * are the only input, so a header-offset or endianness bug changes
     * every downstream feature. */
+  /** Pure-JVM RIFF/WAVE chunk walk → (sampleRate, PCM samples). Hoisted
+    * out of [[decodeWavPcm]]'s closure so the fuzz harness
+    * (CodecFuzzSpec) can drive it directly with mutated payloads; every
+    * corrupt shape must die in a `require`, never an AIOOBE or a
+    * non-advancing loop. */
+  private[llm] def wavPcmSamples(p: Array[Byte]): (Int, Array[Int]) = {
+    def le32(off: Int): Int = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
+      ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
+    def le16(off: Int): Int = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+    def tag(off: Int): String = new String(p, off, 4, "US-ASCII")
+    require(p.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      "not a RIFF/WAVE payload")
+    var off = 12
+    var sampleRate = -1
+    var samples: Array[Int] = null
+    while (off + 8 <= p.length && (sampleRate < 0 || samples == null)) {
+      val id4 = tag(off); val sz = le32(off + 4)
+      // Validate the declared chunk size BEFORE dispatching: a
+      // corrupt payload with sz past the buffer would otherwise
+      // throw a raw AIOOBE from the sample extraction, and a
+      // negative sz (high bit set) would make `off += 8 + sz`
+      // non-advancing — an infinite loop in an executor task.
+      // Fail loudly instead, like bmpPixelsTopDown's truncation
+      // check (r12 advice).
+      require(sz >= 0 && off + 8 + sz.toLong <= p.length,
+        s"corrupt RIFF chunk '$id4' at byte $off: declared size $sz " +
+          s"exceeds payload (${p.length} bytes)")
+      if (id4 == "fmt ") {
+        // The fmt reads below reach off+23; a fuzzed short chunk at the
+        // payload tail would AIOOBE without this (CodecFuzzSpec).
+        require(sz >= 16, s"short fmt chunk ($sz bytes)")
+        require(le16(off + 8) == 1 && le16(off + 10) == 1 &&
+          le16(off + 22) == 16,
+          "only PCM mono 16-bit WAV supported")
+        sampleRate = le32(off + 12)
+      } else if (id4 == "data") {
+        val n = sz / 2
+        samples = Array.tabulate(n) { i =>
+          val v = le16(off + 8 + 2 * i)
+          if (v >= 32768) v - 65536 else v
+        }
+      }
+      off += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    require(sampleRate > 0 && samples != null, "missing fmt/data chunk")
+    (sampleRate, samples)
+  }
+
   def decodeWavPcm(spark: SparkSession, df: DataFrame): DataFrame = {
     import spark.implicits._
     df.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, p) =>
-          def le32(off: Int): Int = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
-            ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
-          def le16(off: Int): Int = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
-          def tag(off: Int): String = new String(p, off, 4, "US-ASCII")
-          require(p.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
-            "not a RIFF/WAVE payload")
-          var off = 12
-          var sampleRate = -1
-          var samples: Array[Int] = null
-          while (off + 8 <= p.length && (sampleRate < 0 || samples == null)) {
-            val id4 = tag(off); val sz = le32(off + 4)
-            // Validate the declared chunk size BEFORE dispatching: a
-            // corrupt payload with sz past the buffer would otherwise
-            // throw a raw AIOOBE from the sample extraction, and a
-            // negative sz (high bit set) would make `off += 8 + sz`
-            // non-advancing — an infinite loop in an executor task.
-            // Fail loudly instead, like bmpPixelsTopDown's truncation
-            // check (r12 advice).
-            require(sz >= 0 && off + 8 + sz.toLong <= p.length,
-              s"corrupt RIFF chunk '$id4' at byte $off: declared size $sz " +
-                s"exceeds payload (${p.length} bytes)")
-            if (id4 == "fmt ") {
-              require(le16(off + 8) == 1 && le16(off + 10) == 1 &&
-                le16(off + 22) == 16,
-                "only PCM mono 16-bit WAV supported")
-              sampleRate = le32(off + 12)
-            } else if (id4 == "data") {
-              val n = sz / 2
-              samples = Array.tabulate(n) { i =>
-                val v = le16(off + 8 + 2 * i)
-                if (v >= 32768) v - 65536 else v
-              }
-            }
-            off += 8 + sz + (sz & 1) // chunks are word-aligned
-          }
-          require(sampleRate > 0 && samples != null, "missing fmt/data chunk")
+          val (sampleRate, samples) = wavPcmSamples(p)
           (id, sampleRate, samples.length, samples)
         }
       }
@@ -812,92 +832,106 @@ object Multimodal {
     * AIOOBE or a non-advancing loop); the avih dwTotalFrames count is
     * cross-checked against the movi walk. Narrow mapPartitions — no
     * shuffle, scales with input splits. */
+  /** Pure-JVM RIFF/AVI chunk walk → (width, height, grayscale frames).
+    * Hoisted out of [[decodeAviFrames]]'s closure so the fuzz harness
+    * (CodecFuzzSpec) can drive it directly with mutated payloads; every
+    * corrupt shape must die in a `require`, never an AIOOBE or a
+    * non-advancing loop. */
+  private[llm] def aviGrayFrames(p: Array[Byte]): (Int, Int, Seq[Array[Int]]) = {
+    def le32(off: Int): Int = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
+      ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
+    def le16(off: Int): Int = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+    def tag(off: Int): String = new String(p, off, 4, "US-ASCII")
+    require(p.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI ",
+      "not a RIFF/AVI payload")
+    var declaredFrames = -1
+    var w = -1; var h = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def checkedSize(off: Int): Int = {
+      val sz = le32(off + 4)
+      require(sz >= 0 && off + 8 + sz.toLong <= p.length,
+        s"corrupt RIFF chunk '${tag(off)}' at byte $off: declared size " +
+          s"$sz exceeds payload (${p.length} bytes)")
+      sz
+    }
+    // walk(from, to): iterate sibling chunks, descending into the LIST
+    // types that matter (hdrl/strl/movi).
+    def walk(from: Int, to: Int): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val id4 = tag(off); val sz = checkedSize(off)
+        if (id4 == "LIST" && sz >= 4) {
+          tag(off + 8) match {
+            case "hdrl" | "strl" => walk(off + 12, off + 8 + sz)
+            case "movi" => walk(off + 12, off + 8 + sz)
+            case _ => // INFO etc: opaque
+          }
+        } else id4 match {
+          case "avih" =>
+            require(sz >= 40, s"short avih chunk ($sz bytes)")
+            declaredFrames = le32(off + 8 + 16)
+            require(le32(off + 8 + 24) == 1,
+              "only single-stream AVI supported")
+          case "strh" =>
+            require(sz >= 8, s"short strh chunk ($sz bytes)")
+            val fcc = tag(off + 8); val handler = tag(off + 12)
+            require(fcc == "vids" && (handler == "DIB " || handler == "    "),
+              s"only uncompressed 'vids'/'DIB ' streams supported " +
+                s"(got '$fcc'/'$handler')")
+          case "strf" =>
+            require(sz >= 40, s"short strf chunk ($sz bytes)")
+            w = le32(off + 8 + 4); h = le32(off + 8 + 8)
+            val bpp = le16(off + 8 + 14); val compression = le32(off + 8 + 16)
+            require(bpp == 24 && compression == 0,
+              s"only 24-bit uncompressed DIB frames supported " +
+                s"(bpp=$bpp, compression=$compression)")
+            require(w > 0 && h > 0, s"bad frame dimensions ${w}x$h")
+          case "00db" =>
+            require(w > 0 && h > 0, "frame chunk before stream format")
+            // Long stride: a fuzzed strf width near 2^30 overflows the
+            // Int product, and an overflowed stride*h could collide with
+            // a corrupted sz and pass (CodecFuzzSpec hardening).
+            val stride = ((w.toLong * 3 + 3) / 4) * 4
+            require(sz.toLong == stride * h,
+              s"frame chunk size $sz != ${stride * h} (${w}x$h stride $stride)")
+            frames += java.util.Arrays.copyOfRange(p, off + 8, off + 8 + sz)
+          case _ => // JUNK / idx1 / unknown: opaque
+        }
+        off += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, 8 + checkedSize(0))
+    require(declaredFrames == frames.length,
+      s"avih declares $declaredFrames frames, movi carries ${frames.length}")
+    val grays = frames.toSeq.map { plane =>
+      val stride = ((w * 3 + 3) / 4) * 4
+      val gray = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        val srcRow = h - 1 - y // DIB planes are bottom-up
+        var x = 0
+        while (x < w) {
+          val o = srcRow * stride + 3 * x
+          val b = plane(o) & 0xff
+          val g = plane(o + 1) & 0xff
+          val r = plane(o + 2) & 0xff
+          gray(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      gray
+    }
+    (w, h, grays)
+  }
+
   def decodeAviFrames(spark: SparkSession, df: DataFrame): DataFrame = {
     import spark.implicits._
     df.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, p) =>
-        def le32(off: Int): Int = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
-          ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
-        def le16(off: Int): Int = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
-        def tag(off: Int): String = new String(p, off, 4, "US-ASCII")
-        require(p.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI ",
-          "not a RIFF/AVI payload")
-        var declaredFrames = -1
-        var w = -1; var h = -1
-        val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-        def checkedSize(off: Int): Int = {
-          val sz = le32(off + 4)
-          require(sz >= 0 && off + 8 + sz.toLong <= p.length,
-            s"corrupt RIFF chunk '${tag(off)}' at byte $off: declared size " +
-              s"$sz exceeds payload (${p.length} bytes)")
-          sz
-        }
-        // walk(from, to, ctx): iterate sibling chunks, descending into
-        // the LIST types that matter (hdrl/strl/movi).
-        def walk(from: Int, to: Int): Unit = {
-          var off = from
-          while (off + 8 <= to) {
-            val id4 = tag(off); val sz = checkedSize(off)
-            if (id4 == "LIST" && sz >= 4) {
-              tag(off + 8) match {
-                case "hdrl" | "strl" => walk(off + 12, off + 8 + sz)
-                case "movi" => walk(off + 12, off + 8 + sz)
-                case _ => // INFO etc: opaque
-              }
-            } else id4 match {
-              case "avih" =>
-                require(sz >= 40, s"short avih chunk ($sz bytes)")
-                declaredFrames = le32(off + 8 + 16)
-                require(le32(off + 8 + 24) == 1,
-                  "only single-stream AVI supported")
-              case "strh" =>
-                require(sz >= 8, s"short strh chunk ($sz bytes)")
-                val fcc = tag(off + 8); val handler = tag(off + 12)
-                require(fcc == "vids" && (handler == "DIB " || handler == "    "),
-                  s"only uncompressed 'vids'/'DIB ' streams supported " +
-                    s"(got '$fcc'/'$handler')")
-              case "strf" =>
-                require(sz >= 40, s"short strf chunk ($sz bytes)")
-                w = le32(off + 8 + 4); h = le32(off + 8 + 8)
-                val bpp = le16(off + 8 + 14); val compression = le32(off + 8 + 16)
-                require(bpp == 24 && compression == 0,
-                  s"only 24-bit uncompressed DIB frames supported " +
-                    s"(bpp=$bpp, compression=$compression)")
-                require(w > 0 && h > 0, s"bad frame dimensions ${w}x$h")
-              case "00db" =>
-                require(w > 0 && h > 0, "frame chunk before stream format")
-                val stride = ((w * 3 + 3) / 4) * 4
-                require(sz == stride * h,
-                  s"frame chunk size $sz != ${stride * h} (${w}x$h stride $stride)")
-                frames += java.util.Arrays.copyOfRange(p, off + 8, off + 8 + sz)
-              case _ => // JUNK / idx1 / unknown: opaque
-            }
-            off += 8 + sz + (sz & 1) // chunks are word-aligned
-          }
-        }
-        walk(12, 8 + checkedSize(0))
-        require(declaredFrames == frames.length,
-          s"avih declares $declaredFrames frames, movi carries ${frames.length}")
-        frames.iterator.zipWithIndex.map { case (plane, idx) =>
-          val stride = ((w * 3 + 3) / 4) * 4
-          val gray = new Array[Int](w * h)
-          var y = 0
-          while (y < h) {
-            val srcRow = h - 1 - y // DIB planes are bottom-up
-            var x = 0
-            while (x < w) {
-              val o = srcRow * stride + 3 * x
-              val b = plane(o) & 0xff
-              val g = plane(o + 1) & 0xff
-              val r = plane(o + 2) & 0xff
-              gray(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
-              x += 1
-            }
-            y += 1
-          }
-          (id, idx, w, h, gray)
-        }
+        val (w, h, grays) = aviGrayFrames(p)
+        grays.iterator.zipWithIndex.map { case (gray, idx) => (id, idx, w, h, gray) }
       }
       .toDF("doc_id", "frame_idx", "width", "height", "gray")
   }
