@@ -131,6 +131,12 @@ def main() -> None:
         con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
     if "GRAFT_DUCKDB_THREADS" in os.environ:
         con.execute(f"SET threads TO {int(os.environ['GRAFT_DUCKDB_THREADS'])}")
+    # An in-memory duckdb connection has NO temp directory, so an
+    # over-limit operator hard-OOMs instead of spilling (bit the sf30
+    # audio oracle: the materialized 192M-row sample census needs spill).
+    if "GRAFT_DUCKDB_TEMP" in os.environ:
+        os.makedirs(os.environ["GRAFT_DUCKDB_TEMP"], exist_ok=True)
+        con.execute(f"SET temp_directory='{os.environ['GRAFT_DUCKDB_TEMP']}'")
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if not p.exists():

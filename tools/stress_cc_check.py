@@ -265,6 +265,12 @@ def main():
         con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
     if "GRAFT_DUCKDB_THREADS" in os.environ:
         con.execute(f"SET threads TO {int(os.environ['GRAFT_DUCKDB_THREADS'])}")
+    # In-memory connections have NO temp directory — over-limit operators
+    # hard-OOM instead of spilling (same knob as tools/check.py, r14).
+    if "GRAFT_DUCKDB_TEMP" in os.environ:
+        os.makedirs(os.environ["GRAFT_DUCKDB_TEMP"], exist_ok=True)
+        con.execute(
+            f"SET temp_directory='{os.environ['GRAFT_DUCKDB_TEMP']}'")
     table_pat = {}
     for t in TABLES:
         # driver testdata is single files; stress corpora are directories
