@@ -173,7 +173,12 @@ def check_components(con, name, sql, parts, out_dir, chunks):
     for s, d in zip(edges[a].to_numpy(), edges[b].to_numpy()):
         uf.union(int(s), int(d))
     ids = list(uf.p.keys())
-    comp = pd.DataFrame({"id": ids, "component": [uf.find(i) for i in ids]})
+    # int64 explicitly: an EMPTY edge set defaults the columns to float64,
+    # and a downstream coalesce(component, doc_id) then promotes to DOUBLE
+    # — "238129.0" md5-hashes differently from "238129" (sf10 curation).
+    comp = pd.DataFrame({"id": pd.array(ids, dtype="int64"),
+                         "component": pd.array([uf.find(i) for i in ids],
+                                               dtype="int64")})
     con.register("uf_comps", comp)
     full = (prefix + ", comps AS (SELECT id, component FROM uf_comps)" + tail)
     return compare(con, name, full, out_dir, f", {len(edges)} edges")

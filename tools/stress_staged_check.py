@@ -72,14 +72,38 @@ def balanced_span(sql: str, start: int) -> int:
 CTE_HEAD = re.compile(r"\s*(\w+)\s+AS\s+(?:MATERIALIZED\s+)?\(", re.IGNORECASE)
 
 
+class UF:
+    """Union-find with min-id roots — labels match the recursive CTE's
+    min(comp) fixpoint (same structure as stress_cc_check.py)."""
+
+    def __init__(self):
+        self.p = {}
+
+    def find(self, x):
+        p = self.p
+        r = x
+        while p.setdefault(r, r) != r:
+            r = p[r]
+        while p[x] != r:
+            p[x], x = r, p[x]
+        return r
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            self.p[rb] = ra
+
+
 def split_ctes(sql: str):
-    """-> (ctes: list[(name, body)], final_select: str). Raises on
-    RECURSIVE (out of scope)."""
+    """-> (ctes: list[(name, body)], final_select: str). RECURSIVE is
+    accepted only for the edges→reach→comps component idiom, which the
+    runner swaps for exact union-find (stage 'reach' is skipped, stage
+    'comps' is computed in Python from the materialized edges table)."""
     m = re.match(r"\s*WITH\s+(RECURSIVE\s+)?", sql, re.IGNORECASE)
     if not m:
         return [], sql
-    if m.group(1):
-        raise ValueError("RECURSIVE oracle: use stress_cc_check.py")
     pos = m.end()
     ctes = []
     while True:
@@ -148,6 +172,30 @@ def main() -> None:
         slices[cte] = (key, int(n))
 
     for name, body in ctes:
+        if name == "reach":
+            continue  # swapped for union-find at the comps stage
+        if name == "comps":
+            import pandas as pd
+            edges = con.execute("SELECT * FROM edges").fetch_df()
+            a, b = edges.columns[0], edges.columns[1]
+            uf = UF()
+            for s, d in zip(edges[a].to_numpy(), edges[b].to_numpy()):
+                uf.union(int(s), int(d))
+            ids = list(uf.p.keys())
+            # int64 explicitly: an EMPTY edge set would otherwise default
+            # the columns to float64, and coalesce(component, doc_id)
+            # downstream promotes to DOUBLE — "238129.0" md5-hashes
+            # differently from "238129" (bit the sf10 curation check).
+            comp = pd.DataFrame(
+                {"id": pd.array(ids, dtype="int64"),
+                 "component": pd.array([uf.find(i) for i in ids],
+                                       dtype="int64")})
+            con.register("uf_comps", comp)
+            con.execute(
+                "CREATE TABLE comps AS SELECT id, component FROM uf_comps")
+            print(f"  stage comps: union-find over {len(edges)} edges "
+                  f"-> {len(ids)} labeled nodes", flush=True)
+            continue
         if name in slices:
             key, n = slices[name]
             con.execute(
