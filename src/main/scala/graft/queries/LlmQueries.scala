@@ -271,7 +271,9 @@ object LlmQueries {
 
   // 5-gram shingle CTE (decontamination uses longer shingles than the
   // n=3 dedup chain: short shingles flag common phrases, not leakage).
-  private val sh5Cte = {
+  // Shared with the streaming curation gate (StreamingQueries st23) so
+  // the batch and streaming decontamination replays can never fork.
+  private[queries] val sh5Cte = {
     val parts = (0 until 5).map(j => s"t[i+$j]").mkString(" || ' ' || ")
     s"""sh5 AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM (
        |  SELECT doc_id, unnest(
@@ -280,6 +282,28 @@ object LlmQueries {
        |      ELSE [array_to_string(t, ' ')] END) AS shingle
        |  FROM toks))""".stripMargin
   }
+
+  // Quality keep-set over ALL documents at the curation thresholds
+  // (TextOps.qualityFilter: minTokens 20, maxTokens 100000,
+  // maxPunctRatio 0.06, minStopwordRatio 0.05) — the null-safe
+  // `(x > t) IS NOT TRUE` spelling matches qualityFilter's when()
+  // semantics on empty text. Shared by llm_curation_pipeline's inline
+  // twin and the streaming curation gate (st23) so the threshold
+  // spellings can never fork.
+  private[queries] val qualKeepAllCtes: String =
+    s"""qstats_all AS (SELECT doc_id,
+       |    len(string_split($normSql, ' ')) AS n_tokens,
+       |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) /
+       |      NULLIF(CAST(length(text) AS DOUBLE), 0) AS punct_ratio,
+       |    CAST(len(regexp_extract_all(lower(text),
+       |        '\\b(the|a|an|and|of|to|in|is|it)\\b')) AS DOUBLE) /
+       |      NULLIF(CAST(len(string_split($normSql, ' ')) AS DOUBLE), 0)
+       |      AS stopword_ratio
+       |  FROM documents),
+       |qual_keep_all AS (SELECT doc_id FROM qstats_all
+       |  WHERE n_tokens >= 20 AND n_tokens <= 100000
+       |    AND (punct_ratio > 0.06) IS NOT TRUE
+       |    AND (stopword_ratio < 0.05) IS NOT TRUE)""".stripMargin
 
   // sigs → bands → lsh_pairs CTE chain shared by the LSH-pair gate and
   // the cluster gate. Mirrors Dedup.windowHash: 8-hex-char (32-bit)

@@ -1548,5 +1548,169 @@ object StreamingQueries {
               |    AS keys_overlapping,
               |  CAST(SUM(CASE WHEN n_gap > 0 THEN 1 ELSE 0 END) AS BIGINT)
               |    AS keys_gapped
-              |FROM pk""".stripMargin)))
+              |FROM pk""".stripMargin)),
+
+    "st23_stream_curation" -> Q((s, dir) => {
+      // Streaming CORPUS CURATION — the batch llm_curation_pipeline's
+      // ingest-time stages run CONTINUOUSLY, per increment, against the
+      // standing accepted corpus, with per-document drop attribution:
+      //   url_dedup (canonical-URL probe vs the accepted URL index) →
+      //   quality_filter (stateless projection, the batch thresholds) →
+      //   fuzzy_dedup (LSH band probe vs the accepted band index, st13's
+      //   machinery) → decontaminate (5-gram overlap vs the STATIC eval
+      //   holdout, doc_id < 10). Survivors append their doc row, their
+      //   url_norm, and their 4 LSH bands to the accepted state — so a
+      //   doc dropped by quality or decon can never poison the URL/band
+      //   indexes (the indexes hold the ACCEPTED corpus, exactly what
+      //   the batch chain's survivor frames are). The batch chain's
+      //   tail stages (cluster split, sequence packing) are nightly
+      //   batch jobs over the accepted corpus, not ingest decisions —
+      //   they stay in llm_curation_pipeline.
+      // Output: ONE ROW PER STREAMED DOC with (increment, outcome ∈
+      // accepted|url_dup|quality|fuzzy_dup|contaminated) — stronger
+      // than the batch gate's stage counts: the oracle must agree on
+      // every document's fate, not just the tallies. State dependency
+      // is load-bearing: an odd %10=7 doc drops at url_dedup ONLY if
+      // its even URL-partner survived all of increment 1's stages into
+      // the accepted index. Intra-increment collisions are deliberately
+      // not judged (st13's pinned contract); each increment is one
+      // coalesced file and maxFilesPerTrigger stays unset.
+      import graft.llm.{Dedup, TextOps}
+      val base = tmp("graft_st23")
+      val src = s"$base/in"; val chk = s"$base/chk"
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_st23")
+      Seq("outcomes", "accepted_urls", "accepted_bands").foreach(t =>
+        s.sql(s"DROP TABLE IF EXISTS graft_st23.$t"))
+      val urlExpr = expr("""CASE CAST(doc_id % 3 AS INT)
+        |  WHEN 0 THEN concat('https://Docs.Example.com/d/', g, '?id=', g)
+        |  WHEN 1 THEN concat('HTTPS://WWW.DOCS.EXAMPLE.COM:443/d/', g, '?id=', g, '#frag')
+        |  ELSE concat('https://docs.example.com/d/', g, '/?id=', g, '&utm_source=x')
+        |END""".stripMargin)
+      def withUrlNorm(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("g", expr(
+            "CAST(CASE WHEN doc_id % 10 = 7 THEN doc_id - 1 ELSE doc_id END AS STRING)"))
+          .withColumn("url_norm", TextOps.normalizeUrl(urlExpr)).drop("g")
+      def bandsOf(df: org.apache.spark.sql.DataFrame) =
+        Dedup.lshBands(Dedup.minhashSignaturesNative(
+          Dedup.shingleArray(df, "doc_id", "text", 3), "doc_id", 8), "doc_id", 8, 2)
+      def runOnce(): Unit = {
+        val q = s.readStream
+          .schema("doc_id BIGINT, text STRING")
+          .parquet(src)
+          .writeStream
+          .option("checkpointLocation", chk)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            if (!batch.isEmpty) {
+              val sp = batch.sparkSession
+              val inc = lit(batchId + 1).cast("int")
+              val withUrl = withUrlNorm(batch).localCheckpoint(true)
+              val urlDrop =
+                if (sp.catalog.tableExists("graft_st23.accepted_urls"))
+                  withUrl.join(sp.read.table("graft_st23.accepted_urls"),
+                      Seq("url_norm"), "left_semi")
+                    .select("doc_id").localCheckpoint(true)
+                else batch.select("doc_id").limit(0).localCheckpoint(true)
+              val u = batch.join(urlDrop, Seq("doc_id"), "left_anti")
+              val qualFlags = TextOps.qualityFilter(u,
+                  minTokens = 20, maxTokens = 100000,
+                  maxPunctRatio = 0.06, minStopwordRatio = 0.05)
+              val qualDrop = qualFlags.filter(!col("keep"))
+                .select("doc_id").localCheckpoint(true)
+              val q2 = u.join(qualDrop, Seq("doc_id"), "left_anti")
+                .localCheckpoint(true)
+              val nb = bandsOf(q2).localCheckpoint(true)
+              val fuzzyDrop =
+                if (sp.catalog.tableExists("graft_st23.accepted_bands"))
+                  nb.join(sp.read.table("graft_st23.accepted_bands"),
+                      Seq("band", "band_hash"), "left_semi")
+                    .select("doc_id").distinct().localCheckpoint(true)
+                else batch.select("doc_id").limit(0).localCheckpoint(true)
+              val f = q2.join(fuzzyDrop, Seq("doc_id"), "left_anti")
+              val evalDocs = Registry.T(sp, dir, "documents")
+                .filter(col("doc_id") < 10).select("doc_id", "text")
+              val d = Dedup.decontaminate(f, evalDocs, "doc_id", "text", 5)
+                .localCheckpoint(true)
+              val contamDrop = f.join(d.select("doc_id"), Seq("doc_id"), "left_anti")
+                .select("doc_id").localCheckpoint(true)
+              def tag(ids: org.apache.spark.sql.DataFrame, o: String) =
+                ids.select(col("doc_id"), inc.as("increment"), lit(o).as("outcome"))
+              tag(d.select("doc_id"), "accepted")
+                .unionByName(tag(urlDrop, "url_dup"))
+                .unionByName(tag(qualDrop, "quality"))
+                .unionByName(tag(fuzzyDrop, "fuzzy_dup"))
+                .unionByName(tag(contamDrop, "contaminated"))
+                .write.mode("append").saveAsTable("graft_st23.outcomes")
+              withUrl.join(d.select("doc_id"), Seq("doc_id"), "left_semi")
+                .select("url_norm")
+                .write.mode("append").saveAsTable("graft_st23.accepted_urls")
+              nb.join(d.select("doc_id"), Seq("doc_id"), "left_semi")
+                .write.mode("append").saveAsTable("graft_st23.accepted_bands")
+            }
+          }
+          .start()
+        q.awaitTermination()
+      }
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") >= 10)
+      docs.filter(col("doc_id") % 2 === 0)
+        .coalesce(1).write.mode("append").parquet(src)
+      runOnce() // increment 1: evens — URL/band indexes empty, qual+decon bite
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .coalesce(1).write.mode("append").parquet(src)
+      runOnce() // increment 2: odds — probed against increment 1's survivors
+      s.read.table("graft_st23.outcomes").orderBy("doc_id")
+    }, Some(s"""WITH ${LlmQueries.toksCte}, ${LlmQueries.shCte},
+              |${LlmQueries.lshSigBandsCtes},
+              |${LlmQueries.sh5Cte},
+              |${LlmQueries.qualKeepAllCtes},
+              |inc AS (SELECT doc_id,
+              |    CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT) AS increment
+              |  FROM documents WHERE doc_id >= 10),
+              |urls AS (SELECT doc_id AS rec_id, CASE CAST(doc_id % 3 AS INT)
+              |    WHEN 0 THEN 'https://Docs.Example.com/d/' || g || '?id=' || g
+              |    WHEN 1 THEN 'HTTPS://WWW.DOCS.EXAMPLE.COM:443/d/' || g || '?id=' || g || '#frag'
+              |    ELSE 'https://docs.example.com/d/' || g || '/?id=' || g || '&utm_source=x'
+              |  END AS url
+              |  FROM (SELECT doc_id, CAST(CASE WHEN doc_id % 10 = 7
+              |      THEN doc_id - 1 ELSE doc_id END AS VARCHAR) AS g
+              |    FROM documents WHERE doc_id >= 10)),
+              |${LlmQueries.urlNormCtes},
+              |eval5 AS (SELECT DISTINCT shingle FROM sh5 WHERE doc_id < 10),
+              |contam AS (SELECT DISTINCT t.doc_id FROM sh5 t
+              |  JOIN eval5 e ON t.shingle = e.shingle WHERE t.doc_id >= 10),
+              |q1 AS (SELECT doc_id FROM inc
+              |  WHERE increment = 1 AND doc_id IN (SELECT doc_id FROM qual_keep_all)),
+              |d1 AS (SELECT doc_id FROM q1
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+              |u2coll AS (SELECT DISTINCT n.rec_id AS doc_id
+              |  FROM norm n JOIN inc ni ON ni.doc_id = n.rec_id AND ni.increment = 2
+              |  JOIN norm a ON n.url_norm = a.url_norm
+              |  JOIN d1 ON d1.doc_id = a.rec_id),
+              |u2 AS (SELECT doc_id FROM inc WHERE increment = 2
+              |  AND doc_id NOT IN (SELECT doc_id FROM u2coll)),
+              |q2 AS (SELECT doc_id FROM u2
+              |  WHERE doc_id IN (SELECT doc_id FROM qual_keep_all)),
+              |f2coll AS (SELECT DISTINCT nb.doc_id
+              |  FROM bands nb JOIN q2 ON q2.doc_id = nb.doc_id
+              |  JOIN bands ab ON nb.band = ab.band AND nb.band_hash = ab.band_hash
+              |  JOIN d1 ON d1.doc_id = ab.doc_id),
+              |f2 AS (SELECT doc_id FROM q2
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM f2coll)),
+              |d2 AS (SELECT doc_id FROM f2
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+              |SELECT i.doc_id, i.increment,
+              |  CASE WHEN i.increment = 1 THEN
+              |    CASE WHEN i.doc_id IN (SELECT doc_id FROM d1) THEN 'accepted'
+              |      WHEN i.doc_id NOT IN (SELECT doc_id FROM qual_keep_all) THEN 'quality'
+              |      ELSE 'contaminated' END
+              |  ELSE
+              |    CASE WHEN i.doc_id IN (SELECT doc_id FROM d2) THEN 'accepted'
+              |      WHEN i.doc_id IN (SELECT doc_id FROM u2coll) THEN 'url_dup'
+              |      WHEN i.doc_id NOT IN (SELECT doc_id FROM qual_keep_all) THEN 'quality'
+              |      WHEN i.doc_id IN (SELECT doc_id FROM f2coll) THEN 'fuzzy_dup'
+              |      ELSE 'contaminated' END
+              |  END AS outcome
+              |FROM inc i ORDER BY doc_id""".stripMargin), bench = true))
 }
