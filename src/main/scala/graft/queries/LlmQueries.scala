@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Classifier, Dedup, Multimodal, Pq, Similarity, Splits, TextOps}
+import graft.llm.{Bpe, Classifier, Dedup, Multimodal, Pq, Similarity, Splits, TextOps}
 import graft.operators.{CountMin, HistQuantile, PageRank, RobustStats}
 import Registry.T
 
@@ -389,6 +389,70 @@ object LlmQueries {
     s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (x, y) -> x + y)"
   private[queries] def simSql(a: String, b: String) =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+  /** Generated K-iteration BPE-training oracle (llm_bpe_train /
+    * llm_bpe_encode — Bpe.trainMerges replayed bit-for-bit). Each
+    * iteration re-runs the same pair census / argmax / merge the Spark
+    * trainer runs; the leftmost-non-overlap merge application is
+    * resolved in CLOSED FORM instead of a fold: positions whose
+    * (sym, next) equal the best pair form runs of consecutive indices
+    * (islands via i - row_number), within a run the even offsets from
+    * the run start are taken, a taken position emits the merged symbol,
+    * and its successor (prev_taken) is absorbed. Integer counts and
+    * string symbols only — nothing float touches the compare — and ties
+    * break (count DESC, lhs, rhs) on both engines. pr/w are
+    * MATERIALIZED: each is referenced twice per iteration, and default
+    * CTE inlining would otherwise expand the K-deep chain exponentially
+    * (the r10 shingle-census lesson). */
+  private def bpeOracle(k: Int, encode: Boolean): String = {
+    val census =
+      s"""SELECT word, count(*) AS cnt FROM (
+         |      SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+         |      FROM documents) u
+         |    WHERE word <> '' GROUP BY word""".stripMargin
+    val iters = (1 to k).map { t =>
+      s"""pr$t AS MATERIALIZED (
+         |  SELECT word, cnt, u.i AS i, u.s AS s, u.nxt AS nxt FROM (
+         |    SELECT word, cnt, unnest(list_transform(range(1, len(syms)+1),
+         |      j -> {'i': j, 's': syms[j],
+         |            'nxt': CASE WHEN j < len(syms) THEN syms[j+1] ELSE '' END})) AS u
+         |    FROM w${t - 1})),
+         |p$t AS (SELECT s AS lhs, nxt AS rhs, sum(cnt) AS n
+         |  FROM pr$t WHERE nxt <> '' GROUP BY s, nxt),
+         |b$t AS (SELECT lhs, rhs, n FROM p$t ORDER BY n DESC, lhs, rhs LIMIT 1),
+         |h$t AS (SELECT x.word, x.cnt, x.i, x.s, x.nxt,
+         |    (x.s = b.lhs AND x.nxt = b.rhs) AS hit FROM pr$t x, b$t b),
+         |g$t AS (SELECT *, CASE WHEN hit THEN i - row_number()
+         |    OVER (PARTITION BY word, hit ORDER BY i) END AS grp FROM h$t),
+         |tk$t AS (SELECT *, hit AND ((i - min(i) OVER (PARTITION BY word, grp)) % 2 = 0)
+         |    AS taken FROM g$t),
+         |rb$t AS (SELECT *, coalesce(lag(taken) OVER (PARTITION BY word ORDER BY i), false)
+         |    AS prev_taken FROM tk$t),
+         |w$t AS MATERIALIZED (SELECT word, cnt,
+         |    list(CASE WHEN taken THEN s || nxt ELSE s END ORDER BY i) AS syms
+         |  FROM rb$t WHERE NOT prev_taken GROUP BY word, cnt)""".stripMargin
+    }.mkString(",\n")
+    val tail =
+      if (!encode) {
+        val rows = (1 to k).map { t =>
+          s"SELECT $t AS merge_rank, lhs, rhs, lhs || rhs AS merged, CAST(n AS BIGINT) AS pair_count FROM b$t"
+        }.mkString("\n  UNION ALL ")
+        s"SELECT * FROM ($rows) ORDER BY merge_rank"
+      } else
+        s""",
+           |doc_words AS (SELECT doc_id, word FROM (
+           |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+           |  FROM documents) u WHERE word <> '')
+           |SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(len(w.syms)) AS BIGINT) AS n_tokens
+           |FROM doc_words dw JOIN w$k w USING (word)
+           |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT word, cnt, list_transform(range(1, len(word)+1), j -> word[j:j]) AS syms
+       |  FROM ($census) c),
+       |$iters
+       |$tail""".stripMargin
+  }
+
   private def l2Sql(a: String, b: String) =
     s"sqrt(list_reduce(list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y))"
 
@@ -4327,5 +4391,33 @@ object LlmQueries {
               |    i -> substring(tok, i, 2))) AS pair
               |  FROM tok WHERE length(tok) >= 2)
               |SELECT pair, count(*) AS cnt FROM pairs GROUP BY pair
-              |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin)))
+              |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin)),
+
+    "llm_bpe_train" -> Q((s, dir) => {
+      // Full BPE vocabulary training (llm_char_pair_merges is step one
+      // of this loop): 12 merges learned over the word census, each
+      // iteration a vocab-frame pair census + argmax + fold rebuild —
+      // the corpus is scanned exactly once (Bpe.scala's scale contract).
+      // The oracle re-trains from scratch in 12 generated CTE
+      // iterations and must agree on every (pair, count) bit-for-bit.
+      import s.implicits._
+      val (merges, _) =
+        Bpe.trainMerges(Bpe.wordCensus(T(s, dir, "documents")), k = 12)
+      require(merges.size == 12,
+        s"corpus exhausted after ${merges.size} merges — gate expects 12")
+      merges.map(m => (m.rank, m.lhs, m.rhs, m.merged, m.pairCount))
+        .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+        .orderBy("merge_rank")
+    }, Some(bpeOracle(12, encode = false))),
+
+    "llm_bpe_encode" -> Q((s, dir) => {
+      // Apply the trained tokenizer: per-document word and token counts
+      // under the 12-merge vocab. The vocab frame broadcasts; the token
+      // stream shuffles only on doc_id. n_tokens < sum(word lengths)
+      // shows the merges compressing; the oracle replays training AND
+      // encoding, so a single divergent merge shifts every count.
+      val docs = T(s, dir, "documents")
+      val (_, vocab) = Bpe.trainMerges(Bpe.wordCensus(docs), k = 12)
+      Bpe.encodeDocs(docs, vocab).orderBy("doc_id")
+    }, Some(bpeOracle(12, encode = true))))
 }
