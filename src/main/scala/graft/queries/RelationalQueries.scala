@@ -378,6 +378,90 @@ object RelationalQueries {
               |  FROM orders WHERE o_orderkey % 20 < 3)
               |GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
+    "s22_snapshot_diff" -> Q((s, dir) => {
+      // Changelog DERIVATION (operators/SnapshotDiff): the inverse of
+      // s18_cdc_apply — two keyed snapshots in, the minimal I/U/D delta
+      // out, with per-column change attribution. Snapshots derive from
+      // orders by key arithmetic (same formulas in the oracle): A drops
+      // %5=4, B drops %7=6, B shifts price (+100.0, exact in DOUBLE) on
+      // %3=0 and flags status 'X' on %11=0 — so I, D, single-column U,
+      // and both-columns U (%33) all populate. One full-outer SMJ on
+      // the key; identical rows emit nothing (SnapshotDiffSpec proves
+      // replaying the delta over A reproduces B via Cdc.applyChangelog).
+      val o = T(s, dir, "orders")
+      val a = o.filter(col("o_orderkey") % 5 =!= 4)
+      val b = o.filter(col("o_orderkey") % 7 =!= 6).select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 100.0)
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        when(col("o_orderkey") % 11 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"))
+      graft.operators.SnapshotDiff.diff(a, b,
+          keyCols = Seq("o_orderkey"),
+          compareCols = Seq("o_totalprice", "o_orderstatus"))
+        .orderBy("o_orderkey")
+    }, Some("""WITH a AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+              |  FROM orders WHERE o_orderkey % 5 <> 4),
+              |b AS (SELECT o_orderkey,
+              |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+              |         ELSE o_totalprice END AS o_totalprice,
+              |    CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+              |         ELSE o_orderstatus END AS o_orderstatus
+              |  FROM orders WHERE o_orderkey % 7 <> 6),
+              |j AS (SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+              |    a.o_orderkey IS NOT NULL AS ina,
+              |    b.o_orderkey IS NOT NULL AS inb,
+              |    a.o_totalprice AS old_o_totalprice,
+              |    b.o_totalprice AS new_o_totalprice,
+              |    a.o_orderstatus AS old_o_orderstatus,
+              |    b.o_orderstatus AS new_o_orderstatus
+              |  FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey),
+              |d AS (SELECT o_orderkey,
+              |    CASE WHEN NOT ina THEN 'I' WHEN NOT inb THEN 'D'
+              |         ELSE 'U' END AS op,
+              |    CASE WHEN ina AND inb THEN concat_ws(',',
+              |        CASE WHEN old_o_totalprice IS DISTINCT FROM new_o_totalprice
+              |             THEN 'o_totalprice' END,
+              |        CASE WHEN old_o_orderstatus IS DISTINCT FROM new_o_orderstatus
+              |             THEN 'o_orderstatus' END)
+              |      ELSE '' END AS changed_cols,
+              |    old_o_totalprice, new_o_totalprice,
+              |    old_o_orderstatus, new_o_orderstatus
+              |  FROM j)
+              |SELECT * FROM d WHERE op <> 'U' OR changed_cols <> ''
+              |ORDER BY o_orderkey""".stripMargin)),
+
+    "j21_hierarchy_flatten" -> Q((s, dir) => {
+      // Recursive hierarchy flattening (operators/Hierarchy): per node
+      // its root, depth, and root→node label path — Spark has no
+      // recursive CTE, so the operator pointer-DOUBLES (⌈log₂ depth⌉+1
+      // self-joins of the node-sized state frame, the components
+      // labeler's technique applied to trees). Forest derives from
+      // customer by key arithmetic (parent = custkey div 10, roots
+      // < 10 — a ~4-level tree at sf0.01, ~7 at sf10; same formula in
+      // the oracle, which walks it with a real recursive CTE — the
+      // engines must agree on every path string).
+      val nodes = T(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        when(col("c_custkey") >= 10, expr("c_custkey div 10")).as("parent"),
+        concat(lit("n"), col("c_custkey")).as("label"))
+      graft.operators.Hierarchy.flatten(nodes, "id", "parent", "label",
+          maxDepth = 64)
+        .orderBy("id")
+    }, Some("""WITH RECURSIVE nodes AS (SELECT c_custkey AS id,
+              |    CASE WHEN c_custkey >= 10 THEN c_custkey // 10 END AS parent,
+              |    'n' || CAST(c_custkey AS VARCHAR) AS label
+              |  FROM customer),
+              |walk AS (
+              |  SELECT id, id AS root_id, label AS path
+              |  FROM nodes WHERE parent IS NULL
+              |  UNION ALL
+              |  SELECT n.id, w.root_id, w.path || '/' || n.label
+              |  FROM nodes n JOIN walk w ON n.parent = w.id)
+              |SELECT id, root_id,
+              |  CAST(len(string_split(path, '/')) - 1 AS INT) AS depth, path
+              |FROM walk ORDER BY id""".stripMargin)),
+
     "s16_bucketed_colocated_join" -> Q((s, dir) => {
       // Redshift distkey analog (SURVEY §4): both sides bucketed on the
       // join key at write time, so the fact-dim join reads co-located
