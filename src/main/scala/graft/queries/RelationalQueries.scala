@@ -462,6 +462,46 @@ object RelationalQueries {
               |  CAST(len(string_split(path, '/')) - 1 AS INT) AS depth, path
               |FROM walk ORDER BY id""".stripMargin)),
 
+    "a26_join_size_estimate" -> Q((s, dir) => {
+      // Planning-time join-cardinality estimation — the j20 doctrine's
+      // other half: before EXECUTING a many-to-many join, estimate its
+      // output size from a deterministic 1% row sample. Shape: the
+      // orders-by-customer SELF-join (co-order analysis), whose true
+      // size is Σ_c n_c² — the quantity that explodes on skewed keys.
+      // Estimator: with sample rate p, per-key sampled count m has
+      // E[m²] = p²n² + p(1−p)n, so Σ̂ = Σ[(m²−m)/p² + m/p] is unbiased
+      // for Σn²; at p = 10% the multipliers are INTEGERS (100, 10), so
+      // the whole estimate is exact BIGINT arithmetic — the oracle
+      // replays it bit-for-bit, only the final rel_err divides. The
+      // rate matches the corpus: the pair term needs ≥2 sampled rows
+      // per key, so p must be ~1/√n̄ — here n̄≈10 rows/customer; a
+      // 100 TB fact with thousand-row keys (where join blowup actually
+      // threatens) gets the same error from 0.1%. No join ever runs.
+      val o = T(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"))
+      val exact = o.groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * col("n")).as("exact_pairs"))
+      val est = graft.operators.Skew.profileSample(o, "o_orderkey",
+          bps = 1000, salt = "jsz")
+        .groupBy("o_custkey").agg(count(lit(1)).as("m"))
+        .agg(sum((col("m") * col("m") - col("m")) * lit(100L) +
+          col("m") * lit(10L)).as("est_pairs"))
+      exact.crossJoin(est).select(
+        col("exact_pairs"), col("est_pairs"),
+        ((col("est_pairs") - col("exact_pairs")).cast("double") /
+          col("exact_pairs").cast("double") * lit(100.0)).as("rel_err_pct"))
+    }, Some("""WITH n AS (SELECT count(*) AS n FROM orders GROUP BY o_custkey),
+              |ex AS (SELECT CAST(SUM(n * n) AS BIGINT) AS exact_pairs FROM n),
+              |smp AS (SELECT o_custkey FROM orders
+              |  WHERE ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)
+              |    || 'jsz'), 1, 8))::BIGINT % 10000 < 1000),
+              |m AS (SELECT count(*) AS m FROM smp GROUP BY o_custkey),
+              |es AS (SELECT CAST(SUM((m * m - m) * 100 + m * 10) AS BIGINT)
+              |    AS est_pairs FROM m)
+              |SELECT exact_pairs, est_pairs,
+              |  (CAST(est_pairs - exact_pairs AS DOUBLE)
+              |    / CAST(exact_pairs AS DOUBLE)) * 100.0 AS rel_err_pct
+              |FROM ex, es""".stripMargin)),
+
     "s16_bucketed_colocated_join" -> Q((s, dir) => {
       // Redshift distkey analog (SURVEY §4): both sides bucketed on the
       // join key at write time, so the fact-dim join reads co-located
