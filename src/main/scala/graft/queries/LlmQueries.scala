@@ -4419,5 +4419,5 @@ object LlmQueries {
       val docs = T(s, dir, "documents")
       val (_, vocab) = Bpe.trainMerges(Bpe.wordCensus(docs), k = 12)
       Bpe.encodeDocs(docs, vocab).orderBy("doc_id")
-    }, Some(bpeOracle(12, encode = true))))
+    }, Some(bpeOracle(12, encode = true)), bench = true))
 }
