@@ -403,7 +403,8 @@ object LlmQueries {
     * MATERIALIZED: each is referenced twice per iteration, and default
     * CTE inlining would otherwise expand the K-deep chain exponentially
     * (the r10 shingle-census lesson). */
-  private def bpeOracle(k: Int, encode: Boolean): String = {
+  private[queries] def bpeOracle(k: Int, encode: Boolean,
+      streamIncrement: Boolean = false): String = {
     val census =
       s"""SELECT word, count(*) AS cnt FROM (
          |      SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
@@ -442,7 +443,9 @@ object LlmQueries {
            |doc_words AS (SELECT doc_id, word FROM (
            |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
            |  FROM documents) u WHERE word <> '')
-           |SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           |SELECT dw.doc_id,${if (streamIncrement)
+        "\n  CAST(CASE WHEN dw.doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT) AS increment," else ""}
+           |  CAST(count(*) AS BIGINT) AS n_words,
            |  CAST(sum(len(w.syms)) AS BIGINT) AS n_tokens
            |FROM doc_words dw JOIN w$k w USING (word)
            |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin

@@ -1712,5 +1712,54 @@ object StreamingQueries {
               |      WHEN i.doc_id IN (SELECT doc_id FROM f2coll) THEN 'fuzzy_dup'
               |      ELSE 'contaminated' END
               |  END AS outcome
-              |FROM inc i ORDER BY doc_id""".stripMargin), bench = true))
+              |FROM inc i ORDER BY doc_id""".stripMargin), bench = true),
+
+    "st24_stream_bpe_encode" -> Q((s, dir) => {
+      // Tokenize AT INGEST: the nightly-trained BPE vocab (llm_bpe_train,
+      // trained batch-side over the full corpus) applied to each
+      // arriving micro-batch — the streaming matrix's stateless-
+      // projection member (st9's shape, but carrying the tokenizer).
+      // The trained vocab BROADCASTS into every batch's encode join; no
+      // watermark, no state store — per-doc aggregation is batch-LOCAL
+      // (a document arrives whole in one increment), so the streamed
+      // result must equal the batch encode exactly, which is what the
+      // shared oracle checks. Two AvailableNow increments under one
+      // checkpoint (evens then odds) prove per-batch operation; the
+      // increment column records which batch produced each row.
+      import graft.llm.Bpe
+      val base = tmp("graft_st24")
+      val src = s"$base/in"; val chk = s"$base/chk"
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_st24")
+      s.sql("DROP TABLE IF EXISTS graft_st24.encoded")
+      val docs = T(s, dir, "documents").select("doc_id", "text")
+      val (_, vocab) = Bpe.trainMerges(Bpe.wordCensus(docs), k = 12)
+      val vocabCk = vocab.localCheckpoint()
+      def runOnce(): Unit = {
+        val q = s.readStream
+          .schema("doc_id BIGINT, text STRING")
+          .parquet(src)
+          .writeStream
+          .option("checkpointLocation", chk)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            if (!batch.isEmpty) {
+              Bpe.encodeDocs(batch, vocabCk)
+                .withColumn("increment", lit(batchId + 1).cast("int"))
+                .write.mode("append").saveAsTable("graft_st24.encoded")
+            }
+          }
+          .start()
+        q.awaitTermination()
+      }
+      docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+        .write.mode("append").parquet(src)
+      runOnce()
+      docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(src)
+      runOnce()
+      s.table("graft_st24.encoded")
+        .select("doc_id", "increment", "n_words", "n_tokens")
+        .orderBy("doc_id")
+    }, Some(LlmQueries.bpeOracle(12, encode = true, streamIncrement = true))))
 }
