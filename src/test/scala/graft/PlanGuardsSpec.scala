@@ -888,4 +888,31 @@ class PlanGuardsSpec extends SparkTestBase {
     assert(exchanges === 1, s"sketch build must shuffle once, got $exchanges:\n$plan")
     assert(plan.contains("Generate"), s"rowBuckets explode missing:\n$plan")
   }
+
+  test("SnapshotDiff: equi-key full outer = SMJ, never a nested loop") {
+    // The differ feeds its key equality as a <=> conjunction; if that
+    // ever stopped planning as an equi-join (e.g. a refactor wrapping
+    // the keys in a non-equi expression), Spark silently falls back to
+    // BroadcastNestedLoopJoin — quadratic at 100 TB, invisible to the
+    // oracle.
+    val a = (1L to 500L).map(i => (i, i * 2.0)).toDF("k", "v")
+    val b = (251L to 750L).map(i => (i, i * 3.0)).toDF("k", "v")
+    val d = graft.operators.SnapshotDiff.diff(a, b, Seq("k"), Seq("v"))
+    d.collect()
+    val plan = d.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("SortMergeJoin") && plan.contains("FullOuter"),
+      s"differ must plan a full-outer SMJ:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"nested-loop fallback in the differ plan:\n$plan")
+  }
+
+  test("Hierarchy: every doubling round joins on the pointer, no cartesian") {
+    val nodes = (1L to 200L).map(i =>
+      (i, if (i <= 3) None else Some(i / 4), s"n$i")).toDF("id", "parent", "label")
+    val flat = graft.operators.Hierarchy.flatten(nodes, "id", "parent", "label")
+    flat.collect()
+    val plan = flat.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"hierarchy round must be an equi-join on the anc pointer:\n$plan")
+  }
 }
