@@ -38,9 +38,14 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** A word as its initial character symbols (1 char = 1 symbol). */
+  /** A word as its initial character symbols (1 char = 1 symbol).
+    * Empty-string guard: Spark's sequence(1, 0) steps DOWN to [1, 0]
+    * (two phantom "" symbols), where the oracle's range(1, len+1) is
+    * empty — '' must map to [] on both engines. */
   def charSymbols(word: Column): Column =
-    transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
+    when(length(word) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(word)),
+        i => word.substr(i, lit(1))))
 
   /** One merge applied left-to-right non-overlapping, as a codegen'd
     * fold over the symbol array (no UDF). */
@@ -101,13 +106,21 @@ object Bpe {
 
   /** Encode the corpus with a trained vocab frame: per-document word and
     * token counts. The vocab (word → symbols) BROADCASTS — the token
-    * stream never shuffles on anything but its own doc grouping. */
+    * stream never shuffles on anything but its own doc grouping.
+    *
+    * Out-of-vocabulary words (inevitable when the vocab was trained on
+    * an earlier corpus than the one arriving — the st24 ingest shape)
+    * fall back to their character symbols via the LEFT join's coalesce,
+    * the standard BPE unknown-word behavior. An inner join would
+    * silently drop them from both counts — a document of entirely new
+    * words would vanish from the output. */
   def encodeDocs(docs: DataFrame, vocab: DataFrame,
                  textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("word"))
       .filter(col("word") =!= "")
-      .join(broadcast(vocab.select(col("word"), col("syms"))), Seq("word"))
+      .join(broadcast(vocab.select(col("word"), col("syms"))), Seq("word"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"),
-        sum(size(col("syms"))).as("n_tokens"))
+        sum(size(coalesce(col("syms"), charSymbols(col("word")))))
+          .as("n_tokens"))
 }

@@ -64,6 +64,12 @@ object SnapshotDiff {
     * changes carrying the NEW values (null payloads for deletes). */
   def asChangelog(a: DataFrame, d: DataFrame, keyCols: Seq[String],
                   compareCols: Seq[String]): DataFrame = {
+    // Same loud-collision posture as diff() and Cdc.applyChangelog: a
+    // key/payload column named like a working column would be silently
+    // REPLACED by withColumn below, corrupting the replay ordering.
+    val colliding = (keyCols ++ compareCols).filter(Set("seq", "cdc_op"))
+    require(colliding.isEmpty,
+      s"asChangelog reserves seq, cdc_op; rename: ${colliding.mkString(", ")}")
     val base = a.select((keyCols ++ compareCols).map(col): _*)
       .withColumn("seq", lit(0L)).withColumn("cdc_op", lit("I"))
     val delta = d.select(keyCols.map(col) ++

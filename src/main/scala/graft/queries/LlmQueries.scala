@@ -405,11 +405,14 @@ object LlmQueries {
     * (the r10 shingle-census lesson). */
   private[queries] def bpeOracle(k: Int, encode: Boolean,
       streamIncrement: Boolean = false): String = {
-    val census =
-      s"""SELECT word, count(*) AS cnt FROM (
-         |      SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
-         |      FROM documents) u
-         |    WHERE word <> '' GROUP BY word""".stripMargin
+    // ONE tokenized stream feeds BOTH the training census and the
+    // encode tail — the same no-fork rule Bpe.wordCensus applies
+    // Spark-side (a second spelled-out tokenizer here could silently
+    // diverge under a future regex edit).
+    val toks =
+      s"""toks AS MATERIALIZED (SELECT doc_id, word FROM (
+         |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+         |  FROM documents) u WHERE word <> '')""".stripMargin
     val iters = (1 to k).map { t =>
       s"""pr$t AS MATERIALIZED (
          |  SELECT word, cnt, u.i AS i, u.s AS s, u.nxt AS nxt FROM (
@@ -439,19 +442,16 @@ object LlmQueries {
         }.mkString("\n  UNION ALL ")
         s"SELECT * FROM ($rows) ORDER BY merge_rank"
       } else
-        s""",
-           |doc_words AS (SELECT doc_id, word FROM (
-           |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
-           |  FROM documents) u WHERE word <> '')
-           |SELECT dw.doc_id,${if (streamIncrement)
+        s"""SELECT dw.doc_id,${if (streamIncrement)
         "\n  CAST(CASE WHEN dw.doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT) AS increment," else ""}
            |  CAST(count(*) AS BIGINT) AS n_words,
-           |  CAST(sum(len(w.syms)) AS BIGINT) AS n_tokens
-           |FROM doc_words dw JOIN w$k w USING (word)
+           |  CAST(sum(coalesce(len(w.syms), len(dw.word))) AS BIGINT) AS n_tokens
+           |FROM toks dw LEFT JOIN w$k w USING (word)
            |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin
-    s"""WITH w0 AS MATERIALIZED (
+    s"""WITH $toks,
+       |w0 AS MATERIALIZED (
        |  SELECT word, cnt, list_transform(range(1, len(word)+1), j -> word[j:j]) AS syms
-       |  FROM ($census) c),
+       |  FROM (SELECT word, count(*) AS cnt FROM toks GROUP BY word) c),
        |$iters
        |$tail""".stripMargin
   }

@@ -465,7 +465,7 @@ object RelationalQueries {
     "a26_join_size_estimate" -> Q((s, dir) => {
       // Planning-time join-cardinality estimation — the j20 doctrine's
       // other half: before EXECUTING a many-to-many join, estimate its
-      // output size from a deterministic 1% row sample. Shape: the
+      // output size from a deterministic 10% row sample. Shape: the
       // orders-by-customer SELF-join (co-order analysis), whose true
       // size is Σ_c n_c² — the quantity that explodes on skewed keys.
       // Estimator: with sample rate p, per-key sampled count m has

@@ -55,6 +55,24 @@ class BpeSpec extends SparkTestBase {
     assert(merges.head.merged == top._1 && merges.head.pairCount == top._2)
   }
 
+  test("charSymbols maps '' to [] (sequence(1,0) would step DOWN)") {
+    val got = Seq("").toDF("w")
+      .select(Bpe.charSymbols(col("w")).as("s")).as[Seq[String]].head()
+    assert(got == Seq.empty)
+  }
+
+  test("encodeDocs: out-of-vocab words fall back to char symbols") {
+    // vocab trained WITHOUT the words of doc 1 — the ingest shape where
+    // new data arrives after the nightly train. "zq" (2 chars) and
+    // "xyz" (3 chars) must count as char tokens, not vanish.
+    val train = Seq((0L, "abab ab")).toDF("doc_id", "text")
+    val (_, vocab) = Bpe.trainMerges(Bpe.wordCensus(train), k = 1)
+    val got = Bpe.encodeDocs(
+        Seq((1L, "ab zq xyz")).toDF("doc_id", "text"), vocab)
+      .as[(Long, Long, Long)].head()
+    assert(got == ((1L, 3L, 1L + 2L + 3L)))
+  }
+
   test("encodeDocs: per-doc token counts under the trained vocab") {
     val docs = Seq((0L, "abab ab c"), (1L, "aaa abab")).toDF("doc_id", "text")
     val (_, vocab) = Bpe.trainMerges(Bpe.wordCensus(docs), k = 2)

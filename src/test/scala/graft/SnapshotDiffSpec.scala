@@ -70,5 +70,12 @@ class SnapshotDiffSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       SnapshotDiff.diff(bad, bad, keyCols, Seq("op", "s"))
     }
+    // asChangelog's working columns too: a payload named "seq" would be
+    // silently REPLACED by the replay ordering otherwise.
+    val seqy = snapA.withColumnRenamed("v", "seq")
+    intercept[IllegalArgumentException] {
+      SnapshotDiff.asChangelog(seqy,
+        SnapshotDiff.diff(snapA, snapB, keyCols, valCols), keyCols, Seq("seq", "s"))
+    }
   }
 }
