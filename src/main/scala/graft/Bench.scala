@@ -335,15 +335,20 @@ object Bench {
       // round as max committed BENCH_r{N}.json + 1 and write the full
       // line there; repeated local runs converge to the last one, and
       // the round commit freezes it.
-      val roundRe = "BENCH_r(\\d+)\\.json".r
-      val nextRound = java.nio.file.Files.list(java.nio.file.Paths.get("."))
-        .iterator().asScala
-        .flatMap(p => roundRe.findFirstMatchIn(p.getFileName.toString)
-          .map(_.group(1).toInt))
-        .foldLeft(0)(math.max) + 1
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(f"BENCH_r$nextRound%02d_full.json"),
-        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // Subset sessions (SPARK_GRAFT_BENCH_ONLY — anchoring runs,
+      // single-gate debugging) must NOT clobber the round's frozen
+      // full-list artifact with a few-query line.
+      if (only.isEmpty) {
+        val roundRe = "BENCH_r(\\d+)\\.json".r
+        val nextRound = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+          .iterator().asScala
+          .flatMap(p => roundRe.findFirstMatchIn(p.getFileName.toString)
+            .map(_.group(1).toInt))
+          .foldLeft(0)(math.max) + 1
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(f"BENCH_r$nextRound%02d_full.json"),
+          line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
     } catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: $e") }
     spark.stop()
   }
