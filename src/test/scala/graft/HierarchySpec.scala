@@ -34,6 +34,20 @@ class HierarchySpec extends SparkTestBase {
     assert(got.last == ((10L, 0L, 10, (0L to 10L).map("n" + _).mkString("/"))))
   }
 
+  test("depth-300 chain resolves under the log₂ round cap") {
+    // maxDepth=512 caps the loop at ⌈log₂512⌉+2 = 11 rounds; a linear
+    // one-level-per-round climber would trip the cap at depth 300, so
+    // success IS the doubling proof.
+    val chain = (0L to 300L).map(i =>
+      (i: java.lang.Long, if (i == 0) null else (i - 1): java.lang.Long, "x"))
+    val got = Hierarchy.flatten(chain.toDF("id", "parent", "label"),
+        "id", "parent", "label", maxDepth = 512)
+      .where(col("id") === 300L)
+      .as[(Long, Long, Int, String)].head()
+    assert(got._1 == 300L && got._2 == 0L && got._3 == 300)
+    assert(got._4 == Seq.fill(301)("x").mkString("/"))
+  }
+
   test("cycle fails loudly") {
     val e = intercept[IllegalArgumentException] {
       flat(Seq((1L, 2L, "a"), (2L, 1L, "b")))
