@@ -403,8 +403,11 @@ object LlmQueries {
     * MATERIALIZED: each is referenced twice per iteration, and default
     * CTE inlining would otherwise expand the K-deep chain exponentially
     * (the r10 shingle-census lesson). */
-  private[queries] def bpeOracle(k: Int, encode: Boolean,
-      streamIncrement: Boolean = false): String = {
+  /** The BPE training CTE chain (toks → census → k iterations ending
+    * in w$k), shared by the train/encode/stream oracles AND the
+    * dataset-card oracle so the tokenizer can never fork between its
+    * own gates and compositions over it. */
+  private def bpeCtes(k: Int): String = {
     // ONE tokenized stream feeds BOTH the training census and the
     // encode tail — the same no-fork rule Bpe.wordCensus applies
     // Spark-side (a second spelled-out tokenizer here could silently
@@ -435,6 +438,15 @@ object LlmQueries {
          |    list(CASE WHEN taken THEN s || nxt ELSE s END ORDER BY i) AS syms
          |  FROM rb$t WHERE NOT prev_taken GROUP BY word, cnt)""".stripMargin
     }.mkString(",\n")
+    s"""$toks,
+       |w0 AS MATERIALIZED (
+       |  SELECT word, cnt, list_transform(range(1, len(word)+1), j -> word[j:j]) AS syms
+       |  FROM (SELECT word, count(*) AS cnt FROM toks GROUP BY word) c),
+       |$iters""".stripMargin
+  }
+
+  private[queries] def bpeOracle(k: Int, encode: Boolean,
+      streamIncrement: Boolean = false): String = {
     val tail =
       if (!encode) {
         val rows = (1 to k).map { t =>
@@ -448,11 +460,7 @@ object LlmQueries {
            |  CAST(sum(coalesce(len(w.syms), len(dw.word))) AS BIGINT) AS n_tokens
            |FROM toks dw LEFT JOIN w$k w USING (word)
            |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin
-    s"""WITH $toks,
-       |w0 AS MATERIALIZED (
-       |  SELECT word, cnt, list_transform(range(1, len(word)+1), j -> word[j:j]) AS syms
-       |  FROM (SELECT word, count(*) AS cnt FROM toks GROUP BY word) c),
-       |$iters
+    s"""WITH ${bpeCtes(k)}
        |$tail""".stripMargin
   }
 
@@ -4422,5 +4430,74 @@ object LlmQueries {
       val docs = T(s, dir, "documents")
       val (_, vocab) = Bpe.trainMerges(Bpe.wordCensus(docs), k = 12)
       Bpe.encodeDocs(docs, vocab).orderBy("doc_id")
-    }, Some(bpeOracle(12, encode = true)), bench = true))
+    }, Some(bpeOracle(12, encode = true)), bench = true),
+
+    "llm_dataset_card" -> Q((s, dir) => {
+      // The DATASET CARD a training-data team publishes: per-source
+      // corpus statistics assembled from the individually-gated
+      // operators — doc/language counts, whitespace words, BPE tokens
+      // under the corpus-trained 12-merge vocab, exact-duplicate share
+      // (md5 text identity), and the quality filter's keep rate. Every
+      // column reuses its operator's exact spelling (Bpe.encodeDocs,
+      // TextOps.qualityFilter), and the oracle chains the SAME CTE
+      // fragments (bpeCtes, the quality st/r block) — a composition
+      // gate in the llm_curation_pipeline tradition: one divergent
+      // piece shifts a whole card row. All integer counts plus one
+      // single-division rate; one groupBy after doc-keyed joins.
+      val docs = T(s, dir, "documents")
+      val (_, vocab) = Bpe.trainMerges(Bpe.wordCensus(docs), k = 12)
+      val enc = Bpe.encodeDocs(docs, vocab)
+      val qual = TextOps.qualityFilter(docs.select("doc_id", "text"),
+          minTokens = 20, maxTokens = 100000,
+          maxPunctRatio = 0.06, minStopwordRatio = 0.05)
+        .select("doc_id", "keep")
+      docs.select(col("doc_id"), col("source"), col("lang"),
+          md5(col("text")).as("th"))
+        .join(enc, Seq("doc_id"), "left")
+        .join(qual, Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(coalesce(col("n_words"), lit(0L))).as("n_words"),
+          sum(coalesce(col("n_tokens"), lit(0L))).as("n_bpe_tokens"),
+          (count(lit(1)) - countDistinct(col("th"))).as("exact_dup_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("quality_keep_docs"))
+        .withColumn("quality_keep_rate",
+          col("quality_keep_docs").cast("double") / col("n_docs").cast("double"))
+        .orderBy("source")
+    }, Some(s"""WITH ${bpeCtes(12)},
+           |enc AS (SELECT dw.doc_id, count(*) AS n_words,
+           |    sum(coalesce(len(w.syms), len(dw.word))) AS n_tokens
+           |  FROM toks dw LEFT JOIN w12 w USING (word) GROUP BY dw.doc_id),
+           |qst AS (SELECT doc_id,
+           |    len(string_split($normSql, ' ')) AS n_tokens,
+           |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) /
+           |      NULLIF(CAST(length(text) AS DOUBLE), 0) AS punct_ratio,
+           |    CAST(len(regexp_extract_all(lower(text),
+           |        '\\b(the|a|an|and|of|to|in|is|it)\\b')) AS DOUBLE) /
+           |      NULLIF(CAST(len(string_split($normSql, ' ')) AS DOUBLE), 0)
+           |      AS stopword_ratio
+           |  FROM documents),
+           |q AS (SELECT doc_id, len(list_filter([
+           |      CASE WHEN n_tokens < 20 THEN 'too_short' END,
+           |      CASE WHEN n_tokens > 100000 THEN 'too_long' END,
+           |      CASE WHEN punct_ratio > 0.06 THEN 'punct_heavy' END,
+           |      CASE WHEN stopword_ratio < 0.05 THEN 'low_stopword' END],
+           |      x -> x IS NOT NULL)) = 0 AS keep
+           |  FROM qst),
+           |base AS (SELECT d.doc_id, d.source, d.lang, md5(d.text) AS th,
+           |    coalesce(e.n_words, 0) AS n_words,
+           |    coalesce(e.n_tokens, 0) AS n_tokens, q.keep
+           |  FROM documents d LEFT JOIN enc e USING (doc_id)
+           |  JOIN q USING (doc_id))
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS n_bpe_tokens,
+           |  CAST(count(*) - count(DISTINCT th) AS BIGINT) AS exact_dup_docs,
+           |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS quality_keep_docs,
+           |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) AS quality_keep_rate
+           |FROM base GROUP BY source ORDER BY source""".stripMargin)))
 }
