@@ -190,6 +190,54 @@ object Multimodal {
       unhex(concat(lit(headerHex), rowHex(1), lit("0000"), rowHex(0), lit("0000"))))
   }
 
+  /** Hex string → bytes, for assembling constant payload headers from
+    * the same hex builders the oracle docs quote. */
+  private def hexToBytes(hx: String): Array[Byte] =
+    hx.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+
+  /** Append a `payload` BinaryType column computed by a per-partition
+    * JVM builder (one MessageDigest per task, like the decode codecs).
+    * All input columns survive, payload lands last — the exact contract
+    * of the `withColumn("payload", unhex(...))` expression encoders this
+    * replaces.
+    *
+    * WHY JVM and not expressions (r14 optimization round, guide §1.2
+    * "per-task work" + §4.2 "do the heavy lifting in native code"): the
+    * expression encoders built the payload as one CONCAT over 64–256
+    * per-pixel/per-sample terms (SUBSTRING/IF/CONV chains against
+    * hoisted md5 blocks). That tree codegens into a method family far
+    * past the JIT's huge-method compilation limit, so the hot loop runs
+    * INTERPRETED — and when a decode mapPartitions follows in the same
+    * stage, the whole encode+deserialize stage degrades together.
+    * Measured at sf0.1 (OptProbe, median-of-3 under count()):
+    * decodeWavPcm∘encodeWavPcm 1.76 s as expressions vs 0.19 s with
+    * this builder (9.3×), payloads byte-identical (join-compare: 0
+    * mismatches over 5000 docs). Same narrow, shuffle-free shape —
+    * scale behavior is unchanged (still one pass over input splits). */
+  private def appendPayload(df: DataFrame, idCol: String)(
+      make: (java.security.MessageDigest, Long) => Array[Byte]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "payload", org.apache.spark.sql.types.BinaryType, nullable = true))
+    val idx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val id = r.get(idx).asInstanceOf[Number].longValue
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ make(md, id))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** One 16-byte md5 block of the seeded corpora: md5(seed || '_' || b)
+    * digest bytes — the DIGEST bytes are exactly the hex pairs the old
+    * expression encoders SUBSTRINGed out of md5()'s hex string, so
+    * copying them verbatim reproduces the payload byte-for-byte. */
+  private def seedBlock(md: java.security.MessageDigest, seed: Long, b: Int): Array[Byte] = {
+    md.reset()
+    md.digest((seed.toString + "_" + b).getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+  }
+
   /** Build a REAL 8×8 24-bit BMP per row whose grayscale content is a
     * seeded pseudo-image with NEAR-DUPLICATE structure: every 4
     * consecutive doc_ids share a source image (seed = doc_id div 4;
@@ -201,35 +249,39 @@ object Multimodal {
     * exactly, and an external oracle recomputes every pixel from the
     * md5 formula without parsing BMP. Stored bottom-up with LE headers
     * like every 24-bit BMP (8·3 = 24-byte rows are already 4-aligned,
-    * so no stride padding here — encodeBmp2x2 covers that case). Pure
-    * expressions: 4 md5 calls per row, codegen'd, zero shuffle. */
+    * so no stride padding here — encodeBmp2x2 covers that case).
+    * Partition-wise JVM builder (4 md5 digests per row), zero shuffle —
+    * see [[appendPayload]] for why this is not an expression tree. */
   def encodeBmpGray8x8(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
     def le(v: Int, bytes: Int): String =
       (0 until bytes).map(i => "%02X".format((v >> (8 * i)) & 0xff)).mkString
     val headerHex = "424D" + le(54 + 192, 4) + le(0, 4) + le(54, 4) +
       le(40, 4) + le(8, 4) + le(8, 4) + le(1, 2) + le(24, 2) +
       le(0, 4) + le(192, 4) + le(0, 4) + le(0, 4) + le(0, 4) + le(0, 4)
-    // ONE md5 per 16-pixel block (4/row), hoisted into an array column —
-    // not one per pixel (64/row; Catalyst does not CSE across the CONCAT).
-    def pixHex(j: Int): String = {
-      val blk = j / 16
-      val off = 2 * (j % 16) + 1
-      val base = s"SUBSTRING(element_at(_blks, ${blk + 1}), $off, 2)"
-      s"IF($idCol % 64 = $j, " +
-        s"LOWER(LPAD(HEX((CAST(CONV($base, 16, 10) AS INT) + 128) % 256), 2, '0')), $base)"
+    val header = hexToBytes(headerHex)
+    appendPayload(df, idCol) { (md, id) =>
+      val out = new Array[Byte](header.length + 192)
+      System.arraycopy(header, 0, out, 0, header.length)
+      val dig = Array.tabulate(4)(b => seedBlock(md, id / 4, b))
+      val perturbed = (id % 64).toInt
+      // Storage order: bottom-up rows (stored row sr = logical row 7-sr),
+      // three identical channel bytes per pixel.
+      var sr = 0
+      while (sr < 8) {
+        val r = 7 - sr
+        var c = 0
+        while (c < 8) {
+          val j = r * 8 + c
+          var v = dig(j / 16)(j % 16) & 0xff
+          if (j == perturbed) v = (v + 128) % 256
+          val o = header.length + (sr * 8 + c) * 3
+          out(o) = v.toByte; out(o + 1) = v.toByte; out(o + 2) = v.toByte
+          c += 1
+        }
+        sr += 1
+      }
+      out
     }
-    // Storage order: bottom-up rows (stored row sr = logical row 7-sr),
-    // three identical channel bytes per pixel.
-    val pixelPlane = (0 until 8).flatMap { sr =>
-      val r = 7 - sr
-      (0 until 8).map { c => s"REPEAT(${pixHex(r * 8 + c)}, 3)" }
-    }
-    val blks = (0 until 4).map(b =>
-      s"MD5(CONCAT(CAST($idCol DIV 4 AS STRING), '_', '$b'))").mkString(", ")
-    df.withColumn("_blks", expr(s"array($blks)"))
-      .withColumn("payload",
-        unhex(expr(s"CONCAT('$headerHex', ${pixelPlane.mkString(", ")})")))
-      .drop("_blks")
   }
 
   /** Shared 24-bit BMP pixel extraction: LE header parse, stride
@@ -311,7 +363,9 @@ object Multimodal {
     * share a seed (= same dims + same md5 base pixels, since width is a
     * seed function), each doc perturbing ONE pixel (+128 at
     * doc_id % npix). Gray of logical pixel j = byte j%16 of
-    * md5(seed || '_' || j div 16); r=g=b. */
+    * md5(seed || '_' || j div 16); r=g=b. Partition-wise JVM builder
+    * (13/18 md5 digests per row by width), zero shuffle — see
+    * [[appendPayload]] for why this is not an expression tree. */
   def encodeBmpGrayVar(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
     def le(v: Int, bytes: Int): String =
       (0 until bytes).map(i => "%02X".format((v >> (8 * i)) & 0xff)).mkString
@@ -321,39 +375,40 @@ object Multimodal {
         le(40, 4) + le(w, 4) + le(h, 4) + le(1, 2) + le(24, 2) +
         le(0, 4) + le(stride * h, 4) + le(0, 4) + le(0, 4) + le(0, 4) + le(0, 4)
     }
-    // ONE md5 per 16-pixel block, hoisted into an array column the
-    // per-pixel terms slice into — the naive spelling called MD5 once
-    // per PIXEL (288/row; Catalyst does not CSE across the payload
-    // CONCAT), which measured ~4.5 s at sf0.1 for the downstream gate.
-    def pixHex(j: Int, npix: Int): String = {
-      val blk = j / 16
-      val off = 2 * (j % 16) + 1
-      val base = s"SUBSTRING(element_at(_blks, ${blk + 1}), $off, 2)"
-      s"IF($idCol % $npix = $j, " +
-        s"LOWER(LPAD(HEX((CAST(CONV($base, 16, 10) AS INT) + 128) % 256), 2, '0')), $base)"
-    }
-    def bodyHex(w: Int, h: Int): String = {
-      val padHex = "00" * (((w * 3 + 3) / 4) * 4 - w * 3)
-      val rows = (0 until h).map { sr =>
+    val headerNarrow = hexToBytes(headerHex(13, 16))
+    val headerWide = hexToBytes(headerHex(18, 16))
+    appendPayload(df, idCol) { (md, id) =>
+      // Width by seed parity (13 narrow / 18 wide), height 16; the
+      // narrow image only needs blocks 0-12 — digest count stays
+      // width-dependent, the r12 md5-count lesson carried over.
+      val narrow = (id / 4) % 2 == 0
+      val w = if (narrow) 13 else 18
+      val h = 16
+      val header = if (narrow) headerNarrow else headerWide
+      val stride = ((w * 3 + 3) / 4) * 4
+      val npix = w * h
+      val nBlocks = (npix + 15) / 16
+      val dig = Array.tabulate(nBlocks)(b => seedBlock(md, id / 4, b))
+      val perturbed = (id % npix).toInt
+      val out = new Array[Byte](header.length + stride * h)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var sr = 0
+      while (sr < h) {
         val r = h - 1 - sr // bottom-up storage
-        (0 until w).map(c => s"REPEAT(${pixHex(r * w + c, w * h)}, 3)")
-          .mkString(", ") + (if (padHex.nonEmpty) s", '$padHex'" else "")
+        var c = 0
+        while (c < w) {
+          val j = r * w + c
+          var v = dig(j / 16)(j % 16) & 0xff
+          if (j == perturbed) v = (v + 128) % 256
+          val o = header.length + sr * stride + c * 3
+          out(o) = v.toByte; out(o + 1) = v.toByte; out(o + 2) = v.toByte
+          c += 1
+        }
+        // stride pad bytes stay zero (new Array[Byte] zero-fills)
+        sr += 1
       }
-      rows.mkString(", ")
+      out
     }
-    // Narrow (13×16) rows only reference blocks 0-12, so gate the
-    // array length on the seed parity alongside the payload IF — 5
-    // MD5 calls saved on half the corpus (r12 advice; this encoder's
-    // whole optimization story is MD5 count).
-    def blks(n: Int) = (0 until n).map(b =>
-      s"MD5(CONCAT(CAST($idCol DIV 4 AS STRING), '_', '$b'))").mkString(", ")
-    val narrow = s"CONCAT('${headerHex(13, 16)}', ${bodyHex(13, 16)})"
-    val wide = s"CONCAT('${headerHex(18, 16)}', ${bodyHex(18, 16)})"
-    df.withColumn("_blks", expr(
-        s"IF(($idCol DIV 4) % 2 = 0, array(${blks(13)}), array(${blks(18)}))"))
-      .withColumn("payload",
-        unhex(expr(s"IF(($idCol DIV 4) % 2 = 0, $narrow, $wide)")))
-      .drop("_blks")
   }
 
   /** Block-mean resample of a decoded (width, height, gray) image to a
@@ -542,23 +597,25 @@ object Multimodal {
     val headerHex = ascii("RIFF") + le(36 + dataBytes, 4) + ascii("WAVE") +
       ascii("fmt ") + le(16, 4) + le(1, 2) + le(1, 2) + le(16000, 4) +
       le(32000, 4) + le(2, 2) + le(16, 2) + ascii("data") + le(dataBytes, 4)
-    // One md5 per 8-sample block, hoisted (the image-encoder lesson).
-    val blks = (0 until 16).map(b =>
-      s"MD5(CONCAT(CAST($idCol DIV 4 AS STRING), '_', '$b'))").mkString(", ")
-    def sampleHex(i: Int): String = {
-      val blk = i / 8
-      val off = 4 * (i % 8) + 1
-      val pair = s"SUBSTRING(element_at(_blks, ${blk + 1}), $off, 4)"
+    val header = hexToBytes(headerHex)
+    // Partition-wise JVM builder (see [[appendPayload]]): the
+    // unperturbed data plane IS the 16 md5 digests back to back —
+    // "the payload hex is the md5 hex verbatim" becomes an arraycopy.
+    appendPayload(df, idCol) { (md, id) =>
+      val out = new Array[Byte](header.length + dataBytes)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var b = 0
+      while (b < 16) {
+        System.arraycopy(seedBlock(md, id / 4, b), 0, out, header.length + 16 * b, 16)
+        b += 1
+      }
       // Perturbation: v = b0 + 256·b1 (LE), +512 mod 2^16, re-emit LE.
-      val v = s"(CAST(CONV(SUBSTRING($pair, 1, 2), 16, 10) AS INT) + " +
-        s"256 * CAST(CONV(SUBSTRING($pair, 3, 2), 16, 10) AS INT) + 512) % 65536"
-      s"IF($idCol % 128 = $i, LOWER(CONCAT(LPAD(HEX(($v) % 256), 2, '0'), " +
-        s"LPAD(HEX(($v) DIV 256), 2, '0'))), $pair)"
+      val pos = header.length + 2 * (id % 128).toInt
+      val v = ((out(pos) & 0xff) + 256 * (out(pos + 1) & 0xff) + 512) % 65536
+      out(pos) = (v % 256).toByte
+      out(pos + 1) = (v / 256).toByte
+      out
     }
-    val sampleHexes = (0 until 128).map(sampleHex).mkString(", ")
-    df.withColumn("_blks", expr(s"array($blks)"))
-      .withColumn("payload", unhex(expr(s"CONCAT('$headerHex', $sampleHexes)")))
-      .drop("_blks")
   }
 
   /** Partition-wise RIFF/WAVE PCM decode — pure JVM, no codec library:
@@ -760,8 +817,8 @@ object Multimodal {
     * — so same-seed videos differ in at most one frame's hash each,
     * the shape a temporal near-dup must catch. An external oracle
     * recomputes every pixel from the formula without RIFF parsing.
-    * Pure expressions: 16 md5 calls per row (one per 16-pixel block,
-    * hoisted into `_blks` — the encoder lesson), zero shuffle. */
+    * Partition-wise JVM builder (16 md5 digests per row), zero shuffle
+    * — see [[appendPayload]] for why this is not an expression tree. */
   def encodeAvi(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
     def le(v: Int, bytes: Int): String =
       (0 until bytes).map(i => "%02X".format((v >> (8 * i)) & 0xff)).mkString
@@ -794,30 +851,39 @@ object Multimodal {
     val riffSize = 4 + (8 + 4 + 64 + 8 + 116) + (8 + moviSize)
     val headerHex = ascii("RIFF") + le(riffSize, 4) + ascii("AVI ") + hdrlHex +
       ascii("LIST") + le(moviSize, 4) + ascii("movi")
-    val frameChunkHdr = ascii("00db") + le(frameBytes, 4)
-    // ONE md5 per 16-pixel block (16 blocks: 4 frames × 4 blocks),
-    // hoisted into an array column the per-pixel terms slice into.
-    def pixHex(g: Int): String = {
-      val blk = g / 16
-      val off = 2 * (g % 16) + 1
-      val base = s"SUBSTRING(element_at(_blks, ${blk + 1}), $off, 2)"
-      s"IF($idCol % 256 = $g, " +
-        s"LOWER(LPAD(HEX((CAST(CONV($base, 16, 10) AS INT) + 128) % 256), 2, '0')), $base)"
-    }
-    // Each frame stored bottom-up (stored row sr = logical row 7-sr),
-    // three identical channel bytes per pixel.
-    val body = (0 until nFrames).flatMap { f =>
-      s"'$frameChunkHdr'" +: (0 until 8).flatMap { sr =>
-        val r = 7 - sr
-        (0 until 8).map { c => s"REPEAT(${pixHex(f * 64 + r * 8 + c)}, 3)" }
+    val header = hexToBytes(headerHex)
+    val frameChunkHdr = hexToBytes(ascii("00db") + le(frameBytes, 4))
+    appendPayload(df, idCol) { (md, id) =>
+      val out = new Array[Byte](header.length + nFrames * (frameChunkHdr.length + frameBytes))
+      System.arraycopy(header, 0, out, 0, header.length)
+      // 16 md5 digests per row (one per 16-pixel block: 4 frames × 4).
+      val dig = Array.tabulate(16)(b => seedBlock(md, id / 4, b))
+      val perturbed = (id % 256).toInt
+      var f = 0
+      var o = header.length
+      while (f < nFrames) {
+        System.arraycopy(frameChunkHdr, 0, out, o, frameChunkHdr.length)
+        o += frameChunkHdr.length
+        // Each frame stored bottom-up (stored row sr = logical row
+        // 7-sr), three identical channel bytes per pixel.
+        var sr = 0
+        while (sr < 8) {
+          val r = 7 - sr
+          var c = 0
+          while (c < 8) {
+            val g = f * 64 + r * 8 + c
+            var v = dig(g / 16)(g % 16) & 0xff
+            if (g == perturbed) v = (v + 128) % 256
+            out(o) = v.toByte; out(o + 1) = v.toByte; out(o + 2) = v.toByte
+            o += 3
+            c += 1
+          }
+          sr += 1
+        }
+        f += 1
       }
+      out
     }
-    val blks = (0 until 16).map(b =>
-      s"MD5(CONCAT(CAST($idCol DIV 4 AS STRING), '_', '$b'))").mkString(", ")
-    df.withColumn("_blks", expr(s"array($blks)"))
-      .withColumn("payload",
-        unhex(expr(s"CONCAT('$headerHex', ${body.mkString(", ")})")))
-      .drop("_blks")
   }
 
   /** Partition-wise RIFF AVI decode — pure JVM, no codec library: walks
