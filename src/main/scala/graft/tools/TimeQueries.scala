@@ -32,6 +32,19 @@ object TimeQueries {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try spark.range(1000).count() catch { case _: Throwable => }
+    // Same corpus-independent calibration probe as Bench.timeProbe, so a
+    // subset timing on a drifting host epoch can be normalized against
+    // another session's probe before reading a per-query ratio.
+    def probe(): Double = {
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(1L << 29).selectExpr("xxhash64(id) % 1024 AS h")
+          .selectExpr("sum(h) AS s").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      median(runs)
+    }
+    val probeStart = try { probe() } catch { case _: Throwable => -1.0 }
     val timed = names.map { name =>
       val fn = graft.SparkEntry.queries(name)
       val runs = (1 to iters).map { _ =>
@@ -41,8 +54,10 @@ object TimeQueries {
       }
       name -> median(runs)
     }
+    val probeEnd = try { probe() } catch { case _: Throwable => -1.0 }
     println(timed.map { case (n, s) => f""""$n":$s%.3f""" }
-      .mkString("{", ",", "}"))
+      .mkString("{", ",", "}") +
+      f""" probe_start=$probeStart%.3f probe_end=$probeEnd%.3f""")
     spark.stop()
   }
 }
