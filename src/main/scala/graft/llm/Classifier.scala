@@ -98,14 +98,19 @@ object Classifier {
       for (_ <- 1 to iters) {
         val p = softsignProb(marginAug(col("xa"), w))
         val r = (p - y) * when(y === 1.0, lit(cw)).otherwise(lit(1.0))
-        val grads = prepped
-          .select(r.as("r"), posexplode(col("xa")).as(Seq("i", "xi")))
-          .groupBy("i")
-          .agg((sum(floor((col("r") * col("xi")) * lit(1.0e12)).cast("decimal(38,0)"))
-            .cast("double") / lit(1.0e12)).as("g"))
-          .orderBy("i").collect()
-        require(grads.length == dim + 1, s"gradient rows ${grads.length} != ${dim + 1}")
-        val g = grads.map(_.getDouble(1))
+        // ONE grand aggregate with dim+1 sum columns, not a posexplode
+        // to (dim+1)·n rows + a (dim+1)-group shuffle: the residual is
+        // projected once per row, each dimension's fixed-point term is
+        // the same floor(r·x_j·10¹²) as before (identical bits), and
+        // partial aggregation reduces the exchange to one buffer row
+        // per map task (guide §2.3 "aggregate before you shuffle").
+        val terms = (0 to dim).map { j =>
+          (sum(floor((col("r") * element_at(col("xa"), j + 1)) * lit(1.0e12))
+            .cast("decimal(38,0)")).cast("double") / lit(1.0e12)).as(s"g$j")
+        }
+        val row = prepped.select(r.as("r"), col("xa"))
+          .agg(terms.head, terms.tail: _*).first()
+        val g = (0 to dim).map(row.getDouble)
         w = w.indices.map(j => w(j) - eta * (g(j) / n.toDouble)).toVector
       }
       w

@@ -88,18 +88,37 @@ object Pq {
       .localCheckpoint(true)
     val sub = subspaces(corpus, idCol, vecCol, m, subDim)
     for (_ <- 1 to iters) {
-      val w = Window.partitionBy("vid", "s").orderBy(col("d2").asc, col("cid"))
+      // Argmin via min_by over the total key (d2, cid), not a
+      // row_number window: the broadcast join emits a (vid, s) group's
+      // k candidate rows inside one input partition, so map-side
+      // partial aggregation collapses them before the exchange — n·m
+      // rows shuffle instead of n·m·k and no per-partition sort
+      // (guide §2.3/§2.4). The key is total (cid unique per group), so
+      // the winner is exactly the window's (d2 ASC, cid ASC) rank-1 row.
       val assigned = sub.join(broadcast(cent), "s")
         .select(col("s"), col("cid"), col("sv"), col("vid"), l2sq(col("sv"), col("cv")).as("d2"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("vid"), col("s"))
+        .agg(min_by(struct(col("cid"), col("sv")), struct(col("d2"), col("cid"))).as("a"))
+        .select(col("s"), col("a.cid").as("cid"), col("a.sv").as("sv"))
+      // ONE aggregate with subDim mean columns instead of posexplode →
+      // per-(s,cid,pos) agg → per-(s,cid) re-collect: the per-element
+      // integer-grid arithmetic is identical (floor(x·2^30) summed as
+      // DECIMAL(38,0), one division by the group count, one exponent
+      // shift), but the subvector rows never explode subDim-fold and
+      // the second exchange disappears (guide §2.3/§2.4) — every
+      // element lands at the array position its subspace slot dictates,
+      // exactly what the sort_array(struct(pos, mu)) re-collect
+      // produced.
+      val meanCols = (0 until subDim).map { d =>
+        (sum(floor(element_at(col("sv"), d + 1) * lit(1073741824.0))
+          .cast("decimal(38,0)")).cast("double") /
+          count(lit(1)) / lit(1073741824.0)).as(s"_mu$d")
+      }
       val means = assigned
-        .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy("s", "cid", "pos")
-        .agg((sum(floor(col("x") * lit(1073741824.0)).cast("decimal(38,0)")).cast("double") /
-          count(lit(1)) / lit(1073741824.0)).as("mu"))
         .groupBy("s", "cid")
-        .agg(sort_array(collect_list(struct(col("pos"), col("mu")))).as("pm"))
-        .select(col("s"), col("cid"), expr("transform(pm, p -> p.mu)").as("ncv"))
+        .agg(meanCols.head, meanCols.tail: _*)
+        .select(col("s"), col("cid"),
+          array((0 until subDim).map(d => col(s"_mu$d")): _*).as("ncv"))
       cent = cent.join(means, Seq("s", "cid"), "left")
         .select(col("s"), col("cid"), coalesce(col("ncv"), col("cv")).as("cv"))
         .localCheckpoint(true)
@@ -112,11 +131,14 @@ object Pq {
     * of (id, s, cid) triples — the vectors themselves never shuffle. */
   def encode(vectors: DataFrame, cb: DataFrame, idCol: String, vecCol: String,
       m: Int, subDim: Int): DataFrame = {
-    val w = Window.partitionBy("vid", "s").orderBy(col("d2").asc, col("cid"))
+    // Same min_by-over-total-key argmin as [[codebooks]]' assign step:
+    // map-side partial aggregation shrinks the first exchange from
+    // n·m·k rows to n·m and drops the window's sort.
     subspaces(vectors, idCol, vecCol, m, subDim)
       .join(broadcast(cb), "s")
       .select(col("s"), col("cid"), col("vid"), l2sq(col("sv"), col("cv")).as("d2"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("vid"), col("s"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
       .groupBy("vid")
       .agg(sort_array(collect_list(struct(col("s"), col("cid")))).as("sc"))
       .select(col("vid").as(idCol), expr("transform(sc, x -> x.cid)").as("codes"))

@@ -54,19 +54,30 @@ object Similarity {
   }
 
   /** Assign each vector to its max-cosine centroid (ids from
-    * `centroids`). Narrow map against broadcast centroids, then a window
-    * per vector — at scale use `k_centroids ≪ n` so the cross product is
-    * `n × k_centroids`. */
+    * `centroids`). Narrow map against broadcast centroids, then ONE
+    * hash aggregate per vector — at scale use `k_centroids ≪ n` so the
+    * cross product is `n × k_centroids`.
+    *
+    * The argmax is `max_by` over the TOTAL key (csim, −centroid_id),
+    * not a row_number window: the broadcast join emits a vector's k
+    * candidate rows inside its own input partition, so map-side partial
+    * aggregation collapses them to ONE row before the exchange — the
+    * shuffle carries n rows instead of n·k and the per-partition sort
+    * the window needed disappears (guide §2.3/§2.4). The key is total
+    * (centroid ids are unique per group), so the result is the exact
+    * row the (csim DESC, centroid_id ASC) window ranked first — ties on
+    * csim pick the SMALLEST centroid id via the negated second field,
+    * and an (impossible for unit data, but defensively identical) NaN
+    * csim sorts greatest in both formulations. */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val v = vectors.select(col(idCol).as("vec_id_"), asDoubleVec(col(vecCol)).as("vv"))
     val cent = centroids.select(col(idCol).as("centroid_id"), asDoubleVec(col(vecCol)).as("cv"))
-    val w = Window.partitionBy("vec_id_").orderBy(col("csim").desc, col("centroid_id"))
     v.crossJoin(broadcast(cent))
       .select(col("vec_id_"), col("centroid_id"), cosine(col("vv"), col("cv")).as("csim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id_").as(idCol), col("centroid_id").as("cluster_id"))
+      .groupBy(col("vec_id_"))
+      .agg(max_by(col("centroid_id"),
+        struct(col("csim"), negate(col("centroid_id")))).as("cluster_id"))
+      .select(col("vec_id_").as(idCol), col("cluster_id"))
   }
 
   /** Multi-probe assignment: each vector's `nprobe` NEAREST centroids in
@@ -133,11 +144,16 @@ object Similarity {
       .select(col("vid").as("cid"), col("vv").as("cv"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val w = Window.partitionBy("vid").orderBy(col("csim").desc, col("cid"))
+      // Same max_by-over-total-key argmax as [[ivfAssign]] (the window
+      // formulation shuffled and sorted all n·k candidate rows; the
+      // aggregate partial-combines them to n rows before the exchange).
       val assigned = v.crossJoin(broadcast(cent))
         .select(col("vid"), col("cid"), col("vv"),
           cosine(col("vv"), col("cv")).as("csim"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("vid"))
+        .agg(max_by(struct(col("cid"), col("vv")),
+          struct(col("csim"), negate(col("cid")))).as("a"))
+        .select(col("a.cid").as("cid"), col("a.vv").as("vv"))
       val means = assigned
         .select(col("cid"), posexplode(col("vv")).as(Seq("pos", "x")))
         .groupBy("cid", "pos")
