@@ -431,46 +431,69 @@ object Dedup {
     * that to the near-dup graph the LSH pipeline produces. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
+    // Symmetrize with ONE consumer of `pairs`: the old
+    // select(a,b).union(select(b,a)) spelling gave the pairs frame two
+    // consumers, so the ENTIRE candidate-generation lineage (LSH chain /
+    // IVF self-join — the dominant cost of every dedup gate) executed
+    // twice before the distinct (measured: llm_dedup_clusters 27.3
+    // executor-CPU-s vs 14.8 for the chain alone). The explode emits
+    // both directions from a single scan of the same lineage.
+    // Persisted PRE-PARTITIONED on `src`, the key every round's
+    // edges⋈labels join probes: the cached plan keeps its output
+    // partitioning, so the (large) edge side never re-exchanges inside
+    // the loop — only the small label frame moves each round (guide
+    // §2.4 "two operations keyed the same way can share one exchange").
     val edges = pairs
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
+      .repartition(col("src"))
       .persist()
+    // Labels stay localCheckpoint'ed per round: the checkpoint forgets
+    // output partitioning (so the label-side joins re-exchange), but it
+    // is the only lineage CUT — a persist()-based variant was tried
+    // this round and OOM'd the driver, because the fold+jump steps
+    // reference the previous labels twice and an InMemoryRelation keeps
+    // its child plan, so the logical tree doubles per round exactly as
+    // the original design note warned.
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
     var it = 0
-    var converged = edges.isEmpty
+    var converged = labels.isEmpty
     while (!converged && it < maxIter) {
       // Min label among each vertex's neighbors, folded into its own.
       val nbrMin = edges
         .join(labels.select(col("id").as("src"), col("component").as("c")), "src")
         .groupBy(col("dst").as("id")).agg(min(col("c")).as("nbr_min"))
       // Up to two label-lowering steps per round, then ONE eager
-      // checkpoint: (1) neighbor-min fold; (2) once the round count
-      // exceeds typical clique depth, a pointer jump — replace the
+      // materialization: (1) neighbor-min fold; (2) a pointer jump — replace the
       // folded label with ITS label from the previous round
       // (label(label(v)), the path-doubling shortcut of Kiveris et
       // al.) that turns O(diameter) rounds into O(log diameter). The
-      // jump is ADAPTIVE because the two graph shapes want different
-      // plans: LSH dup graphs are near-cliques that converge in 3-4
-      // plain rounds, where the extra equi-join is pure overhead;
-      // threshold-similarity graphs have real chains (measured
-      // diameter ~16 on the sf0.1 embedding near-dup graph: 16 plain
-      // rounds vs ~7 with jumping) and a still-changing round 4 is the
-      // signal chains exist. Both steps only ever lower labels
+      // Both steps only ever lower labels
       // (least(...)), so monotonicity — and the exactness of the
       // fixpoint test — is preserved; the jump table is the
-      // already-materialized previous checkpoint. The `changed` flag
-      // rides along INTO the checkpoint, so the fixpoint test is a
-      // cheap scan of materialized blocks, not a separate shuffle join.
+      // already-materialized previous cache. The `changed` flag
+      // rides along INTO the cache, so the fixpoint test is a
+      // scan of materialized blocks, not a separate shuffle join.
       val folded = labels.alias("l")
         .join(nbrMin.alias("n"), Seq("id"), "left")
         .select(col("id"), col("l.component").as("_prev"),
           least(col("l.component"),
             coalesce(col("n.nbr_min"), col("l.component"))).as("_c1"))
+      // Jump from round 2 on (it >= 1): in round 1 the jump table is the
+      // identity labeling, so the extra join can do nothing; from round
+      // 2 it doubles the propagation horizon every round (Kiveris et
+      // al.), which the r13 `it < 3` gate delayed — near-clique dup
+      // graphs converge by round 3 regardless, so the earlier jump
+      // costs them at most one tiny extra join, while chain-shaped
+      // similarity graphs (sf0.1 embedding near-dups, diameter ~16)
+      // save 2-3 full rounds of shuffles.
       val lowered =
-        if (it < 3) folded.select(col("id"), col("_prev"), col("_c1").as("_c2"))
+        if (it < 1) folded.select(col("id"), col("_prev"), col("_c1").as("_c2"))
         else folded
           .join(labels.select(col("id").as("_jid"), col("component").as("_jc")),
             col("_c1") === col("_jid"), "left")
@@ -498,14 +521,22 @@ object Dedup {
   def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
       aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
     val comps = connectedComponents(pairs, aCol, bCol)
-    val assigned = docs.select(col(idCol))
+    // Sizes come from the LABEL frame, not from the corpus-sized
+    // `assigned` frame: every component label is itself a graph vertex
+    // (labels are min reachable ids), every graph vertex is a doc
+    // (pairs derive from docs), and docs outside the graph are
+    // singletons of size 1 — so counting labels per component equals
+    // counting assigned docs per component, at the cost of ONE corpus
+    // scan instead of two (the old shape re-derived `assigned` for the
+    // aggregate: a second FileScan + join chain per the r14 plan dump).
+    val sizes = comps.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    docs.select(col(idCol))
       .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("component"), col(idCol)).as("component"))
-    val sizes = assigned.groupBy("component").agg(count(lit(1)).as("cluster_size"))
-    assigned.join(sizes, "component")
+      .join(sizes, Seq("component"), "left")
       .select(col(idCol), col("component"),
         (col(idCol) === col("component")).as("is_canonical"),
-        col("cluster_size"))
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
   }
 
   /** Source-overlap matrix: exact pairwise shingle-set Jaccard between

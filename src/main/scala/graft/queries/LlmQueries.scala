@@ -577,8 +577,13 @@ object LlmQueries {
       // parquet split, which would otherwise serialize the dominant stage
       // on one task. At real corpus scale the scan has thousands of
       // splits and the same spread comes free from the input format.
-      val docs = T(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism * 2)
+      // Project to the two columns the LSH chain reads BEFORE the
+      // parallelizing exchange (guide §2.3 "project before the
+      // exchange"), and size that exchange from the input bytes rather
+      // than a local[32] constant (Registry.spread — guide §2.2; the
+      // old 2×cores constant made downstream shuffles write 2048 files
+      // for 5000 docs).
+      val docs = Registry.spread(T(s, dir, "documents").select("doc_id", "text"))
       val sh = Dedup.shingleArray(docs, "doc_id", "text", 3)
       val sig = Dedup.minhashSignaturesNative(sh, "doc_id", 8)
       val bands = Dedup.lshBands(sig, "doc_id", 8, 2)
@@ -604,8 +609,7 @@ object LlmQueries {
       val boiler = base.orderBy("doc_id").limit(1)
       val clones = s.range(1, 41).crossJoin(boiler)
         .select((col("id") + lit(1000000L)).as("doc_id"), col("text"))
-      val corpus = base.unionByName(clones)
-        .repartition(s.sparkContext.defaultParallelism * 2)
+      val corpus = Registry.spread(base.unionByName(clones))
       val sh = Dedup.shingleArray(corpus, "doc_id", "text", 3)
       val sig = Dedup.minhashSignaturesNative(sh, "doc_id", 8)
       val bands = Dedup.lshBands(sig, "doc_id", 8, 2)
@@ -652,8 +656,13 @@ object LlmQueries {
       // with its duplicate-cluster id, canonical flag, and cluster size.
       // The oracle recomputes the same components with a recursive CTE —
       // a fully independent fixpoint formulation of min-reachable-id.
-      val docs = T(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism * 2)
+      // Project to the two columns the LSH chain reads BEFORE the
+      // parallelizing exchange (guide §2.3 "project before the
+      // exchange"), and size that exchange from the input bytes rather
+      // than a local[32] constant (Registry.spread — guide §2.2; the
+      // old 2×cores constant made downstream shuffles write 2048 files
+      // for 5000 docs).
+      val docs = Registry.spread(T(s, dir, "documents").select("doc_id", "text"))
       val sh = Dedup.shingleArray(docs, "doc_id", "text", 3)
       val sig = Dedup.minhashSignaturesNative(sh, "doc_id", 8)
       val bands = Dedup.lshBands(sig, "doc_id", 8, 2)
@@ -685,8 +694,13 @@ object LlmQueries {
       // long-doc flag); `flipped` marks docs whose own label loses the
       // vote — the annotation-noise audit list. One component-keyed agg
       // + join on top of the cluster build.
-      val docs = T(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism * 2)
+      // Project to the two columns the LSH chain reads BEFORE the
+      // parallelizing exchange (guide §2.3 "project before the
+      // exchange"), and size that exchange from the input bytes rather
+      // than a local[32] constant (Registry.spread — guide §2.2; the
+      // old 2×cores constant made downstream shuffles write 2048 files
+      // for 5000 docs).
+      val docs = Registry.spread(T(s, dir, "documents").select("doc_id", "text"))
       val sh = Dedup.shingleArray(docs, "doc_id", "text", 3)
       val sig = Dedup.minhashSignaturesNative(sh, "doc_id", 8)
       val bands = Dedup.lshBands(sig, "doc_id", 8, 2)
@@ -727,8 +741,13 @@ object LlmQueries {
       // decontamination alone does not close. Pure composition of
       // existing operators (LSH pairs → components → hash-bucket
       // split); the only cost over a plain split is the cluster build.
-      val docs = T(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism * 2)
+      // Project to the two columns the LSH chain reads BEFORE the
+      // parallelizing exchange (guide §2.3 "project before the
+      // exchange"), and size that exchange from the input bytes rather
+      // than a local[32] constant (Registry.spread — guide §2.2; the
+      // old 2×cores constant made downstream shuffles write 2048 files
+      // for 5000 docs).
+      val docs = Registry.spread(T(s, dir, "documents").select("doc_id", "text"))
       val sh = Dedup.shingleArray(docs, "doc_id", "text", 3)
       val sig = Dedup.minhashSignaturesNative(sh, "doc_id", 8)
       val bands = Dedup.lshBands(sig, "doc_id", 8, 2)
@@ -778,8 +797,13 @@ object LlmQueries {
       // corpus's standing band index — only new×corpus collisions are
       // generated, never corpus×corpus. Oracle: the full-corpus pair set
       // filtered to cross-boundary pairs must be identical.
-      val docs = T(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism * 2)
+      // Project to the two columns the LSH chain reads BEFORE the
+      // parallelizing exchange (guide §2.3 "project before the
+      // exchange"), and size that exchange from the input bytes rather
+      // than a local[32] constant (Registry.spread — guide §2.2; the
+      // old 2×cores constant made downstream shuffles write 2048 files
+      // for 5000 docs).
+      val docs = Registry.spread(T(s, dir, "documents").select("doc_id", "text"))
       val sh = Dedup.shingleArray(docs, "doc_id", "text", 3)
       val sig = Dedup.minhashSignaturesNative(sh, "doc_id", 8)
       val bands = Dedup.lshBands(sig, "doc_id", 8, 2)
@@ -2589,8 +2613,13 @@ object LlmQueries {
       // doc joined its cluster. Both edge frames are the existing
       // sub-quadratic banded chains; the union is one extra cheap
       // shuffle and Dedup.dedupClusters takes the edge frame as-is.
-      val docs = T(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism * 2)
+      // Project to the two columns the LSH chain reads BEFORE the
+      // parallelizing exchange (guide §2.3 "project before the
+      // exchange"), and size that exchange from the input bytes rather
+      // than a local[32] constant (Registry.spread — guide §2.2; the
+      // old 2×cores constant made downstream shuffles write 2048 files
+      // for 5000 docs).
+      val docs = Registry.spread(T(s, dir, "documents").select("doc_id", "text"))
       val sh = Dedup.shingleArray(docs, "doc_id", "text", 3)
       val sig = Dedup.minhashSignaturesNative(sh, "doc_id", 8)
       val bands = Dedup.lshBands(sig, "doc_id", 8, 2)
@@ -2666,8 +2695,13 @@ object LlmQueries {
       // pair granularity); the union adds ONE tagged degree aggregate
       // and one distinct — no modality is recomputed and nothing
       // quadratic appears at any corpus scale.
-      val docs = T(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism * 2)
+      // Project to the two columns the LSH chain reads BEFORE the
+      // parallelizing exchange (guide §2.3 "project before the
+      // exchange"), and size that exchange from the input bytes rather
+      // than a local[32] constant (Registry.spread — guide §2.2; the
+      // old 2×cores constant made downstream shuffles write 2048 files
+      // for 5000 docs).
+      val docs = Registry.spread(T(s, dir, "documents").select("doc_id", "text"))
       val sh = Dedup.shingleArray(docs, "doc_id", "text", 3)
       val sig = Dedup.minhashSignaturesNative(sh, "doc_id", 8)
       val tbands = Dedup.lshBands(sig, "doc_id", 8, 2)
@@ -3519,8 +3553,13 @@ object LlmQueries {
       // Jaccard misses. Same LSH chain as llm_minhash_lsh_pairs, then
       // the shingle ARRAYS attach to the (tiny) candidate set — the
       // corpus-sized shingle stream never re-shuffles.
-      val docs = T(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism * 2)
+      // Project to the two columns the LSH chain reads BEFORE the
+      // parallelizing exchange (guide §2.3 "project before the
+      // exchange"), and size that exchange from the input bytes rather
+      // than a local[32] constant (Registry.spread — guide §2.2; the
+      // old 2×cores constant made downstream shuffles write 2048 files
+      // for 5000 docs).
+      val docs = Registry.spread(T(s, dir, "documents").select("doc_id", "text"))
       val sh = Dedup.shingleArray(docs, "doc_id", "text", 3)
       val sig = Dedup.minhashSignaturesNative(sh, "doc_id", 8)
       val bands = Dedup.lshBands(sig, "doc_id", 8, 2)
@@ -3711,8 +3750,7 @@ object LlmQueries {
       val boiler = base.orderBy("doc_id").limit(1)
       val clones = s.range(1, 41).crossJoin(boiler)
         .select((col("id") + lit(1000000L)).as("doc_id"), col("text"))
-      val docs = base.unionByName(clones)
-        .repartition(s.sparkContext.defaultParallelism * 2)
+      val docs = Registry.spread(base.unionByName(clones))
       val sh = Dedup.shingleArray(docs, "doc_id", "text", 3)
       val sig = Dedup.minhashSignaturesNative(sh, "doc_id", 8)
       val cands = Dedup.candidatePairsCapped(
@@ -3817,8 +3855,14 @@ object LlmQueries {
       // 7 accounting rows never recompute the chain prefix.
       import graft.llm.{Dedup, Splits, TextOps}
       val docs = T(s, dir, "documents").select("doc_id", "text")
+      // Checkpointed like the stage frames: all seven accounting rows
+      // join against `sizes`, and without the checkpoint each row's
+      // branch re-tokenizes the full corpus (7 regexp+split passes for
+      // one 16-byte-per-doc frame — the "don't recompute shared
+      // lineage" case of guide §1.2 step 1).
       val sizes = docs.select(col("doc_id"),
         size(TextOps.tokens(col("text"))).cast("long").as("ntok"))
+        .localCheckpoint(true)
       val evalDocs = docs.filter(col("doc_id") < 10)
       val corpus = docs.filter(col("doc_id") >= 10)
       val g = "CAST(CASE WHEN doc_id % 10 = 7 THEN doc_id - 1 ELSE doc_id END AS STRING)"

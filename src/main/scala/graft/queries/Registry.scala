@@ -59,6 +59,35 @@ object Registry {
     } else df
   }
 
+  /** Scale-ADAPTIVE parallelizing repartition for CPU-bound projection
+    * chains (MinHash/shingle signatures) over small scans.
+    *
+    * The r1–r13 spelling was `repartition(defaultParallelism * 2)` — a
+    * constant tuned for local[32] that this round's measurements showed
+    * to be the dominant cost of every LSH gate: with M map partitions
+    * and R=`spark.sql.shuffle.partitions` reducers, the next exchange
+    * writes M×R shuffle files (bypass-merge writer at local R), and on
+    * this sandbox each file costs ~4–5 ms of CPU — the same bucket
+    * aggregation measured 11.8 executor-CPU-s at M=64 vs 1.9 s at M=8
+    * over identical 5000-doc data (LshProbe; guide §2.2 "fewer, larger
+    * map tasks feeding the shuffle").
+    *
+    * The target is therefore derived from the INPUT SIZE — the
+    * optimizer's size estimate (file bytes scaled by column pruning) at
+    * ~64 KB per partition, i.e. enough splits that the ~2 s signature
+    * CPU spreads across cores, not 64 near-empty tasks — and clamped to
+    * [1, 2·defaultParallelism] so at production scale (where bytes/64 KB
+    * is astronomically larger than the cluster) it degrades to exactly
+    * the old cluster-sized constant. The driver's low-core bench rerun
+    * keeps working: the byte-derived target is core-count-independent
+    * below the clamp. */
+  def spread(df: DataFrame): DataFrame = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val target = (bytes / 65536).min(BigInt(par * 2)).max(BigInt(1)).toInt
+    df.repartition(target)
+  }
+
   /** Cast every DECIMAL column of a terminal gate projection to DOUBLE.
     *
     * The driver's hash canonicalizes DOUBLE identically on both engines
