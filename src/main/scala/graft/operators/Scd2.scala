@@ -69,29 +69,35 @@ object Scd2 {
 
     def fromSide(side: String) = targetCols.map(c => col(s"$side.$c").as(c))
 
-    val kept = joined.filter(col("__fate") === "keep" &&
-      keyCols.map(k => col(s"t.$k").isNotNull).reduce(_ && _))
-      .select(fromSide("t"): _*)
+    // ONE pass over the joined stream: each row emits its 0-2 output
+    // rows (keep → the target row; insert → the source row; close →
+    // the closed-out target row plus, by default, the source's new
+    // version) through a single explode. The previous four-branch
+    // union re-instantiated the sort-merge join per branch —
+    // ReuseExchange dedupes only the exchanges, so the sort+merge and
+    // fate evaluation ran four times over the same shuffled bytes
+    // (measured in st20: 1.14 M shuffle-read records for 0.76 M
+    // written). A keep-fate row always has a target side: full-outer
+    // null-source rows are keyed keep with t present, and unchanged
+    // rows have both sides.
+    val keepRow = struct(fromSide("t"): _*)
+    val newRow = struct(fromSide("s"): _*)
+    val closedRow = struct(targetCols.map {
+      case "is_current" => lit(false).as("is_current")
+      case "effective_end_date" => col("s.effective_start_date").as("effective_end_date")
+      case c => col(s"t.$c").as(c)
+    }: _*)
+    val closeRows =
+      if (insertNewVersions) array(closedRow, newRow) else array(closedRow)
 
-    val closed = joined.filter(col("__fate") === "close")
-      .select(targetCols.map {
-        case "is_current" => lit(false).as("is_current")
-        case "effective_end_date" => col("s.effective_start_date").as("effective_end_date")
-        case c => col(s"t.$c").as(c)
-      }: _*)
+    val emitted = joined
+      .select(explode(
+        when(col("__fate") === "keep", array(keepRow))
+          .when(col("__fate") === "insert", array(newRow))
+          .otherwise(closeRows)).as("__r"))
+      .select(targetCols.map(c => col(s"__r.$c").as(c)): _*)
 
-    val newVersions =
-      if (insertNewVersions)
-        joined.filter(col("__fate") === "close").select(fromSide("s"): _*)
-      else joined.limit(0).select(fromSide("s"): _*)
-
-    val brandNew = joined.filter(col("__fate") === "insert").select(fromSide("s"): _*)
-
-    history
-      .unionByName(kept)
-      .unionByName(closed)
-      .unionByName(newVersions)
-      .unionByName(brandNew)
+    history.unionByName(emitted)
   }
 
   /** The reference's tracked-attribute list for dim_policy

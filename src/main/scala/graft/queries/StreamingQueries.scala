@@ -1156,10 +1156,11 @@ object StreamingQueries {
               val dropped = droppedText.unionByName(droppedImage).distinct()
               val kept = batch.join(dropped, Seq("doc_id"), "left_anti")
                 .localCheckpoint(true)
+              // keptT/keptI feed exactly one consumer each (the table
+              // append) over already-checkpointed inputs — materializing
+              // them first was one extra eager job per micro-batch.
               val keptT = tb.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
-                .localCheckpoint(true)
               val keptI = ib.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
-                .localCheckpoint(true)
               kept.select("doc_id").write.mode("append")
                 .saveAsTable("graft_st17.accepted_docs")
               keptT.write.mode("append")
@@ -1254,7 +1255,6 @@ object StreamingQueries {
                 .join(dropped, Seq("vec_id"), "left_anti")
                 .localCheckpoint(true)
               val keptVecs = nv.join(kept, Seq("vec_id"), "left_semi")
-                .localCheckpoint(true)
               kept.write.mode("append")
                 .saveAsTable("graft_st18.accepted_docs")
               keptVecs.write.mode("append")
@@ -1611,7 +1611,7 @@ object StreamingQueries {
                   withUrl.join(sp.read.table("graft_st23.accepted_urls"),
                       Seq("url_norm"), "left_semi")
                     .select("doc_id").localCheckpoint(true)
-                else batch.select("doc_id").limit(0).localCheckpoint(true)
+                else batch.select("doc_id").limit(0)
               val u = batch.join(urlDrop, Seq("doc_id"), "left_anti")
               val qualFlags = TextOps.qualityFilter(u,
                   minTokens = 20, maxTokens = 100000,
@@ -1626,14 +1626,14 @@ object StreamingQueries {
                   nb.join(sp.read.table("graft_st23.accepted_bands"),
                       Seq("band", "band_hash"), "left_semi")
                     .select("doc_id").distinct().localCheckpoint(true)
-                else batch.select("doc_id").limit(0).localCheckpoint(true)
+                else batch.select("doc_id").limit(0)
               val f = q2.join(fuzzyDrop, Seq("doc_id"), "left_anti")
               val evalDocs = Registry.T(sp, dir, "documents")
                 .filter(col("doc_id") < 10).select("doc_id", "text")
               val d = Dedup.decontaminate(f, evalDocs, "doc_id", "text", 5)
                 .localCheckpoint(true)
               val contamDrop = f.join(d.select("doc_id"), Seq("doc_id"), "left_anti")
-                .select("doc_id").localCheckpoint(true)
+                .select("doc_id")
               def tag(ids: org.apache.spark.sql.DataFrame, o: String) =
                 ids.select(col("doc_id"), inc.as("increment"), lit(o).as("outcome"))
               tag(d.select("doc_id"), "accepted")
