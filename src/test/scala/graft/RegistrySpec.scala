@@ -76,4 +76,27 @@ class RegistrySpec extends SparkTestBase {
     assert(Registry.T(spark, s"$dir/longdir", "other")
       .schema("ts").dataType !== LongType)
   }
+
+  test("spread derives its partition count from input size, clamped, values intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_spread").toString
+    // Tiny input: the 64 KB-per-partition target must clamp UP to 1,
+    // never 0, and must not lose or duplicate rows.
+    spark.range(100).selectExpr("id", "CAST(id AS STRING) AS s")
+      .write.parquet(s"$dir/tiny.parquet")
+    val tiny = Registry.spread(Registry.T(spark, dir, "tiny"))
+    assert(tiny.rdd.getNumPartitions === 1)
+    assert(tiny.agg(count(lit(1)), sum(col("id"))).head() ===
+      org.apache.spark.sql.Row(100L, 4950L))
+    // Large-estimate input: the target must clamp at 2x defaultParallelism
+    // (the old constant), never beyond — production scans degrade to the
+    // r13 behavior exactly.
+    spark.range(200000)
+      .selectExpr("id", "repeat(CAST(id AS STRING), 40) AS s")
+      .write.parquet(s"$dir/big.parquet")
+    val big = Registry.spread(Registry.T(spark, dir, "big"))
+    val cap = spark.sparkContext.defaultParallelism * 2
+    val n = big.rdd.getNumPartitions
+    assert(n > 1 && n <= cap, s"expected (1, $cap] partitions, got $n")
+    assert(big.count() === 200000L)
+  }
 }
