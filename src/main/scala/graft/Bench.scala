@@ -15,9 +15,12 @@ import org.apache.spark.sql.SparkSession
   *   - `raw` carries every per-iteration time, so a consumer can see the
   *     spread that produced each median instead of trusting it.
   *   - After the full list, the k slowest queries are re-timed in a second
-  *     isolated pass (`reprobe`); the headline `queries`/`value` use the
-  *     better of the two medians, and `queries_firstpass`/`value_firstpass`
-  *     preserve the uncorrected reading for comparison.
+  *     isolated pass (`reprobe`); when the two pass medians disagree
+  *     materially (>1.25x) a THIRD pass adjudicates and the headline takes
+  *     the median of the three pass medians — a stall must span two of
+  *     three time-separated windows to reach `value`.
+  *     `queries_firstpass`/`value_firstpass` preserve the uncorrected
+  *     main-pass reading for comparison.
   *   - `stall_suspect` is true when any query's max/median iteration spread
   *     exceeds 5x or a reprobe halves the first-pass median — the artifact
   *     self-identifies contention without a judge re-run.
@@ -198,25 +201,49 @@ object Bench {
       n -> (if (ts.exists(_ < 0)) -1.0 else median(ts))
     }.toMap
 
-    // Headline per-query number: for reprobed queries take the reprobe
-    // median UNCONDITIONALLY — it is the isolated, end-of-run measurement.
-    // (r8 advice: min(firstpass, reprobe) is a one-sided estimator; any
-    // favorable noise in either pass lowers the headline, so the total
-    // drifts optimistic. Both uncorrected series stay in the artifact —
-    // queries_firstpass/raw/reprobe — and stall_suspect tells a consumer
-    // which to trust when they disagree.)
+    // Tiebreak pass (r15 measurement fix, documented in
+    // OPTIMIZATION_r15.md): taking the reprobe median UNCONDITIONALLY
+    // meant a host stall during the END-of-run reprobe window poisoned
+    // the headline even when the main pass was clean — the r14 driver
+    // artifact read llm_crossmodal_clusters at 46.3 s from a stalled
+    // reprobe vs ~6.5 s in the same session's first pass AND in the
+    // driver's own 8-cpu rerun. When the two pass medians disagree
+    // materially, a THIRD isolated pass adjudicates and the headline
+    // takes the MEDIAN OF THE THREE pass medians: two-sided (unlike
+    // min — the r8 one-sided-estimator objection stands), so favorable
+    // noise cannot drift the total optimistic, while a genuine plan
+    // regression reproduces in every pass and is never hidden. A stall
+    // now has to span two of three time-separated windows to reach the
+    // headline. All series stay in the artifact
+    // (queries_firstpass/raw/reprobe/tiebreak).
+    val tiebreakNames = reprobeNames.filter { n =>
+      val m = firstMap(n); val r = reprobeMed(n)
+      m >= 0 && r >= 0 && math.max(m, r) > 0.2 &&
+        math.max(m, r) > 1.25 * math.min(m, r)
+    }
+    val tiebreak: Seq[(String, Seq[Double])] =
+      tiebreakNames.map(n => n -> timeQuery(spark, sfDir, n, iters))
+    val tiebreakMed: Map[String, Double] = tiebreak.map { case (n, ts) =>
+      n -> (if (ts.exists(_ < 0)) -1.0 else median(ts))
+    }.toMap
     val finalPass: Seq[(String, Double)] = firstPass.map { case (name, m) =>
       val r = reprobeMed.getOrElse(name, m)
-      name -> (if (m < 0 || r < 0) -1.0 else r)
+      val v = tiebreakMed.get(name) match {
+        case Some(tb) if tb >= 0 && m >= 0 && r >= 0 => median(Seq(m, r, tb))
+        case _ => r // tiebreak itself failed → the r14 behavior
+      }
+      name -> (if (m < 0 || r < 0) -1.0 else v)
     }
 
     val spreadSuspect = raw.exists { case (_, ts) =>
       val ok = ts.filter(_ >= 0)
       ok.nonEmpty && median(ok) > 0.05 && ok.max / median(ok) > 5.0
     }
+    // Symmetric: a reprobe reading FAR ABOVE a clean first pass is the
+    // same contention evidence as the r12-era far-below case.
     val reprobeSuspect = reprobeNames.exists { n =>
       val m = firstMap(n); val r = reprobeMed(n)
-      m >= 0 && r >= 0 && m > 0.5 && r < 0.5 * m
+      m >= 0 && r >= 0 && math.max(m, r) > 0.5 && math.min(m, r) < 0.5 * math.max(m, r)
     }
     val stallSuspect = spreadSuspect || reprobeSuspect
 
@@ -271,6 +298,7 @@ object Bench {
       f""""value_firstpass":${total(firstPass)}%.3f,""" +
       f""""queries_firstpass":${fmtMap(firstPass)},""" +
       f""""raw":${fmtRaw(raw)},"reprobe":${fmtRaw(reprobe)},""" +
+      f""""tiebreak":${fmtRaw(tiebreak)},""" +
       f""""probe_sec":$probeSec%.3f,""" +
       adjudFields._1 + adjudFields._2 +
       f""""probe_start":${probeStart.map(t => f"$t%.3f").mkString("[", ",", "]")},""" +

@@ -517,7 +517,16 @@ object Dedup {
     * the frame a training pipeline filters to `is_canonical` to drop
     * near-duplicates. One broadcast-size join against the (tiny) label
     * frame plus one aggregate over it; the full corpus is never
-    * shuffled. */
+    * shuffled.
+    *
+    * PRECONDITION (r14 ADVICE): `cluster_size` is counted from the label
+    * frame, which equals the per-component doc count only when (a) every
+    * id appearing in `pairs` also appears in `docs`, and (b) `docs` is
+    * unique on `idCol`. Every in-repo caller derives `pairs` from `docs`
+    * (LSH bands / IVF buckets over the same corpus), so both hold by
+    * construction; a caller joining EXTERNAL pairs (ids ∉ docs, or a
+    * docs frame with duplicate ids) would read inflated/deflated sizes —
+    * dedup `docs` and semi-join `pairs` to it first in that case. */
   def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
       aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
     val comps = connectedComponents(pairs, aCol, bCol)

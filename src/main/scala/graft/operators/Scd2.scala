@@ -50,8 +50,17 @@ object Scd2 {
     val history = target.filter(!isCur)
     val current = target.filter(isCur)
 
-    val t = current.alias("t")
-    val s = source.alias("s")
+    // Side-PRESENCE sentinels, not key-null checks, drive the fates: a
+    // source row with a NULL natural key is unmatched in the full-outer
+    // join (equi-join keys never match NULL), and the old `s.k IS NULL ⇒
+    // keep` spelling classified it keep with an ABSENT target side — the
+    // explode then emitted struct(t.*) = an all-NULL output row (r14
+    // ADVICE, medium). A literal true survives the join exactly when its
+    // side is present, so the fates below are Delta MERGE's, null keys
+    // included: null-key source row → not matched → insert; null-key
+    // target row → not matched by source → keep.
+    val t = current.withColumn("__t_present", lit(true)).alias("t")
+    val s = source.withColumn("__s_present", lit(true)).alias("s")
     val keyMatch = keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
     // Null-safe "any tracked attribute differs" (Delta MERGE `!=` treats
     // NULL-vs-value as no-change; `<=>` negation is the null-safe form we
@@ -60,10 +69,10 @@ object Scd2 {
 
     val joined = t.join(s, keyMatch, "full_outer")
       .withColumn("__fate",
-        when(keyCols.map(k => col(s"s.$k").isNull).reduce(_ && _), lit("keep"))        // current row, no source
-          .when(keyCols.map(k => col(s"t.$k").isNull).reduce(_ && _), lit("insert"))   // brand-new key
-          .when(changed, lit("close"))                                                 // attribute change
-          .otherwise(lit("keep")))                                                     // unchanged
+        when(col("s.__s_present").isNull, lit("keep"))      // current row, no source
+          .when(col("t.__t_present").isNull, lit("insert")) // brand-new (or null) key
+          .when(changed, lit("close"))                      // attribute change
+          .otherwise(lit("keep")))                          // unchanged
 
     val targetCols = target.columns.toSeq
 
@@ -77,9 +86,9 @@ object Scd2 {
     // ReuseExchange dedupes only the exchanges, so the sort+merge and
     // fate evaluation ran four times over the same shuffled bytes
     // (measured in st20: 1.14 M shuffle-read records for 0.76 M
-    // written). A keep-fate row always has a target side: full-outer
-    // null-source rows are keyed keep with t present, and unchanged
-    // rows have both sides.
+    // written). A keep-fate row always has a target side — the fates
+    // are keyed on side PRESENCE above, so keep ⇒ t present and
+    // insert ⇒ s present by construction, null keys included.
     val keepRow = struct(fromSide("t"): _*)
     val newRow = struct(fromSide("s"): _*)
     val closedRow = struct(targetCols.map {

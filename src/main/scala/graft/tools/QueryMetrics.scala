@@ -71,9 +71,10 @@ object QueryMetrics {
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
-      // The listener bus is async; give queued task-end events time to
-      // drain before reading the counters (local runs drain in ms).
-      Thread.sleep(1000)
+      // The listener bus is async: drain it (bounded) before reading the
+      // counters. A fixed sleep was a race — under load, late task-end
+      // events were lost and the counters undercounted (r14 ADVICE).
+      org.apache.spark.graftbus.ListenerBusDrain.drain(spark.sparkContext)
       spark.sparkContext.removeSparkListener(listener)
       println(f"""{"q":"$name","wall":$wall%.3f,"jobs":${jobs.get},""" +
         f""""stages":${stages.get},"tasks":${tasks.get},""" +

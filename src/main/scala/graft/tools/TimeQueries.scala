@@ -55,9 +55,13 @@ object TimeQueries {
       name -> median(runs)
     }
     val probeEnd = try { probe() } catch { case _: Throwable => -1.0 }
+    // One PURE JSON line: the probe values ride inside the object
+    // (underscore-prefixed so they cannot collide with a gate name) —
+    // appending `key=value` text after the closing brace broke any
+    // consumer that parsed the stdout line as JSON (r14 ADVICE).
     println(timed.map { case (n, s) => f""""$n":$s%.3f""" }
-      .mkString("{", ",", "}") +
-      f""" probe_start=$probeStart%.3f probe_end=$probeEnd%.3f""")
+      .mkString("{", ",", ",") +
+      f""""_probe_start":$probeStart%.3f,"_probe_end":$probeEnd%.3f}""")
     spark.stop()
   }
 }

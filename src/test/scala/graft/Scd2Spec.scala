@@ -85,6 +85,30 @@ class Scd2Spec extends SparkTestBase {
     assert(out.filter(col("policy_id") === "P9").count() === 1)
   }
 
+  test("merge fates key on side presence: NULL natural keys never emit phantom rows") {
+    // r14 ADVICE (medium): a NULL-key source row is unmatched in the
+    // full-outer join, and the key-null fate spelling classified it
+    // 'keep' with an ABSENT target side — the explode emitted an
+    // all-NULL output row. Presence-keyed fates give Delta MERGE
+    // semantics instead: NULL-key source → not matched → INSERT as-is;
+    // NULL-key target current row → not matched by source → kept.
+    val nullKey = (r: DataFrame) => r.withColumn("policy_id",
+      lit(null).cast(StringType))
+    val target = dim(("P1", "ACTIVE", "2024-01-01", None, true))
+      .union(nullKey(dim(("X", "ORPHAN", "2024-01-01", None, true))))
+    val source = dim(("P1", "CANCELLED", "2024-06-01", None, true))
+      .union(nullKey(dim(("Y", "NEWNULL", "2024-06-01", None, true))))
+    val out = Scd2.merge(target, source, Seq("policy_id"), Seq("status")).cache()
+    // No phantom: every row has a status (all-NULL rows have none).
+    assert(out.filter(col("status").isNull).count() === 0)
+    // P1 closed + new version; ORPHAN kept; NEWNULL inserted = 4 rows.
+    assert(out.count() === 4)
+    assert(out.filter(col("status") === "ORPHAN").count() === 1)
+    val ins = out.filter(col("status") === "NEWNULL").collect()
+    assert(ins.length === 1 && ins(0).getAs[Boolean]("is_current")
+      && ins(0).getAs[String]("policy_id") == null)
+  }
+
   test("merge with insertNewVersions=false reproduces the reference gap") {
     val target = dim(("P1", "ACTIVE", "2024-01-01", None, true))
     val source = dim(("P1", "CANCELLED", "2024-06-01", None, true))
