@@ -452,53 +452,63 @@ object Dedup {
       .repartition(col("src"))
       .persist()
     // Labels stay localCheckpoint'ed per round: the checkpoint forgets
-    // output partitioning (so the label-side joins re-exchange), but it
-    // is the only lineage CUT — a persist()-based variant was tried
-    // this round and OOM'd the driver, because the fold+jump steps
-    // reference the previous labels twice and an InMemoryRelation keeps
-    // its child plan, so the logical tree doubles per round exactly as
-    // the original design note warned.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // output partitioning (so the label-side joins re-exchange — this
+    // round's Scratch experiment re-confirmed Spark 4.1 localCheckpoint
+    // drops outputPartitioning), but it is the only lineage CUT — a
+    // persist()-based variant was tried in r14 and OOM'd the driver,
+    // because the fold+jump steps reference the previous labels twice
+    // and an InMemoryRelation keeps its child plan, so the logical tree
+    // doubles per round exactly as the original design note warned.
+    //
+    // Round 0 is FUSED into the initialization (r15): from identity
+    // labels, one fold round computes exactly least(v, min(neighbors)),
+    // which is a single aggregation over the pre-partitioned edge
+    // cache — no join, no exchange (groupBy(src) reuses the persisted
+    // partitioning). The r14 shape spent an init checkpoint (distinct +
+    // identity labels) plus a full fold round (join + agg + checkpoint
+    // + fixpoint probe, ~9 scheduler jobs) to reach the same frame.
+    // `changed` = a neighbor was smaller; vertices all of whose
+    // neighbors are larger keep their own id unchanged.
+    var labels = edges
+      .groupBy(col("src").as("id")).agg(min(col("dst")).as("_nbr"))
+      .select(col("id"),
+        least(col("id"), col("_nbr")).as("component"),
+        (col("_nbr") < col("id")).as("changed"))
       .localCheckpoint(true)
-    var it = 0
-    var converged = labels.isEmpty
+    var it = 1
+    var converged = labels.filter(col("changed")).isEmpty
     while (!converged && it < maxIter) {
       // Min label among each vertex's neighbors, folded into its own.
       val nbrMin = edges
         .join(labels.select(col("id").as("src"), col("component").as("c")), "src")
         .groupBy(col("dst").as("id")).agg(min(col("c")).as("nbr_min"))
-      // Up to two label-lowering steps per round, then ONE eager
-      // materialization: (1) neighbor-min fold; (2) a pointer jump — replace the
-      // folded label with ITS label from the previous round
-      // (label(label(v)), the path-doubling shortcut of Kiveris et
-      // al.) that turns O(diameter) rounds into O(log diameter). The
-      // Both steps only ever lower labels
-      // (least(...)), so monotonicity — and the exactness of the
-      // fixpoint test — is preserved; the jump table is the
-      // already-materialized previous cache. The `changed` flag
-      // rides along INTO the cache, so the fixpoint test is a
-      // scan of materialized blocks, not a separate shuffle join.
+      // Two label-lowering steps per round, then ONE eager
+      // materialization: (1) neighbor-min fold; (2) a pointer jump —
+      // replace the folded label with ITS label from the previous
+      // round (label(label(v)), the path-doubling shortcut of Kiveris
+      // et al.). The jump table is the already-materialized previous
+      // cache, so it costs one small exchange and zero recompute.
+      // Two rejected-after-measurement variants from this round, kept
+      // here so they are not retried: (a) jumping through the current
+      // FOLDED mapping (a self-join) — AQE broadcasts the jump side,
+      // a BroadcastExchange cannot reuse the fold's ShuffleExchange,
+      // and the whole nbrMin⋈fold subtree executed twice
+      // (llm_dedup_clusters CPU 4.95→7.64 s); (b) TWO chained
+      // prev-jumps — the measured round count did NOT drop (the
+      // min-label dynamics on these graphs are not jump-bound) and the
+      // extra join raised per-round CPU ~30%. Both steps only ever
+      // lower labels (least(...)), so monotonicity — and the exactness
+      // of the fixpoint test — is preserved.
       val folded = labels.alias("l")
         .join(nbrMin.alias("n"), Seq("id"), "left")
         .select(col("id"), col("l.component").as("_prev"),
           least(col("l.component"),
             coalesce(col("n.nbr_min"), col("l.component"))).as("_c1"))
-      // Jump from round 2 on (it >= 1): in round 1 the jump table is the
-      // identity labeling, so the extra join can do nothing; from round
-      // 2 it doubles the propagation horizon every round (Kiveris et
-      // al.), which the r13 `it < 3` gate delayed — near-clique dup
-      // graphs converge by round 3 regardless, so the earlier jump
-      // costs them at most one tiny extra join, while chain-shaped
-      // similarity graphs (sf0.1 embedding near-dups, diameter ~16)
-      // save 2-3 full rounds of shuffles.
-      val lowered =
-        if (it < 1) folded.select(col("id"), col("_prev"), col("_c1").as("_c2"))
-        else folded
-          .join(labels.select(col("id").as("_jid"), col("component").as("_jc")),
-            col("_c1") === col("_jid"), "left")
-          .select(col("id"), col("_prev"),
-            least(col("_c1"), coalesce(col("_jc"), col("_c1"))).as("_c2"))
+      val lowered = folded
+        .join(labels.select(col("id").as("_jid"), col("component").as("_jc")),
+          col("_c1") === col("_jid"), "left")
+        .select(col("id"), col("_prev"),
+          least(col("_c1"), coalesce(col("_jc"), col("_c1"))).as("_c2"))
       val next = lowered
         .select(col("id"), col("_c2").as("component"),
           (col("_c2") < col("_prev")).as("changed"))

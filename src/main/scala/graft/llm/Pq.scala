@@ -72,76 +72,139 @@ object Pq {
       posexplode(slices).as(Seq("s", "sv")))
   }
 
+  /** The codebook as the driver-held model artifact it is: `cbv(j)(c)` =
+    * centroid `c` of subspace `j` — m·k·subDim doubles, the object FAISS
+    * or MLlib would hold in memory. Training (below) maintains it on the
+    * driver between Lloyd iterations and every consumer (encode, LUTs)
+    * ships it into the plan as ONE `typedLit`, turning assign/encode/LUT
+    * into zero-shuffle codegen projections: the lambda traversing the
+    * literal is a single expression node evaluated k times at runtime,
+    * so the tree stays O(m) at ANY k (no codegen-size cliff even at
+    * production m=16, k=256). */
+  type Codebook = IndexedSeq[IndexedSeq[IndexedSeq[Double]]]
+
+  /** Collect a (s, cid, cv) codebook frame to the local model — m·k rows
+    * by construction (tiny at any scale); k is derived from the row
+    * count. */
+  def collectCodebook(cb: DataFrame, m: Int): Codebook = {
+    val rows = cb.select(col("s").cast("int"), col("cid").cast("int"), col("cv"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toIndexedSeq))
+      .toMap
+    require(rows.nonEmpty && rows.size % m == 0,
+      s"codebook must carry m·k rows for m=$m subspaces, got ${rows.size}")
+    val k = rows.size / m
+    IndexedSeq.tabulate(m, k) { (j, c) =>
+      rows.getOrElse((j, c),
+        sys.error(s"codebook is missing the (s=$j, cid=$c) centroid"))
+    }
+  }
+
+  /** Codes as ONE per-row expression against the literal codebook: for
+    * each subspace j, the argmin over (d2, cid) of [[l2sq]] between the
+    * row's j-th slice and centroid c — `array_min` over struct(d2, cid)
+    * is exactly [[min_by]]'s total key (NaN d2 sorts greatest in both).
+    * Zero shuffle, no explode, no join; the same `assert_true` guard as
+    * [[subspaces]] rides the first code (zip_with would null-pad a
+    * wrong-length vector silently). */
+  def encodeCol(vec: Column, cbv: Codebook, m: Int, subDim: Int): Column = {
+    val guard = assert_true(size(vec) === m * subDim,
+      concat(lit(s"Pq: expected dim ${m * subDim} but vector has "),
+        size(vec).cast("string"), lit(" elements")))
+    val vv = Similarity.asDoubleVec(vec)
+    val code = (j: Int) => {
+      val sv = slice(vv, j * subDim + 1, subDim)
+      array_min(transform(typedLit(cbv(j)),
+        (cv, cid) => struct(l2sq(sv, cv).as("d2"), cid.as("cid"))))
+        .getField("cid")
+    }
+    array((0 until m).map(j =>
+      code(j) + coalesce(guard.cast("int"), lit(0))): _*)
+  }
+
   /** Per-subspace Lloyd codebooks: (s, cid, cv) with cid dense 0..k−1.
     * Init = subvectors of the k smallest-id vectors (rank order, so ids
-    * need not be dense); per iteration one broadcast assign + one
-    * decimal-exact mean recompute, all `m` subspaces trained in the SAME
-    * jobs (subspace is just a grouping column). Empty clusters keep
-    * their previous centroid. Centroids localCheckpoint each iteration
-    * (m·k tiny rows) to cut iteration-deep lineage. */
-  def codebooks(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, subDim: Int, k: Int, iters: Int): DataFrame = {
-    val wInit = Window.partitionBy("s").orderBy("vid")
-    var cent = subspaces(corpus.orderBy(idCol).limit(k), idCol, vecCol, m, subDim)
-      .withColumn("cid", row_number().over(wInit) - 1)
-      .select(col("s"), col("cid"), col("sv").as("cv"))
-      .localCheckpoint(true)
-    val sub = subspaces(corpus, idCol, vecCol, m, subDim)
+    * need not be dense). The centroids live on the DRIVER between
+    * iterations (the MLlib shape — they are O(m·k), a model artifact):
+    * each iteration is ONE distributed aggregation job — assign via the
+    * literal-codebook argmin of [[encodeCol]]'s key (array_min over
+    * struct(d2, cid), bit-identical to the previous min_by spelling),
+    * then the decimal-exact integer-grid means per (s, cid) collected
+    * back. The r14 shape paid a broadcast build + two exchanges + a
+    * localCheckpoint job per iteration (≈5 scheduler jobs each); this is
+    * 1 job and 1 exchange of m·k groups. Empty clusters keep their
+    * previous centroid; the arithmetic (floor(x·2^30) summed as
+    * DECIMAL(38,0), one division by count, one exponent shift) is
+    * unchanged, so the codebooks reproduce bit-for-bit — proven by the
+    * unchanged oracles of every PQ gate. */
+  def codebooksLocal(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int, k: Int, iters: Int): Codebook = {
+    val initRows = corpus.orderBy(idCol).limit(k)
+      .select(Similarity.asDoubleVec(col(vecCol)).as("vv"))
+      .collect().map(_.getSeq[Double](0).toIndexedSeq)
+    require(initRows.nonEmpty, "Pq.codebooks: empty training corpus")
+    initRows.foreach(v => require(v.size == m * subDim,
+      s"Pq: expected dim ${m * subDim} but init vector has ${v.size} elements"))
+    // cid = rank of the vector's id among the k smallest (the collect
+    // preserves the orderBy(idCol) order) — identical to the old
+    // row_number-per-subspace init.
+    var cbv: Codebook = IndexedSeq.tabulate(m)(j =>
+      initRows.toIndexedSeq.map(v => v.slice(j * subDim, (j + 1) * subDim)))
+    val meanCols = (0 until subDim).map { d =>
+      (sum(floor(element_at(col("sv"), d + 1) * lit(1073741824.0))
+        .cast("decimal(38,0)")).cast("double") /
+        count(lit(1)) / lit(1073741824.0)).as(s"_mu$d")
+    }
     for (_ <- 1 to iters) {
-      // Argmin via min_by over the total key (d2, cid), not a
-      // row_number window: the broadcast join emits a (vid, s) group's
-      // k candidate rows inside one input partition, so map-side
-      // partial aggregation collapses them before the exchange — n·m
-      // rows shuffle instead of n·m·k and no per-partition sort
-      // (guide §2.3/§2.4). The key is total (cid unique per group), so
-      // the winner is exactly the window's (d2 ASC, cid ASC) rank-1 row.
-      val assigned = sub.join(broadcast(cent), "s")
-        .select(col("s"), col("cid"), col("sv"), col("vid"), l2sq(col("sv"), col("cv")).as("d2"))
-        .groupBy(col("vid"), col("s"))
-        .agg(min_by(struct(col("cid"), col("sv")), struct(col("d2"), col("cid"))).as("a"))
-        .select(col("s"), col("a.cid").as("cid"), col("a.sv").as("sv"))
-      // ONE aggregate with subDim mean columns instead of posexplode →
-      // per-(s,cid,pos) agg → per-(s,cid) re-collect: the per-element
-      // integer-grid arithmetic is identical (floor(x·2^30) summed as
-      // DECIMAL(38,0), one division by the group count, one exponent
-      // shift), but the subvector rows never explode subDim-fold and
-      // the second exchange disappears (guide §2.3/§2.4) — every
-      // element lands at the array position its subspace slot dictates,
-      // exactly what the sort_array(struct(pos, mu)) re-collect
-      // produced.
-      val meanCols = (0 until subDim).map { d =>
-        (sum(floor(element_at(col("sv"), d + 1) * lit(1073741824.0))
-          .cast("decimal(38,0)")).cast("double") /
-          count(lit(1)) / lit(1073741824.0)).as(s"_mu$d")
-      }
-      val means = assigned
+      // (s, cid, sv) rows via one posexplode with the cid computed
+      // INLINE against the literal codebook — no broadcast join, no
+      // (vid, s) exchange; the only shuffle is the m·k-group mean.
+      val guard = assert_true(size(col(vecCol)) === m * subDim,
+        concat(lit(s"Pq: expected dim ${m * subDim} but vector has "),
+          size(col(vecCol)).cast("string"), lit(" elements")))
+      val vv = Similarity.asDoubleVec(col(vecCol))
+      val slices = array((0 until m).map { j =>
+        val sv = slice(vv, j * subDim + 1, subDim)
+        val cid = array_min(transform(typedLit(cbv(j)),
+          (cv, c) => struct(l2sq(sv, cv).as("d2"), c.as("cid"))))
+          .getField("cid")
+        struct(lit(j).as("s"), (cid + coalesce(guard.cast("int"), lit(0))).as("cid"),
+          sv.as("sv"))
+      }: _*)
+      val means = corpus.select(explode(slices).as("e"))
+        .select(col("e.s").as("s"), col("e.cid").as("cid"), col("e.sv").as("sv"))
         .groupBy("s", "cid")
         .agg(meanCols.head, meanCols.tail: _*)
-        .select(col("s"), col("cid"),
-          array((0 until subDim).map(d => col(s"_mu$d")): _*).as("ncv"))
-      cent = cent.join(means, Seq("s", "cid"), "left")
-        .select(col("s"), col("cid"), coalesce(col("ncv"), col("cv")).as("cv"))
-        .localCheckpoint(true)
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)),
+          IndexedSeq.tabulate(subDim)(d => r.getDouble(2 + d))))
+        .toMap
+      cbv = IndexedSeq.tabulate(m, k)((j, c) => means.getOrElse((j, c), cbv(j)(c)))
     }
-    cent
+    cbv
+  }
+
+  /** [[codebooksLocal]] as the (s, cid, cv) frame the public API and the
+    * specs consume — a LocalRelation, free to collect back. */
+  def codebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int, k: Int, iters: Int): DataFrame = {
+    val cbv = codebooksLocal(corpus, idCol, vecCol, m, subDim, k, iters)
+    import corpus.sparkSession.implicits._
+    (for (j <- 0 until m; c <- 0 until k) yield (j, c, cbv(j)(c)))
+      .toDF("s", "cid", "cv")
   }
 
   /** Encode each vector as its `m` nearest-centroid codes, subspace
-    * order: (idCol, codes array<int>). One broadcast join + one groupBy
-    * of (id, s, cid) triples — the vectors themselves never shuffle. */
+    * order: (idCol, codes array<int>). A ZERO-shuffle per-row projection
+    * against the literal codebook ([[encodeCol]]) — the r14 shape
+    * (subspace explode → broadcast join → two groupBys) shuffled n·m
+    * rows twice for what is a pure function of the row. `cb` is the
+    * (s, cid, cv) frame ([[collectCodebook]] pulls its m·k rows local —
+    * a model artifact, tiny at any corpus scale). */
   def encode(vectors: DataFrame, cb: DataFrame, idCol: String, vecCol: String,
       m: Int, subDim: Int): DataFrame = {
-    // Same min_by-over-total-key argmin as [[codebooks]]' assign step:
-    // map-side partial aggregation shrinks the first exchange from
-    // n·m·k rows to n·m and drops the window's sort.
-    subspaces(vectors, idCol, vecCol, m, subDim)
-      .join(broadcast(cb), "s")
-      .select(col("s"), col("cid"), col("vid"), l2sq(col("sv"), col("cv")).as("d2"))
-      .groupBy(col("vid"), col("s"))
-      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
-      .groupBy("vid")
-      .agg(sort_array(collect_list(struct(col("s"), col("cid")))).as("sc"))
-      .select(col("vid").as(idCol), expr("transform(sc, x -> x.cid)").as("codes"))
+    val cbv = collectCodebook(cb, m)
+    vectors.select(col(idCol), encodeCol(col(vecCol), cbv, m, subDim).as("codes"))
   }
 
   /** Reconstruct the quantized vector from codes (centroid concat) —
@@ -161,9 +224,10 @@ object Pq {
     * Ties break by corpus id; self-matches excluded. */
   def adcTopK(corpus: DataFrame, queries: DataFrame, cb: DataFrame,
       idCol: String, vecCol: String, m: Int, subDim: Int, kTop: Int): DataFrame = {
-    val codes = encode(corpus, cb, idCol, vecCol, m, subDim)
-      .withColumnRenamed(idCol, "corpus_id")
-    val lut = queryLuts(queries, cb, idCol, vecCol, m, subDim)
+    val cbv = collectCodebook(cb, m)
+    val codes = corpus.select(col(idCol).as("corpus_id"),
+      encodeCol(col(vecCol), cbv, m, subDim).as("codes"))
+    val lut = queryLuts(queries, cbv, idCol, vecCol, m, subDim)
     val w = Window.partitionBy("query_id").orderBy(col("approx_d2").asc, col("corpus_id"))
     codes.crossJoin(broadcast(lut))
       .filter(col("corpus_id") =!= col("query_id"))
@@ -172,20 +236,31 @@ object Pq {
       .filter(col("rank") <= kTop)
   }
 
-  /** Per-query ADC lookup tables: (query_id, luts) where `luts[s][j]` =
-    * ‖q_s − c_{s,j}‖² — m·k doubles per query, the only query-side state
-    * ADC scoring needs (broadcast by the callers). */
-  private def queryLuts(queries: DataFrame, cb: DataFrame,
+  /** The ADC lookup table as one per-row expression against the literal
+    * codebook: `luts[s][j]` = ‖q_s − c_{s,j}‖², cid order inside each
+    * subspace (the literal is cid-ordered by construction). Replaces the
+    * r14 subspace explode → broadcast join → two collect_list groupBys —
+    * zero shuffle, same values (same [[l2sq]] fold per (s, cid)). The
+    * wrong-length guard rides every lut element. */
+  private def lutCol(vec: Column, cbv: Codebook, m: Int, subDim: Int): Column = {
+    val guard = assert_true(size(vec) === m * subDim,
+      concat(lit(s"Pq: expected dim ${m * subDim} but vector has "),
+        size(vec).cast("string"), lit(" elements")))
+    val vv = Similarity.asDoubleVec(vec)
+    array((0 until m).map { j =>
+      val sv = slice(vv, j * subDim + 1, subDim)
+      transform(typedLit(cbv(j)),
+        cv => l2sq(sv, cv) + coalesce(guard.cast("double"), lit(0.0)))
+    }: _*)
+  }
+
+  /** Per-query ADC lookup tables: (query_id, luts) — m·k doubles per
+    * query, the only query-side state ADC scoring needs (broadcast by
+    * the callers). A zero-shuffle projection ([[lutCol]]). */
+  private def queryLuts(queries: DataFrame, cbv: Codebook,
       idCol: String, vecCol: String, m: Int, subDim: Int): DataFrame =
-    subspaces(queries, idCol, vecCol, m, subDim)
-      .join(broadcast(cb), "s")
-      .select(col("vid").as("query_id"), col("s"), col("cid"), l2sq(col("sv"), col("cv")).as("dd"))
-      .groupBy("query_id", "s")
-      .agg(sort_array(collect_list(struct(col("cid"), col("dd")))).as("cd"))
-      .select(col("query_id"), col("s"), expr("transform(cd, c -> c.dd)").as("l"))
-      .groupBy("query_id")
-      .agg(sort_array(collect_list(struct(col("s"), col("l")))).as("sl"))
-      .select(col("query_id"), expr("transform(sl, x -> x.l)").as("luts"))
+    queries.select(col(idCol).as("query_id"),
+      lutCol(col(vecCol), cbv, m, subDim).as("luts"))
 
   private def adcScore: Column =
     aggregate(zip_with(col("codes"), col("luts"),
@@ -218,10 +293,15 @@ object Pq {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       cb: DataFrame, idCol: String, vecCol: String,
       m: Int, subDim: Int, kTop: Int, nprobe: Int = 1): DataFrame = {
-    val codes = encode(corpus, cb, idCol, vecCol, m, subDim)
-      .join(Similarity.ivfAssign(corpus, centroids, idCol, vecCol), idCol)
-      .select(col(idCol).as("corpus_id"), col("cluster_id"), col("codes"))
-    val qside = queryLuts(queries, cb, idCol, vecCol, m, subDim)
+    // codes + cluster_id in ONE narrow projection over the corpus scan
+    // (literal codebook + withClusterId) — the r14 shape built them as
+    // two separate subtrees and joined them back by id.
+    val cbv = collectCodebook(cb, m)
+    val codes = Similarity.withClusterId(
+        corpus.select(col(idCol), col(vecCol)), centroids, idCol, vecCol)
+      .select(col(idCol).as("corpus_id"), col("cluster_id"),
+        encodeCol(col(vecCol), cbv, m, subDim).as("codes"))
+    val qside = queryLuts(queries, cbv, idCol, vecCol, m, subDim)
       .join(Similarity.ivfAssignMulti(queries, centroids, idCol, vecCol, nprobe)
         .select(col(idCol).as("query_id"), col("cluster_id")), "query_id")
     val w = Window.partitionBy("query_id").orderBy(col("approx_d2").asc, col("corpus_id"))
@@ -259,17 +339,20 @@ object Pq {
       nprobe: Int = 1): DataFrame = {
     val centVec = centroids.select(col(idCol).as("cluster_id"),
       Similarity.asDoubleVec(col(vecCol)).as("_cv0"))
-    val resid = corpus
-      .select(col(idCol), Similarity.asDoubleVec(col(vecCol)).as("_vv"))
-      .join(Similarity.ivfAssign(corpus, centroids, idCol, vecCol), idCol)
+    // cluster_id is a projection (withClusterId); the residual subtract
+    // stays the same zip_with. Checkpointed: the training collects
+    // (codebooksLocal) and the encode projection all read it.
+    val resid = Similarity.withClusterId(
+        corpus.select(col(idCol), col(vecCol)), centroids, idCol, vecCol)
       .join(broadcast(centVec), "cluster_id")
       .select(col(idCol), col("cluster_id"),
-        zip_with(col("_vv"), col("_cv0"), (x, c) => x - c).as("rv"))
+        zip_with(Similarity.asDoubleVec(col(vecCol)), col("_cv0"),
+          (x, c) => x - c).as("rv"))
       .localCheckpoint(true)
-    val cb = codebooks(resid, idCol, "rv", m, subDim, k, iters)
-    val codes = encode(resid, cb, idCol, "rv", m, subDim)
-      .join(resid.select(col(idCol), col("cluster_id")), idCol)
-      .select(col(idCol).as("corpus_id"), col("cluster_id"), col("codes"))
+    val cbv = codebooksLocal(resid, idCol, "rv", m, subDim, k, iters)
+    // codes next to the cluster id in ONE projection — no join back.
+    val codes = resid.select(col(idCol).as("corpus_id"), col("cluster_id"),
+      encodeCol(col("rv"), cbv, m, subDim).as("codes"))
     val qResid = queries
       .select(col(idCol).as("query_id"), Similarity.asDoubleVec(col(vecCol)).as("_qv"))
       .join(Similarity.ivfAssignMulti(queries, centroids, idCol, vecCol, nprobe)
@@ -278,28 +361,10 @@ object Pq {
       .select(col("query_id"), col("cluster_id"),
         zip_with(col("_qv"), col("_cv0"), (x, c) => x - c).as("qrv"))
     // Per-(query, cluster) LUTs — queryLuts keys on the id alone, but
-    // the residual changes with the probed centroid. Same wrong-length
-    // guard as subspaces (zip_with would null-pad silently).
-    val guard = assert_true(size(col("qrv")) === m * subDim,
-      concat(lit(s"Pq: expected dim ${m * subDim} but query residual has "),
-        size(col("qrv")).cast("string"), lit(" elements")))
-    val slices = array((0 until m).map(j =>
-      slice(col("qrv"), j * subDim + 1, subDim)): _*)
-    val lut = qResid
-      .select(col("query_id"),
-        (col("cluster_id") + coalesce(guard.cast("long"), lit(0L))).as("cluster_id"),
-        posexplode(slices).as(Seq("s", "sv")))
-      .join(broadcast(cb), "s")
-      .select(col("query_id"), col("cluster_id"), col("s"), col("cid"),
-        l2sq(col("sv"), col("cv")).as("dd"))
-      .groupBy("query_id", "cluster_id", "s")
-      .agg(sort_array(collect_list(struct(col("cid"), col("dd")))).as("cd"))
-      .select(col("query_id"), col("cluster_id"), col("s"),
-        expr("transform(cd, c -> c.dd)").as("l"))
-      .groupBy("query_id", "cluster_id")
-      .agg(sort_array(collect_list(struct(col("s"), col("l")))).as("sl"))
-      .select(col("query_id"), col("cluster_id"),
-        expr("transform(sl, x -> x.l)").as("luts"))
+    // the residual changes with the probed centroid. Same zero-shuffle
+    // lutCol projection (the wrong-length guard rides every element).
+    val lut = qResid.select(col("query_id"), col("cluster_id"),
+      lutCol(col("qrv"), cbv, m, subDim).as("luts"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("approx_d2").asc, col("corpus_id"))
     codes.join(broadcast(lut), "cluster_id")

@@ -69,15 +69,35 @@ object Similarity {
     * csim pick the SMALLEST centroid id via the negated second field,
     * and an (impossible for unit data, but defensively identical) NaN
     * csim sorts greatest in both formulations. */
-  def ivfAssign(vectors: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val v = vectors.select(col(idCol).as("vec_id_"), asDoubleVec(col(vecCol)).as("vv"))
-    val cent = centroids.select(col(idCol).as("centroid_id"), asDoubleVec(col(vecCol)).as("cv"))
-    v.crossJoin(broadcast(cent))
-      .select(col("vec_id_"), col("centroid_id"), cosine(col("vv"), col("cv")).as("csim"))
-      .groupBy(col("vec_id_"))
-      .agg(max_by(col("centroid_id"),
-        struct(col("csim"), negate(col("centroid_id")))).as("cluster_id"))
-      .select(col("vec_id_").as(idCol), col("cluster_id"))
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame =
+    withClusterId(vectors.select(col(idCol), col(vecCol)), centroids, idCol, vecCol)
+      .select(col(idCol), col("cluster_id"))
+
+  /** Append `cluster_id` — the max-cosine centroid id — to every row of
+    * `df`, keeping all existing columns, as a pure PROJECTION: the
+    * centroid set (O(k) rows, a model artifact at any corpus scale)
+    * collapses into ONE array cell that broadcasts, and the argmax runs
+    * per row as `array_max` over struct(csim, −cid, cid) — exactly the
+    * total key of the r14 `max_by` spelling (equal csim → smallest cid;
+    * a NaN csim sorts greatest in both), so assignments are
+    * bit-identical. What disappears versus the r14 shape: the n-row
+    * groupBy exchange inside the assign AND the assign→corpus join by
+    * id every caller paid to get the cluster next to its payload — the
+    * corpus is now touched by one narrow map (guide §2.4). Callers with
+    * an empty centroid frame get a NULL cluster_id (the old shape
+    * dropped the rows); no in-repo caller constructs one. */
+  def withClusterId(df: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val carr = centroids
+      .select(struct(col(idCol).as("cid"), asDoubleVec(col(vecCol)).as("cv")).as("c"))
+      .agg(collect_list(col("c")).as("_carr"))
+    val vv = asDoubleVec(col(vecCol))
+    df.crossJoin(broadcast(carr))
+      .withColumn("cluster_id",
+        array_max(transform(col("_carr"), c =>
+          struct(cosine(vv, c.getField("cv")).as("csim"),
+            negate(c.getField("cid")).as("ncid"),
+            c.getField("cid").as("cid")))).getField("cid"))
+      .drop("_carr")
   }
 
   /** Multi-probe assignment: each vector's `nprobe` NEAREST centroids in
@@ -106,12 +126,12 @@ object Similarity {
     * (query_id, corpus_id, cluster_id, sim, rank). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val assignedCorpus = ivfAssign(corpus, centroids, idCol, vecCol)
-    val assignedQueries = ivfAssign(queries, centroids, idCol, vecCol)
-      .select(col(idCol).as("q_id"), col("cluster_id"))
-    val c = corpus.join(assignedCorpus, idCol)
+    // cluster_id rides each side as a projection (withClusterId) — the
+    // r14 shape joined a separate ivfAssign output back by id, paying
+    // an exchange per side for a value that is a pure row function.
+    val c = withClusterId(corpus.select(col(idCol), col(vecCol)), centroids, idCol, vecCol)
       .select(col(idCol).as("corpus_id"), col("cluster_id"), asDoubleVec(col(vecCol)).as("cv"))
-    val q = queries.join(assignedQueries.withColumnRenamed("q_id", idCol), idCol)
+    val q = withClusterId(queries.select(col(idCol), col(vecCol)), centroids, idCol, vecCol)
       .select(col(idCol).as("query_id"), col("cluster_id"), asDoubleVec(col(vecCol)).as("qv"))
     val sims = c.join(broadcast(q), "cluster_id")
       .filter(col("corpus_id") =!= col("query_id"))
@@ -177,14 +197,15 @@ object Similarity {
     * raise recall with more probes or finer thresholds, not all-pairs. */
   def nearDupPairs(corpus: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String, threshold: Double): DataFrame = {
-    val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
     // Pre-normalize ONCE per vector (|corpus| rows), so each candidate
     // pair costs a single fused dot instead of dot + two norms — at Σ
     // cluster² pair volume the per-pair work is the whole bill, and
     // cosine(x, y) ≡ dot(x/|x|, y/|y|). The oracle mirrors the same
     // unit-vector shape (element division, then the same left fold), so
     // both engines still compute bit-identical similarities.
-    val v = corpus.join(assigned, idCol)
+    // cluster_id is a projection (withClusterId), not a joined-back
+    // ivfAssign frame — one corpus exchange fewer.
+    val v = withClusterId(corpus.select(col(idCol), col(vecCol)), centroids, idCol, vecCol)
       .select(col(idCol).as("id_"), col("cluster_id"), asDoubleVec(col(vecCol)).as("vv"))
       .withColumn("nrm", sqrt(graft.plans.DotProduct(col("vv"), col("vv"))))
       .select(col("id_"), col("cluster_id"),

@@ -2619,14 +2619,22 @@ object LlmQueries {
       // than a local[32] constant (Registry.spread — guide §2.2; the
       // old 2×cores constant made downstream shuffles write 2048 files
       // for 5000 docs).
-      val docs = Registry.spread(T(s, dir, "documents").select("doc_id", "text"))
-      val sh = Dedup.shingleArray(docs, "doc_id", "text", 3)
-      val sig = Dedup.minhashSignaturesNative(sh, "doc_id", 8)
-      val bands = Dedup.lshBands(sig, "doc_id", 8, 2)
-      val textPairs = Dedup.candidatePairs(bands, "doc_id")
-        .localCheckpoint(true)
-      val imgPairs = phashVerifiedPairs(s, dir)._2
-        .select("id_a", "id_b").localCheckpoint(true)
+      // The two modality chains are independent until the union; their
+      // eager checkpoints materialize CONCURRENTLY (Registry.inParallel,
+      // guide §2.6) instead of back-to-back — the r14 sequence paid
+      // text-chain wall + image-chain wall.
+      val chains = Registry.inParallel(
+        () => {
+          val docs = Registry.spread(T(s, dir, "documents").select("doc_id", "text"))
+          val sh = Dedup.shingleArray(docs, "doc_id", "text", 3)
+          val sig = Dedup.minhashSignaturesNative(sh, "doc_id", 8)
+          val bands = Dedup.lshBands(sig, "doc_id", 8, 2)
+          Dedup.candidatePairs(bands, "doc_id").localCheckpoint(true)
+        },
+        () => phashVerifiedPairs(s, dir)._2
+          .select("id_a", "id_b").localCheckpoint(true))
+      val textPairs = chains(0)
+      val imgPairs = chains(1)
       val edges = textPairs.unionByName(imgPairs).distinct()
       def degrees(pairs: org.apache.spark.sql.DataFrame, as: String) =
         pairs.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
@@ -2701,19 +2709,29 @@ object LlmQueries {
       // than a local[32] constant (Registry.spread — guide §2.2; the
       // old 2×cores constant made downstream shuffles write 2048 files
       // for 5000 docs).
-      val docs = Registry.spread(T(s, dir, "documents").select("doc_id", "text"))
-      val sh = Dedup.shingleArray(docs, "doc_id", "text", 3)
-      val sig = Dedup.minhashSignaturesNative(sh, "doc_id", 8)
-      val tbands = Dedup.lshBands(sig, "doc_id", 8, 2)
-      val tagged = Dedup.candidatePairs(tbands, "doc_id")
-        .withColumn("m", lit("text"))
-        .unionByName(phashVerifiedPairs(s, dir)._2
-          .select("id_a", "id_b").withColumn("m", lit("image")))
-        .unionByName(audioVerifiedPairs(s, dir)
-          .select("id_a", "id_b").withColumn("m", lit("audio")))
-        .unionByName(videoVerifiedPairs(s, dir)
+      // The four modality chains are independent until the union: build
+      // them CONCURRENTLY (Registry.inParallel, guide §2.6) so the three
+      // eager media checkpoints buried inside the helpers (image dHash,
+      // audio decode, video frame hashes) overlap each other and the
+      // text chain instead of running back-to-back; the union is then
+      // checkpointed once as before (its job computes all four pair
+      // chains in one DAG — AQE schedules those independent stages
+      // concurrently already).
+      val legs = Registry.inParallel(
+        () => {
+          val docs = Registry.spread(T(s, dir, "documents").select("doc_id", "text"))
+          val sh = Dedup.shingleArray(docs, "doc_id", "text", 3)
+          val sig = Dedup.minhashSignaturesNative(sh, "doc_id", 8)
+          val tbands = Dedup.lshBands(sig, "doc_id", 8, 2)
+          Dedup.candidatePairs(tbands, "doc_id").withColumn("m", lit("text"))
+        },
+        () => phashVerifiedPairs(s, dir)._2
+          .select("id_a", "id_b").withColumn("m", lit("image")),
+        () => audioVerifiedPairs(s, dir)
+          .select("id_a", "id_b").withColumn("m", lit("audio")),
+        () => videoVerifiedPairs(s, dir)
           .select("id_a", "id_b").withColumn("m", lit("video")))
-        .localCheckpoint(true)
+      val tagged = legs.reduce(_ unionByName _).localCheckpoint(true)
       val edges = tagged.select("id_a", "id_b").distinct()
       val deg = tagged
         .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"), col("m"))
@@ -3860,9 +3878,6 @@ object LlmQueries {
       // branch re-tokenizes the full corpus (7 regexp+split passes for
       // one 16-byte-per-doc frame — the "don't recompute shared
       // lineage" case of guide §1.2 step 1).
-      val sizes = docs.select(col("doc_id"),
-        size(TextOps.tokens(col("text"))).cast("long").as("ntok"))
-        .localCheckpoint(true)
       val evalDocs = docs.filter(col("doc_id") < 10)
       val corpus = docs.filter(col("doc_id") >= 10)
       val g = "CAST(CASE WHEN doc_id % 10 = 7 THEN doc_id - 1 ELSE doc_id END AS STRING)"
@@ -3871,17 +3886,33 @@ object LlmQueries {
         |  WHEN 1 THEN concat('HTTPS://WWW.DOCS.EXAMPLE.COM:443/d/', $g, '?id=', $g, '#frag')
         |  ELSE concat('https://docs.example.com/d/', $g, '/?id=', $g, '&utm_source=x')
         |END""".stripMargin)
-      val urlKeptIds = corpus
-        .select(col("doc_id"), TextOps.normalizeUrl(url).as("url_norm"))
-        .groupBy("url_norm").agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id").localCheckpoint(true)
+      // `sizes` (token mass per doc, consumed only by the accounting
+      // rows) and the url-dedup head of the chain are independent:
+      // materialize them concurrently (Registry.inParallel, guide §2.6).
+      val heads = Registry.inParallel(
+        () => docs.select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("ntok"))
+          .localCheckpoint(true),
+        () => corpus
+          .select(col("doc_id"), TextOps.normalizeUrl(url).as("url_norm"))
+          .groupBy("url_norm").agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id").localCheckpoint(true))
+      val sizes = heads(0)
+      val urlKeptIds = heads(1)
       val urlKept = corpus.join(urlKeptIds, "doc_id")
       val qualIds = TextOps.qualityFilter(urlKept,
           minTokens = 20, maxTokens = 100000,
           maxPunctRatio = 0.06, minStopwordRatio = 0.05)
         .filter(col("keep")).select("doc_id").localCheckpoint(true)
       val qualDocs = urlKept.join(qualIds, "doc_id")
+      // The shingle-array frame feeds THREE consumers (the MinHash
+      // signatures and both attach sides of the Jaccard verify) — an
+      // eager checkpoint stops each consumer re-running the
+      // tokenize→shingle scan (guide §1.2 step 1; QueryMetrics read
+      // 7.7 executor-CPU-s for this gate, mostly repeated regexp+split
+      // passes).
       val sh = Dedup.shingleArray(qualDocs, "doc_id", "text", 3)
+        .localCheckpoint(true)
       val sig = Dedup.minhashSignaturesNative(sh, "doc_id", 8)
       val cands = Dedup.candidatePairs(Dedup.lshBands(sig, "doc_id", 8, 2), "doc_id")
       val verified = Dedup.jaccardPairsFromArrays(sh, "doc_id", cands)

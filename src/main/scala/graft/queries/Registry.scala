@@ -88,6 +88,24 @@ object Registry {
     df.repartition(target)
   }
 
+  /** Materialize INDEPENDENT eager sub-chains concurrently (guide §2.6
+    * "overlap independent jobs"): Spark's scheduler happily runs several
+    * jobs at once inside one application — the multimodal gates' chains
+    * were sequential only because each ends in an eager
+    * `localCheckpoint` and the driver called them one after another.
+    * Each thunk runs in its own thread (job descriptions/groups are
+    * thread-local, so labeling stays correct); the call returns when
+    * every thunk has finished, preserving order. Determinism is
+    * untouched — each chain's result is a pure function of its input,
+    * only the materialization overlaps. */
+  def inParallel[A](fs: (() => A)*): IndexedSeq[A] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futs = fs.toIndexedSeq.map(f => Future(f()))
+    futs.map(Await.result(_, Duration.Inf))
+  }
+
   /** Cast every DECIMAL column of a terminal gate projection to DOUBLE.
     *
     * The driver's hash canonicalizes DOUBLE identically on both engines

@@ -1135,8 +1135,13 @@ object StreamingQueries {
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
             if (!batch.isEmpty) {
               val sp = batch.sparkSession
-              val tb = textBandsOf(batch).localCheckpoint(true)
-              val ib = imageBandsOf(batch).localCheckpoint(true)
+              // The two modality band builds are independent — overlap
+              // their eager checkpoints (guide §2.6) per micro-batch.
+              val bandFrames = Registry.inParallel(
+                () => textBandsOf(batch).localCheckpoint(true),
+                () => imageBandsOf(batch).localCheckpoint(true))
+              val tb = bandFrames(0)
+              val ib = bandFrames(1)
               val droppedText =
                 if (sp.catalog.tableExists("graft_st17.accepted_tbands"))
                   tb.join(sp.read.table("graft_st17.accepted_tbands"),
@@ -1161,12 +1166,16 @@ object StreamingQueries {
               // them first was one extra eager job per micro-batch.
               val keptT = tb.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
               val keptI = ib.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
-              kept.select("doc_id").write.mode("append")
-                .saveAsTable("graft_st17.accepted_docs")
-              keptT.write.mode("append")
-                .saveAsTable("graft_st17.accepted_tbands")
-              keptI.write.mode("append")
-                .saveAsTable("graft_st17.accepted_ibands")
+              // Three independent sinks over checkpointed inputs —
+              // overlap the write jobs (guide §2.6).
+              Registry.inParallel(
+                () => kept.select("doc_id").write.mode("append")
+                  .saveAsTable("graft_st17.accepted_docs"),
+                () => keptT.write.mode("append")
+                  .saveAsTable("graft_st17.accepted_tbands"),
+                () => keptI.write.mode("append")
+                  .saveAsTable("graft_st17.accepted_ibands"))
+              ()
             }
           }
           .start()
@@ -1224,7 +1233,7 @@ object StreamingQueries {
         .select(col("vec_id"), col("embedding"))
         .localCheckpoint(true)
       def unitOf(df: org.apache.spark.sql.DataFrame) =
-        df.join(Similarity.ivfAssign(df, cents, "vec_id", "embedding"), "vec_id")
+        Similarity.withClusterId(df, cents, "vec_id", "embedding")
           .select(col("vec_id"), col("cluster_id"),
             Similarity.asDoubleVec(col("embedding")).as("vv"))
           .withColumn("nrm", sqrt(graft.plans.DotProduct(col("vv"), col("vv"))))
@@ -1255,10 +1264,14 @@ object StreamingQueries {
                 .join(dropped, Seq("vec_id"), "left_anti")
                 .localCheckpoint(true)
               val keptVecs = nv.join(kept, Seq("vec_id"), "left_semi")
-              kept.write.mode("append")
-                .saveAsTable("graft_st18.accepted_docs")
-              keptVecs.write.mode("append")
-                .saveAsTable("graft_st18.accepted_vecs")
+              // Two independent sinks over checkpointed inputs —
+              // overlap the write jobs (guide §2.6).
+              Registry.inParallel(
+                () => kept.write.mode("append")
+                  .saveAsTable("graft_st18.accepted_docs"),
+                () => keptVecs.write.mode("append")
+                  .saveAsTable("graft_st18.accepted_vecs"))
+              ()
             }
           }
           .start()
@@ -1636,17 +1649,22 @@ object StreamingQueries {
                 .select("doc_id")
               def tag(ids: org.apache.spark.sql.DataFrame, o: String) =
                 ids.select(col("doc_id"), inc.as("increment"), lit(o).as("outcome"))
-              tag(d.select("doc_id"), "accepted")
-                .unionByName(tag(urlDrop, "url_dup"))
-                .unionByName(tag(qualDrop, "quality"))
-                .unionByName(tag(fuzzyDrop, "fuzzy_dup"))
-                .unionByName(tag(contamDrop, "contaminated"))
-                .write.mode("append").saveAsTable("graft_st23.outcomes")
-              withUrl.join(d.select("doc_id"), Seq("doc_id"), "left_semi")
-                .select("url_norm")
-                .write.mode("append").saveAsTable("graft_st23.accepted_urls")
-              nb.join(d.select("doc_id"), Seq("doc_id"), "left_semi")
-                .write.mode("append").saveAsTable("graft_st23.accepted_bands")
+              // Three independent sinks over already-checkpointed
+              // frames: overlap the writes (guide §2.6) instead of
+              // paying three sequential write-job latencies per batch.
+              Registry.inParallel(
+                () => tag(d.select("doc_id"), "accepted")
+                  .unionByName(tag(urlDrop, "url_dup"))
+                  .unionByName(tag(qualDrop, "quality"))
+                  .unionByName(tag(fuzzyDrop, "fuzzy_dup"))
+                  .unionByName(tag(contamDrop, "contaminated"))
+                  .write.mode("append").saveAsTable("graft_st23.outcomes"),
+                () => withUrl.join(d.select("doc_id"), Seq("doc_id"), "left_semi")
+                  .select("url_norm")
+                  .write.mode("append").saveAsTable("graft_st23.accepted_urls"),
+                () => nb.join(d.select("doc_id"), Seq("doc_id"), "left_semi")
+                  .write.mode("append").saveAsTable("graft_st23.accepted_bands"))
+              ()
             }
           }
           .start()
